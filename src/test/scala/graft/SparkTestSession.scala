@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.Suite
+
+/** Shared local SparkSession for all specs (one JVM-wide session; Spark's
+  * getOrCreate makes this safe across suites run sequentially by sbt). */
+trait SparkTestSession { self: Suite =>
+  lazy val spark: SparkSession = SparkTestSession.session
+}
+
+object SparkTestSession {
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    graft.h3.expr.H3Functions.register(s)
+    s
+  }
+}
