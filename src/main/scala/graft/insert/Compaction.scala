@@ -1,0 +1,116 @@
+package graft.insert
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.h3.expr.functions._
+
+/**
+ * H3 compaction / uncompaction of DataFrames (reference: insert-side
+ * `h3_compact_dataframe`, `insert.rs:99-108`; read-side
+ * `h3_uncompact_dataframe_subset`, `compacted_tables/mod.rs:459-477`).
+ *
+ * Compaction: wherever ALL children of a parent cell are present and carry
+ * identical values in every non-index column, the children are replaced by
+ * the parent, recursively — a lossless 7^k storage reduction for uniform
+ * regions (reference README.md:21-23). Pentagon parents have 6 children;
+ * [[graft.h3.H3.childrenCount]] is pentagon-aware, so the completeness test
+ * is exact.
+ *
+ * Scale note: one groupBy shuffle per resolution level (<= 15). The groupBy
+ * key is (parent, value-columns...), so the shuffle co-locates each candidate
+ * sibling set; skew is bounded by 7 rows per group. Input must be
+ * row-deduplicated first (duplicate rows would inflate the sibling count and
+ * is the reference's ReplacingMergeTree precondition).
+ */
+object Compaction {
+
+  /** Compact a deduplicated H3 DataFrame. All columns except `h3Col` are
+    * treated as value columns (equality required for merging). */
+  def compact(df: DataFrame, h3Col: String = "h3index"): DataFrame = {
+    val valueCols = df.columns.filterNot(_ == h3Col).toSeq
+    val maxRes = df.select(max(h3_get_resolution(col(h3Col)))).head() match {
+      case r if r.isNullAt(0) => return df // empty input
+      case r => r.getInt(0)
+    }
+    val present = mutable.Set[Int](
+      df.select(h3_get_resolution(col(h3Col)).as("r")).distinct()
+        .collect().map(_.getInt(0)).toIndexedSeq: _*)
+    var acc = df
+    var r = maxRes
+    while (r >= 1) {
+      if (!present(r)) { r -= 1 }
+      else {
+      present += (r - 1)
+      val atRes = acc.where(h3_get_resolution(col(h3Col)) === r)
+      val rest = acc.where(h3_get_resolution(col(h3Col)) =!= r)
+      val parent = h3_to_parent(col(h3Col), lit(r - 1))
+      // sibling sets: group by (parent, values); complete iff count == pentagon-aware child count
+      val grouped = atRes
+        .groupBy((parent.as(h3Col) +: valueCols.map(col)): _*)
+        .agg(count(lit(1)).as("_sibling_cnt"))
+      val promoted = grouped
+        .where(col("_sibling_cnt") === h3_children_count(col(h3Col), lit(r)))
+        .drop("_sibling_cnt")
+        .select(df.columns.map(col).toIndexedSeq: _*)
+      // rows whose (parent, values) group was NOT promoted survive at res r
+      val survivors = atRes
+        .join(promoted.select((col(h3Col).as("_p") +: valueCols.map(c => col(c).as(s"_v_$c"))): _*),
+          valueCols.foldLeft(parent === col("_p")) { (acc0, c) =>
+            acc0 && col(c) <=> col(s"_v_$c")
+          },
+          "left_anti")
+        .select(df.columns.map(col).toIndexedSeq: _*)
+      // localCheckpoint truncates the logical plan: without it the
+      // self-referencing union/filter lineage grows ~3^levels and chokes
+      // the optimizer well before data size matters.
+      acc = rest.unionByName(survivors).unionByName(promoted).localCheckpoint()
+      r -= 1
+      }
+    }
+    acc
+  }
+
+  /** Expand every cell to `targetRes`; cells already at/above targetRes pass
+    * through unchanged (matches reference uncompaction: only coarser cells
+    * expand, `mod.rs:459-477`). */
+  def uncompact(df: DataFrame, targetRes: Int, h3Col: String = "h3index"): DataFrame = {
+    val others = df.columns.filterNot(_ == h3Col).map(col).toIndexedSeq
+    val expanded = df
+      .withColumn("_children",
+        when(h3_get_resolution(col(h3Col)) < targetRes,
+          h3_to_children(col(h3Col), lit(targetRes)))
+          .otherwise(array(col(h3Col))))
+      .withColumn(h3Col, explode(col("_children")))
+      .drop("_children")
+    expanded.select(df.columns.map(col).toIndexedSeq: _*)
+  }
+
+  /** Restricted uncompaction (A7): produce exactly the requested target-res
+    * cells, taking each cell's value from its stored ancestor (reference
+    * `h3_uncompact_dataframe_subset`, `mod.rs:459-477`).
+    *
+    * Spark-first formulation: instead of exploding stored cells into up to
+    * 7^k children and filtering (the naive reading of the reference), the
+    * *request set* is expanded into its (resolution, ancestor) pairs —
+    * at most 16 rows per requested cell — and equi-joined against the stored
+    * cells. No data-side explosion, one hash join, broadcastable probe side;
+    * this survives a res-0 compacted cell queried at res 15, which the
+    * explode formulation cannot. */
+  def uncompactRestricted(df: DataFrame, targetRes: Int, targetCells: DataFrame,
+      h3Col: String = "h3index"): DataFrame = {
+    val cellCol = targetCells.columns.head
+    val ancestors = (0 to targetRes).map { r =>
+      struct(lit(r).as("_r"), h3_to_parent(col("_t"), lit(r)).as("_anc"))
+    }
+    val tExp = targetCells.select(col(cellCol).as("_t")).distinct()
+      .select(col("_t"), explode(array(ancestors: _*)).as("_x"))
+      .select(col("_t"), col("_x._r").as("_r"), col("_x._anc").as("_anc"))
+    df.withColumn("_res", h3_get_resolution(col(h3Col)))
+      .join(tExp, col(h3Col) === col("_anc") && col("_res") === col("_r"))
+      .withColumn(h3Col, col("_t"))
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
+}

@@ -1,0 +1,340 @@
+package graft.store
+
+import scala.collection.mutable
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.h3.H3
+import graft.h3.expr.functions._
+import graft.insert.{Compaction, Rollup}
+import graft.schema._
+
+/**
+ * Compacted-tableset store on a partitioned Parquet layout — the Spark-native
+ * equivalent of the reference's `CompactedTablesStore`
+ * (`clickhouse/compacted_tables/mod.rs`).
+ *
+ * Where the reference materializes one physical ClickHouse table per
+ * (resolution x {base, compacted}) (`tableset.rs:37-104`), this store keeps
+ * ONE partitioned dataset per tableset:
+ *
+ *   <root>/<name>/schema.json                  declared schema (JSON, §1.3)
+ *   <root>/<name>/data/kind=.../resolution=.../ph3=.../[pt=.../]  parquet
+ *
+ * Partition columns:
+ *  - `kind`: base | compacted  (the reference's table-name suffix)
+ *  - `resolution`: the H3 resolution of every cell in the partition
+ *  - `ph3`: h3-derived partition key (`schema/partitioning.rs:98-130`):
+ *    BaseCell -> base cell number; LowerResolution(d) -> parent cell at
+ *    max(resolution - d, 0)
+ *  - `pt`: temporal bucket (`schema/partitioning.rs:63-94`) when the schema
+ *    has temporal partitioning and a single temporal column, or the explicit
+ *    partitionBy columns.
+ *
+ * At scale this layout gives Hive-style partition pruning on kind/resolution
+ * (the D7 query predicate), spatial pruning on ph3, and temporal pruning on
+ * pt — the same skip-index effects the reference gets from ClickHouse
+ * PARTITION BY, but free in Catalyst. Temporary staging tables (D6) collapse
+ * into Spark job lineage: data becomes visible only on successful write.
+ */
+class CellStore(spark: SparkSession, rootPath: String) {
+  import CellStore._
+
+  private def fs = new Path(rootPath).getFileSystem(spark.sessionState.newHadoopConf())
+  private def tablesetPath(name: String) = new Path(rootPath, name)
+  private def schemaPath(name: String) = new Path(tablesetPath(name), "schema.json")
+  private def dataPath(name: String) = new Path(tablesetPath(name), "data")
+
+  // ---------------------------------------------------------------- catalog
+
+  /** D1: create the tableset (idempotent). */
+  def createTableset(schema: CompactedTableSchema): Unit = {
+    val validated = schema.validated
+    val p = schemaPath(validated.name)
+    if (!fs.exists(p)) {
+      val out = fs.create(p, true)
+      try out.write(validated.toJson.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  /** D2: drop all data of the tableset; tolerates absence. */
+  def dropTableset(name: String): Unit = {
+    val p = tablesetPath(name)
+    if (fs.exists(p)) { fs.delete(p, true); () }
+  }
+
+  /** D3: discover tablesets from storage (directories with a schema.json). */
+  def listTablesets(): Map[String, CompactedTableSchema] = {
+    val root = new Path(rootPath)
+    if (!fs.exists(root)) return Map.empty
+    fs.listStatus(root).iterator
+      .filter(_.isDirectory)
+      .flatMap { st =>
+        val sp = new Path(st.getPath, "schema.json")
+        if (fs.exists(sp)) {
+          val in = fs.open(sp)
+          val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+          Some(st.getPath.getName -> CompactedTableSchema.fromJson(json))
+        } else None
+      }
+      .toMap
+  }
+
+  /** D4: get one tableset's schema, error if absent. */
+  def getTableset(name: String): CompactedTableSchema =
+    listTablesets().getOrElse(name,
+      throw new IllegalArgumentException(s"tableset '$name' does not exist under $rootPath"))
+
+  // ----------------------------------------------------------------- insert
+
+  /** Full insert pipeline (§3.2): conform -> dedup -> compact (A6) -> split
+    * by resolution (A8) -> rollup to coarser base resolutions (A1-A5) ->
+    * single partitioned append. */
+  def insert(name: String, input: DataFrame, createSchema: Option[CompactedTableSchema] = None): Unit = {
+    createSchema.foreach(createTableset)
+    val schema = getTableset(name)
+    val h3Col = CompactedTableSchema.ColH3Index
+
+    require(input.columns.contains(h3Col), s"input is missing the '$h3Col' column")
+    // conform: project to declared columns, cast to declared Spark types
+    val conformed = schema.columns.toSeq.foldLeft(
+      input.select(schema.columns.keys.map(col).toIndexedSeq: _*)) {
+      case (df, (n, cdef)) => df.withColumn(n, col(n).cast(cdef.dataType.sparkType))
+    }
+
+    if (conformed.isEmpty) return
+
+    // full-row dedup: the exact-write strengthening of the reference's
+    // ReplacingMergeTree + OPTIMIZE DEDUPLICATE semantics (SURVEY §7.5.4)
+    val deduped = conformed.dropDuplicates()
+
+    val compacted =
+      (if (schema.compactionEnabled) Compaction.compact(deduped, h3Col) else deduped)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val maxRes = schema.maxBaseResolution
+      val maxFound = compacted.select(max(h3_get_resolution(col(h3Col)))).head()
+      if (maxFound.isNullAt(0)) return
+      if (maxFound.getInt(0) > maxRes)
+        throw new IllegalArgumentException(
+          s"dataframe contains higher resolution (${maxFound.getInt(0)}) than the tableset supports ($maxRes)")
+
+      val withRes = compacted.withColumn("resolution", h3_get_resolution(col(h3Col)))
+
+      // A8 + kind assignment: cells at max res -> base, coarser -> compacted
+      // (reference `ResolutionMetadata::new(res, res != max)`, insert.rs:152-170)
+      val kindified = withRes.withColumn("kind",
+        when(col("resolution") === maxRes, lit("base")).otherwise(lit("compacted")))
+      var frames = mutable.ListBuffer[DataFrame](kindified)
+
+      // rollup over consecutive base-resolution windows fine->coarse;
+      // sources per step: base data at srcRes + COMPACTED cells in
+      // (tgtRes, srcRes] (`insert.rs:352-378`) — the kind filter matters:
+      // at the first window the max-res rows are base, not compacted.
+      val resDesc = schema.baseResolutions.sorted.reverse
+      var sourceBase = withRes.where(col("resolution") === maxRes).drop("resolution")
+      resDesc.sliding(2).filter(_.length == 2).foreach { case Seq(srcRes, tgtRes) =>
+        val interCompacted = kindified
+          .where(col("kind") === "compacted" &&
+            col("resolution") > tgtRes && col("resolution") <= srcRes)
+          .drop("resolution", "kind")
+        val source = sourceBase.unionByName(interCompacted)
+        val target = Rollup.rollupStep(source, schema, srcRes, tgtRes)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        frames += target
+          .withColumn("resolution", lit(tgtRes))
+          .withColumn("kind", lit("base"))
+        sourceBase = target
+      }
+
+      val all = frames.reduce(_ unionByName _)
+      writePartitioned(all, schema, name)
+    } finally {
+      compacted.unpersist()
+    }
+  }
+
+  private def writePartitioned(framesWithKindRes: DataFrame,
+      schema: CompactedTableSchema, name: String): Unit = {
+    val h3Col = CompactedTableSchema.ColH3Index
+    val withPh3 = framesWithKindRes.withColumn("ph3", schema.h3Partitioning match {
+      case H3Partitioning.BaseCell => h3_get_base_cell(col(h3Col))
+      case H3Partitioning.LowerResolution(d) =>
+        h3_to_parent(col(h3Col), greatest(col("resolution") - d, lit(0)).cast("int"))
+    })
+    val (withParts, partCols) = partitionColumns(withPh3, schema)
+    withParts.write
+      .mode(SaveMode.Append)
+      .partitionBy(("kind" +: "resolution" +: "ph3" +: partCols): _*)
+      .parquet(dataPath(name).toString)
+  }
+
+  /** Temporal / explicit partition columns (`schema/mod.rs:244-282`). */
+  private def partitionColumns(df: DataFrame,
+      schema: CompactedTableSchema): (DataFrame, Seq[String]) = {
+    def bucket(c: String): org.apache.spark.sql.Column = schema.temporalPartitioning match {
+      case Some(TemporalPartitioning.Months(n)) =>
+        // ceil((year*100 + 100*(month-1)/12)/n)  (`partitioning.rs:69-91`)
+        ceil((year(col(c)) * 100 + lit(100.0) * (month(col(c)) - 1) / 12.0) / n).cast("long")
+      case Some(TemporalPartitioning.Years(n)) =>
+        (floor(year(col(c)) / n) * n).cast("long")
+      case None => col(c)
+    }
+    if (schema.partitionBy.nonEmpty) {
+      val cols = schema.partitionBy
+      val out = cols.foldLeft(df) { (d, c) =>
+        if (schema.columns(c).dataType.isTemporal) d.withColumn(s"pt_$c", bucket(c))
+        else d.withColumn(s"pt_$c", col(c))
+      }
+      (out, cols.map(c => s"pt_$c"))
+    } else (schema.temporalColumns, schema.temporalPartitioning) match {
+      case (Seq(tc), Some(_)) => (df.withColumn("pt", bucket(tc)), Seq("pt"))
+      case _ => (df, Nil)
+    }
+  }
+
+  // ------------------------------------------------------------------ query
+
+  /** Unified pruned scan for a query at `targetRes` — D7: all compacted
+    * partitions at res <= target plus the base partition at target.
+    * The filter lands on Hive partition columns -> partition pruning. */
+  def scanForResolution(name: String, targetRes: Int): DataFrame = {
+    val df = spark.read.parquet(dataPath(name).toString)
+    df.where((col("kind") === "compacted" && col("resolution") <= targetRes) ||
+      (col("kind") === "base" && col("resolution") === targetRes))
+  }
+
+  /** §3.1 `query_tableset_cells`: fetch the data of the given cells (any
+    * resolutions) at `targetRes`.
+    *
+    * @param cells       requested cells; converted per physical resolution
+    *                    (P3: to_parent for coarser, children for finer)
+    * @param doUncompact expand compacted coarse cells to exactly the
+    *                    requested target-res cells (A7)
+    * @param template    optional SQL template (P4) with placeholders
+    *                    `<[table]>` (mandatory) and `<[h3indexes]>`
+    */
+  def queryCells(name: String, cells: Seq[Long], targetRes: Int,
+      doUncompact: Boolean = true, template: Option[String] = None): DataFrame = {
+    val schema = getTableset(name)
+    require(targetRes <= schema.maxBaseResolution,
+      s"query resolution $targetRes exceeds tableset max ${schema.maxBaseResolution}")
+    val h3Col = CompactedTableSchema.ColH3Index
+    import spark.implicits._
+    val cellsDf = cells.toDF("qcell")
+
+    // P3: normalized probe set = distinct cells converted to every physical
+    // resolution <= targetRes. One combined set is exact because an H3 index
+    // encodes its resolution — equal indexes imply equal resolution.
+    val physRes = (0 to targetRes).toSeq
+    val probes = changeResolutions(cellsDf, "qcell", physRes).persist(StorageLevel.MEMORY_AND_DISK)
+
+    val scan = scanForResolution(name, targetRes)
+    val filtered = template match {
+      case None =>
+        // J1: broadcast hash left-semi join (`select.rs:110-130` IN-list)
+        scan.join(broadcast(probes), scan(h3Col) === probes("cell"), "left_semi")
+      case Some(t) =>
+        applyTemplate(t, scan, probes)
+    }
+
+    val projected = filtered.select(schema.columns.keys.map(col).toIndexedSeq: _*)
+    if (!doUncompact) projected
+    else {
+      val targetCells = changeResolutions(cellsDf, "qcell", Seq(targetRes)).select("cell")
+      Compaction.uncompactRestricted(projected, targetRes, targetCells, h3Col)
+    }
+  }
+
+  /** P4: templated query. `<[table]>` is replaced by a temp view over the
+    * pruned scan, `<[h3indexes]>` by a subquery of the probe cells
+    * (validation of mandatory placeholders: `select.rs:30-44`). */
+  private def applyTemplate(template: String, scan: DataFrame, probes: DataFrame): DataFrame = {
+    if (!template.contains("<[table]>"))
+      throw new IllegalArgumentException("query template is missing the mandatory <[table]> placeholder")
+    val id = java.util.UUID.randomUUID().toString.replace("-", "")
+    val tableView = s"graft_scan_$id"
+    val cellsView = s"graft_cells_$id"
+    scan.createOrReplaceTempView(tableView)
+    probes.createOrReplaceTempView(cellsView)
+    try {
+      val sql = template
+        .replace("<[table]>", tableView)
+        .replace("<[h3indexes]>", s"(SELECT cell FROM $cellsView)")
+      spark.sql(sql)
+    } finally {
+      // the returned DataFrame keeps its resolved plan; views can be dropped lazily
+    }
+  }
+
+  /** Convert cells to each resolution in `resolutions`: to_parent when the
+    * cell is finer, children expansion when coarser (reference
+    * `change_resolution`, used by `select.rs:139-162`). Output: (res, cell). */
+  private def changeResolutions(cellsDf: DataFrame, cellCol: String,
+      resolutions: Seq[Int]): DataFrame = {
+    val perRes = resolutions.map { r =>
+      struct(lit(r).as("res"),
+        when(h3_get_resolution(col(cellCol)) >= r, array(h3_to_parent(col(cellCol), lit(r))))
+          .otherwise(h3_to_children(col(cellCol), lit(r))).as("cells"))
+    }
+    cellsDf
+      .select(explode(array(perRes: _*)).as("x"))
+      .select(col("x.res").as("res"), explode(col("x.cells")).as("cell"))
+      .distinct()
+  }
+
+  // ------------------------------------------------------------------ stats
+
+  /** A9 + A10: per-resolution stored counts and derived totals
+    * (`mod.rs:381-513`). Columns: resolution, num_cells_stored_at_resolution,
+    * num_cells_stored_compacted, num_cells; sorted by resolution. */
+  def tablesetStats(name: String): DataFrame = {
+    val schema = getTableset(name)
+    import spark.implicits._
+    val counts = spark.read.parquet(dataPath(name).toString)
+      .groupBy("kind", "resolution").count()
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    def cnt(kind: String, r: Int): Long = counts.getOrElse((kind, r), 0L)
+    val compactedRes = counts.keys.collect { case ("compacted", r) => r }.toSeq
+    val rows = schema.baseResolutions.sorted.map { r =>
+      val storedAtRes = cnt("base", r) + cnt("compacted", r)
+      val storedCompacted = compactedRes.filter(_ < r).map(cnt("compacted", _)).sum
+      val numCells = cnt("base", r) + cnt("compacted", r) +
+        compactedRes.filter(_ < r).map(rc => cnt("compacted", rc) * H3.pow7(r - rc)).sum
+      (r, storedAtRes, storedCompacted, numCells)
+    }
+    rows.toDF("resolution", "num_cells_stored_at_resolution",
+      "num_cells_stored_compacted", "num_cells")
+  }
+
+  // --------------------------------------------------------------- optimize
+
+  /** A12: full-row dedup across all accumulated inserts — the explicit
+    * equivalent of `OPTIMIZE TABLE ... DEDUPLICATE` (`optimize.rs:20-113`).
+    * Rewrites the dataset via a staging directory + atomic-ish rename. */
+  def deduplicate(name: String): Unit = {
+    val schema = getTableset(name)
+    val dp = dataPath(name)
+    if (!fs.exists(dp)) return
+    val staging = new Path(tablesetPath(name), s"data_rewrite_${System.nanoTime()}")
+    val df = spark.read.parquet(dp.toString).dropDuplicates()
+    val (withParts, partCols) = partitionColumns(df, schema)
+    withParts.write
+      .mode(SaveMode.Overwrite)
+      .partitionBy(("kind" +: "resolution" +: "ph3" +: partCols): _*)
+      .parquet(staging.toString)
+    val old = new Path(tablesetPath(name), s"data_old_${System.nanoTime()}")
+    if (!fs.rename(dp, old)) throw new IllegalStateException(s"rename failed: $dp -> $old")
+    if (!fs.rename(staging, dp)) throw new IllegalStateException(s"rename failed: $staging -> $dp")
+    fs.delete(old, true)
+  }
+}
+
+object CellStore {
+  def apply(spark: SparkSession, rootPath: String): CellStore = new CellStore(spark, rootPath)
+}

@@ -1,0 +1,99 @@
+package graft.insert
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestSession
+import graft.h3.H3
+import graft.h3.expr.functions._
+
+/** Property tests for compaction (SURVEY §7.5.2 — the reference had a
+  * historical compaction bug, CHANGES.md:30-31, so these are mandatory):
+  * uncompact(compact(x)) == x on cell sets; partial sibling sets and
+  * differing values must NOT merge; pentagons merge at 6. */
+class CompactionSpec extends AnyFunSuite with Matchers with SparkTestSession {
+
+  private val hexRes3 = H3.fromParts(20, 3, Seq(0, 0, 0))
+
+  private def df(cells: Seq[Long], values: Seq[Int]) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(cells.zip(values).map { case (c, v) => Row(c, v) }, 4),
+      StructType(Seq(StructField("h3index", LongType, false),
+        StructField("v", IntegerType, false))))
+
+  test("complete uniform subtree compacts to the root; uncompact restores it") {
+    val cells = H3.toChildren(hexRes3, 6).toSeq // 343 cells
+    val d = df(cells, Seq.fill(cells.length)(7))
+    val compacted = Compaction.compact(d)
+    compacted.count() shouldBe 1
+    val root = compacted.head()
+    root.getLong(0) shouldBe hexRes3
+    root.getInt(1) shouldBe 7
+
+    val restored = Compaction.uncompact(compacted, 6)
+    restored.count() shouldBe 343
+    restored.select("h3index").collect().map(_.getLong(0)).toSet shouldBe cells.toSet
+    restored.select("v").distinct().head().getInt(0) shouldBe 7
+  }
+
+  test("differing values block merging") {
+    val cells = H3.toChildren(hexRes3, 4).toSeq // 7 siblings
+    val d = df(cells, 1 +: Seq.fill(6)(2)) // one child differs
+    Compaction.compact(d).count() shouldBe 7
+  }
+
+  test("partial sibling set does not merge") {
+    val cells = H3.toChildren(hexRes3, 4).toSeq.drop(1) // 6 of 7
+    val d = df(cells, Seq.fill(6)(1))
+    Compaction.compact(d).count() shouldBe 6
+  }
+
+  test("pentagon parent merges at 6 children") {
+    val pentagon = H3.fromParts(4, 2, Seq(0, 0)) // pentagon chain
+    H3.isPentagon(pentagon) shouldBe true
+    val kids = H3.toChildren(pentagon, 3).toSeq
+    kids.length shouldBe 6
+    val d = df(kids, Seq.fill(6)(9))
+    val compacted = Compaction.compact(d)
+    compacted.count() shouldBe 1
+    compacted.head().getLong(0) shouldBe pentagon
+  }
+
+  test("mixed-resolution input compacts recursively (already-compacted cells join sibling sets)") {
+    // 6 children at res 4 + the 7 res-5 children of the 7th -> all merge to hexRes3
+    val sibs = H3.toChildren(hexRes3, 4).toSeq
+    val fine = H3.toChildren(sibs.head, 5).toSeq
+    val cells = sibs.drop(1) ++ fine
+    val d = df(cells, Seq.fill(cells.length)(3))
+    val compacted = Compaction.compact(d)
+    compacted.count() shouldBe 1
+    compacted.head().getLong(0) shouldBe hexRes3
+  }
+
+  test("uncompactRestricted returns exactly the requested descendants, no explosion") {
+    import spark.implicits._
+    // one res-0 cell, request 5 specific res-8 descendants
+    val res0 = H3.fromParts(20, 0, Nil)
+    val d = df(Seq(res0), Seq(42))
+    val wanted = H3.toChildren(H3.fromParts(20, 7, Seq(0, 1, 2, 3, 0, 1, 2)), 8).take(5).toSeq
+    val out = Compaction.uncompactRestricted(d, 8, wanted.toDF("cell")).collect()
+    out.length shouldBe 5
+    out.map(_.getLong(0)).toSet shouldBe wanted.toSet
+    out.map(_.getInt(1)).toSet shouldBe Set(42)
+  }
+
+  test("uncompactRestricted mixes stored resolutions correctly") {
+    import spark.implicits._
+    // stored: one cell at res 2 (value 1) and one unrelated at res 4 (value 2)
+    val c2 = H3.fromParts(20, 2, Seq(1, 1))
+    val c4 = H3.fromParts(21, 4, Seq(2, 2, 2, 2))
+    val d = df(Seq(c2, c4), Seq(1, 2))
+    val wantedUnderC2 = H3.centerChild(c2, 4)
+    val out = Compaction.uncompactRestricted(d, 4, Seq(wantedUnderC2, c4).toDF("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out shouldBe Map(wantedUnderC2 -> 1, c4 -> 2)
+  }
+}

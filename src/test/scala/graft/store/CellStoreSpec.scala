@@ -1,0 +1,176 @@
+package graft.store
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestSession
+import graft.h3.H3
+import graft.schema.{AggregationMethod => Agg, GraftDataType => T, _}
+
+/** End-to-end tableset semantics on the FIXTURES F1/F2 scenarios
+  * (reference `tests/clickhouse/test_schema.py`, `examples/basic.rs`). */
+class CellStoreSpec extends AnyFunSuite with Matchers with SparkTestSession {
+
+  private def newStore() = {
+    val dir = Files.createTempDirectory("graft_store_").toString
+    CellStore(spark, dir)
+  }
+
+  // a res-5 hexagon cell (base cell 20 subtree is hexagonal at digit 0 chain)
+  private val hexRes5 = H3.fromParts(20, 5, Seq(0, 0, 0, 0, 0))
+  private val ts = Timestamp.valueOf("2023-06-15 12:00:00")
+
+  private def elephantSchema = CompactedTableSchema.builder("okavango_delta")
+    .h3BaseResolutions(0 to 7)
+    .temporalPartitioning(TemporalPartitioning.Months(1))
+    .addSimpleColumn("is_valid", T.UInt8)
+    .addSimpleColumn("observed_on", T.DateTime64T)
+    .addAggregatedColumn("elephant_density", T.Float32, Agg.RelativeToCellArea)
+    .addAggregatedColumn("some_category", T.UInt8, Agg.SetNullOnConflict, nullable = true)
+    .build()
+
+  /** 49 res-7 cells (complete res-5 subtree); category 23 for the first 24,
+    * 12 for the rest — mirrors F1's half/half split. */
+  private def elephantInput = {
+    val cells = H3.toChildren(hexRes5, 7)
+    val rows = cells.zipWithIndex.map { case (c, i) =>
+      Row(c, 1.toShort, ts, 4.0f, (if (i < 24) 23 else 12).toShort)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 4),
+      StructType(Seq(
+        StructField("h3index", LongType, false),
+        StructField("is_valid", ShortType, false),
+        StructField("observed_on", TimestampType, false),
+        StructField("elephant_density", FloatType, false),
+        StructField("some_category", ShortType, true))))
+  }
+
+  test("F1 elephant: create+insert, query back at full res == input shape, no category nulls") {
+    val store = newStore()
+    store.insert("okavango_delta", elephantInput, createSchema = Some(elephantSchema))
+
+    val cells = H3.toChildren(hexRes5, 7).toSeq
+    val back = store.queryCells("okavango_delta", cells, 7).collect()
+    back.length shouldBe 49
+    back.map(_.getAs[Short]("some_category")).forall(c => c == 23 || c == 12) shouldBe true
+    back.map(_.getAs[Float]("elephant_density")).foreach(_ shouldBe 4.0f)
+    // every returned h3index is one of the requested cells at res 7
+    back.map(_.getAs[Long]("h3index")).toSet shouldBe cells.toSet
+  }
+
+  test("F1 elephant: compaction happened in storage (coarser compacted cells exist)") {
+    val store = newStore()
+    store.insert("okavango_delta", elephantInput, createSchema = Some(elephantSchema))
+    val stats = store.tablesetStats("okavango_delta").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // res 7: 7 base cells (the mixed-category sibling group) remain + 42 covered compacted
+    stats(7)._3 shouldBe 49 // num_cells at res 7 = full coverage
+    stats(7)._1 should be < 49L // stored at res: only leftovers
+    // compacted cells at res 6 exist
+    stats(7)._2 should be > 0L
+  }
+
+  test("F1 elephant: query at res 5 -> fewer rows, same columns, SetNullOnConflict nulls") {
+    val store = newStore()
+    store.insert("okavango_delta", elephantInput, createSchema = Some(elephantSchema))
+    val cells = H3.toChildren(hexRes5, 7).toSeq
+    val back = store.queryCells("okavango_delta", cells, 5).collect()
+    back.length should be < 49
+    back.length shouldBe 1 // single res-5 ancestor
+    val row = back.head
+    row.schema.fieldNames should contain allOf
+      ("h3index", "is_valid", "observed_on", "elephant_density", "some_category")
+    row.isNullAt(row.fieldIndex("some_category")) shouldBe true // 23 vs 12 conflict
+    row.getAs[Float]("elephant_density") shouldBe 4.0f // full coverage, area-weighted
+  }
+
+  test("F1 elephant: templated query with always-false predicate -> 0 rows (test_schema.py:62-66)") {
+    val store = newStore()
+    store.insert("okavango_delta", elephantInput, createSchema = Some(elephantSchema))
+    val cells = H3.toChildren(hexRes5, 7).toSeq
+    val out = store.queryCells("okavango_delta", cells, 7, doUncompact = false,
+      template = Some("select * from <[table]> where elephant_density < 2 and h3index in <[h3indexes]>"))
+    out.count() shouldBe 0L
+    // missing mandatory placeholder -> error
+    an[IllegalArgumentException] should be thrownBy {
+      store.queryCells("okavango_delta", cells, 7, template = Some("select 1"))
+    }
+  }
+
+  private def sumSchema = CompactedTableSchema.builder("okavango_sum")
+    .h3BaseResolutions(0 to 5)
+    .temporalPartitioning(TemporalPartitioning.Months(1))
+    .addSimpleColumn("observed_on", T.DateTime64T)
+    .addAggregatedColumn("elephant_count", T.UInt32, Agg.Sum)
+    .build()
+
+  test("F2 sum variant: res-4 probe cell returns exactly 7 rows (basic.rs:113-124)") {
+    val store = newStore()
+    val parent = H3.toParent(hexRes5, 4)
+    val cells = H3.toChildren(parent, 5) // 7 res-5 siblings
+    val extra = H3.toChildren(H3.fromParts(21, 4, Seq(1, 2, 3, 4)), 5)
+    val rows = (cells ++ extra).map(c => Row(c, ts, 2L))
+    val input = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 2),
+      StructType(Seq(
+        StructField("h3index", LongType, false),
+        StructField("observed_on", TimestampType, false),
+        StructField("elephant_count", LongType, false))))
+    store.insert("okavango_sum", input, createSchema = Some(sumSchema))
+
+    // Sum disables compaction: nothing stored compacted
+    val stats = store.tablesetStats("okavango_sum").collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    stats.values.sum shouldBe 0L
+
+    val got = store.queryCells("okavango_sum", Seq(parent), 5).collect()
+    got.length shouldBe 7
+    got.map(_.getAs[Long]("h3index")).toSet shouldBe cells.toSet
+
+    // rollup conserves mass: sum at res 4 for the parent == 7*2
+    val at4 = store.queryCells("okavango_sum", Seq(parent), 4).collect()
+    at4.length shouldBe 1
+    at4.head.getAs[Long]("elephant_count") shouldBe 14L
+  }
+
+  test("discovery + drop (D2/D3/D4)") {
+    val store = newStore()
+    store.insert("okavango_delta", elephantInput, createSchema = Some(elephantSchema))
+    store.listTablesets().keySet shouldBe Set("okavango_delta")
+    store.getTableset("okavango_delta").baseResolutions shouldBe (0 to 7)
+    an[IllegalArgumentException] should be thrownBy store.getTableset("nope")
+    store.dropTableset("okavango_delta")
+    store.listTablesets() shouldBe empty
+    store.dropTableset("okavango_delta") // idempotent
+  }
+
+  test("duplicate insert + deduplicate (A12) restores exact counts") {
+    val store = newStore()
+    store.insert("okavango_delta", elephantInput, createSchema = Some(elephantSchema))
+    store.insert("okavango_delta", elephantInput) // same batch again
+    val cells = H3.toChildren(hexRes5, 7).toSeq
+    store.queryCells("okavango_delta", cells, 7).count() shouldBe 98 // duplicated
+    store.deduplicate("okavango_delta")
+    store.queryCells("okavango_delta", cells, 7).count() shouldBe 49
+  }
+
+  test("insert rejects resolutions above the tableset max") {
+    val store = newStore()
+    store.createTableset(sumSchema)
+    val tooFine = H3.toChildren(hexRes5, 7).take(3) // res 7 > max 5
+    val input = spark.createDataFrame(
+      spark.sparkContext.parallelize(tooFine.map(c => Row(c, ts, 1L)).toIndexedSeq, 1),
+      StructType(Seq(
+        StructField("h3index", LongType, false),
+        StructField("observed_on", TimestampType, false),
+        StructField("elephant_count", LongType, false))))
+    an[IllegalArgumentException] should be thrownBy store.insert("okavango_sum", input)
+  }
+}
