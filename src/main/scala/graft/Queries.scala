@@ -1,0 +1,403 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.h3.expr.functions._
+
+/**
+ * The correctness-gate query suite: every entry is a Spark implementation
+ * paired (in [[Oracles]]) with an independent DuckDB SQL oracle over the same
+ * parquet tables. Column names and row order match the oracle exactly.
+ *
+ * The H3 queries synthesize valid H3 cells deterministically from lineitem
+ * keys with pure arithmetic (identical in both systems), then derive
+ * parent/resolution/base-cell/children-count with OUR Catalyst expressions in
+ * Spark versus independent bit arithmetic in DuckDB — so the oracle actually
+ * cross-checks the expression implementations, not just the construction.
+ */
+object Queries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts is TIMESTAMP(NANOS), which Spark's parquet reader rejects;
+    * read nanos as long and convert to a microsecond timestamp. */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = t(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      case _ => df
+    }
+  }
+
+  // ------------------------------------------------------------- relational
+
+  /** TPC-H Q1-style pricing summary (single-scan groupBy, map-side combine). */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .where(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Broadcast-dim join: orders x customer x nation, per-nation totals.
+    * nation/customer are small -> explicit broadcast, no shuffle of orders. */
+  def q2NationOrders(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .join(broadcast(t(spark, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("num_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_price"))
+      .orderBy(col("n_name"))
+
+  /** TPC-H Q3-style: top 10 unshipped-revenue orders for one segment. */
+  def q3TopOrders(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(spark, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .where(col("c_mktsegment") === "BUILDING")
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+
+  /** Semi-join: order-priority counts for orders having at least one line
+    * item shipped in 1995 (EXISTS -> left_semi). */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .join(
+        t(spark, dir, "lineitem")
+          .where(year(col("l_shipdate")) === 1995)
+          .select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("num_orders"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Window function: top-3 customers per nation by account balance. */
+  def q5TopCustomersPerNation(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    t(spark, dir, "customer")
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 3)
+      .select(col("c_nationkey"), col("rnk"), col("c_custkey"),
+        round(col("c_acctbal"), 2).as("acctbal"))
+      .orderBy(col("c_nationkey"), col("rnk"))
+  }
+
+  /** Event-stream tumbling-day aggregation (batch shape of the streaming
+    * windowed agg; same plan Structured Streaming would produce). */
+  def q6EventsDaily(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("num_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("event_type"), col("day"))
+
+  /** Anti-join: customers with no large orders (> 300k). */
+  def q7CustomersWithoutOrders(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders").where(col("o_totalprice") > 300000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** Multi-way join through the full star: revenue per region. */
+  def q8RegionRevenue(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(spark, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("num_items"))
+      .orderBy(col("r_name"))
+
+  // --------------------------------------------------------------------- h3
+
+  /** Deterministic valid H3 cell at res 9 from lineitem keys — identical
+    * arithmetic on the DuckDB side. First digit in 2..6 keeps cells off the
+    * pentagon K-axis (always valid, never a pentagon-center chain). */
+  private[graft] def synthCell: Column = {
+    val bc = pmod(col("l_orderkey") * 7 + col("l_partkey"), lit(122))
+    val d1 = (pmod(col("l_partkey") + col("l_orderkey"), lit(5)) + 2)
+    val digits = (2 to 9).map { i =>
+      shiftleft(pmod(col("l_partkey") + lit(i) * col("l_orderkey"), lit(7)).cast("long"),
+        3 * (15 - i))
+    }
+    val base = shiftleft(lit(1L), 59)
+      .bitwiseOR(shiftleft(lit(9L), 52))
+      .bitwiseOR(shiftleft(bc.cast("long"), 45))
+      .bitwiseOR(shiftleft(d1.cast("long"), 3 * (15 - 1)))
+      .bitwiseOR(lit(262143L)) // digits 10..15 = 7
+    digits.foldLeft(base)(_ bitwiseOR _)
+  }
+
+  /** Our H3 expressions vs independent DuckDB bit math, row by row. */
+  def h1CellOps(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), synthCell.as("cell"))
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("cell"),
+        h3_get_resolution(col("cell")).as("res"),
+        h3_get_base_cell(col("cell")).as("basecell"),
+        h3_to_parent(col("cell"), lit(5)).as("parent5"),
+        h3_children_count(col("cell"), lit(11)).as("nkids11"),
+        h3_is_valid(col("cell")).as("valid"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** Rollup-shaped aggregation: group by parent cell at res 5 (the exact
+    * shuffle shape of the tableset rollup A1/A2). */
+  def h2ParentRollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(synthCell.as("cell"), col("l_quantity"), col("l_extendedprice"))
+      .groupBy(h3_to_parent(col("cell"), lit(5)).as("parent5"))
+      .agg(count(lit(1)).as("num_cells"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(max(col("l_extendedprice")), 2).as("max_price"))
+      .orderBy(col("parent5"))
+
+  /** Multi-resolution aggregation pyramid over synthesized cells: counts per
+    * resolution 3/5/7 via parent projection (partition-pruning shape of D7). */
+  def h3ResolutionPyramid(spark: SparkSession, dir: String): DataFrame = {
+    val cells = t(spark, dir, "lineitem").select(synthCell.as("cell"))
+    val perRes = Seq(3, 5, 7).map { r =>
+      cells.groupBy(h3_to_parent(col("cell"), lit(r)).as("cell_at_res"))
+        .agg(count(lit(1)).as("num_children"))
+        .withColumn("res", lit(r))
+    }
+    perRes.reduce(_ unionByName _)
+      .select(col("res"), col("cell_at_res"), col("num_children"))
+      .orderBy(col("res"), col("cell_at_res"))
+  }
+
+  // -------------------------------------------------------------- documents
+
+  /** Exact dedup: canonical doc per distinct text (min doc_id wins). */
+  def d1ExactDedup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("dup_count"))
+      .select(col("canonical_id"), col("dup_count"))
+      .orderBy(col("canonical_id"))
+
+  /** Token / character statistics per document (whitespace tokenization). */
+  def d2TokenStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        length(col("text")).as("text_len"),
+        size(split(trim(col("text")), "\\s+")).as("num_tokens"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))).as("num_punct"))
+      .orderBy(col("doc_id"))
+
+  /** Quality score: simple length/punctuation heuristic, deterministic
+    * integer arithmetic (training-data quality filter shape). */
+  def d3QualityScore(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        round(
+          least(col("n_chars").cast("double") / 1000.0, lit(1.0)) * 0.5 +
+            when(col("lang") === "en", 0.3).otherwise(0.1) +
+            when(col("n_chars") > 100, 0.2).otherwise(0.0), 4).as("quality"))
+      .orderBy(col("doc_id"))
+
+  /** Language distribution with average length. */
+  def d4LangDistribution(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("num_docs"),
+        round(avg(col("n_chars")), 2).as("avg_chars"))
+      .orderBy(col("lang"))
+
+  // ------------------------------------------------------------- embeddings
+
+  /** Brute-force cosine top-5 neighbors for the first 10 vectors (the exact
+    * ANN baseline; the LSH variant must recall against this). */
+  def e1KnnBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val queries = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val cosine = {
+      val dot = aggregate(zip_with(col("qe"), col("ne"), (a, b) => a * b),
+        lit(0.0d), (acc, x) => acc + x)
+      val na = sqrt(aggregate(col("qe"), lit(0.0d), (acc, x) => acc + x * x))
+      val nb = sqrt(aggregate(col("ne"), lit(0.0d), (acc, x) => acc + x * x))
+      dot / (na * nb)
+    }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    queries.withColumn("qe", col("qe").cast("array<double>"))
+      .crossJoin(emb.withColumn("ne", col("embedding").cast("array<double>")))
+      .where(col("query_id") =!= col("vec_id"))
+      .withColumn("cos", cosine)
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 5)
+      .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  // ---------------------------------------------------------------- oracles
+
+  /** DuckDB SQL equivalents. Same column names, same ORDER BY. */
+  val oracles: Map[String, String] = {
+    val synthCellSql =
+      """((1::BIGINT << 59) | (9::BIGINT << 52)
+        | | (((l_orderkey * 7 + l_partkey) % 122)::BIGINT << 45)
+        | | ((((l_partkey + l_orderkey) % 5) + 2)::BIGINT << 42)
+        | | (((l_partkey + 2*l_orderkey) % 7)::BIGINT << 39)
+        | | (((l_partkey + 3*l_orderkey) % 7)::BIGINT << 36)
+        | | (((l_partkey + 4*l_orderkey) % 7)::BIGINT << 33)
+        | | (((l_partkey + 5*l_orderkey) % 7)::BIGINT << 30)
+        | | (((l_partkey + 6*l_orderkey) % 7)::BIGINT << 27)
+        | | (((l_partkey + 7*l_orderkey) % 7)::BIGINT << 24)
+        | | (((l_partkey + 8*l_orderkey) % 7)::BIGINT << 21)
+        | | (((l_partkey + 9*l_orderkey) % 7)::BIGINT << 18)
+        | | 262143::BIGINT)""".stripMargin.replace("\n", " ")
+    // parent at res 5: replace the res field (9 -> 5) and set bits below digit 5's shift (30)
+    def parent5(cell: String) =
+      s"((($cell - (9::BIGINT << 52)) + (5::BIGINT << 52)) | ((1::BIGINT << 30) - 1))"
+
+    Map(
+      "q1_pricing_summary" ->
+        """SELECT l_returnflag, l_linestatus,
+          | round(sum(l_quantity), 2) AS sum_qty,
+          | round(sum(l_extendedprice), 2) AS sum_base_price,
+          | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+          | round(avg(l_quantity), 4) AS avg_qty,
+          | count(*) AS count_order
+          |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+          |GROUP BY l_returnflag, l_linestatus
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+      "q2_nation_orders" ->
+        """SELECT n_name, count(*) AS num_orders, round(sum(o_totalprice), 2) AS total_price
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |GROUP BY n_name ORDER BY n_name""".stripMargin,
+      "q3_top_orders" ->
+        """SELECT l_orderkey, o_orderdate,
+          | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |GROUP BY l_orderkey, o_orderdate
+          |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+      "q4_order_priority" ->
+        """SELECT o_orderpriority, count(*) AS num_orders
+          |FROM orders WHERE EXISTS (
+          |  SELECT 1 FROM lineitem
+          |  WHERE l_orderkey = o_orderkey AND year(l_shipdate) = 1995)
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      "q5_top_customers_per_nation" ->
+        """SELECT c_nationkey, rnk, c_custkey, acctbal FROM (
+          |  SELECT c_nationkey, c_custkey, round(c_acctbal, 2) AS acctbal,
+          |    row_number() OVER (PARTITION BY c_nationkey
+          |                       ORDER BY c_acctbal DESC, c_custkey) AS rnk
+          |  FROM customer) WHERE rnk <= 3
+          |ORDER BY c_nationkey, rnk""".stripMargin,
+      "q6_events_daily" ->
+        """SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS num_events,
+          | round(sum(value), 2) AS total_value
+          |FROM events GROUP BY event_type, CAST(ts AS DATE)
+          |ORDER BY event_type, day""".stripMargin,
+      "q7_customers_without_orders" ->
+        """SELECT c_custkey, c_name FROM customer
+          |WHERE NOT EXISTS (SELECT 1 FROM orders
+          |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+          |ORDER BY c_custkey""".stripMargin,
+      "q8_region_revenue" ->
+        """SELECT r_name,
+          | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+          | count(*) AS num_items
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY r_name ORDER BY r_name""".stripMargin,
+      "h1_cell_ops" ->
+        s"""SELECT l_orderkey, l_linenumber, cell,
+           | ((cell >> 52) & 15)::INT AS res,
+           | ((cell >> 45) & 127)::INT AS basecell,
+           | ${parent5("cell")} AS parent5,
+           | 49::BIGINT AS nkids11,
+           | TRUE AS valid
+           |FROM (SELECT l_orderkey, l_linenumber, $synthCellSql AS cell FROM lineitem)
+           |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+      "h2_parent_rollup" ->
+        s"""SELECT ${parent5("cell")} AS parent5, count(*) AS num_cells,
+           | round(sum(l_quantity), 2) AS sum_qty,
+           | round(max(l_extendedprice), 2) AS max_price
+           |FROM (SELECT $synthCellSql AS cell, l_quantity, l_extendedprice FROM lineitem)
+           |GROUP BY 1 ORDER BY parent5""".stripMargin,
+      "h3_resolution_pyramid" ->
+        s"""WITH cells AS (SELECT $synthCellSql AS cell FROM lineitem),
+           |lvl AS (
+           |  SELECT 3 AS res, (((cell - (9::BIGINT << 52)) + (3::BIGINT << 52)) | ((1::BIGINT << 36) - 1)) AS cell_at_res FROM cells
+           |  UNION ALL
+           |  SELECT 5, (((cell - (9::BIGINT << 52)) + (5::BIGINT << 52)) | ((1::BIGINT << 30) - 1)) FROM cells
+           |  UNION ALL
+           |  SELECT 7, (((cell - (9::BIGINT << 52)) + (7::BIGINT << 52)) | ((1::BIGINT << 24) - 1)) FROM cells)
+           |SELECT res, cell_at_res, count(*) AS num_children FROM lvl
+           |GROUP BY res, cell_at_res ORDER BY res, cell_at_res""".stripMargin,
+      "d1_exact_dedup" ->
+        """SELECT min(doc_id) AS canonical_id, count(*) AS dup_count
+          |FROM documents GROUP BY text ORDER BY canonical_id""".stripMargin,
+      "d2_token_stats" ->
+        """SELECT doc_id, length(text) AS text_len,
+          | length(string_split_regex(trim(text), '\s+')) AS num_tokens,
+          | length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS num_punct
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "d3_quality_score" ->
+        """SELECT doc_id,
+          | round(least(n_chars / 1000.0, 1.0) * 0.5 +
+          |   CASE WHEN lang = 'en' THEN 0.3 ELSE 0.1 END +
+          |   CASE WHEN n_chars > 100 THEN 0.2 ELSE 0.0 END, 4) AS quality
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "d4_lang_distribution" ->
+        """SELECT lang, count(*) AS num_docs, round(avg(n_chars), 2) AS avg_chars
+          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+      "e1_knn_brute_force" ->
+        """SELECT query_id, rnk, neighbor_id, round(cos, 4) AS cos_sim FROM (
+          |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+          |    list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS cos,
+          |    row_number() OVER (PARTITION BY q.vec_id
+          |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC, e.vec_id) AS rnk
+          |  FROM embeddings q JOIN embeddings e ON q.vec_id != e.vec_id
+          |  WHERE q.vec_id < 10)
+          |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+    )
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> q1PricingSummary,
+    "q2_nation_orders" -> q2NationOrders,
+    "q3_top_orders" -> q3TopOrders,
+    "q4_order_priority" -> q4OrderPriority,
+    "q5_top_customers_per_nation" -> q5TopCustomersPerNation,
+    "q6_events_daily" -> q6EventsDaily,
+    "q7_customers_without_orders" -> q7CustomersWithoutOrders,
+    "q8_region_revenue" -> q8RegionRevenue,
+    "h1_cell_ops" -> h1CellOps,
+    "h2_parent_rollup" -> h2ParentRollup,
+    "h3_resolution_pyramid" -> h3ResolutionPyramid,
+    "d1_exact_dedup" -> d1ExactDedup,
+    "d2_token_stats" -> d2TokenStats,
+    "d3_quality_score" -> d3QualityScore,
+    "d4_lang_distribution" -> d4LangDistribution,
+    "e1_knn_brute_force" -> e1KnnBruteForce
+  )
+}

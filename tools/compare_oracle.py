@@ -1,0 +1,61 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate: run each oracle SQL in
+DuckDB over the sf dir's parquet tables and compare with the Verify output
+parquet (columns sorted by name, rows sorted, values hashed)."""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize dtypes: timestamps -> iso strings, floats -> rounded repr
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype(str)
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+def main(sf_dir: str, out_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not spark_files:
+            print(f"MISSING  {name}: no spark output"); n_bad += 1; continue
+        try:
+            ora = con.execute(sql).df()
+        except Exception as e:
+            print(f"ORAFAIL  {name}: {e}"); n_bad += 1; continue
+        got = pd.concat([pd.read_parquet(f) for f in sorted(spark_files)])
+        a, b = norm(got), norm(ora)
+        if list(a.columns) != list(b.columns):
+            print(f"SCHEMA   {name}: spark={list(a.columns)} oracle={list(b.columns)}"); n_bad += 1; continue
+        if len(a) != len(b):
+            print(f"ROWS     {name}: spark={len(a)} oracle={len(b)}"); n_bad += 1; continue
+        try:
+            pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=False, rtol=0, atol=1e-9)
+            print(f"OK       {name} ({len(a)} rows)"); n_ok += 1
+        except AssertionError as e:
+            print(f"VALUES   {name}: {str(e).splitlines()[-1] if str(e) else 'diff'}")
+            mism = (a != b) & ~(a.isna() & b.isna())
+            bad_cols = [c for c in a.columns if mism[c].any()]
+            for c in bad_cols[:3]:
+                i = mism[c].idxmax()
+                print(f"         col={c} row={i}: spark={a[c][i]!r} oracle={b[c][i]!r}")
+            n_bad += 1
+    print(f"\n{n_ok} ok, {n_bad} bad")
+    return 1 if n_bad else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
+                  sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"))
