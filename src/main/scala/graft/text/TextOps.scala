@@ -1,0 +1,118 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines:
+ * shingling, MinHash, SimHash, Jaccard, language-ID, fingerprinting.
+ *
+ * Every operator is built from Spark's codegen-friendly built-ins
+ * (higher-order array functions, no UDFs), with arithmetic chosen to be
+ * reproducible bit-for-bit in an independent SQL engine (the DuckDB oracles)
+ * — deterministic seeded "randomness", integer modular hashing, codepoint
+ * (not byte) character semantics.
+ *
+ * Scale notes: all per-document operators are narrow (no shuffle). MinHash
+ * signatures are fixed-width arrays -> the LSH band join shuffles only
+ * (band_id, band_hash, doc_id) triples, never the text. Pairwise verification
+ * joins are blocked (LSH bucket or (lang, length-bucket)), so candidate sets
+ * stay near-linear instead of O(n^2).
+ */
+object TextOps {
+  /** Modulus for all hashing: the Mersenne prime 2^31-1. */
+  val P = 2147483647L
+
+  /** Hash family: h_j(x) = (x*A_j + B_j) mod P. A_j stays < 2^21 so
+    * (P-1)*A_j fits comfortably in a signed 64-bit long. */
+  def hashA(j: Int): Long = 976369L + (2L * j * 1299721L) % 1048573L
+  def hashB(j: Int): Long = (433024223L + j.toLong * 15485863L) % P
+
+  /** Character 3-gram codes over unicode codepoints:
+    * code_i = cp(i)*65536 + cp(i+1)*256 + cp(i+2); empty below 3 chars. */
+  def shingleCodes(text: Column): Column =
+    when(char_length(text) < 3, array().cast("array<bigint>"))
+      .otherwise(transform(
+        sequence(lit(1), char_length(text) - 2),
+        i => (ascii(text.substr(i, lit(1))) * 65536L +
+          ascii(text.substr(i + 1, lit(1))) * 256L +
+          ascii(text.substr(i + 2, lit(1)))).cast("bigint")))
+
+  /** MinHash signature: sig_j = min over shingles of h_j(code mod P), j < n.
+    * NULL entries for texts without shingles. */
+  def minhashSignature(text: Column, numHashes: Int): Column = {
+    val codes = shingleCodes(text)
+    val sig = (0 until numHashes).map { j =>
+      array_min(transform(codes, c => (pmod(c, lit(P)) * hashA(j) + hashB(j)) % P))
+    }
+    array(sig: _*)
+  }
+
+  /** LSH band bucket: polynomial combine of `rowsPerBand` adjacent signature
+    * entries (band 0 = entries [0, rowsPerBand)). */
+  def bandHash(sig: Column, band: Int, rowsPerBand: Int): Column =
+    pmod(aggregate(slice(sig, band * rowsPerBand + 1, rowsPerBand),
+      lit(0L), (acc, x) => (acc * 31L + x) % P), lit(P))
+
+  /** 31-bit SimHash from the h_0 hash of each shingle: bit b is 1 iff the
+    * +1/-1 votes of all shingle hashes at bit b sum positive. */
+  def simhash31(text: Column): Column = {
+    val hashes = transform(shingleCodes(text),
+      c => (pmod(c, lit(P)) * hashA(0) + hashB(0)) % P)
+    val bits = (0 until 31).map { b =>
+      when(aggregate(hashes, lit(0L),
+        (acc, h) => acc + (shiftright(h, b).bitwiseAND(lit(1L)) * 2L - 1L)) > 0,
+        lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Exact Jaccard similarity of the distinct shingle sets of two texts. */
+  def jaccardShingles(a: Column, b: Column): Column = {
+    val sa = array_distinct(shingleCodes(a))
+    val sb = array_distinct(shingleCodes(b))
+    val inter = size(array_intersect(sa, sb)).cast("double")
+    val union = size(array_union(sa, sb)).cast("double")
+    when(union === 0, 0.0).otherwise(inter / union)
+  }
+
+  /** Per-language stopword markers (padded with spaces; zh uses single
+    * characters). Scores are marker occurrence counts. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq(" der ", " und ", " die "),
+    "en" -> Seq(" the ", " and ", " of "),
+    "es" -> Seq(" el ", " los ", " y "),
+    "fr" -> Seq(" le ", " les ", " et "),
+    "zh" -> Seq("的", "是", "了"))
+
+  private def occurrences(text: Column, marker: String): Column =
+    ((char_length(text) - char_length(regexp_replace(text,
+      java.util.regex.Pattern.quote(marker), ""))) / marker.length).cast("long")
+
+  /** Predicted language = argmax of marker occurrence counts; ties break to
+    * the lexicographically largest language code; "und" when no marker hits.
+    * The argmax is a `greatest` over zero-padded "score||lang" strings so the
+    * identical formulation runs in the DuckDB oracle (whose `greatest` does
+    * not take structs). */
+  def langId(text: Column): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    val scored = LangMarkers.map { case (lang, markers) =>
+      concat(lpad(markers.map(m => occurrences(padded, m)).reduce(_ + _).cast("string"),
+        10, "0"), lit(lang))
+    }
+    val best = greatest(scored: _*)
+    when(substring(best, 1, 10) > "0000000000", substring(best, 11, 2)).otherwise(lit("und"))
+  }
+
+  /** Order-sensitive document fingerprint: position-weighted polynomial hash
+    * of the shingle codes, weights 31^(i mod 8) mod P; 0 for empty. */
+  def fingerprint(text: Column): Column = {
+    val w = (0 until 8).map(k => (0 until k).foldLeft(1L)((acc, _) => acc * 31 % P))
+    val codes = shingleCodes(text)
+    when(size(codes) === 0, lit(0L)).otherwise(
+      pmod(aggregate(
+        zip_with(codes, sequence(lit(0), size(codes) - 1),
+          (c, i) => pmod(c, lit(P)) * element_at(array(w.map(lit): _*), pmod(i, lit(8)) + 1) % P),
+        lit(0L), (acc, x) => (acc + x) % P), lit(P)))
+  }
+}
