@@ -1,0 +1,127 @@
+package graft.traverse
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.h3.H3
+import graft.h3.expr.functions._
+import graft.schema.CompactedTableSchema
+import graft.store.CellStore
+
+/**
+ * Bulk area traversal — the Spark-native re-expression of the reference's
+ * streaming AOI traversal (`compacted_tables/traversal.rs`, SURVEY §2.9/§3.3).
+ *
+ * The reference fans the AOI's traversal cells out to N worker connections,
+ * each running one cell query, with bounded channels for backpressure
+ * (T2/T5). On Spark that entire pipeline collapses into ONE declarative job:
+ * AOI cells -> semi-join -> grouped by traversal cell; executors provide the
+ * parallelism, shuffle services the backpressure. The per-cell-iterator UX
+ * (a pull-based stream of per-cell DataFrames) is kept as a driver-side
+ * batched loop for API compatibility ([[traverseIterator]]).
+ */
+object Traversal {
+
+  final case class TraversalOptions(
+      maxFetchCount: Int = 500, // reference default, traversal.rs:96
+      doUncompact: Boolean = true,
+      prefilterTemplate: Option[String] = None, // T3 filter query
+      template: Option[String] = None,
+      includeBuffer: Int = 0) // G4: k-ring buffer around fetched cells
+
+  /** T1: coarsest base resolution r < targetRes with 7^(targetRes-r) <=
+    * maxFetchCount; falls back to targetRes (`traversal.rs:24-50`). */
+  def selectTraversalResolution(schema: CompactedTableSchema, targetRes: Int,
+      maxFetchCount: Int): Int = {
+    val candidates = schema.baseResolutions.filter(_ < targetRes).sorted
+    candidates.find(r => H3.pow7(targetRes - r) <= maxFetchCount)
+      .getOrElse(targetRes)
+  }
+
+  /** AOI cells -> deduplicated, sorted traversal cells at the traversal
+    * resolution (`traversal.rs:152-161`: change_resolution + sort + dedup). */
+  def traversalCells(aoiCells: Seq[Long], traversalRes: Int): Seq[Long] =
+    aoiCells.flatMap { c =>
+      if (H3.getResolution(c) >= traversalRes) Seq(H3.toParentUnsafe(c, traversalRes))
+      else H3.toChildren(c, traversalRes).toSeq
+    }.distinct.sorted
+
+  /** T3 prefilter: run the filter query at the traversal resolution and keep
+    * only traversal cells that return rows (`traversal.rs:357-393`). The
+    * reference chunks cells x50 per query; one distinct-aggregation job
+    * subsumes the chunking. */
+  def prefilter(store: CellStore, name: String, travCells: Seq[Long],
+      travRes: Int, filterTemplate: String): Seq[Long] = {
+    val matched = store.queryCells(name, travCells, travRes,
+        doUncompact = false, template = Some(filterTemplate))
+      .select(h3_to_parent(col(CompactedTableSchema.ColH3Index), lit(travRes)).as("tc"))
+      .distinct()
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    travCells.filter(matched.contains)
+  }
+
+  /** G4 buffer (`traversal.rs:403-418`): expand the queried cells with the
+    * k-ring of every target-res child of each traversal cell. */
+  private def bufferCells(travCells: Seq[Long], targetRes: Int, k: Int): Seq[Long] =
+    travCells.flatMap { tc =>
+      H3.toChildren(tc, targetRes).flatMap(c => graft.geom.Grid.gridDisk(c, k))
+    }.distinct.sorted
+
+  /** T2 bulk: one DataFrame of the whole AOI at `targetRes`, with a
+    * `traversal_cell` column marking each row's traversal group. Empty
+    * traversal cells simply produce no rows (T4). */
+  def traverseBulk(store: CellStore, name: String, aoiCells: Seq[Long],
+      targetRes: Int, options: TraversalOptions = TraversalOptions()): DataFrame = {
+    val schema = store.getTableset(name)
+    val travRes = selectTraversalResolution(schema, targetRes, options.maxFetchCount)
+    var cells = traversalCells(aoiCells, travRes)
+    options.prefilterTemplate.foreach { ft =>
+      cells = prefilter(store, name, cells, travRes, ft)
+    }
+    val queryCells =
+      if (options.includeBuffer > 0) bufferCells(cells, targetRes, options.includeBuffer)
+      else cells
+    store.queryCells(name, queryCells, targetRes, options.doUncompact, options.template)
+      .withColumn("traversal_cell",
+        h3_to_parent(col(CompactedTableSchema.ColH3Index), lit(travRes)))
+  }
+
+  /** Geometry AOI (reference `TraversalArea::Geometry`): polyfill at the
+    * traversal resolution, then traverse. Coordinates are (lng, lat) degrees. */
+  def traverseBulkGeometry(store: CellStore, name: String,
+      geom: org.locationtech.jts.geom.Geometry, targetRes: Int,
+      options: TraversalOptions = TraversalOptions()): DataFrame = {
+    val schema = store.getTableset(name)
+    val travRes = selectTraversalResolution(schema, targetRes, options.maxFetchCount)
+    traverseBulk(store, name, graft.geom.Geo.polyfill(geom, travRes), targetRes, options)
+  }
+
+  final case class TraversedCell(cell: Long, df: DataFrame)
+
+  /** T2 compat: pull-based iterator of per-traversal-cell DataFrames, like
+    * the reference's `Traverser` stream. `batchSize` traversal cells are
+    * fetched per Spark job (the reference fetches 1 per gRPC query across 3
+    * connections; a Spark job batches better). Cells yielding no rows are
+    * skipped (T4), so the iterator may be shorter than its size hint. */
+  def traverseIterator(store: CellStore, name: String, aoiCells: Seq[Long],
+      targetRes: Int, options: TraversalOptions = TraversalOptions(),
+      batchSize: Int = 8): Iterator[TraversedCell] = {
+    val schema = store.getTableset(name)
+    val travRes = selectTraversalResolution(schema, targetRes, options.maxFetchCount)
+    var cells = traversalCells(aoiCells, travRes)
+    options.prefilterTemplate.foreach { ft =>
+      cells = prefilter(store, name, cells, travRes, ft)
+    }
+    cells.grouped(batchSize).flatMap { batch =>
+      val df = store.queryCells(name, batch, targetRes, options.doUncompact, options.template)
+        .withColumn("_tc", h3_to_parent(col(CompactedTableSchema.ColH3Index), lit(travRes)))
+        .cache()
+      val present = df.select("_tc").distinct().collect().map(_.getLong(0)).toSet
+      batch.filter(present.contains).map { tc =>
+        TraversedCell(tc, df.where(col("_tc") === tc).drop("_tc"))
+      }
+    }
+  }
+}

@@ -1,0 +1,110 @@
+package graft.geom
+
+import org.locationtech.jts.geom.{Coordinate, GeometryFactory}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.h3.H3
+import Ijk._
+
+/** Properties of the IJK algebra, grid traversal and the (self-consistent)
+  * geo layer — ported from the reference's geometry tests
+  * (`geom/border_cells.rs:103-145`, `examples/basic.rs` grid_disk usage). */
+class GeomSpec extends AnyFunSuite with Matchers {
+  private val factory = new GeometryFactory()
+  private val hexBase = 20 // hexagon base cell
+
+  test("IJK: digit path round-trips through local IJK at several resolutions") {
+    val rnd = new scala.util.Random(7)
+    (1 to 200).foreach { _ =>
+      val res = 1 + rnd.nextInt(8)
+      val digits = Seq.fill(res)(rnd.nextInt(7))
+      val cell = H3.fromParts(hexBase, res, digits)
+      val ijk = cellToLocalIjk(cell)
+      localIjkToCell(hexBase, res, ijk) shouldBe Some(cell)
+    }
+  }
+
+  test("IJK: center cell is origin; unit digits are distance 1") {
+    cellToLocalIjk(H3.centerChild(H3.fromParts(hexBase, 0, Nil), 1)) shouldBe CoordIJK(0, 0, 0)
+    (1 to 6).foreach { d =>
+      val c = H3.fromParts(hexBase, 1, Seq(d))
+      hexDistance(cellToLocalIjk(c), CoordIJK(0, 0, 0)) shouldBe 1
+    }
+  }
+
+  test("gridDisk: interior disk has 3k^2+3k+1 cells, ring sizes 6k") {
+    // center-child chain at res 6 is deep inside the base cell span
+    val origin = H3.centerChild(H3.fromParts(hexBase, 0, Nil), 6)
+    Grid.gridDisk(origin, 0) shouldBe Seq(origin)
+    (1 to 10).foreach { k =>
+      val disk = Grid.gridDisk(origin, k)
+      disk.length shouldBe (3 * k * k + 3 * k + 1)
+      disk.distinct.length shouldBe disk.length
+      disk.foreach(c => H3.isValidCell(c) shouldBe true)
+      Grid.gridRing(origin, k).length shouldBe 6 * k
+    }
+  }
+
+  test("gridDisk: all cells within distance k of the origin") {
+    val origin = H3.centerChild(H3.fromParts(hexBase, 0, Nil), 5)
+    val disk = Grid.gridDisk(origin, 3)
+    disk.foreach { c =>
+      Grid.gridDistance(origin, c).get should be <= 3
+    }
+  }
+
+  test("geo: cellToLatLng/latLngToCell round-trip on random interior cells") {
+    val rnd = new scala.util.Random(11)
+    var checked = 0
+    (1 to 300).foreach { _ =>
+      val res = 1 + rnd.nextInt(7)
+      val digits = Seq.fill(res)(rnd.nextInt(7))
+      val cell = H3.fromParts(hexBase + rnd.nextInt(30), res, digits)
+      if (H3.isValidCell(cell)) {
+        val (lat, lng) = Geo.cellToLatLng(cell)
+        Geo.latLngToCell(lat, lng, res) shouldBe cell
+        checked += 1
+      }
+    }
+    checked should be > 200
+  }
+
+  test("geo: nearby points land in the same or adjacent cells, never far away") {
+    val (lat, lng) = Geo.cellToLatLng(H3.centerChild(H3.fromParts(hexBase, 0, Nil), 5))
+    val c0 = Geo.latLngToCell(lat, lng, 5)
+    val eps = math.toDegrees(Geo.unitAt(5)) * 0.1
+    val c1 = Geo.latLngToCell(lat + eps, lng + eps, 5)
+    Grid.gridDistance(c0, c1).getOrElse(99) should be <= 1
+  }
+
+  test("polyfill: rectangle around a cell center contains that cell; border subset of fill (border_cells.rs:103-145)") {
+    val center = H3.centerChild(H3.fromParts(hexBase, 0, Nil), 5)
+    val (clat, clng) = Geo.cellToLatLng(center)
+    val d = math.toDegrees(Geo.unitAt(5)) * 6
+    val shell = factory.createPolygon(Array(
+      new Coordinate(clng - d, clat - d), new Coordinate(clng + d, clat - d),
+      new Coordinate(clng + d, clat + d), new Coordinate(clng - d, clat + d),
+      new Coordinate(clng - d, clat - d)))
+    val filled = Geo.polyfill(shell, 5)
+    filled should contain(center)
+    filled.length should be > 100 // reference asserts >100 for its rect
+
+    val border = Geo.borderCells(shell, 5)
+    border.length should be > 0
+    // border cells are a subset of the filled cells (reference assertion)
+    (border.toSet -- filled.toSet) shouldBe empty
+    border.length should be < filled.length
+  }
+
+  test("polyfill: polygon smaller than one cell still produces cells (G1 exterior-ring rule)") {
+    val center = H3.centerChild(H3.fromParts(hexBase, 0, Nil), 4)
+    val (clat, clng) = Geo.cellToLatLng(center)
+    val d = math.toDegrees(Geo.unitAt(4)) * 0.01
+    val tiny = factory.createPolygon(Array(
+      new Coordinate(clng - d, clat - d), new Coordinate(clng + d, clat - d),
+      new Coordinate(clng + d, clat + d), new Coordinate(clng - d, clat + d),
+      new Coordinate(clng - d, clat - d)))
+    Geo.polyfill(tiny, 4).length should be > 0
+  }
+}

@@ -1,0 +1,92 @@
+package graft.traverse
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestSession
+import graft.h3.H3
+import graft.schema.{AggregationMethod => Agg, GraftDataType => T, _}
+import graft.store.CellStore
+
+/** Traversal semantics (reference `tests/clickhouse/test_traversal.py`):
+  * traversal res < target res; per-cell frames non-empty; count(bulk) ==
+  * sum(count(per-cell)); excluding filter -> 0 frames. */
+class TraversalSpec extends AnyFunSuite with Matchers with SparkTestSession {
+
+  private val hexRes3 = H3.fromParts(20, 3, Seq(0, 0, 0))
+  private val ts = Timestamp.valueOf("2023-06-15 12:00:00")
+
+  private def schema = CompactedTableSchema.builder("trav_ts")
+    .h3BaseResolutions(0 to 6)
+    .addSimpleColumn("observed_on", T.DateTime64T)
+    .addAggregatedColumn("v", T.Float64, Agg.Max)
+    .build()
+
+  private lazy val store: CellStore = {
+    val s = CellStore(spark, Files.createTempDirectory("graft_trav_").toString)
+    val cells = H3.toChildren(hexRes3, 6) // 343 cells at res 6
+    val rows = cells.zipWithIndex.map { case (c, i) => Row(c, ts, (i % 100).toDouble) }
+    val input = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 4),
+      StructType(Seq(
+        StructField("h3index", LongType, false),
+        StructField("observed_on", TimestampType, false),
+        StructField("v", DoubleType, false))))
+    s.insert("trav_ts", input, createSchema = Some(schema))
+    s
+  }
+
+  test("T1: traversal resolution is the coarsest base res within the fetch cap") {
+    // 7^(6-3)=343 <= 500 -> res 3; 7^(6-2)=2401 > 500
+    Traversal.selectTraversalResolution(schema, 6, 500) shouldBe 3
+    Traversal.selectTraversalResolution(schema, 6, 10) shouldBe 5 // 7^1=7 <= 10
+    Traversal.selectTraversalResolution(schema, 6, 3) shouldBe 6 // nothing fits
+    Traversal.selectTraversalResolution(schema, 6, 100000) shouldBe 1 // 7^6 > 100000, 7^5 fits
+  }
+
+  test("T2 bulk: whole AOI, traversal_cell column groups rows; full coverage") {
+    val df = Traversal.traverseBulk(store, "trav_ts", Seq(hexRes3), 6,
+      Traversal.TraversalOptions(maxFetchCount = 500))
+    df.count() shouldBe 343
+    val travCells = df.select("traversal_cell").distinct().collect().map(_.getLong(0))
+    travCells.foreach(tc => H3.getResolution(tc) shouldBe 3)
+    travCells.length shouldBe 1 // single res-3 AOI cell == its own traversal cell
+  }
+
+  test("T2 iterator: per-cell frames, count parity with bulk (test_traversal.py:9-60)") {
+    // finer traversal: cap 10 -> travRes 5 -> 49 traversal cells under hexRes3
+    val it = Traversal.traverseIterator(store, "trav_ts", Seq(hexRes3), 6,
+      Traversal.TraversalOptions(maxFetchCount = 10), batchSize = 16).toSeq
+    it.length shouldBe 49
+    it.foreach { tc =>
+      H3.getResolution(tc.cell) shouldBe 5
+      val n = tc.df.count()
+      n should be > 0L // non-emptiness (T4 skip-empty)
+      n shouldBe 7L // each res-5 cell covers 7 res-6 children
+    }
+    it.map(_.df.count()).sum shouldBe 343L
+  }
+
+  test("T3 prefilter: excluding filter query yields zero frames (test_traversal.py:63-83)") {
+    val it = Traversal.traverseIterator(store, "trav_ts", Seq(hexRes3), 6,
+      Traversal.TraversalOptions(maxFetchCount = 10,
+        prefilterTemplate = Some("select * from <[table]> where v < -1 and h3index in <[h3indexes]>")))
+    it.isEmpty shouldBe true
+  }
+
+  test("partial AOI: traversal coarsening over-fetches (reference semantics); tight cap restores exactness") {
+    val sub = H3.toChildren(hexRes3, 4).head // one res-4 cell
+    // default cap 500 -> traversal res 3 -> the AOI cell is COARSENED to its
+    // res-3 parent and the whole parent is fetched (reference
+    // change_resolution semantics, traversal.rs:152-155)
+    Traversal.traverseBulk(store, "trav_ts", Seq(sub), 6).count() shouldBe 343
+    // cap 49 -> traversal res 4 -> exactly the requested subtree
+    Traversal.traverseBulk(store, "trav_ts", Seq(sub), 6,
+      Traversal.TraversalOptions(maxFetchCount = 49)).count() shouldBe 49
+  }
+}
