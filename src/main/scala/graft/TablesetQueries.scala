@@ -1,0 +1,146 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.h3.expr.functions._
+import graft.schema.{AggregationMethod => Agg, GraftDataType => T, _}
+import graft.store.CellStore
+
+/**
+ * Correctness-gate queries that exercise the COMPACTED-TABLESET ENGINE end
+ * to end (insert -> dedup -> [compaction] -> rollup -> partitioned write ->
+ * pruned scan -> probe join -> uncompaction), with DuckDB oracles that
+ * reproduce the expected results from first principles (bit arithmetic +
+ * DISTINCT/GROUP BY) — the engine's output must hash-match an independent
+ * relational derivation.
+ *
+ * ts1: Sum rollup (compaction disabled by Sum, reference agg.rs:33-42):
+ *      insert res-9 cells, read back the rolled-up res-5 base table.
+ *      Oracle: DISTINCT input rows grouped by the res-5 parent.
+ * ts2: compaction round-trip: insert complete uniform sibling groups
+ *      (7 siblings per parent, equal values - they compact to res-8 cells),
+ *      query back at res 9 via res-8 probe cells with uncompaction.
+ *      Oracle: the DISTINCT generated input rows.
+ *
+ * The tableset is built once per (sfDir, variant) in a temp directory and
+ * reused across calls (Bench runs each query twice).
+ */
+object TablesetQueries {
+
+  private val builtRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def lineitem(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+
+  /** Root dir holding the tablesets for one sfDir (created lazily). */
+  private def rootFor(dir: String): String =
+    builtRoots.computeIfAbsent(dir,
+      _ => Files.createTempDirectory("graft_ts_gate_").toString)
+
+  // ------------------------------------------------------------------- ts1
+
+  private def ts1Schema = CompactedTableSchema.builder("gate_sum")
+    .h3BaseResolutions(Seq(5, 9))
+    .addAggregatedColumn("qty", T.Float64, Agg.Sum)
+    .build()
+
+  private def ts1Store(spark: SparkSession, dir: String): CellStore = {
+    val store = CellStore(spark, rootFor(dir))
+    if (!store.listTablesets().contains("gate_sum")) {
+      val input = lineitem(spark, dir)
+        .select(Queries.synthCell.as("h3index"), col("l_quantity").as("qty"))
+      store.insert("gate_sum", input, createSchema = Some(ts1Schema))
+    }
+    store
+  }
+
+  /** Engine rollup result at res 5 (the coarser base table). */
+  def ts1RollupQuery(spark: SparkSession, dir: String): DataFrame = {
+    val store = ts1Store(spark, dir)
+    store.scanForResolution("gate_sum", 5)
+      .select(col("h3index").as("parent5"), round(col("qty"), 2).as("sum_qty"))
+      .orderBy(col("parent5"))
+  }
+
+  // ------------------------------------------------------------------- ts2
+
+  private def ts2Schema = CompactedTableSchema.builder("gate_compact")
+    .h3BaseResolutions(Seq(9))
+    .addAggregatedColumn("v", T.Int64, Agg.Max)
+    .build()
+
+  /** 7 uniform siblings per parent: take the synthesized cell, stamp digit 9
+    * with 0..6; value depends only on the parent -> groups compact fully. */
+  private def ts2Input(spark: SparkSession, dir: String): DataFrame = {
+    val base = lineitem(spark, dir)
+      .where(pmod(col("l_orderkey"), lit(20)) === 0)
+      .select(Queries.synthCell.as("cell"), pmod(col("l_orderkey"), lit(50)).as("v"))
+    base.select(explode(sequence(lit(0), lit(6))).as("d"), col("cell"), col("v"))
+      .select(
+        col("cell").bitwiseAND(lit(~(7L << 18)))
+          .bitwiseOR(shiftleft(col("d").cast("long"), 18)).as("h3index"),
+        col("v"))
+  }
+
+  private def ts2Store(spark: SparkSession, dir: String): CellStore = {
+    val store = CellStore(spark, rootFor(dir))
+    if (!store.listTablesets().contains("gate_compact")) {
+      store.insert("gate_compact", ts2Input(spark, dir), createSchema = Some(ts2Schema))
+    }
+    store
+  }
+
+  /** Compaction round-trip through the full query path: res-8 parent probes,
+    * uncompacted back to res 9 — must equal the distinct input rows. */
+  def ts2CompactRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val store = ts2Store(spark, dir)
+    val parents = ts2Input(spark, dir)
+      .select(h3_to_parent(col("h3index"), lit(8)).as("p")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    store.queryCells("gate_compact", parents, 9)
+      .select(col("h3index"), col("v"))
+      .orderBy(col("h3index"))
+  }
+
+  // ---------------------------------------------------------------- oracles
+
+  /** parent-at-res arithmetic shared with Queries: replace res field, fill
+    * digits below. */
+  private def parentSql(cell: String, fromRes: Int, toRes: Int): String = {
+    val shift = 3 * (15 - toRes)
+    s"((($cell - ($fromRes::BIGINT << 52)) + ($toRes::BIGINT << 52)) | ((1::BIGINT << $shift) - 1))"
+  }
+
+  private val synthCellSql: String = {
+    // keep in sync with Queries.synthCell / its oracle
+    val digits = (2 to 9).map { i =>
+      s"(((l_partkey + $i*l_orderkey) % 7)::BIGINT << ${3 * (15 - i)})"
+    }.mkString(" | ")
+    "((1::BIGINT << 59) | (9::BIGINT << 52)" +
+      " | (((l_orderkey * 7 + l_partkey) % 122)::BIGINT << 45)" +
+      " | ((((l_partkey + l_orderkey) % 5) + 2)::BIGINT << 42)" +
+      s" | $digits | 262143::BIGINT)"
+  }
+
+  val oracles: Map[String, String] = Map(
+    // the engine dedups full rows before rollup -> DISTINCT first
+    "ts1_rollup_query" ->
+      s"""WITH cells AS (SELECT DISTINCT $synthCellSql AS cell, l_quantity AS qty FROM lineitem)
+         |SELECT ${parentSql("cell", 9, 5)} AS parent5, round(sum(qty), 2) AS sum_qty
+         |FROM cells GROUP BY 1 ORDER BY parent5""".stripMargin,
+    "ts2_compact_roundtrip" ->
+      s"""WITH base AS (SELECT DISTINCT $synthCellSql AS cell, (l_orderkey % 50) AS v
+         |  FROM lineitem WHERE l_orderkey % 20 = 0),
+         |sibs AS (SELECT ((cell & ~(7::BIGINT << 18)) | (d::BIGINT << 18)) AS h3index, v
+         |  FROM base, range(0, 7) t(d))
+         |SELECT DISTINCT h3index, v FROM sibs ORDER BY h3index""".stripMargin
+  )
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts1_rollup_query" -> ts1RollupQuery,
+    "ts2_compact_roundtrip" -> ts2CompactRoundtrip
+  )
+}

@@ -67,14 +67,22 @@ object TextOps {
     bits.reduce(_ + _)
   }
 
-  /** Exact Jaccard similarity of the distinct shingle sets of two texts. */
-  def jaccardShingles(a: Column, b: Column): Column = {
-    val sa = array_distinct(shingleCodes(a))
-    val sb = array_distinct(shingleCodes(b))
+  /** Distinct shingle set of a text (materialize this ONCE per document
+    * before any pairwise join — recomputing it per candidate pair turns a
+    * seconds-long join into minutes). */
+  def distinctShingles(text: Column): Column = array_distinct(shingleCodes(text))
+
+  /** Jaccard similarity of two precomputed distinct shingle-set columns. */
+  def jaccardFromSets(sa: Column, sb: Column): Column = {
     val inter = size(array_intersect(sa, sb)).cast("double")
     val union = size(array_union(sa, sb)).cast("double")
     when(union === 0, 0.0).otherwise(inter / union)
   }
+
+  /** Exact Jaccard similarity of the distinct shingle sets of two texts.
+    * Prefer [[jaccardFromSets]] over precomputed sets in pairwise joins. */
+  def jaccardShingles(a: Column, b: Column): Column =
+    jaccardFromSets(distinctShingles(a), distinctShingles(b))
 
   /** Per-language stopword markers (padded with spaces; zh uses single
     * characters). Scores are marker occurrence counts. */
