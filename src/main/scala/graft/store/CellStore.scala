@@ -317,12 +317,23 @@ class CellStore(spark: SparkSession, rootPath: String) {
   /** A12: full-row dedup across all accumulated inserts — the explicit
     * equivalent of `OPTIMIZE TABLE ... DEDUPLICATE` (`optimize.rs:20-113`).
     * Rewrites the dataset via a staging directory + atomic-ish rename. */
-  def deduplicate(name: String): Unit = {
+  def deduplicate(name: String): Unit = deduplicateWhere(name, lit(true))
+
+  /** A11 + A12 partial optimization: dedup only the partitions matched by
+    * `touched` (a predicate over the partition columns kind/resolution/ph3),
+    * the analogue of the reference's per-touched-partition
+    * `OPTIMIZE ... PARTITION p DEDUPLICATE` (`optimize.rs:20-83`, partition
+    * list from A11 `optimize.rs:41-56`). Untouched partitions are carried
+    * over unchanged; at scale this bounds the rewrite to the data an insert
+    * actually touched. */
+  def deduplicateWhere(name: String, touched: org.apache.spark.sql.Column): Unit = {
     val schema = getTableset(name)
     val dp = dataPath(name)
     if (!fs.exists(dp)) return
     val staging = new Path(tablesetPath(name), s"data_rewrite_${System.nanoTime()}")
-    val df = spark.read.parquet(dp.toString).dropDuplicates()
+    val all = spark.read.parquet(dp.toString)
+    val df = all.where(touched).dropDuplicates()
+      .unionByName(all.where(!touched))
     val (withParts, partCols) = partitionColumns(df, schema)
     withParts.write
       .mode(SaveMode.Overwrite)

@@ -161,6 +161,23 @@ class CellStoreSpec extends AnyFunSuite with Matchers with SparkTestSession {
     store.queryCells("okavango_delta", cells, 7).count() shouldBe 49
   }
 
+  test("partial dedup (A11/A12): only touched partitions rewritten") {
+    val store = newStore()
+    store.insert("okavango_delta", elephantInput, createSchema = Some(elephantSchema))
+    store.insert("okavango_delta", elephantInput)
+    val cells = H3.toChildren(hexRes5, 7).toSeq
+    // dedup only the base partition at max res; compacted res-6 dups remain
+    store.deduplicateWhere("okavango_delta",
+      org.apache.spark.sql.functions.col("kind") === "base" &&
+        org.apache.spark.sql.functions.col("resolution") === 7)
+    val back = store.queryCells("okavango_delta", cells, 7)
+    val n = back.count()
+    n should be < 98L // base dups gone
+    n should be > 49L // compacted dups still expand
+    store.deduplicate("okavango_delta")
+    store.queryCells("okavango_delta", cells, 7).count() shouldBe 49
+  }
+
   test("insert rejects resolutions above the tableset max") {
     val store = newStore()
     store.createTableset(sumSchema)
