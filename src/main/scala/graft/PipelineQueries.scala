@@ -55,14 +55,19 @@ object PipelineQueries {
     * ~2000-doc near-dup family at sf0.1 -> 2.9M pairs); representative
     * verification is how a production dedup keeps the candidate set linear
     * while still assigning every near-duplicate to a survivor. */
-  def t2MinhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir).select(col("doc_id"), col("text"))
+  /** 2 bands x 4 rows banding of the MinHash signature: (doc_id, band, bh). */
+  private def bandsFrame(spark: SparkSession, dir: String): DataFrame = {
     def poly(cols: Seq[String]) =
       cols.foldLeft(lit(0L))((acc, c) => (acc * 31L + col(c)) % P)
-    val bands = minhashFrame(spark, dir).select(col("doc_id"), explode(array(
+    minhashFrame(spark, dir).select(col("doc_id"), explode(array(
       struct(lit(0).as("band"), poly(Seq("mh0", "mh1", "mh2", "mh3")).as("bh")),
       struct(lit(1).as("band"), poly(Seq("mh4", "mh5", "mh6", "mh7")).as("bh")))).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+  }
+
+  def t2MinhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("text"))
+    val bands = bandsFrame(spark, dir)
     val reps = bands.groupBy(col("band"), col("bh"))
       .agg(min(col("doc_id")).as("doc_a"), count(lit(1)).as("n"))
       .where(col("n") > 1)
@@ -117,20 +122,33 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
-  /** Blocked n-gram-Jaccard near-dup: top-20 most similar pairs within
-    * (lang, length-bucket) blocks. */
+  /** n-gram-Jaccard near-dup top-20: LSH-candidate generation + exact verify.
+    *
+    * SCALE NOTE: the previous formulation self-joined within (lang,
+    * length-bucket) blocks — O(sum of block^2), quadratic in the size of any
+    * near-dup family (a ~2000-doc family at sf0.1 made this 52% of the whole
+    * bench). This formulation is linear end to end:
+    *   1. candidates come from the t2 MinHash band buckets, paired
+    *      ADJACENT-IN-doc_id within each bucket via `lead()` — n-1 pairs per
+    *      n-member bucket, never n^2, no self-join at all;
+    *   2. each candidate pair is verified with exact Jaccard over
+    *      PRECOMPUTED shingle sets;
+    *   3. the global top-20 runs as TakeOrderedAndProject (per-partition
+    *      top-k, then a 20-row merge on the driver) — no global sort. */
   def t6NgramJaccardTopk(spark: SparkSession, dir: String): DataFrame = {
-    // shingle sets are computed ONCE per document below the self-join; the
-    // O(pairs) stage only does array intersect/union on materialized arrays
-    val d = docs(spark, dir).select(col("doc_id"), col("lang"),
-      (col("n_chars") / 100).cast("long").as("lb"),
-      TextOps.distinctShingles(col("text")).as("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    d.as("a").join(d.as("b"),
-        col("a.lang") === col("b.lang") && col("a.lb") === col("b.lb") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        round(TextOps.jaccardFromSets(col("a.s"), col("b.s")), 4).as("jacc"))
+    val w = Window.partitionBy(col("band"), col("bh")).orderBy(col("doc_id"))
+    val cand = bandsFrame(spark, dir)
+      .withColumn("doc_b", lead(col("doc_id"), 1).over(w))
+      .where(col("doc_b").isNotNull)
+      .select(col("doc_id").as("doc_a"), col("doc_b"))
+      .distinct()
+    val shingleSets = docs(spark, dir)
+      .select(col("doc_id"), TextOps.distinctShingles(col("text")).as("s"))
+    cand
+      .join(shingleSets.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
+      .join(shingleSets.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(TextOps.jaccardFromSets(col("sa"), col("sb")), 4).as("jacc"))
       .orderBy(col("jacc").desc, col("doc_a"), col("doc_b"))
       .limit(20)
   }
@@ -221,17 +239,30 @@ object PipelineQueries {
     "t5_fingerprint" -> {
       val w = (0 until 8).map(k => (0 until k).foldLeft(1L)((acc, _) => acc * 31 % P))
       val wList = w.mkString("[", ",", "]")
+      // (...)::BIGINT: DuckDB's list_sum(BIGINT[]) returns HUGEINT, which the
+      // driver's pandas bridge materializes as float64 and hash-mismatches
+      // identical values; cast back to the schema's int64.
       s"""WITH c AS (SELECT doc_id, $codesSql AS codes FROM documents)
-         |SELECT doc_id, CASE WHEN length(codes) = 0 THEN 0 ELSE
+         |SELECT doc_id, (CASE WHEN length(codes) = 0 THEN 0 ELSE
          |  list_sum(list_transform(codes, (c, i) ->
-         |    (c % $P) * ($wList)[((i-1) % 8) + 1] % $P)) % $P END AS fp
+         |    (c % $P) * ($wList)[((i-1) % 8) + 1] % $P)) % $P END)::BIGINT AS fp
          |FROM c ORDER BY doc_id""".stripMargin
     },
     "t6_ngram_jaccard_topk" -> {
-      s"""WITH c AS (SELECT doc_id, lang, n_chars//100 AS lb,
-         |  list_distinct($codesSql) AS s FROM documents)
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, $jaccSql AS jacc
-         |FROM c a JOIN c b ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+      val mh = (0 until 8).map(j => s"${mhSql(j)} AS mh$j").mkString(", ")
+      val b0 = bandSql(Seq("mh0", "mh1", "mh2", "mh3"))
+      val b1 = bandSql(Seq("mh4", "mh5", "mh6", "mh7"))
+      s"""WITH c AS (SELECT doc_id, $codesSql AS codes FROM documents),
+         |s AS (SELECT doc_id, $mh FROM c),
+         |bands AS (SELECT doc_id, 0 AS band, $b0 AS bh FROM s
+         |          UNION ALL SELECT doc_id, 1, $b1 FROM s),
+         |adj AS (SELECT doc_id AS doc_a,
+         |          lead(doc_id) OVER (PARTITION BY band, bh ORDER BY doc_id) AS doc_b
+         |        FROM bands),
+         |cand AS (SELECT DISTINCT doc_a, doc_b FROM adj WHERE doc_b IS NOT NULL),
+         |sh AS (SELECT doc_id, list_distinct($codesSql) AS s FROM documents)
+         |SELECT doc_a, doc_b, $jaccSql AS jacc
+         |FROM cand JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b
          |ORDER BY jacc DESC, doc_a, doc_b LIMIT 20""".stripMargin
     },
     "e2_lsh_ann" -> {

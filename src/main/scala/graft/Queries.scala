@@ -185,10 +185,15 @@ object Queries {
 
   // -------------------------------------------------------------- documents
 
-  /** Exact dedup: canonical doc per distinct text (min doc_id wins). */
+  /** Exact dedup: canonical doc per distinct text (min doc_id wins).
+    *
+    * Groups by sha2-256 of the text, NOT the text itself: the shuffle key is
+    * then 32 bytes per row instead of the whole document — at corpus scale the
+    * dedup shuffle ships hashes, never the corpus. Collision-safe at any
+    * realistic corpus size (2^128 birthday bound). */
   def d1ExactDedup(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
-      .groupBy(col("text"))
+      .groupBy(sha2(col("text"), 256))
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("dup_count"))
       .select(col("canonical_id"), col("dup_count"))
       .orderBy(col("canonical_id"))
@@ -355,7 +360,7 @@ object Queries {
            |GROUP BY res, cell_at_res ORDER BY res, cell_at_res""".stripMargin,
       "d1_exact_dedup" ->
         """SELECT min(doc_id) AS canonical_id, count(*) AS dup_count
-          |FROM documents GROUP BY text ORDER BY canonical_id""".stripMargin,
+          |FROM documents GROUP BY sha256(text) ORDER BY canonical_id""".stripMargin,
       "d2_token_stats" ->
         """SELECT doc_id, length(text) AS text_len,
           | length(string_split_regex(trim(text), '\s+')) AS num_tokens,

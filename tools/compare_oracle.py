@@ -17,6 +17,13 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype(str)
         elif df[c].dtype == object:
             df[c] = df[c].astype(str)
+        # normalize widths but NOT kinds: the driver's hash stringifies values,
+        # so int32 vs int64 agree ('5'=='5') while int64 vs float64 do not
+        # ('5' != '5.0') — e.g. DuckDB HUGEINT->float64 must stay a failure.
+        elif df[c].dtype.kind in "iu":
+            df[c] = df[c].astype("int64")
+        elif df[c].dtype.kind == "f":
+            df[c] = df[c].astype("float64")
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
@@ -43,7 +50,10 @@ def main(sf_dir: str, out_dir: str):
         if len(a) != len(b):
             print(f"ROWS     {name}: spark={len(a)} oracle={len(b)}"); n_bad += 1; continue
         try:
-            pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=False, rtol=0, atol=1e-9)
+            # dtype-strict: the driver's hash is representation-sensitive
+            # (int64 vs float64 of identical values mismatches), so the local
+            # gate must be too.
+            pd.testing.assert_frame_equal(a, b, check_dtype=True, check_exact=False, rtol=0, atol=1e-9)
             print(f"OK       {name} ({len(a)} rows)"); n_ok += 1
         except AssertionError as e:
             print(f"VALUES   {name}: {str(e).splitlines()[-1] if str(e) else 'diff'}")
