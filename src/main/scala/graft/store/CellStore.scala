@@ -100,10 +100,20 @@ class CellStore(spark: SparkSession, rootPath: String) {
 
     require(input.columns.contains(h3Col), s"input is missing the '$h3Col' column")
     // conform: project to declared columns, cast to declared Spark types
-    val conformed = schema.columns.toSeq.foldLeft(
+    val conformed0 = schema.columns.toSeq.foldLeft(
       input.select(schema.columns.keys.map(col).toIndexedSeq: _*)) {
       case (df, (n, cdef)) => df.withColumn(n, col(n).cast(cdef.dataType.sparkType))
     }
+    // P5/S3: reject invalid h3 indexes at the ingest boundary (the reference's
+    // DataframeInvalidH3IndexType, utils.rs:9-20) — without this, garbage
+    // longs get plausible partitions from h3_get_resolution and poison the
+    // layout. Inline raise_error keeps the check single-pass and codegen'd;
+    // it fires during the insert job, never adding a separate validation scan.
+    val conformed = conformed0.withColumn(h3Col,
+      when(h3_is_valid(col(h3Col)), col(h3Col))
+        .otherwise(raise_error(concat(
+          lit(s"input contains an invalid h3index: "), col(h3Col).cast("string")))
+          .cast("long")))
 
     if (conformed.isEmpty) return
 
@@ -166,10 +176,29 @@ class CellStore(spark: SparkSession, rootPath: String) {
         h3_to_parent(col(h3Col), greatest(col("resolution") - d, lit(0)).cast("int"))
     })
     val (withParts, partCols) = partitionColumns(withPh3, schema)
-    withParts.write
+    val allPartCols = "kind" +: "resolution" +: "ph3" +: partCols
+    sortedForWrite(withParts, schema, allPartCols).write
       .mode(SaveMode.Append)
-      .partitionBy(("kind" +: "resolution" +: "ph3" +: partCols): _*)
+      .partitionBy(allPartCols: _*)
       .parquet(dataPath(name).toString)
+  }
+
+  /** Apply the schema's ORDER BY key (h3index-first primary key,
+    * `schema/mod.rs:169-199`) within each write task: rows land in parquet
+    * sorted by h3index, so every row group's min/max statistics form disjoint
+    * h3 ranges and probe joins / IN-list scans skip pages — the Spark-side
+    * analogue of ClickHouse primary-key skipping (SURVEY §4).
+    *
+    * The sort key is (partition columns ++ order-by key): FileFormatWriter
+    * requires its input ordered by the partition columns and would otherwise
+    * inject its own partition-column-only (unstable) sort, destroying the
+    * h3index order. Prefixing the partition columns satisfies that
+    * requirement, so no extra sort is injected and the key order survives
+    * into each file. Per-task sort — no shuffle added. */
+  private def sortedForWrite(df: DataFrame, schema: CompactedTableSchema,
+      partCols: Seq[String]): DataFrame = {
+    val key = (partCols ++ schema.orderByKey).filter(df.columns.contains).distinct
+    if (key.isEmpty) df else df.sortWithinPartitions(key.map(col): _*)
   }
 
   /** Temporal / explicit partition columns (`schema/mod.rs:244-282`). */
@@ -219,11 +248,23 @@ class CellStore(spark: SparkSession, rootPath: String) {
     */
   def queryCells(name: String, cells: Seq[Long], targetRes: Int,
       doUncompact: Boolean = true, template: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    queryCells(name, cells.toDF("qcell"), targetRes, doUncompact, template)
+  }
+
+  /** DataFrame-probe overload of [[queryCells]]: the probe set stays
+    * distributed end to end (semi-join against the pruned scan), so cell
+    * sets produced by another query — polyfill output, a traversal batch, a
+    * join result — never transit the driver. `cells` must have exactly one
+    * LONG column. */
+  def queryCells(name: String, cells: DataFrame, targetRes: Int,
+      doUncompact: Boolean, template: Option[String]): DataFrame = {
     val schema = getTableset(name)
     require(targetRes <= schema.maxBaseResolution,
       s"query resolution $targetRes exceeds tableset max ${schema.maxBaseResolution}")
+    require(cells.columns.length == 1,
+      s"probe DataFrame must have exactly one column, got ${cells.columns.mkString(", ")}")
     val h3Col = CompactedTableSchema.ColH3Index
-    import spark.implicits._
     val cellsDf = cells.toDF("qcell")
 
     // P3: normalized probe set = distinct cells converted to every physical
@@ -253,8 +294,14 @@ class CellStore(spark: SparkSession, rootPath: String) {
     * pruned scan, `<[h3indexes]>` by a subquery of the probe cells
     * (validation of mandatory placeholders: `select.rs:30-44`). */
   private def applyTemplate(template: String, scan: DataFrame, probes: DataFrame): DataFrame = {
+    // BOTH placeholders are mandatory (reference TableSetQuery::validate,
+    // select.rs:30-44, MissingQueryPlaceholder): a template without
+    // <[h3indexes]> would silently skip all cell filtering and scan the
+    // whole pruned dataset — a correctness and scale hazard.
     if (!template.contains("<[table]>"))
       throw new IllegalArgumentException("query template is missing the mandatory <[table]> placeholder")
+    if (!template.contains("<[h3indexes]>"))
+      throw new IllegalArgumentException("query template is missing the mandatory <[h3indexes]> placeholder")
     val id = java.util.UUID.randomUUID().toString.replace("-", "")
     val tableView = s"graft_scan_$id"
     val cellsView = s"graft_cells_$id"
@@ -319,30 +366,49 @@ class CellStore(spark: SparkSession, rootPath: String) {
     * Rewrites the dataset via a staging directory + atomic-ish rename. */
   def deduplicate(name: String): Unit = deduplicateWhere(name, lit(true))
 
-  /** A11 + A12 partial optimization: dedup only the partitions matched by
+  /** A11 + A12 partial optimization: dedup ONLY the partitions matched by
     * `touched` (a predicate over the partition columns kind/resolution/ph3),
     * the analogue of the reference's per-touched-partition
     * `OPTIMIZE ... PARTITION p DEDUPLICATE` (`optimize.rs:20-83`, partition
-    * list from A11 `optimize.rs:41-56`). Untouched partitions are carried
-    * over unchanged; at scale this bounds the rewrite to the data an insert
-    * actually touched. */
+    * list from A11 `optimize.rs:41-56`).
+    *
+    * I/O is partition-scoped for real: the predicate prunes the scan to the
+    * touched partitions, the deduped result is staged (cutting the
+    * read-write-same-path conflict), and the staged partitions are published
+    * with DYNAMIC partition overwrite — untouched partition directories are
+    * never read, rewritten, or renamed. At 100 TB a post-insert optimize
+    * costs O(touched partitions), not a full-table rewrite.
+    *
+    * The predicate is null-coalesced to false: a row for which `touched`
+    * evaluates to NULL belongs to no touched partition and is left in place
+    * (a naive where(p)/where(!p) split would silently delete it).
+    *
+    * Crash safety: the staging dir is deleted on failure; the live dir is
+    * only modified by Spark's dynamic-overwrite commit, which replaces each
+    * partition directory after the job succeeds. */
   def deduplicateWhere(name: String, touched: org.apache.spark.sql.Column): Unit = {
     val schema = getTableset(name)
     val dp = dataPath(name)
     if (!fs.exists(dp)) return
+    val touchedSafe = coalesce(touched, lit(false))
+    val deduped = spark.read.parquet(dp.toString).where(touchedSafe).dropDuplicates()
+    if (deduped.isEmpty) return
+    val (withParts, partCols) = partitionColumns(deduped, schema)
+    val allPartCols = "kind" +: "resolution" +: "ph3" +: partCols
     val staging = new Path(tablesetPath(name), s"data_rewrite_${System.nanoTime()}")
-    val all = spark.read.parquet(dp.toString)
-    val df = all.where(touched).dropDuplicates()
-      .unionByName(all.where(!touched))
-    val (withParts, partCols) = partitionColumns(df, schema)
-    withParts.write
-      .mode(SaveMode.Overwrite)
-      .partitionBy(("kind" +: "resolution" +: "ph3" +: partCols): _*)
-      .parquet(staging.toString)
-    val old = new Path(tablesetPath(name), s"data_old_${System.nanoTime()}")
-    if (!fs.rename(dp, old)) throw new IllegalStateException(s"rename failed: $dp -> $old")
-    if (!fs.rename(staging, dp)) throw new IllegalStateException(s"rename failed: $staging -> $dp")
-    fs.delete(old, true)
+    try {
+      sortedForWrite(withParts, schema, allPartCols).write
+        .mode(SaveMode.Overwrite)
+        .partitionBy(allPartCols: _*)
+        .parquet(staging.toString)
+      spark.read.parquet(staging.toString).write
+        .mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(allPartCols: _*)
+        .parquet(dp.toString)
+    } finally {
+      fs.delete(staging, true)
+    }
   }
 }
 

@@ -98,10 +98,29 @@ class CellStoreSpec extends AnyFunSuite with Matchers with SparkTestSession {
     val out = store.queryCells("okavango_delta", cells, 7, doUncompact = false,
       template = Some("select * from <[table]> where elephant_density < 2 and h3index in <[h3indexes]>"))
     out.count() shouldBe 0L
-    // missing mandatory placeholder -> error
+    // BOTH placeholders are mandatory (select.rs:30-44)
     an[IllegalArgumentException] should be thrownBy {
       store.queryCells("okavango_delta", cells, 7, template = Some("select 1"))
     }
+    an[IllegalArgumentException] should be thrownBy {
+      store.queryCells("okavango_delta", cells, 7,
+        template = Some("select * from <[table]>"))
+    }
+  }
+
+  test("insert rejects invalid h3 indexes at the boundary (utils.rs:9-20)") {
+    val store = newStore()
+    store.createTableset(elephantSchema)
+    val rows = Seq(Row(42L, 1.toShort, ts, 4.0f, 23.toShort)) // 42 is not a valid cell
+    val input = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("h3index", LongType, false),
+        StructField("is_valid", ShortType, false),
+        StructField("observed_on", TimestampType, false),
+        StructField("elephant_density", FloatType, false),
+        StructField("some_category", ShortType, true))))
+    an[Exception] should be thrownBy store.insert("okavango_delta", input)
   }
 
   private def sumSchema = CompactedTableSchema.builder("okavango_sum")
@@ -176,6 +195,55 @@ class CellStoreSpec extends AnyFunSuite with Matchers with SparkTestSession {
     n should be > 49L // compacted dups still expand
     store.deduplicate("okavango_delta")
     store.queryCells("okavango_delta", cells, 7).count() shouldBe 49
+  }
+
+  private def parquetFiles(dir: String): Map[String, (Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet"))
+      .map(p => p.toString -> (java.nio.file.Files.size(p),
+        java.nio.file.Files.getLastModifiedTime(p).toMillis))
+      .toMap
+  }
+
+  test("partial dedup I/O is partition-scoped: untouched partition files untouched on disk") {
+    val dir = Files.createTempDirectory("graft_store_").toString
+    val store = CellStore(spark, dir)
+    store.insert("okavango_delta", elephantInput, createSchema = Some(elephantSchema))
+    store.insert("okavango_delta", elephantInput)
+    val before = parquetFiles(dir)
+    store.deduplicateWhere("okavango_delta", col("kind") === "base" && col("resolution") === 7)
+    val after = parquetFiles(dir)
+    // every file outside the touched partition is the same path, size and mtime
+    val untouched = before.keys.filterNot(_.contains("kind=base/resolution=7"))
+    untouched should not be empty
+    untouched.foreach { f => after.get(f) shouldBe before.get(f) }
+    // touched partition was actually rewritten
+    val touchedBefore = before.keys.filter(_.contains("kind=base/resolution=7")).toSet
+    val touchedAfter = after.keys.filter(_.contains("kind=base/resolution=7")).toSet
+    touchedBefore.intersect(touchedAfter) shouldBe empty
+  }
+
+  test("dedup predicate evaluating to NULL deletes nothing (coalesced to untouched)") {
+    val store = newStore()
+    store.insert("okavango_delta", elephantInput, createSchema = Some(elephantSchema))
+    store.insert("okavango_delta", elephantInput)
+    val cells = H3.toChildren(hexRes5, 7).toSeq
+    store.deduplicateWhere("okavango_delta", lit(null).cast("boolean"))
+    // NULL predicate -> no partition touched -> nothing deduped, nothing lost
+    store.queryCells("okavango_delta", cells, 7).count() shouldBe 98
+  }
+
+  test("write applies the ORDER BY key: rows inside every parquet file are h3index-sorted") {
+    val dir = Files.createTempDirectory("graft_store_").toString
+    val store = CellStore(spark, dir)
+    store.insert("okavango_delta", elephantInput, createSchema = Some(elephantSchema))
+    val files = parquetFiles(dir).keys.toSeq
+    files should not be empty
+    files.foreach { f =>
+      val vals = spark.read.parquet(f).select("h3index").collect().map(_.getLong(0)).toSeq
+      vals shouldBe vals.sorted
+    }
   }
 
   test("insert rejects resolutions above the tableset max") {
