@@ -7,9 +7,9 @@ object SparkEntry {
     Queries.q1PricingSummary(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.all ++ PipelineQueries.all ++ TablesetQueries.all
+    Queries.all ++ PipelineQueries.all ++ TablesetQueries.all ++ GeoQueries.all
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Queries.oracles ++ PipelineQueries.oracles ++ TablesetQueries.oracles
+    Queries.oracles ++ PipelineQueries.oracles ++ TablesetQueries.oracles ++ GeoQueries.oracles
 }

@@ -9,17 +9,23 @@ import Ijk._
  * Geographic layer: cell <-> lat/lng, polygon coverage ("polyfill", G1),
  * border cells (G3) — SURVEY §2.8 / F5.
  *
- * IMPORTANT — SELF-CONSISTENT, NOT CANONICAL: the canonical H3 geo placement
- * needs the icosahedron face/base-cell tables of the H3 core library, which
- * are not available in this offline environment (SURVEY §7.5.1). This layer
- * replaces the icosahedron with a deterministic Fibonacci-lattice layout of
- * the 122 base cells and an azimuthal-equidistant tangent plane per base
- * cell; the aperture-7 lattice within a base cell is the exact canonical
- * math ([[Ijk]]). All round-trip properties hold (geoToCell inverts
- * cellToLatLng; polyfill covers exactly the cells whose centers lie inside),
- * so every engine test that feeds geometry is meaningful — but absolute
- * cell positions differ from libh3's. The tableset engine itself only uses
- * index math and is unaffected.
+ * IMPORTANT — SELF-CONSISTENT PLACEMENT, CANONICAL ALGEBRA: the canonical H3
+ * geo placement needs the icosahedron face/base-cell data tables of the H3
+ * core library (faceCenterGeo, faceAxesAzRadsCII, baseCellData,
+ * faceIjkBaseCells), which are not available in this offline environment and
+ * cannot be reproduced verifiably from memory (SURVEY §7.5.1) — embedding
+ * half-remembered constants would make "canonical" silently false. This
+ * layer therefore replaces the icosahedron with a deterministic
+ * Fibonacci-lattice layout of the 122 base cells and an
+ * azimuthal-equidistant tangent plane per base cell. The aperture-7 lattice
+ * WITHIN a base cell is exact canonical math ([[Ijk]], class II/III parity
+ * pinned against the public libh3 k-ring vector in GeomSpec), so index math,
+ * traversal and compaction are canonical; only absolute lat/lng placement is
+ * frame-shifted vs libh3. All round-trip properties hold (geoToCell inverts
+ * cellToLatLng; polyfill covers exactly the cells whose centers lie inside)
+ * and are gate-checked (GeoQueries g1/g2). Swapping this object's base-cell
+ * centers + plane orientation for the canonical tables is the single
+ * drop-in point if the data ever becomes available.
  */
 object Geo {
   private val factory = new GeometryFactory()

@@ -1,0 +1,28 @@
+package graft.geom
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/**
+ * Spark Column API over the geo layer (F5/G1): distributed per-row
+ * cell<->lat/lng placement. Scala UDFs (not codegen'd Catalyst expressions)
+ * are acceptable here: geo placement is trig-bound, not a tight inner-loop
+ * bit op like the [[graft.h3.expr]] index math, and each call is O(1) with
+ * no per-row allocation beyond the result.
+ */
+object GeoFunctions {
+
+  private val latLngToCellUdf =
+    udf((lat: Double, lng: Double, res: Int) => Geo.latLngToCell(lat, lng, res))
+
+  private val cellToLatUdf = udf((cell: Long) => Geo.cellToLatLng(cell)._1)
+  private val cellToLngUdf = udf((cell: Long) => Geo.cellToLatLng(cell)._2)
+
+  /** F5 geoToH3: containing cell of a (lat, lng) degree point at `res`. */
+  def latlng_to_cell(lat: Column, lng: Column, res: Column): Column =
+    latLngToCellUdf(lat, lng, res)
+
+  /** Cell center latitude / longitude in degrees. */
+  def cell_to_lat(cell: Column): Column = cellToLatUdf(cell)
+  def cell_to_lng(cell: Column): Column = cellToLngUdf(cell)
+}

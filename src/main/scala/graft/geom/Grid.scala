@@ -9,24 +9,32 @@ import Ijk._
  * (reference `traversal.rs:403-418` uses grid_disk for traversal-cell
  * buffering).
  *
- * LIMITATION (documented): navigation is exact within one base cell's
- * aperture-7 span. Neighbors that would cross into another base cell (an
- * icosahedron face/base-cell boundary crossing in canonical H3) are DROPPED
- * rather than wrapped — the canonical wrap requires the icosahedron base-cell
- * neighbor tables, which are not available offline. Disks that stay interior
- * to a base cell are bit-exact with canonical H3.
+ * Navigation is exact canonical aperture-7 algebra within one base cell's
+ * span ([[Ijk]], class II/III parity matching h3 core — pinned by the public
+ * k-ring test vector in GridSpec). Offsets that leave the base cell (an
+ * icosahedron face/base-cell boundary crossing in canonical H3) are resolved
+ * GEOMETRICALLY: the offset's position on the origin base cell's tangent
+ * plane is mapped back to lat/lng and re-resolved to a cell, so disks at
+ * base-cell borders are complete area coverage instead of silently thinner
+ * (the round-1 behavior dropped them). Because the base-cell placement layer
+ * is the documented self-consistent lattice ([[Geo]]), cross-border members
+ * are geometric nearest cells in that frame, not canonical libh3 indexes.
  */
 object Grid {
 
   /** Cells within grid distance k of origin (the k-ring/disk). Origin-first,
-    * then by (distance, cell). Boundary-crossing neighbors are dropped. */
+    * then by (distance, cell). Boundary-crossing offsets resolve through the
+    * geometric fallback — never dropped. */
   def gridDisk(origin: Long, k: Int): Seq[Long] = {
     require(k >= 0)
     if (k == 0) return Seq(origin)
     val res = H3.getResolution(origin)
     val bc = H3.getBaseCell(origin)
     val o = cellToLocalIjk(origin)
-    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    val u = Geo.unitAt(res)
+    // min distance per cell: the geometric fallback can map two offsets to
+    // the same neighbor cell across a lattice seam
+    val best = scala.collection.mutable.LinkedHashMap.empty[Long, Int]
     // enumerate the [-k,k]^2 axial square and keep offsets within H3 hex
     // distance k. NOTE the H3 IJK axial neighbor set is {±I, ±J, +I+J,
     // -I-J}: (1,-1) is a DIAGONAL (distance 2), so the standard cube-metric
@@ -38,13 +46,18 @@ object Grid {
         val ijk = (o + CoordIJK(dx, dy, 0)).normalized
         val dist = hexDistance(o, ijk)
         if (dist <= k) {
-          localIjkToCell(bc, res, ijk).foreach { cell => out += ((dist, cell)) }
+          val cell = localIjkToCell(bc, res, ijk).getOrElse {
+            val (hx, hy) = Geo.ijkToHex2d(ijk)
+            val (lat, lng) = Geo.azeqInverse(Geo.baseCellCenters(bc), hx * u, hy * u)
+            Geo.latLngToCell(math.toDegrees(lat), math.toDegrees(lng), res)
+          }
+          if (best.get(cell).forall(_ > dist)) best(cell) = dist
         }
         dy += 1
       }
       dx += 1
     }
-    out.sortBy { case (d, c) => (d, c) }.map(_._2).toSeq
+    best.toSeq.sortBy { case (c, d) => (d, c) }.map(_._1)
   }
 
   /** Just the ring at exactly distance k. */
@@ -55,8 +68,9 @@ object Grid {
   }
 
   /** Hex grid distance between two cells of the same resolution and base
-    * cell; None when they live under different base cells (would require the
-    * canonical neighbor tables). */
+    * cell; None when they live under different base cells (exact cross-base
+    * distance needs the canonical base-cell neighbor tables; use the
+    * geometric disk for coverage instead). */
   def gridDistance(a: Long, b: Long): Option[Int] = {
     if (H3.getResolution(a) != H3.getResolution(b)) return None
     if (H3.getBaseCell(a) != H3.getBaseCell(b)) return None

@@ -46,25 +46,29 @@ object Ijk {
       c.i * iv._2 + c.j * jv._2 + c.k * kv._2,
       c.i * iv._3 + c.j * jv._3 + c.k * kv._3).normalized
 
-  /** Class II down-aperture (iVec (3,0,1), jVec (1,3,0), kVec (0,1,3)). */
+  /** Class II (clockwise) down-aperture — canonical `_downAp7r`
+    * (iVec (3,1,0), jVec (0,3,1), kVec (1,0,3)), applied at EVEN child
+    * resolutions like h3 core `_h3ToFaceIjkWithInitializedFijk`. */
   def downAp7II(c: CoordIJK): CoordIJK =
-    mul(c, (3, 0, 1), (1, 3, 0), (0, 1, 3))
-
-  /** Class III (counter-clockwise) down-aperture (iVec (3,1,0), jVec (0,3,1), kVec (1,0,3)). */
-  def downAp7III(c: CoordIJK): CoordIJK =
     mul(c, (3, 1, 0), (0, 3, 1), (1, 0, 3))
 
-  /** Inverse apertures with cube rounding (canonical _upAp7 / _upAp7r). */
+  /** Class III (counter-clockwise) down-aperture — canonical `_downAp7`
+    * (iVec (3,0,1), jVec (1,3,0), kVec (0,1,3)), applied at ODD child
+    * resolutions. */
+  def downAp7III(c: CoordIJK): CoordIJK =
+    mul(c, (3, 0, 1), (1, 3, 0), (0, 1, 3))
+
+  /** Inverse apertures with cube rounding (canonical _upAp7r / _upAp7). */
   def upAp7II(c: CoordIJK): CoordIJK = {
     val (ai, aj) = (c.i - c.k, c.j - c.k)
-    val i = math.round((3 * ai - aj) / 7.0).toInt
-    val j = math.round((ai + 2 * aj) / 7.0).toInt
+    val i = math.round((2 * ai + aj) / 7.0).toInt
+    val j = math.round((3 * aj - ai) / 7.0).toInt
     CoordIJK(i, j, 0).normalized
   }
   def upAp7III(c: CoordIJK): CoordIJK = {
     val (ai, aj) = (c.i - c.k, c.j - c.k)
-    val i = math.round((2 * ai + aj) / 7.0).toInt
-    val j = math.round((3 * aj - ai) / 7.0).toInt
+    val i = math.round((3 * ai - aj) / 7.0).toInt
+    val j = math.round((ai + 2 * aj) / 7.0).toInt
     CoordIJK(i, j, 0).normalized
   }
 

