@@ -153,14 +153,14 @@ object PipelineQueries {
       .limit(20)
   }
 
-  /** Banded LSH ANN (16 random hyperplanes, 4 bands x 4 bits, dim 64) for
+  /** Banded LSH ANN (32 random hyperplanes, 8 bands x 4 bits, dim 64) for
     * the first 10 vectors, k=5 candidate re-rank. */
   def e2LshAnn(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     val queries = e.where(col("vec_id") < 10)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
-    Ann.knnLsh(queries, corpus, 5, 16, 64, 4)
+    Ann.knnLsh(queries, corpus, 5, 32, 64, 8)
       .select(col("query_id"), col("rnk"), col("neighbor_id"),
         round(col("cos"), 4).as("cos_sim"))
       .orderBy(col("query_id"), col("rnk"))
@@ -191,7 +191,7 @@ object PipelineQueries {
   }.mkString(", ")
 
   private def sigSql(vecExpr: String): String =
-    (0 until 16).map { j =>
+    (0 until 32).map { j =>
       val w = Ann.planeWeights(j, 64).map(x => s"$x.0").mkString("[", ",", "]")
       s"(CASE WHEN list_dot_product($vecExpr, $w::DOUBLE[]) > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
@@ -266,7 +266,7 @@ object PipelineQueries {
          |ORDER BY jacc DESC, doc_a, doc_b LIMIT 20""".stripMargin
     },
     "e2_lsh_ann" -> {
-      val bandSelects = (0 until 4).map { b =>
+      val bandSelects = (0 until 8).map { b =>
         s"SELECT vec_id, $b AS band, (sig >> ${4 * b}) & 15 AS bucket FROM s"
       }.mkString(" UNION ALL ")
       s"""WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v,

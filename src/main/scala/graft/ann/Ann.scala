@@ -15,14 +15,22 @@ import org.apache.spark.sql.functions._
  *    exact cosine. At scale the bucket join replaces the quadratic cross
  *    join with a shuffle on (bucket, id) — recall tunable via planes/bands.
  *
- * Hyperplane weights are a deterministic integer lattice (seeded arithmetic,
- * reproducible in the DuckDB oracles): w[j][k] = ((7*(j+1) + 11*k) mod 5) - 2.
+ * Hyperplane weights are a deterministic integer lattice (seeded Knuth-hash
+ * arithmetic; the DuckDB oracles embed the resulting literals, so they stay
+ * in lockstep by construction). NOTE: a plain affine form like
+ * ((7*(j+1) + 11*k) mod 5) is periodic in j mod 5 — only 5 distinct planes
+ * regardless of numPlanes — which silently caps recall; the multiplicative
+ * hash below decorrelates every (j, k).
  */
 object Ann {
 
-  /** Deterministic hyperplane weights for plane j (0-based) over `dim`. */
+  /** Deterministic hyperplane weights for plane j (0-based) over `dim`,
+    * values in [-2, 2]. */
   def planeWeights(j: Int, dim: Int): Seq[Int] =
-    (0 until dim).map(k => ((7 * (j + 1) + 11 * k) % 5) - 2)
+    (0 until dim).map { k =>
+      val x = (j.toLong * 73 + k.toLong * 151 + 29) * 2654435761L
+      ((((x >> 13) % 5).toInt + 5) % 5) - 2
+    }
 
   /** Cosine similarity of two double-array columns (computed in double). */
   def cosine(a: Column, b: Column): Column = {
@@ -60,34 +68,58 @@ object Ann {
   /** Banded LSH ANN: the signature is split into `numBands` bands of
     * `numPlanes/numBands` bits; candidates share at least ONE band value
     * (OR-amplification — a single full-signature bucket has poor recall).
-    * Candidates are re-ranked by exact cosine. Scale path: the band join
-    * shuffles (band, bucket, id) triples; candidate growth is controlled by
-    * band width. Output: (query_id, rnk, neighbor_id, cos). */
+    * Candidates are re-ranked by exact cosine.
+    *
+    * Scale shape:
+    *  - the band join and candidate dedup carry ONLY (band, bucket, id) /
+    *    (query_id, neighbor_id) — embedding payloads never enter a shuffle;
+    *    vectors are joined back exactly once for the final cosine re-rank;
+    *  - `multiprobe = true` additionally probes, on the QUERY side only,
+    *    every bucket at Hamming distance 1 from each band bucket
+    *    (1 + bandBits probes per band). This is the classic probing-vs-
+    *    tables trade: recall per band rises from p^b to
+    *    p^b + b*p^(b-1)*(1-p) at the cost of (1+b)x candidate lookups,
+    *    with no extra signature storage. Leave it off when the corpus is
+    *    unstructured (near-random vectors would make most pairs
+    *    candidates); turn it on for clustered/real embedding spaces.
+    *
+    * Output: (query_id, rnk, neighbor_id, cos). */
   def knnLsh(queries: DataFrame, corpus: DataFrame, k: Int,
-      numPlanes: Int, dim: Int, numBands: Int = 4): DataFrame = {
+      numPlanes: Int, dim: Int, numBands: Int = 8,
+      multiprobe: Boolean = false): DataFrame = {
     require(numPlanes % numBands == 0, "numPlanes must divide into numBands")
     val bandBits = numPlanes / numBands
     val mask = (1L << bandBits) - 1
 
-    def withBands(df: DataFrame, idAs: String, vecAs: String): DataFrame = {
-      val sigd = df.select(col("id").as(idAs),
-        col("vec").cast("array<double>").as(vecAs))
-        .withColumn("sig", rhpSignature(col(vecAs), numPlanes, dim))
+    def bandsOf(df: DataFrame, idAs: String, probe: Boolean): DataFrame = {
       val bands = (0 until numBands).map { b =>
         struct(lit(b).as("band"),
           shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask)).as("bucket"))
       }
-      sigd.withColumn("b", explode(array(bands: _*)))
-        .select(col(idAs), col(vecAs), col("b.band").as("band"), col("b.bucket").as("bucket"))
+      val exact = df
+        .select(col("id").as(idAs),
+          rhpSignature(col("vec").cast("array<double>"), numPlanes, dim).as("sig"))
+        .select(col(idAs), explode(array(bands: _*)).as("b"))
+        .select(col(idAs), col("b.band").as("band"), col("b.bucket").as("bucket"))
+      if (!probe) exact
+      else {
+        val probes = lit(0L) +: (0 until bandBits).map(f => lit(1L << f))
+        exact.select(col(idAs), col("band"),
+          explode(array(probes.map(col("bucket").bitwiseXOR(_)): _*)).as("bucket"))
+      }
     }
 
-    val q = withBands(queries, "query_id", "qv")
-    val c = withBands(corpus, "neighbor_id", "nv")
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    q.join(c, Seq("band", "bucket"))
+    val cand = bandsOf(queries, "query_id", probe = multiprobe)
+      .join(bandsOf(corpus, "neighbor_id", probe = false), Seq("band", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("qv"), col("neighbor_id"), col("nv"))
-      .distinct() // a pair may collide in several bands
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct() // id-pair dedup only — no vector payloads shuffled
+    val qv = queries.select(col("id").as("query_id"), col("vec").cast("array<double>").as("qv"))
+    val nv = corpus.select(col("id").as("neighbor_id"), col("vec").cast("array<double>").as("nv"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    cand
+      .join(qv, "query_id")
+      .join(nv, "neighbor_id")
       .withColumn("cos", cosine(col("qv"), col("nv")))
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)

@@ -1,0 +1,86 @@
+package graft.ann
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestSession
+
+/** LSH ANN recall against the brute-force baseline on CLUSTERED synthetic
+  * embeddings — the regime LSH actually promises recall in (planted
+  * neighbors at cosine >= ~0.8). Near-random vectors (like the sf testdata
+  * embeddings, best-neighbor cos ~0.37) are information-theoretically hard
+  * for any banding scheme and are not a recall benchmark. */
+class AnnSpec extends AnyFunSuite with Matchers with SparkTestSession {
+
+  private val dim = 64
+  private val numClusters = 20
+  private val perCluster = 15
+
+  /** Deterministic clustered vectors: each cluster has a +-1 sign centroid;
+    * members flip `noise` coordinates of it (cos = 1 - 2*noise/dim). */
+  private def clustered(noise: Int): org.apache.spark.sql.DataFrame = {
+    val rnd = new scala.util.Random(1234)
+    val rows = (0 until numClusters).flatMap { c =>
+      val centroid = Array.fill(dim)(if (rnd.nextBoolean()) 1.0f else -1.0f)
+      (0 until perCluster).map { m =>
+        val v = centroid.clone()
+        val flips = rnd.shuffle((0 until dim).toList).take(if (m == 0) 0 else noise)
+        flips.foreach(i => v(i) = -v(i))
+        Row(c.toLong * perCluster + m, v.toSeq)
+      }
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(
+        StructField("id", LongType, false),
+        StructField("vec", ArrayType(FloatType, false), false))))
+  }
+
+  private def recallOf(lsh: org.apache.spark.sql.DataFrame,
+      exact: org.apache.spark.sql.DataFrame): Double = {
+    val hit = lsh.select(col("query_id"), col("neighbor_id"))
+      .join(exact.select(col("query_id"), col("neighbor_id")), Seq("query_id", "neighbor_id"))
+      .count()
+    hit.toDouble / exact.count()
+  }
+
+  test("clustered data: banded LSH (32 planes, 8 bands) recall >= 0.8 vs brute force") {
+    val data = clustered(noise = 6) // members at cos ~0.81 to the centroid
+    val queries = data.where(col("id") % perCluster === 0) // the 20 centroids
+    val k = 5
+    val exact = Ann.knnBruteForce(queries, data, k)
+    val lsh = Ann.knnLsh(queries, data, k, 32, dim, 8)
+    val r = recallOf(lsh, exact)
+    withClue(s"recall=$r") { r should be >= 0.8 }
+  }
+
+  test("multiprobe strictly widens the candidate set and never lowers recall") {
+    val data = clustered(noise = 10) // harder: cos ~0.69
+    val queries = data.where(col("id") % perCluster === 0)
+    val k = 5
+    val exact = Ann.knnBruteForce(queries, data, k)
+    val plain = recallOf(Ann.knnLsh(queries, data, k, 32, dim, 8), exact)
+    val probed = recallOf(Ann.knnLsh(queries, data, k, 32, dim, 8, multiprobe = true), exact)
+    probed should be >= plain
+    withClue(s"multiprobe recall=$probed") { probed should be >= 0.8 }
+  }
+
+  test("LSH top-1 matches brute force top-1 for planted exact duplicates") {
+    // duplicate of each centroid under a different id: its top-1 must be cos=1
+    val data = clustered(noise = 6)
+    val dups = data.where(col("id") % perCluster === 0)
+      .select((col("id") + 100000L).as("id"), col("vec"))
+    val corpus = data.unionByName(dups)
+    val queries = data.where(col("id") % perCluster === 0)
+    val lsh = Ann.knnLsh(queries, corpus, 1, 32, dim, 8)
+    val top1 = lsh.where(col("rnk") === 1).collect()
+    top1.length shouldBe numClusters
+    top1.foreach { r =>
+      r.getAs[Long]("neighbor_id") shouldBe r.getAs[Long]("query_id") + 100000L
+      r.getAs[Double]("cos") shouldBe 1.0 +- 1e-9
+    }
+  }
+}
