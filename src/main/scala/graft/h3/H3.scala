@@ -167,7 +167,12 @@ object H3 {
     val res = getResolution(h)
     require(childRes >= res && childRes <= MaxRes,
       s"childRes $childRes out of range for cell at res $res")
-    val out = new Array[Long](childrenCount(h, childRes).toInt)
+    val count = childrenCount(h, childRes)
+    // guard BEFORE allocation: 7^12+ children overflows Int and would
+    // otherwise request a negative-size array
+    require(count <= Int.MaxValue,
+      s"toChildren would produce $count cells (res $res -> $childRes); enumerate stepwise instead")
+    val out = new Array[Long](count.toInt)
     var n = 0
     def rec(cell: Long, r: Int): Unit = {
       if (r == childRes) { out(n) = cell; n += 1 }

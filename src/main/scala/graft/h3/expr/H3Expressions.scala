@@ -46,13 +46,19 @@ object H3ExprUtil {
     else H3.childrenCount(h, childRes)
   }
 
+  /** Total: out-of-range resolutions AND oversized expansions (> 2^28
+    * children) yield an EMPTY array instead of throwing — this expression
+    * must stay safe under speculative evaluation and filter reordering,
+    * where Catalyst may evaluate it on rows a later predicate would have
+    * excluded. Callers that need the full expansion of a coarse cell should
+    * step down one resolution at a time (as restricted uncompaction does). */
   def toChildrenTotal(h: Long, childRes: Int): Array[Long] = {
     val res = H3.getResolution(h)
     if (childRes < res || childRes > H3.MaxRes) Array.emptyLongArray
     else {
       val n = H3.childrenCount(h, childRes)
-      require(n <= (1L << 28), s"h3_to_children would produce $n cells; cap is 2^28")
-      H3.toChildren(h, childRes)
+      if (n > (1L << 28)) Array.emptyLongArray
+      else H3.toChildren(h, childRes)
     }
   }
 }

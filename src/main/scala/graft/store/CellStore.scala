@@ -50,6 +50,63 @@ class CellStore(spark: SparkSession, rootPath: String) {
 
   // ---------------------------------------------------------------- catalog
 
+  /** D5: does the store's namespace (root directory) exist?
+    * (reference `cellstore.rs:95-110` database_exists). */
+  def databaseExists: Boolean = fs.exists(new Path(rootPath))
+
+  /** D5: create the store's namespace (idempotent), the analogue of
+    * CREATE DATABASE IF NOT EXISTS. */
+  def createDatabase(): Unit = { fs.mkdirs(new Path(rootPath)); () }
+
+  /** Rebuild a lost schema.json sidecar from the data layout — the recovery
+    * analogue of the reference's catalog rediscovery (it re-derives tablesets
+    * from a noisy catalog by name-regex + column intersection,
+    * `tableset.rs:219-244`, `mod.rs:138-213`; here the physical partition
+    * layout plays the catalog's role). Best-effort, like the reference's:
+    *  - base resolutions come from the kind=base partition directories;
+    *  - h3 partitioning is re-derived by comparing ph3 against the base
+    *    cell / parent of a sampled h3index;
+    *  - column types map back from the parquet footer (unsigned widths are
+    *    not distinguishable from signed — recovered as the narrowest fit);
+    *  - aggregation methods and the temporal bucket granularity are NOT
+    *    physically recoverable (the reference loses them too); aggregated
+    *    columns come back as Simple, and a present `pt` partition recovers
+    *    as Months(1) so future writes stay layout-compatible.
+    * Writes the recovered sidecar and returns the schema. */
+  def recoverTableset(name: String): CompactedTableSchema = {
+    val dp = dataPath(name)
+    require(fs.exists(dp), s"tableset '$name' has no data directory to recover from")
+    val df = spark.read.parquet(dp.toString)
+    val partCols = Set("kind", "resolution", "ph3") ++
+      df.columns.filter(c => c == "pt" || c.startsWith("pt_"))
+    val base = df.where(col("kind") === "base")
+    val resolutions = base.select("resolution").distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val sample = base.select(col(CompactedTableSchema.ColH3Index), col("ph3")).head()
+    val ph3 = sample.get(1) match { case n: Number => n.longValue() }
+    val h3Part =
+      if (ph3 == H3.getBaseCell(sample.getLong(0)).toLong) H3Partitioning.BaseCell
+      else H3Partitioning.LowerResolution(
+        H3.getResolution(sample.getLong(0)) - H3.getResolution(ph3))
+    val b = CompactedTableSchema.builder(name)
+      .h3BaseResolutions(resolutions)
+      .h3Partitioning(h3Part)
+    df.schema.fields
+      .filter(f => !partCols.contains(f.name) && f.name != CompactedTableSchema.ColH3Index)
+      .foreach { f =>
+        val dt = GraftDataType.all.find(_.sparkType == f.dataType).getOrElse(
+          throw new IllegalArgumentException(
+            s"cannot recover a GraftDataType for column '${f.name}': ${f.dataType}"))
+        b.addSimpleColumn(f.name, dt, nullable = f.nullable)
+      }
+    if (df.columns.contains("pt")) b.temporalPartitioning(TemporalPartitioning.Months(1))
+    val schema = b.build()
+    val p = schemaPath(name)
+    val out = fs.create(p, true)
+    try out.write(schema.toJson.getBytes("UTF-8")) finally out.close()
+    schema
+  }
+
   /** D1: create the tableset (idempotent). */
   def createTableset(schema: CompactedTableSchema): Unit = {
     val validated = schema.validated

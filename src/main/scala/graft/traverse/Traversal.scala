@@ -114,14 +114,34 @@ object Traversal {
     options.prefilterTemplate.foreach { ft =>
       cells = prefilter(store, name, cells, travRes, ft)
     }
-    cells.grouped(batchSize).flatMap { batch =>
-      val df = store.queryCells(name, batch, targetRes, options.doUncompact, options.template)
-        .withColumn("_tc", h3_to_parent(col(CompactedTableSchema.ColH3Index), lit(travRes)))
-        .cache()
-      val present = df.select("_tc").distinct().collect().map(_.getLong(0)).toSet
-      batch.filter(present.contains).map { tc =>
-        TraversedCell(tc, df.where(col("_tc") === tc).drop("_tc"))
+    val batches = cells.grouped(batchSize)
+    // Each batch's DataFrame is cached while its cells are being consumed and
+    // unpersisted when the iterator moves to the next batch (and after the
+    // last batch) — long traversals hold at most ONE batch of executor
+    // storage. A TraversedCell.df used after its batch is passed over simply
+    // recomputes from the store (correct, just uncached).
+    new Iterator[TraversedCell] {
+      private var current: Iterator[TraversedCell] = Iterator.empty
+      private var cached: DataFrame = _
+      private def release(): Unit =
+        if (cached != null) { cached.unpersist(false); cached = null }
+      private def advance(): Unit = {
+        while (!current.hasNext && batches.hasNext) {
+          release()
+          val batch = batches.next()
+          val df = store.queryCells(name, batch, targetRes, options.doUncompact, options.template)
+            .withColumn("_tc", h3_to_parent(col(CompactedTableSchema.ColH3Index), lit(travRes)))
+            .cache()
+          cached = df
+          val present = df.select("_tc").distinct().collect().map(_.getLong(0)).toSet
+          current = batch.filter(present.contains).map { tc =>
+            TraversedCell(tc, df.where(col("_tc") === tc).drop("_tc"))
+          }.iterator
+        }
+        if (!current.hasNext && !batches.hasNext) release()
       }
+      override def hasNext: Boolean = { advance(); current.hasNext }
+      override def next(): TraversedCell = { advance(); current.next() }
     }
   }
 }

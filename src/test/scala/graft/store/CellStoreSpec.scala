@@ -246,6 +246,50 @@ class CellStoreSpec extends AnyFunSuite with Matchers with SparkTestSession {
     }
   }
 
+  test("D5: databaseExists / createDatabase namespace ops (cellstore.rs:95-110)") {
+    val dir = Files.createTempDirectory("graft_store_").resolve("nested_db").toString
+    val store = CellStore(spark, dir)
+    store.databaseExists shouldBe false
+    store.createDatabase()
+    store.databaseExists shouldBe true
+    store.createDatabase() // idempotent
+    store.listTablesets() shouldBe empty
+  }
+
+  test("noisy catalog: discovery ignores junk dirs and files (tableset.rs:246-444 shape)") {
+    val dir = Files.createTempDirectory("graft_store_")
+    val store = CellStore(spark, dir.toString)
+    store.insert("okavango_delta", elephantInput, createSchema = Some(elephantSchema))
+    // noise: a dir without schema.json, a dir with garbage schema-less data,
+    // and a stray file at the root
+    Files.createDirectory(dir.resolve("random_dir"))
+    Files.createDirectories(dir.resolve("other_system").resolve("data"))
+    Files.write(dir.resolve("stray_file.txt"), "not a tableset".getBytes)
+    store.listTablesets().keySet shouldBe Set("okavango_delta")
+  }
+
+  test("recoverTableset rebuilds a lost schema.json from the data layout") {
+    val dir = Files.createTempDirectory("graft_store_")
+    val store = CellStore(spark, dir.toString)
+    store.insert("okavango_delta", elephantInput, createSchema = Some(elephantSchema))
+    val cells = H3.toChildren(hexRes5, 7).toSeq
+    val expected = store.queryCells("okavango_delta", cells, 7).count()
+
+    // lose the sidecar -> undiscoverable
+    Files.delete(dir.resolve("okavango_delta").resolve("schema.json"))
+    store.listTablesets() shouldBe empty
+
+    val recovered = store.recoverTableset("okavango_delta")
+    recovered.name shouldBe "okavango_delta"
+    recovered.baseResolutions should contain(7)
+    recovered.h3Partitioning shouldBe H3Partitioning.BaseCell
+    recovered.columns.keySet should contain allOf
+      ("h3index", "is_valid", "observed_on", "elephant_density", "some_category")
+    store.listTablesets().keySet shouldBe Set("okavango_delta")
+    // recovered tableset is queryable with unchanged results
+    store.queryCells("okavango_delta", cells, 7).count() shouldBe expected
+  }
+
   test("insert rejects resolutions above the tableset max") {
     val store = newStore()
     store.createTableset(sumSchema)
