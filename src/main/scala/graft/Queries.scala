@@ -29,7 +29,10 @@ object Queries {
     val df = t(spark, dir, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+        // integer division: `/` is DOUBLE division, and epoch-nanos (~1.7e18)
+        // exceed double's 53-bit mantissa — the round-trip silently shifts
+        // timestamps by up to a few microseconds
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => df
     }
   }
@@ -182,6 +185,15 @@ object Queries {
       .select(col("res"), col("cell_at_res"), col("num_children"))
       .orderBy(col("res"), col("cell_at_res"))
   }
+
+  /** Gap-based sessionization (1-hour gap) over the events stream via the
+    * native `session_window` aggregate ([[graft.streaming.StreamOps]]) —
+    * cross-checked against DuckDB's independent lag/cumsum session
+    * derivation. */
+  def s1Sessionize(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamOps.sessionWindows(events(spark, dir), "1 hour")
+      .withColumn("total_value", round(col("total_value"), 2))
+      .orderBy(col("user_id"), col("session_start"))
 
   // -------------------------------------------------------------- documents
 
@@ -375,6 +387,22 @@ object Queries {
       "d4_lang_distribution" ->
         """SELECT lang, count(*) AS num_docs, round(avg(n_chars), 2) AS avg_chars
           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+      "s1_sessionize" ->
+        """WITH g AS (
+          |  SELECT user_id, ts, value,
+          |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+          |         >= INTERVAL '1 hour' THEN 1 ELSE 0 END AS brk
+          |  FROM events),
+          |s AS (
+          |  SELECT user_id, ts, value,
+          |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+          |                   ROWS UNBOUNDED PRECEDING) AS sid
+          |  FROM g)
+          |SELECT user_id, min(ts) AS session_start,
+          |  max(ts) + INTERVAL '1 hour' AS session_end,
+          |  count(*) AS num_events, round(sum(value), 2) AS total_value
+          |FROM s GROUP BY user_id, sid
+          |ORDER BY user_id, session_start""".stripMargin,
       "e1_knn_brute_force" ->
         """SELECT query_id, rnk, neighbor_id, round(cos, 4) AS cos_sim FROM (
           |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
@@ -399,6 +427,7 @@ object Queries {
     "h1_cell_ops" -> h1CellOps,
     "h2_parent_rollup" -> h2ParentRollup,
     "h3_resolution_pyramid" -> h3ResolutionPyramid,
+    "s1_sessionize" -> s1Sessionize,
     "d1_exact_dedup" -> d1ExactDedup,
     "d2_token_stats" -> d2TokenStats,
     "d3_quality_score" -> d3QualityScore,

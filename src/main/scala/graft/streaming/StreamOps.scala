@@ -34,6 +34,20 @@ object StreamOps {
         col("event_type"), col("num_events"), col("total_value"))
   }
 
+  /** Gap-based sessionization via Spark's NATIVE `session_window` aggregate —
+    * the scale path: sessions merge inside the tungsten hash aggregate (with
+    * spill), no per-key in-memory event buffer, and the identical plan runs
+    * on batch or streaming input. Prefer this over [[sessionize]] unless the
+    * per-session state logic is genuinely custom. A new session starts when
+    * an event arrives at or after the previous session's end (last ts + gap).
+    * Input columns: (user_id, ts, value). */
+  def sessionWindows(events: DataFrame, gap: String): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("num_events"), sum(col("value")).as("total_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("num_events"), col("total_value"))
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   case class Session(user_id: Long, start: Timestamp, end: Timestamp,

@@ -47,6 +47,42 @@ class StreamOpsSpec extends AnyFunSuite with Matchers with SparkTestSession {
     } finally q.stop()
   }
 
+  test("sessionWindows (native session_window) agrees with mapGroupsWithState sessionize") {
+    import spark.implicits._
+    // deterministic pseudo-random event set: 20 users x 40 events over 3 days
+    val rnd = new scala.util.Random(5)
+    val base = ts("2024-03-01 00:00:00").getTime
+    val evs = (0 until 800).map { i =>
+      Event(i, new Timestamp(base + rnd.nextInt(3 * 24 * 3600) * 1000L),
+        i % 20, "e", (i % 7).toDouble)
+    }
+    val gapMs = 2 * 3600 * 1000L
+    val native = StreamOps.sessionWindows(evs.toDF(), "2 hours")
+      .select(col("user_id"), col("session_start"), col("num_events"), col("total_value"))
+      .as[(Long, Timestamp, Long, Double)].collect().toSet
+    val custom = StreamOps.sessionize(evs.toDS(), gapMs)
+      .map(s => (s.user_id, s.start, s.num_events.toLong, s.total_value))
+      .collect().toSet
+    native shouldBe custom
+  }
+
+  test("sessionWindows runs identically as a streaming query (MemoryStream, complete-by-watermark)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    stream.addData(sampleEvents: _*)
+    val q = StreamOps.sessionWindows(
+        stream.toDF().withWatermark("ts", "10 minutes"), "10 minutes")
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      stream.addData(Event(9, ts("2024-01-01 12:00:00"), 9, "late", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_out").collect()
+      rows.length should be >= 2 // user 1's two sessions closed by the watermark
+    } finally q.stop()
+  }
+
   test("sessionize: gap splits sessions, totals conserved") {
     import spark.implicits._
     val sessions = StreamOps.sessionize(sampleEvents.toDS(), gapMillis = 10 * 60 * 1000)
