@@ -88,7 +88,7 @@ object PipelineQueries {
   }
 
   /** 31-bit SimHash per document (explode + 31 codegen'd bit-vote sums). */
-  def t3Simhash(spark: SparkSession, dir: String): DataFrame = {
+  private def simhashFrame(spark: SparkSession, dir: String): DataFrame = {
     val h = (pmod(col("code"), lit(P)) * TextOps.hashA(0) + TextOps.hashB(0)) % P
     val votes = (0 until 31).map { b =>
       sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2L - 1L).as(s"v$b")
@@ -100,7 +100,46 @@ object PipelineQueries {
       .select(col("doc_id"), h.as("h"))
       .groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
       .select(col("doc_id"), bits.reduce(_ + _).as("simhash31"))
-      .orderBy(col("doc_id"))
+  }
+
+  def t3Simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashFrame(spark, dir).orderBy(col("doc_id"))
+
+  /** SimHash near-duplicate pairs at hamming distance <= 3.
+    *
+    * Banding over the 31-bit signature (4 bands: 8+8+8+7 bits) is LOSSLESS
+    * here by pigeonhole: 3 differing bits can touch at most 3 of the 4
+    * bands, so every qualifying pair shares at least one intact band — the
+    * banded self-join produces exactly the all-pairs result while shuffling
+    * only (band, bucket, doc_id, simhash). The DuckDB oracle is the plain
+    * all-pairs filter, independently verifying that exactness. */
+  def t7SimhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val bands = Seq((0, 255L), (8, 255L), (16, 255L), (24, 127L)).zipWithIndex.map {
+      case ((sh, m), b) =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash31"), sh).bitwiseAND(lit(m)).as("bucket"))
+    }
+    val banded = simhashFrame(spark, dir)
+      .select(col("doc_id"), col("simhash31"), explode(array(bands: _*)).as("b"))
+      .select(col("doc_id"), col("simhash31"), col("b.band").as("band"), col("b.bucket").as("bucket"))
+    banded.select(col("doc_id").as("doc_a"), col("simhash31").as("sa"), col("band"), col("bucket"))
+      .join(banded.select(col("doc_id").as("doc_b"), col("simhash31").as("sb"),
+        col("band"), col("bucket")), Seq("band", "bucket"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
+      .where(col("hamming") <= 3)
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (banded LSH candidates + exact
+    * cosine >= 0.4) over the embeddings table. */
+  def e3EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val data = emb(spark, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Ann.nearDupPairs(data, 0.4, 32, 64, 8)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** Heuristic language-ID. */
@@ -265,6 +304,37 @@ object PipelineQueries {
          |FROM cand JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b
          |ORDER BY jacc DESC, doc_a, doc_b LIMIT 20""".stripMargin
     },
+    "t7_simhash_neardup" -> {
+      val hs = s"list_transform(codes, c -> ((c % $P) * ${TextOps.hashA(0)} + ${TextOps.hashB(0)}) % $P)"
+      val bits = (0 until 31).map { b =>
+        s"(CASE WHEN list_sum(list_transform(hs, h -> ((h >> $b) & 1)*2 - 1)) > 0 THEN ${1L << b} ELSE 0 END)"
+      }.mkString(" + ")
+      // deliberately all-pairs (no banding): proves the Spark side's banded
+      // join loses nothing at hamming <= 3
+      s"""WITH c AS (SELECT doc_id, $codesSql AS codes FROM documents),
+         |h AS (SELECT doc_id, $hs AS hs FROM c),
+         |sim AS (SELECT doc_id, $bits AS simhash31 FROM h)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  bit_count(xor(a.simhash31, b.simhash31))::INT AS hamming
+         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash31, b.simhash31)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+    "e3_embedding_neardup" -> {
+      val bandSelects = (0 until 8).map { b =>
+        s"SELECT vec_id, $b AS band, (sig >> ${4 * b}) & 15 AS bucket FROM s"
+      }.mkString(" UNION ALL ")
+      s"""WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |  ${sigSql("embedding::DOUBLE[]")} AS sig FROM embeddings),
+         |bands AS ($bandSelects),
+         |cand AS (SELECT DISTINCT q.vec_id AS id_a, e.vec_id AS id_b
+         |  FROM bands q JOIN bands e ON q.band = e.band AND q.bucket = e.bucket
+         |    AND q.vec_id < e.vec_id)
+         |SELECT id_a, id_b, round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+         |FROM cand JOIN s a ON a.vec_id = id_a JOIN s b ON b.vec_id = id_b
+         |WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin
+    },
     "e2_lsh_ann" -> {
       val bandSelects = (0 until 8).map { b =>
         s"SELECT vec_id, $b AS band, (sig >> ${4 * b}) & 15 AS bucket FROM s"
@@ -293,6 +363,8 @@ object PipelineQueries {
     "t4_lang_id" -> t4LangId,
     "t5_fingerprint" -> t5Fingerprint,
     "t6_ngram_jaccard_topk" -> t6NgramJaccardTopk,
-    "e2_lsh_ann" -> e2LshAnn
+    "t7_simhash_neardup" -> t7SimhashNearDup,
+    "e2_lsh_ann" -> e2LshAnn,
+    "e3_embedding_neardup" -> e3EmbeddingNearDup
   )
 }

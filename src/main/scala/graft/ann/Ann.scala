@@ -84,33 +84,37 @@ object Ann {
     *    candidates); turn it on for clustered/real embedding spaces.
     *
     * Output: (query_id, rnk, neighbor_id, cos). */
+  /** (id, band, bucket) banding of the RHP signature; with `probe` also
+    * emits every bucket at Hamming distance 1 (all-1-flip multiprobe). */
+  private def bandsOf(df: DataFrame, idAs: String, numPlanes: Int, dim: Int,
+      numBands: Int, probe: Boolean): DataFrame = {
+    val bandBits = numPlanes / numBands
+    val mask = (1L << bandBits) - 1
+    val bands = (0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask)).as("bucket"))
+    }
+    val exact = df
+      .select(col("id").as(idAs),
+        rhpSignature(col("vec").cast("array<double>"), numPlanes, dim).as("sig"))
+      .select(col(idAs), explode(array(bands: _*)).as("b"))
+      .select(col(idAs), col("b.band").as("band"), col("b.bucket").as("bucket"))
+    if (!probe) exact
+    else {
+      val probes = lit(0L) +: (0 until bandBits).map(f => lit(1L << f))
+      exact.select(col(idAs), col("band"),
+        explode(array(probes.map(col("bucket").bitwiseXOR(_)): _*)).as("bucket"))
+    }
+  }
+
   def knnLsh(queries: DataFrame, corpus: DataFrame, k: Int,
       numPlanes: Int, dim: Int, numBands: Int = 8,
       multiprobe: Boolean = false): DataFrame = {
     require(numPlanes % numBands == 0, "numPlanes must divide into numBands")
-    val bandBits = numPlanes / numBands
-    val mask = (1L << bandBits) - 1
 
-    def bandsOf(df: DataFrame, idAs: String, probe: Boolean): DataFrame = {
-      val bands = (0 until numBands).map { b =>
-        struct(lit(b).as("band"),
-          shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask)).as("bucket"))
-      }
-      val exact = df
-        .select(col("id").as(idAs),
-          rhpSignature(col("vec").cast("array<double>"), numPlanes, dim).as("sig"))
-        .select(col(idAs), explode(array(bands: _*)).as("b"))
-        .select(col(idAs), col("b.band").as("band"), col("b.bucket").as("bucket"))
-      if (!probe) exact
-      else {
-        val probes = lit(0L) +: (0 until bandBits).map(f => lit(1L << f))
-        exact.select(col(idAs), col("band"),
-          explode(array(probes.map(col("bucket").bitwiseXOR(_)): _*)).as("bucket"))
-      }
-    }
-
-    val cand = bandsOf(queries, "query_id", probe = multiprobe)
-      .join(bandsOf(corpus, "neighbor_id", probe = false), Seq("band", "bucket"))
+    val cand = bandsOf(queries, "query_id", numPlanes, dim, numBands, probe = multiprobe)
+      .join(bandsOf(corpus, "neighbor_id", numPlanes, dim, numBands, probe = false),
+        Seq("band", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"))
       .distinct() // id-pair dedup only — no vector payloads shuffled
@@ -124,5 +128,31 @@ object Ann {
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos"))
+  }
+
+  /** Embedding-cosine near-duplicate PAIRS: every (id_a < id_b) pair that
+    * shares at least one LSH band bucket and has cosine >= `threshold`.
+    * The corpus-scale shape of embedding dedup: linear banded candidate
+    * generation (ids only through the shuffle), exact cosine verification,
+    * and a canonical survivor is then a min() aggregation over the pairs.
+    * Input: (id, vec). Output: (id_a, id_b, cos). */
+  def nearDupPairs(data: DataFrame, threshold: Double,
+      numPlanes: Int, dim: Int, numBands: Int = 8): DataFrame = {
+    require(numPlanes % numBands == 0, "numPlanes must divide into numBands")
+    val bands = bandsOf(data, "id", numPlanes, dim, numBands, probe = false)
+    val cand = bands.select(col("id").as("id_a"), col("band"), col("bucket"))
+      .join(bands.select(col("id").as("id_b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val va = data.select(col("id").as("id_a"), col("vec").cast("array<double>").as("va"))
+    val vb = data.select(col("id").as("id_b"), col("vec").cast("array<double>").as("vb"))
+    cand
+      .join(va, "id_a")
+      .join(vb, "id_b")
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
   }
 }
