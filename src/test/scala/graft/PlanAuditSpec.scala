@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.h3.H3
+import graft.schema.{AggregationMethod => Agg, GraftDataType => T, _}
+import graft.store.CellStore
+
+/** Physical-plan audits: the scale properties the engine is designed around
+  * must be visible in the executed plan, not just assumed — partition
+  * pruning on the Hive layout, predicate pushdown to parquet, broadcast
+  * semi-join for cell probes, and column pruning for auto-projection.
+  * These assertions are string-level on the formatted plan (stable across
+  * the Spark 4.x formatting) so a regression in any layout/plan decision
+  * fails loudly. */
+class PlanAuditSpec extends AnyFunSuite with Matchers with SparkTestSession {
+
+  private val hexRes5 = H3.fromParts(20, 5, Seq(0, 0, 0, 0, 0))
+  private val ts = Timestamp.valueOf("2023-06-15 12:00:00")
+
+  private lazy val store: CellStore = {
+    val dir = Files.createTempDirectory("graft_plan_").toString
+    val schema = CompactedTableSchema.builder("plan_audit")
+      .h3BaseResolutions(0 to 7)
+      .addSimpleColumn("observed_on", T.DateTime64T)
+      .addAggregatedColumn("density", T.Float64, Agg.Max)
+      .build()
+    val cells = H3.toChildren(hexRes5, 7)
+    val rows = cells.zipWithIndex.map { case (c, i) => Row(c, ts, i.toDouble) }
+    val input = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 4),
+      StructType(Seq(
+        StructField("h3index", LongType, false),
+        StructField("observed_on", TimestampType, false),
+        StructField("density", DoubleType, false))))
+    val s = CellStore(spark, dir)
+    s.insert("plan_audit", input, createSchema = Some(schema))
+    s
+  }
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("scanForResolution prunes on the kind/resolution partition columns") {
+    val plan = planOf(store.scanForResolution("plan_audit", 7))
+    plan should include("PartitionFilters")
+    plan should include("kind")
+    plan should include("resolution")
+    // the pruning predicates must NOT appear as a post-scan row filter
+    // (they are partition columns, resolved at file listing time)
+    plan.linesIterator.filter(_.contains("PartitionFilters")).mkString should include("kind")
+  }
+
+  test("queryCells probes via a broadcast left-semi join (J1)") {
+    val cells = H3.toChildren(hexRes5, 7).take(5).toSeq
+    val plan = planOf(store.queryCells("plan_audit", cells, 7, doUncompact = false))
+    plan should include("BroadcastHashJoin")
+    plan should include("LeftSemi")
+  }
+
+  test("relational gate query pushes the date filter into the parquet scan") {
+    val plan = planOf(Queries.q1PricingSummary(spark, "/root/testdata/sf0.001"))
+    plan should include("PushedFilters")
+    plan.linesIterator.filter(_.contains("PushedFilters"))
+      .mkString should include("l_shipdate")
+  }
+
+  test("projection prunes the read schema to referenced columns") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val plan = planOf(df)
+    val readSchema = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    readSchema should include("l_orderkey")
+    readSchema should include("l_quantity")
+    readSchema should not include "l_comment"
+    readSchema should not include "l_extendedprice"
+  }
+
+  test("broadcast dimension joins stay broadcast (q2: no shuffle of orders for dims)") {
+    val plan = planOf(Queries.q2NationOrders(spark, "/root/testdata/sf0.001"))
+    plan should include("BroadcastHashJoin")
+    // orders join customer/nation must not be a SortMergeJoin
+    plan should not include "SortMergeJoin"
+  }
+}
