@@ -105,6 +105,49 @@ object TablesetQueries {
       .orderBy(col("h3index"))
   }
 
+  // ------------------------------------------------------------------- ts3/4
+
+  /** A3/A4/A5 coverage: Average + RelativeToCellArea + SetNullOnConflict in
+    * one rollup (compaction off so storage is purely base rows, making the
+    * A9/A10 stats in ts4 first-principles derivable too). */
+  private def ts3Schema = CompactedTableSchema.builder("gate_mixed")
+    .h3BaseResolutions(Seq(5, 9))
+    .useCompaction(false)
+    .addAggregatedColumn("q_avg", T.Float64, Agg.Average)
+    .addAggregatedColumn("a_area", T.Float64, Agg.RelativeToCellArea)
+    .addAggregatedColumn("cat", T.UInt8, Agg.SetNullOnConflict, nullable = true)
+    .build()
+
+  private def ts3Store(spark: SparkSession, dir: String): CellStore = {
+    val store = CellStore(spark, rootFor(dir))
+    if (!store.listTablesets().contains("gate_mixed")) {
+      val input = lineitem(spark, dir).select(
+        Queries.synthCell.as("h3index"),
+        col("l_quantity").as("q_avg"),
+        col("l_extendedprice").as("a_area"),
+        pmod(col("l_partkey"), lit(3)).as("cat"))
+      store.insert("gate_mixed", input, createSchema = Some(ts3Schema))
+    }
+    store
+  }
+
+  /** Rolled-up res-5 base table: avg, area-weighted mean, unanimity. */
+  def ts3MixedRollup(spark: SparkSession, dir: String): DataFrame = {
+    val store = ts3Store(spark, dir)
+    store.scanForResolution("gate_mixed", 5)
+      .select(col("h3index").as("parent5"),
+        round(col("q_avg"), 4).as("avg_qty"),
+        round(col("a_area"), 4).as("area_price"),
+        col("cat"))
+      .orderBy(col("parent5"))
+  }
+
+  /** A9/A10 stats over the same tableset (no compaction -> derivable). */
+  def ts4Stats(spark: SparkSession, dir: String): DataFrame = {
+    val store = ts3Store(spark, dir)
+    store.tablesetStats("gate_mixed").orderBy(col("resolution"))
+  }
+
   // ---------------------------------------------------------------- oracles
 
   /** parent-at-res arithmetic shared with Queries: replace res field, fill
@@ -136,11 +179,36 @@ object TablesetQueries {
          |  FROM lineitem WHERE l_orderkey % 20 = 0),
          |sibs AS (SELECT ((cell & ~(7::BIGINT << 18)) | (d::BIGINT << 18)) AS h3index, v
          |  FROM base, range(0, 7) t(d))
-         |SELECT DISTINCT h3index, v FROM sibs ORDER BY h3index""".stripMargin
+         |SELECT DISTINCT h3index, v FROM sibs ORDER BY h3index""".stripMargin,
+    // the engine dedups FULL rows before rollup -> DISTINCT tuples first;
+    // every input cell is at res 9, so RelativeToCellArea is sum/7^4 with
+    // no pre-scaling, and SetNullOnConflict is plain unanimity
+    "ts3_mixed_rollup" ->
+      s"""WITH rows_ AS (SELECT DISTINCT $synthCellSql AS cell,
+         |    l_quantity AS q, l_extendedprice AS a, (l_partkey % 3) AS cat
+         |  FROM lineitem)
+         |SELECT ${parentSql("cell", 9, 5)} AS parent5,
+         |  round(avg(q), 4) AS avg_qty,
+         |  round(sum(a) / 2401.0, 4) AS area_price,
+         |  (CASE WHEN count(DISTINCT cat) = 1 THEN min(cat) END)::SMALLINT AS cat
+         |FROM rows_ GROUP BY 1 ORDER BY parent5""".stripMargin,
+    "ts4_stats" ->
+      s"""WITH rows_ AS (SELECT DISTINCT $synthCellSql AS cell,
+         |    l_quantity AS q, l_extendedprice AS a, (l_partkey % 3) AS cat
+         |  FROM lineitem),
+         |r9 AS (SELECT count(*) AS n FROM rows_),
+         |r5 AS (SELECT count(DISTINCT ${parentSql("cell", 9, 5)}) AS n FROM rows_)
+         |SELECT 5 AS resolution, n AS num_cells_stored_at_resolution,
+         |  0::BIGINT AS num_cells_stored_compacted, n AS num_cells FROM r5
+         |UNION ALL
+         |SELECT 9, n, 0::BIGINT, n FROM r9
+         |ORDER BY resolution""".stripMargin
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts1_rollup_query" -> ts1RollupQuery,
-    "ts2_compact_roundtrip" -> ts2CompactRoundtrip
+    "ts2_compact_roundtrip" -> ts2CompactRoundtrip,
+    "ts3_mixed_rollup" -> ts3MixedRollup,
+    "ts4_stats" -> ts4Stats
   )
 }
