@@ -134,10 +134,12 @@ object PipelineQueries {
   }
 
   /** Embedding-cosine near-duplicate pairs (banded LSH candidates + exact
-    * cosine >= 0.4) over the embeddings table. */
+    * cosine >= 0.4) over the embeddings table. 48 planes / 6 bands of 8
+    * bits: wide enough that candidates stay ~linear at corpus scale (see
+    * [[Ann.nearDupPairs]] tuning note). */
   def e3EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     val data = emb(spark, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
-    Ann.nearDupPairs(data, 0.4, 32, 64, 8)
+    Ann.nearDupPairs(data, 0.4, 48, 64, 6)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_sim"))
       .orderBy(col("id_a"), col("id_b"))
   }
@@ -229,8 +231,8 @@ object PipelineQueries {
     s"lpad(($score)::VARCHAR, 10, '0') || '$lang'"
   }.mkString(", ")
 
-  private def sigSql(vecExpr: String): String =
-    (0 until 32).map { j =>
+  private def sigSql(vecExpr: String, numPlanes: Int = 32): String =
+    (0 until numPlanes).map { j =>
       val w = Ann.planeWeights(j, 64).map(x => s"$x.0").mkString("[", ",", "]")
       s"(CASE WHEN list_dot_product($vecExpr, $w::DOUBLE[]) > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
@@ -321,11 +323,11 @@ object PipelineQueries {
          |ORDER BY doc_a, doc_b""".stripMargin
     },
     "e3_embedding_neardup" -> {
-      val bandSelects = (0 until 8).map { b =>
-        s"SELECT vec_id, $b AS band, (sig >> ${4 * b}) & 15 AS bucket FROM s"
+      val bandSelects = (0 until 6).map { b =>
+        s"SELECT vec_id, $b AS band, (sig >> ${8 * b}) & 255 AS bucket FROM s"
       }.mkString(" UNION ALL ")
       s"""WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v,
-         |  ${sigSql("embedding::DOUBLE[]")} AS sig FROM embeddings),
+         |  ${sigSql("embedding::DOUBLE[]", 48)} AS sig FROM embeddings),
          |bands AS ($bandSelects),
          |cand AS (SELECT DISTINCT q.vec_id AS id_a, e.vec_id AS id_b
          |  FROM bands q JOIN bands e ON q.band = e.band AND q.bucket = e.bucket

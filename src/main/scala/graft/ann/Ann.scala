@@ -84,6 +84,29 @@ object Ann {
     *    candidates); turn it on for clustered/real embedding spaces.
     *
     * Output: (query_id, rnk, neighbor_id, cos). */
+  /** (id, sig) RHP signatures via the codegen-friendly formulation: the
+    * vector is exploded ONCE and each plane's dot product is a plain
+    * `sum(x * w[pos])` aggregate — whole-stage codegen end to end. The
+    * Column-API [[rhpSignature]] (numPlanes interpreted `aggregate` lambdas
+    * per row) costs ~2x the whole query at a 50k corpus; this shape is the
+    * same 8x lesson as the MinHash pipeline (PipelineQueries scaladoc). */
+  private def signatureFrame(df: DataFrame, idAs: String,
+      numPlanes: Int, dim: Int): DataFrame = {
+    val sums = (0 until numPlanes).map { j =>
+      val w = element_at(array(planeWeights(j, dim).map(x => lit(x.toDouble)): _*),
+        col("pos") + 1)
+      sum(col("x") * w).as(s"d$j")
+    }
+    val bits = (0 until numPlanes).map { j =>
+      when(col(s"d$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    df.select(col("id").as(idAs),
+        posexplode(col("vec").cast("array<double>")).as(Seq("pos", "x")))
+      .groupBy(col(idAs))
+      .agg(sums.head, sums.tail: _*)
+      .select(col(idAs), bits.reduce(_ + _).as("sig"))
+  }
+
   /** (id, band, bucket) banding of the RHP signature; with `probe` also
     * emits every bucket at Hamming distance 1 (all-1-flip multiprobe). */
   private def bandsOf(df: DataFrame, idAs: String, numPlanes: Int, dim: Int,
@@ -94,9 +117,7 @@ object Ann {
       struct(lit(b).as("band"),
         shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask)).as("bucket"))
     }
-    val exact = df
-      .select(col("id").as(idAs),
-        rhpSignature(col("vec").cast("array<double>"), numPlanes, dim).as("sig"))
+    val exact = signatureFrame(df, idAs, numPlanes, dim)
       .select(col(idAs), explode(array(bands: _*)).as("b"))
       .select(col(idAs), col("b.band").as("band"), col("b.bucket").as("bucket"))
     if (!probe) exact
@@ -135,7 +156,15 @@ object Ann {
     * The corpus-scale shape of embedding dedup: linear banded candidate
     * generation (ids only through the shuffle), exact cosine verification,
     * and a canonical survivor is then a min() aggregation over the pairs.
-    * Input: (id, vec). Output: (id_a, id_b, cos). */
+    * Input: (id, vec). Output: (id_a, id_b, cos).
+    *
+    * TUNING — band width is the candidate-volume throttle: a random pair
+    * collides in a b-bit band with probability ~2^-b, so expected candidates
+    * are ~numBands * n^2 / 2^(b+1). At n=50k, 4-bit bands are effectively
+    * all-pairs (measured: 52% of the e3 bench before widening); 8-bit bands
+    * cut candidates ~20x. Raise b further as n or the similarity threshold
+    * grows (high-threshold near-dups survive wide bands: p_bit^b stays
+    * usable when p_bit is ~0.9+). */
   def nearDupPairs(data: DataFrame, threshold: Double,
       numPlanes: Int, dim: Int, numBands: Int = 8): DataFrame = {
     require(numPlanes % numBands == 0, "numPlanes must divide into numBands")

@@ -145,6 +145,32 @@ class CellStore(spark: SparkSession, rootPath: String) {
     listTablesets().getOrElse(name,
       throw new IllegalArgumentException(s"tableset '$name' does not exist under $rootPath"))
 
+  /** The h3index column wrapped in an inline validity assertion: invalid
+    * cells fail the evaluating job (codegen'd, no extra scan). */
+  private def validatedH3Column: org.apache.spark.sql.Column = {
+    val h3Col = CompactedTableSchema.ColH3Index
+    when(h3_is_valid(col(h3Col)), col(h3Col))
+      .otherwise(raise_error(concat(
+        lit("input contains an invalid h3index: "), col(h3Col).cast("string")))
+        .cast("long"))
+  }
+
+  /** S3: read an arbitrary parquet path as a validated H3 DataFrame
+    * (reference `execute_into_h3dataframe`, cellstore.rs:69-79): the
+    * `h3index` column must exist with LONG type, and with `validate` every
+    * cell is asserted valid inline as the data flows. NOTE the assert lives
+    * in the column expression: a plan that prunes the h3index column away
+    * (e.g. a bare count) never evaluates it — any query that actually READS
+    * cells trips the check. */
+  def readH3Parquet(path: String, validate: Boolean = true): DataFrame = {
+    val h3Col = CompactedTableSchema.ColH3Index
+    val df = spark.read.parquet(path)
+    require(df.columns.contains(h3Col), s"dataframe is missing the '$h3Col' column")
+    require(df.schema(h3Col).dataType == org.apache.spark.sql.types.LongType,
+      s"'$h3Col' must be LONG, got ${df.schema(h3Col).dataType}")
+    if (validate) df.withColumn(h3Col, validatedH3Column) else df
+  }
+
   // ----------------------------------------------------------------- insert
 
   /** Full insert pipeline (§3.2): conform -> dedup -> compact (A6) -> split
@@ -166,11 +192,7 @@ class CellStore(spark: SparkSession, rootPath: String) {
     // longs get plausible partitions from h3_get_resolution and poison the
     // layout. Inline raise_error keeps the check single-pass and codegen'd;
     // it fires during the insert job, never adding a separate validation scan.
-    val conformed = conformed0.withColumn(h3Col,
-      when(h3_is_valid(col(h3Col)), col(h3Col))
-        .otherwise(raise_error(concat(
-          lit(s"input contains an invalid h3index: "), col(h3Col).cast("string")))
-          .cast("long")))
+    val conformed = conformed0.withColumn(h3Col, validatedH3Column)
 
     if (conformed.isEmpty) return
 

@@ -290,6 +290,24 @@ class CellStoreSpec extends AnyFunSuite with Matchers with SparkTestSession {
     store.queryCells("okavango_delta", cells, 7).count() shouldBe expected
   }
 
+  test("S3 readH3Parquet: validated H3 read (type check + inline validity assert)") {
+    val dir = Files.createTempDirectory("graft_h3read_")
+    val good = dir.resolve("good").toString
+    val bad = dir.resolve("bad").toString
+    import spark.implicits._
+    H3.toChildren(hexRes5, 7).toSeq.toDF("h3index").write.parquet(good)
+    Seq(42L, hexRes5).toDF("h3index").write.parquet(bad)
+    Seq("x").toDF("not_h3").write.parquet(dir.resolve("noh3").toString)
+    val store = newStore()
+    store.readH3Parquet(good).select("h3index").collect().length shouldBe 49
+    // the assert is part of the column expression -> trips on any plan that
+    // reads cells (a bare count() prunes the column and skips it)
+    an[Exception] should be thrownBy store.readH3Parquet(bad).select("h3index").collect()
+    store.readH3Parquet(bad, validate = false).count() shouldBe 2 // opt-out
+    an[IllegalArgumentException] should be thrownBy
+      store.readH3Parquet(dir.resolve("noh3").toString)
+  }
+
   test("insert rejects resolutions above the tableset max") {
     val store = newStore()
     store.createTableset(sumSchema)
