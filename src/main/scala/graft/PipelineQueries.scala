@@ -27,13 +27,34 @@ object PipelineQueries {
    * aggregate) are INTERPRETED — outside whole-stage codegen — so evaluating
    * 8 hash lambdas (or 31 SimHash bit votes) per document re-walks the
    * shingle array in the interpreter and costs minutes at sf0.1. The hot
-   * formulation used here explodes shingles once and uses plain codegen'd
-   * aggregates: one narrow explode + one shuffle by doc_id, 100x faster.
-   * The Column API in [[TextOps]] remains for composability on small data.
+   * formulation used here explodes ONCE and uses plain codegen'd
+   * expressions end to end: even the shingle-code array construction is
+   * avoided — positions are exploded first and each 3-gram code is computed
+   * by codegen'd substr/ascii on the way out of the generator (building the
+   * array via `transform` costs an interpreted lambda iteration per
+   * character of the corpus). The Column API in [[TextOps]] remains for
+   * composability on small data.
+   *
+   * Output: (doc_id, pos, code); docs shorter than 3 chars yield one row
+   * with NULL pos/code (explode_outer semantics, like posexplode_outer over
+   * the empty array).
    */
   private def shingleCodesExploded(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir).select(col("doc_id"),
-      explode_outer(TextOps.shingleCodes(col("text"))).as("code"))
+    docs(spark, dir).select(col("doc_id"), col("text"))
+      .select(col("doc_id"), col("text"), explode_outer(
+        when(char_length(col("text")) < 3, array().cast("array<int>"))
+          .otherwise(sequence(lit(1), char_length(col("text")) - 2))).as("cpos"))
+      .select(col("doc_id"), (col("cpos") - 1).as("pos"),
+        (ascii(col("text").substr(col("cpos"), lit(1))).cast("bigint") * 65536L +
+          ascii(col("text").substr(col("cpos") + 1, lit(1))) * 256L +
+          ascii(col("text").substr(col("cpos") + 2, lit(1)))).as("code"))
+
+  /** Distinct shingle set per doc, derived from the exploded frame with a
+    * codegen'd collect_set aggregation (order-insensitive — only ever used
+    * through set intersect/union). */
+  private def shingleSets(spark: SparkSession, dir: String): DataFrame =
+    shingleCodesExploded(spark, dir).groupBy(col("doc_id"))
+      .agg(collect_set(col("code")).as("s"))
 
   private def minhashFrame(spark: SparkSession, dir: String): DataFrame = {
     val aggs = (0 until 8).map { j =>
@@ -66,7 +87,6 @@ object PipelineQueries {
   }
 
   def t2MinhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir).select(col("doc_id"), col("text"))
     val bands = bandsFrame(spark, dir)
     val reps = bands.groupBy(col("band"), col("bh"))
       .agg(min(col("doc_id")).as("doc_a"), count(lit(1)).as("n"))
@@ -77,10 +97,10 @@ object PipelineQueries {
       .distinct()
     // verification joins use PRECOMPUTED shingle sets (once per doc), never
     // per-pair recomputation
-    val shingleSets = d.select(col("doc_id"), TextOps.distinctShingles(col("text")).as("s"))
+    val sets = shingleSets(spark, dir)
     cand
-      .join(shingleSets.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
-      .join(shingleSets.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
+      .join(sets.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
       .withColumn("jacc", round(TextOps.jaccardFromSets(col("sa"), col("sb")), 4))
       .where(col("jacc") >= 0.8)
       .select(col("doc_a"), col("doc_b"), col("jacc"))
@@ -150,13 +170,12 @@ object PipelineQueries {
       .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
       .orderBy(col("doc_id"))
 
-  /** Rolling-hash document fingerprint (posexplode + codegen'd sum). */
+  /** Rolling-hash document fingerprint (explode + codegen'd sum). */
   def t5Fingerprint(spark: SparkSession, dir: String): DataFrame = {
     val w = (0 until 8).map(k => (0 until k).foldLeft(1L)((acc, _) => acc * 31 % P))
     val weighted = pmod(col("code"), lit(P)) *
       element_at(array(w.map(lit): _*), (pmod(col("pos"), lit(8)) + 1).cast("int")) % P
-    docs(spark, dir)
-      .select(col("doc_id"), posexplode_outer(TextOps.shingleCodes(col("text"))).as(Seq("pos", "code")))
+    shingleCodesExploded(spark, dir)
       .select(col("doc_id"), weighted.as("wc"))
       .groupBy(col("doc_id"))
       .agg(coalesce(pmod(sum(col("wc")), lit(P)), lit(0L)).as("fp"))
@@ -183,11 +202,10 @@ object PipelineQueries {
       .where(col("doc_b").isNotNull)
       .select(col("doc_id").as("doc_a"), col("doc_b"))
       .distinct()
-    val shingleSets = docs(spark, dir)
-      .select(col("doc_id"), TextOps.distinctShingles(col("text")).as("s"))
+    val sets = shingleSets(spark, dir)
     cand
-      .join(shingleSets.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
-      .join(shingleSets.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
+      .join(sets.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         round(TextOps.jaccardFromSets(col("sa"), col("sb")), 4).as("jacc"))
       .orderBy(col("jacc").desc, col("doc_a"), col("doc_b"))
