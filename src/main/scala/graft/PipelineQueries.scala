@@ -212,6 +212,25 @@ object PipelineQueries {
       .limit(20)
   }
 
+  /** Multimodal plumbing end to end: synthesized binary media column ->
+    * stub metadata decode -> partition-local byte-histogram featurizer
+    * (the mapPartitions path — no driver round-trip), exploded to
+    * (doc_id, meta, bin, feat) rows. The oracle re-derives the histogram
+    * independently from hex(encode(text)): bucket (byte*16)/256 == the
+    * byte's first hex nibble. */
+  def m1Multimodal(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.synthesizeMediaTable(docs(spark, dir))
+    val withMeta = media.withColumn("meta",
+      graft.multimodal.Multimodal.decodeStub(col("content"), col("mime")))
+    val feats = graft.multimodal.Multimodal.withByteHistogram(withMeta, "content")
+    feats.select(col("doc_id"), col("meta.mime").as("mime"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        col("meta.channels").as("channels"),
+        posexplode(col("features")).as(Seq("bin", "feat")))
+      .withColumn("feat", round(col("feat").cast("double"), 4))
+      .orderBy(col("doc_id"), col("bin"))
+  }
+
   /** Banded LSH ANN (32 random hyperplanes, 8 bands x 4 bits, dim 64) for
     * the first 10 vectors, k=5 candidate re-rank. */
   def e2LshAnn(spark: SparkSession, dir: String): DataFrame = {
@@ -355,6 +374,22 @@ object PipelineQueries {
          |WHERE list_cosine_similarity(a.v, b.v) >= 0.4
          |ORDER BY id_a, id_b""".stripMargin
     },
+    "m1_multimodal" ->
+      """WITH m AS (SELECT doc_id, encode(text) AS b FROM documents),
+        |h AS (SELECT doc_id, hex(b) AS hx, octet_length(b) AS n FROM m),
+        |bytes AS (SELECT doc_id, n,
+        |    strpos('0123456789ABCDEF', upper(substr(hx, (2*i+1)::INT, 1))) - 1 AS bin
+        |  FROM (SELECT doc_id, n, hx, unnest(range(0, n)) AS i FROM h)),
+        |cnt AS (SELECT doc_id, bin, count(*) AS c FROM bytes GROUP BY 1, 2),
+        |grid AS (SELECT doc_id, n, b.bin FROM h, range(0, 16) b(bin))
+        |SELECT g.doc_id,
+        |  CASE g.doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+        |    ELSE 'audio/wav' END AS mime,
+        |  (16 + g.n % 64)::INT AS width, (16 + (g.n // 64) % 64)::INT AS height,
+        |  (1 + g.n % 3)::INT AS channels, g.bin::INT AS bin,
+        |  round((coalesce(c.c, 0)::DOUBLE / greatest(g.n, 1))::FLOAT::DOUBLE, 4) AS feat
+        |FROM grid g LEFT JOIN cnt c ON c.doc_id = g.doc_id AND c.bin = g.bin
+        |ORDER BY g.doc_id, g.bin""".stripMargin,
     "e2_lsh_ann" -> {
       val bandSelects = (0 until 8).map { b =>
         s"SELECT vec_id, $b AS band, (sig >> ${4 * b}) & 15 AS bucket FROM s"
@@ -384,6 +419,7 @@ object PipelineQueries {
     "t5_fingerprint" -> t5Fingerprint,
     "t6_ngram_jaccard_topk" -> t6NgramJaccardTopk,
     "t7_simhash_neardup" -> t7SimhashNearDup,
+    "m1_multimodal" -> m1Multimodal,
     "e2_lsh_ann" -> e2LshAnn,
     "e3_embedding_neardup" -> e3EmbeddingNearDup
   )
