@@ -25,4 +25,14 @@ object GeoFunctions {
   /** Cell center latitude / longitude in degrees. */
   def cell_to_lat(cell: Column): Column = cellToLatUdf(cell)
   def cell_to_lng(cell: Column): Column = cellToLngUdf(cell)
+
+  /** Make the geo functions SQL-visible (usable inside query templates),
+    * the analogue of ClickHouse's built-in geoToH3 surface the reference
+    * relies on (test_connection.py:38-46). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.udf.register("latlng_to_cell",
+      (lat: Double, lng: Double, res: Int) => Geo.latLngToCell(lat, lng, res))
+    spark.udf.register("cell_to_lat", (c: Long) => Geo.cellToLatLng(c)._1)
+    spark.udf.register("cell_to_lng", (c: Long) => Geo.cellToLatLng(c)._2)
+  }
 }
