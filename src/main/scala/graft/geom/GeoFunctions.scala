@@ -34,5 +34,11 @@ object GeoFunctions {
       (lat: Double, lng: Double, res: Int) => Geo.latLngToCell(lat, lng, res))
     spark.udf.register("cell_to_lat", (c: Long) => Geo.cellToLatLng(c)._1)
     spark.udf.register("cell_to_lng", (c: Long) => Geo.cellToLatLng(c)._2)
+    spark.udf.register("h3_grid_disk", (c: Long, k: Int) => Grid.gridDisk(c, k))
   }
+
+  private val gridDiskUdf = udf((c: Long, k: Int) => Grid.gridDisk(c, k))
+
+  /** G4 k-ring as a Column (compose with explode for neighborhood joins). */
+  def h3_grid_disk(cell: Column, k: Column): Column = gridDiskUdf(cell, k)
 }

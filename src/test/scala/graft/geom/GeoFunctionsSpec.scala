@@ -28,6 +28,19 @@ class GeoFunctionsSpec extends AnyFunSuite with Matchers with SparkTestSession {
     }
   }
 
+  test("h3_grid_disk Column + SQL: full disk per row, matches Grid.gridDisk") {
+    import spark.implicits._
+    GeoFunctions.register(spark)
+    val origin = java.lang.Long.parseLong("8928308280fffff", 16)
+    val viaColumn = Seq(origin).toDF("cell")
+      .select(explode(GeoFunctions.h3_grid_disk(col("cell"), lit(1))).as("n"))
+      .collect().map(_.getLong(0)).toSet
+    viaColumn shouldBe Grid.gridDisk(origin, 1).toSet
+    val viaSql = spark.sql(s"SELECT explode(h3_grid_disk(${origin}L, 1)) AS n")
+      .collect().map(_.getLong(0)).toSet
+    viaSql shouldBe viaColumn
+  }
+
   test("SQL surface: latlng_to_cell(52.26, 8.05, 5) arrayJoin-style anchor") {
     GeoFunctions.register(spark)
     val cell = spark.sql("SELECT latlng_to_cell(52.26, 8.05, 5) AS c")
