@@ -65,6 +65,16 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkTestSession {
     plan should include("LeftSemi")
   }
 
+  test("h3index range filters reach the parquet scan (PK page-skipping analogue)") {
+    // files are written h3index-sorted (sortedForWrite), so row-group
+    // min/max stats form disjoint ranges — effective iff the range
+    // predicate is pushed to the scan
+    val plan = planOf(store.scanForResolution("plan_audit", 7)
+      .where(col("h3index") >= hexRes5))
+    plan.linesIterator.filter(_.contains("PushedFilters"))
+      .mkString should include("h3index")
+  }
+
   test("relational gate query pushes the date filter into the parquet scan") {
     val plan = planOf(Queries.q1PricingSummary(spark, "/root/testdata/sf0.001"))
     plan should include("PushedFilters")
