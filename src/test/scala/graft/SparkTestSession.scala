@@ -19,7 +19,7 @@ object SparkTestSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    graft.h3.expr.H3Functions.register(s)
+    graft.Graft.register(s)
     s
   }
 }
