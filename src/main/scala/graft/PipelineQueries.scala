@@ -188,19 +188,27 @@ object PipelineQueries {
     * length-bucket) blocks — O(sum of block^2), quadratic in the size of any
     * near-dup family (a ~2000-doc family at sf0.1 made this 52% of the whole
     * bench). This formulation is linear end to end:
-    *   1. candidates come from the t2 MinHash band buckets, paired
-    *      ADJACENT-IN-doc_id within each bucket via `lead()` — n-1 pairs per
-    *      n-member bucket, never n^2, no self-join at all;
+    *   1. candidates come from the t2 MinHash band buckets, paired within
+    *      each bucket via `lead(1)` and `lead(2)` in doc_id order — at most
+    *      2(n-1) pairs per n-member bucket, never n^2, no self-join;
     *   2. each candidate pair is verified with exact Jaccard over
     *      PRECOMPUTED shingle sets;
     *   3. the global top-20 runs as TakeOrderedAndProject (per-partition
-    *      top-k, then a 20-row merge on the driver) — no global sort. */
+    *      top-k, then a 20-row merge on the driver) — no global sort.
+    *
+    * CONTRACT — this is an APPROXIMATE top-k by construction (and the
+    * oracle mirrors the same candidate rule): a pair more than 2 positions
+    * apart inside one bucket is not considered, so a bucket {a, b, c} where
+    * (a, c) is the most similar pair can report (a, b)/(b, c) instead.
+    * Exact global top-k over near-dup pairs is inherently quadratic; raise
+    * the lead window for more recall at linear extra cost. */
   def t6NgramJaccardTopk(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("band"), col("bh")).orderBy(col("doc_id"))
     val cand = bandsFrame(spark, dir)
-      .withColumn("doc_b", lead(col("doc_id"), 1).over(w))
+      .withColumn("nb1", lead(col("doc_id"), 1).over(w))
+      .withColumn("nb2", lead(col("doc_id"), 2).over(w))
+      .select(col("doc_id").as("doc_a"), explode(array(col("nb1"), col("nb2"))).as("doc_b"))
       .where(col("doc_b").isNotNull)
-      .select(col("doc_id").as("doc_a"), col("doc_b"))
       .distinct()
     val sets = shingleSets(spark, dir)
     cand
@@ -335,7 +343,11 @@ object PipelineQueries {
          |bands AS (SELECT doc_id, 0 AS band, $b0 AS bh FROM s
          |          UNION ALL SELECT doc_id, 1, $b1 FROM s),
          |adj AS (SELECT doc_id AS doc_a,
-         |          lead(doc_id) OVER (PARTITION BY band, bh ORDER BY doc_id) AS doc_b
+         |          lead(doc_id, 1) OVER (PARTITION BY band, bh ORDER BY doc_id) AS doc_b
+         |        FROM bands
+         |        UNION ALL
+         |        SELECT doc_id,
+         |          lead(doc_id, 2) OVER (PARTITION BY band, bh ORDER BY doc_id)
          |        FROM bands),
          |cand AS (SELECT DISTINCT doc_a, doc_b FROM adj WHERE doc_b IS NOT NULL),
          |sh AS (SELECT doc_id, list_distinct($codesSql) AS s FROM documents)

@@ -100,8 +100,11 @@ object Ann {
     val bits = (0 until numPlanes).map { j =>
       when(col(s"d$j") > 0, lit(1L << j)).otherwise(lit(0L))
     }
+    // posexplode_OUTER: ids with empty vectors keep a row (null pos/x ->
+    // null sums -> all sign bits 0 -> sig 0), matching rhpSignature's
+    // behavior instead of silently vanishing from the banding
     df.select(col("id").as(idAs),
-        posexplode(col("vec").cast("array<double>")).as(Seq("pos", "x")))
+        posexplode_outer(col("vec").cast("array<double>")).as(Seq("pos", "x")))
       .groupBy(col(idAs))
       .agg(sums.head, sums.tail: _*)
       .select(col(idAs), bits.reduce(_ + _).as("sig"))

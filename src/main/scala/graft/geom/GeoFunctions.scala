@@ -26,19 +26,19 @@ object GeoFunctions {
   def cell_to_lat(cell: Column): Column = cellToLatUdf(cell)
   def cell_to_lng(cell: Column): Column = cellToLngUdf(cell)
 
-  /** Make the geo functions SQL-visible (usable inside query templates),
-    * the analogue of ClickHouse's built-in geoToH3 surface the reference
-    * relies on (test_connection.py:38-46). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.udf.register("latlng_to_cell",
-      (lat: Double, lng: Double, res: Int) => Geo.latLngToCell(lat, lng, res))
-    spark.udf.register("cell_to_lat", (c: Long) => Geo.cellToLatLng(c)._1)
-    spark.udf.register("cell_to_lng", (c: Long) => Geo.cellToLatLng(c)._2)
-    spark.udf.register("h3_grid_disk", (c: Long, k: Int) => Grid.gridDisk(c, k))
-  }
-
   private val gridDiskUdf = udf((c: Long, k: Int) => Grid.gridDisk(c, k))
 
   /** G4 k-ring as a Column (compose with explode for neighborhood joins). */
   def h3_grid_disk(cell: Column, k: Column): Column = gridDiskUdf(cell, k)
+
+  /** Make the geo functions SQL-visible (usable inside query templates),
+    * the analogue of ClickHouse's built-in geoToH3 surface the reference
+    * relies on (test_connection.py:38-46). Registers the SAME UDF values as
+    * the Column API — one definition, two surfaces. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.udf.register("latlng_to_cell", latLngToCellUdf)
+    spark.udf.register("cell_to_lat", cellToLatUdf)
+    spark.udf.register("cell_to_lng", cellToLngUdf)
+    spark.udf.register("h3_grid_disk", gridDiskUdf)
+  }
 }

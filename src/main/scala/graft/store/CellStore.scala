@@ -72,17 +72,27 @@ class CellStore(spark: SparkSession, rootPath: String) {
     *    physically recoverable (the reference loses them too); aggregated
     *    columns come back as Simple, and a present `pt` partition recovers
     *    as Months(1) so future writes stay layout-compatible.
-    * Writes the recovered sidecar and returns the schema. */
-  def recoverTableset(name: String): CompactedTableSchema = {
+    * Writes the recovered sidecar and returns the schema. Refuses to
+    * clobber an intact sidecar unless `overwrite = true` — recovery is
+    * lossy (aggregations come back as Simple), so silently replacing a
+    * healthy schema would corrupt future rollups. */
+  def recoverTableset(name: String, overwrite: Boolean = false): CompactedTableSchema = {
     val dp = dataPath(name)
     require(fs.exists(dp), s"tableset '$name' has no data directory to recover from")
+    require(overwrite || !fs.exists(schemaPath(name)),
+      s"tableset '$name' already has a schema.json; recovery is lossy — " +
+        "pass overwrite = true to replace it anyway")
     val df = spark.read.parquet(dp.toString)
     val partCols = Set("kind", "resolution", "ph3") ++
       df.columns.filter(c => c == "pt" || c.startsWith("pt_"))
     val base = df.where(col("kind") === "base")
     val resolutions = base.select("resolution").distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
-    val sample = base.select(col(CompactedTableSchema.ColH3Index), col("ph3")).head()
+    // sample the FINEST-resolution base row: LowerResolution(d) clamps ph3
+    // to res 0 for rows with resolution < d, which would corrupt the
+    // recovered delta; the max-res row is unclamped whenever any row is
+    val sample = base.select(col(CompactedTableSchema.ColH3Index), col("ph3"))
+      .orderBy(col("resolution").desc).head()
     val ph3 = sample.get(1) match { case n: Number => n.longValue() }
     val h3Part =
       if (ph3 == H3.getBaseCell(sample.getLong(0)).toLong) H3Partitioning.BaseCell
@@ -328,16 +338,26 @@ class CellStore(spark: SparkSession, rootPath: String) {
   def queryCells(name: String, cells: Seq[Long], targetRes: Int,
       doUncompact: Boolean = true, template: Option[String] = None): DataFrame = {
     import spark.implicits._
-    queryCells(name, cells.toDF("qcell"), targetRes, doUncompact, template)
+    // a Seq probe set is small by construction -> force the broadcast hint
+    queryCellsImpl(name, cells.toDF("qcell"), targetRes, doUncompact, template,
+      broadcastProbes = true)
   }
 
-  /** DataFrame-probe overload of [[queryCells]]: the probe set stays
-    * distributed end to end (semi-join against the pruned scan), so cell
-    * sets produced by another query — polyfill output, a traversal batch, a
-    * join result — never transit the driver. `cells` must have exactly one
-    * LONG column. */
+  /** DataFrame-probe overload of [[queryCells]]: no user-side `.collect()` —
+    * cell sets produced by another query (polyfill output, a traversal
+    * batch, a join result) flow straight into the semi-join. NOTE the join
+    * strategy is left to Catalyst/AQE here rather than hinted: a broadcast
+    * still materializes the probe set through the driver, so forcing it
+    * would defeat the point of this overload for large probe sets; small
+    * probe frames still end up broadcast by AQE's size estimate. `cells`
+    * must have exactly one LONG column. */
   def queryCells(name: String, cells: DataFrame, targetRes: Int,
-      doUncompact: Boolean, template: Option[String]): DataFrame = {
+      doUncompact: Boolean, template: Option[String]): DataFrame =
+    queryCellsImpl(name, cells, targetRes, doUncompact, template, broadcastProbes = false)
+
+  private def queryCellsImpl(name: String, cells: DataFrame, targetRes: Int,
+      doUncompact: Boolean, template: Option[String],
+      broadcastProbes: Boolean): DataFrame = {
     val schema = getTableset(name)
     require(targetRes <= schema.maxBaseResolution,
       s"query resolution $targetRes exceeds tableset max ${schema.maxBaseResolution}")
@@ -353,10 +373,12 @@ class CellStore(spark: SparkSession, rootPath: String) {
     val probes = changeResolutions(cellsDf, "qcell", physRes).persist(StorageLevel.MEMORY_AND_DISK)
 
     val scan = scanForResolution(name, targetRes)
+    val probeSide = if (broadcastProbes) broadcast(probes) else probes
     val filtered = template match {
       case None =>
-        // J1: broadcast hash left-semi join (`select.rs:110-130` IN-list)
-        scan.join(broadcast(probes), scan(h3Col) === probes("cell"), "left_semi")
+        // J1: hash left-semi join (`select.rs:110-130` IN-list); broadcast
+        // hinted for driver-provided Seq probes, AQE-decided for DataFrames
+        scan.join(probeSide, scan(h3Col) === probes("cell"), "left_semi")
       case Some(t) =>
         applyTemplate(t, scan, probes)
     }
@@ -398,13 +420,27 @@ class CellStore(spark: SparkSession, rootPath: String) {
 
   /** Convert cells to each resolution in `resolutions`: to_parent when the
     * cell is finer, children expansion when coarser (reference
-    * `change_resolution`, used by `select.rs:139-162`). Output: (res, cell). */
+    * `change_resolution`, used by `select.rs:139-162`). Output: (res, cell).
+    *
+    * Oversized expansions fail LOUDLY here: `h3_to_children` itself is total
+    * (returns empty past the 2^28 cap, safe under speculative evaluation),
+    * but a probe set silently losing its expansion would make queryCells
+    * return incomplete results — so the store wraps the expansion in an
+    * explicit inline raise_error. Probes that coarse should traverse
+    * ([[graft.traverse.Traversal]]) rather than enumerate. */
   private def changeResolutions(cellsDf: DataFrame, cellCol: String,
       resolutions: Seq[Int]): DataFrame = {
     val perRes = resolutions.map { r =>
+      val guardedChildren =
+        when(h3_children_count(col(cellCol), lit(r)) > (1L << 28),
+          raise_error(concat(lit("probe cell expansion to resolution "), lit(r),
+            lit(" exceeds 2^28 children for cell "), col(cellCol).cast("string"),
+            lit("; use traversal for areas this large")))
+            .cast("array<bigint>"))
+          .otherwise(h3_to_children(col(cellCol), lit(r)))
       struct(lit(r).as("res"),
         when(h3_get_resolution(col(cellCol)) >= r, array(h3_to_parent(col(cellCol), lit(r))))
-          .otherwise(h3_to_children(col(cellCol), lit(r))).as("cells"))
+          .otherwise(guardedChildren).as("cells"))
     }
     cellsDf
       .select(explode(array(perRes: _*)).as("x"))
@@ -458,37 +494,53 @@ class CellStore(spark: SparkSession, rootPath: String) {
     * never read, rewritten, or renamed. At 100 TB a post-insert optimize
     * costs O(touched partitions), not a full-table rewrite.
     *
+    * The predicate MUST reference only partition columns — enforced by
+    * analyzing its attribute references. This is a correctness requirement,
+    * not pedantry: since only matched rows are rewritten into their
+    * partitions, a row-level predicate would silently DELETE the
+    * non-matching rows of any partition that contains at least one match.
+    * The reference has the same contract (partitions, not rows,
+    * `optimize.rs:41-56`).
+    *
     * The predicate is null-coalesced to false: a row for which `touched`
     * evaluates to NULL belongs to no touched partition and is left in place
     * (a naive where(p)/where(!p) split would silently delete it).
     *
-    * Crash safety: the staging dir is deleted on failure; the live dir is
-    * only modified by Spark's dynamic-overwrite commit, which replaces each
-    * partition directory after the job succeeds. */
+    * Touched data is written ONCE: localCheckpoint materializes the deduped
+    * partitions (breaking the read-the-overwrite-target lineage), then a
+    * single dynamic-overwrite write publishes them. A failure before the
+    * job's commit leaves the live directory untouched; rerun to retry. */
   def deduplicateWhere(name: String, touched: org.apache.spark.sql.Column): Unit = {
     val schema = getTableset(name)
     val dp = dataPath(name)
     if (!fs.exists(dp)) return
+    val all = spark.read.parquet(dp.toString)
+    val partCols0 = partitionColumns(all, schema)._2
+    val allPartCols = "kind" +: "resolution" +: "ph3" +: partCols0
+    val allowed = (allPartCols ++ Seq("pt")).toSet ++
+      all.columns.filter(_.startsWith("pt_")).toSet
+    // analyze the filter to resolve the predicate's column references
+    // (Spark 4 Columns are opaque ColumnNode wrappers until analysis)
+    val referenced = all.where(touched).queryExecution.analyzed.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.references.map(_.name).toSet
+    }.headOption.getOrElse(Set.empty[String])
+    val bad = referenced -- allowed
+    require(bad.isEmpty,
+      s"deduplicateWhere predicate may reference only partition columns " +
+        s"(${allowed.mkString(", ")}); found: ${bad.mkString(", ")} — a row-level " +
+        "predicate would delete the unmatched rows of partially-matched partitions")
     val touchedSafe = coalesce(touched, lit(false))
-    val deduped = spark.read.parquet(dp.toString).where(touchedSafe).dropDuplicates()
+    val deduped = all.where(touchedSafe).dropDuplicates()
     if (deduped.isEmpty) return
-    val (withParts, partCols) = partitionColumns(deduped, schema)
-    val allPartCols = "kind" +: "resolution" +: "ph3" +: partCols
-    val staging = new Path(tablesetPath(name), s"data_rewrite_${System.nanoTime()}")
-    try {
-      sortedForWrite(withParts, schema, allPartCols).write
-        .mode(SaveMode.Overwrite)
-        .partitionBy(allPartCols: _*)
-        .parquet(staging.toString)
-      spark.read.parquet(staging.toString).write
-        .mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(allPartCols: _*)
-        .parquet(dp.toString)
-    } finally {
-      fs.delete(staging, true)
-    }
+    val (withParts, _) = partitionColumns(deduped, schema)
+    sortedForWrite(withParts, schema, allPartCols).localCheckpoint().write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(allPartCols: _*)
+      .parquet(dp.toString)
   }
+
 }
 
 object CellStore {

@@ -224,6 +224,26 @@ class CellStoreSpec extends AnyFunSuite with Matchers with SparkTestSession {
     touchedBefore.intersect(touchedAfter) shouldBe empty
   }
 
+  test("deduplicateWhere rejects row-level predicates (would silently delete unmatched rows)") {
+    val store = newStore()
+    store.insert("okavango_delta", elephantInput, createSchema = Some(elephantSchema))
+    val ex = the[IllegalArgumentException] thrownBy
+      store.deduplicateWhere("okavango_delta", col("some_category") === 23)
+    ex.getMessage should include("partition columns")
+    // mixed predicates are rejected too
+    an[IllegalArgumentException] should be thrownBy
+      store.deduplicateWhere("okavango_delta",
+        col("kind") === "base" && col("elephant_density") > 1.0)
+  }
+
+  test("recoverTableset refuses to clobber an intact sidecar unless overwrite = true") {
+    val dir = Files.createTempDirectory("graft_store_")
+    val store = CellStore(spark, dir.toString)
+    store.insert("okavango_delta", elephantInput, createSchema = Some(elephantSchema))
+    an[IllegalArgumentException] should be thrownBy store.recoverTableset("okavango_delta")
+    store.recoverTableset("okavango_delta", overwrite = true).name shouldBe "okavango_delta"
+  }
+
   test("dedup predicate evaluating to NULL deletes nothing (coalesced to untouched)") {
     val store = newStore()
     store.insert("okavango_delta", elephantInput, createSchema = Some(elephantSchema))
