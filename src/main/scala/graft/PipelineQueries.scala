@@ -252,6 +252,40 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** IVF ANN (e4): deterministic coarse quantizer (centroids = vec_id % 29
+    * == 0), nprobe = 3 of the cells, exact top-5 re-rank within probed
+    * cells. Complements e2's LSH path: IVF is the partition-pruning ANN
+    * shape (assignment -> cid-partitioned layout -> probes touch nprobe/C
+    * of the corpus). See [[Ann.knnIvf]] scale notes. */
+  def e4IvfAnn(spark: SparkSession, dir: String): DataFrame = {
+    val v = emb(spark, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val centroids = v.where(pmod(col("id"), lit(29)) === 0)
+      .select(col("id").as("cid"), col("vec"))
+    val queries = v.where(col("id") < 10)
+    Ann.knnIvf(queries, v, centroids, 5, 3)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Dedup clustering (t8): the t2 near-duplicate pairs become connected
+    * components; every document gets (cluster_id = min doc_id in its
+    * component, cluster_size, is_survivor). This is the terminal step of
+    * corpus dedup — "drop every non-survivor" is then a filter. The DuckDB
+    * oracle re-derives the clusters with a recursive CTE over the same
+    * pairs. */
+  def t8DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val edges = t2MinhashLshPairs(spark, dir)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val verts = docs(spark, dir).select(col("doc_id").as("id"))
+    val labels = graft.graph.ConnectedComponents.run(verts, edges)
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+        col("cluster_size"), (col("id") === col("label")).as("is_survivor"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------ oracle SQL
 
   private val codesSql =
@@ -402,6 +436,66 @@ object PipelineQueries {
         |  round((coalesce(c.c, 0)::DOUBLE / greatest(g.n, 1))::FLOAT::DOUBLE, 4) AS feat
         |FROM grid g LEFT JOIN cnt c ON c.doc_id = g.doc_id AND c.bin = g.bin
         |ORDER BY g.doc_id, g.bin""".stripMargin,
+    "e4_ivf_ann" -> {
+      // explicit dot/(|a||b|) everywhere — bit-matches Spark's explode-sum
+      // assignment (see Ann.centroidCosines) and aggregate-fold re-rank
+      val cosSql = (a: String, b: String) =>
+        s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id % 29 = 0),
+         |assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT v.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${cosSql("v.v", "c.cv")} DESC, c.cid) AS rn
+         |    FROM v CROSS JOIN cent c) WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, cid FROM (
+         |    SELECT v.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${cosSql("v.v", "c.cv")} DESC, c.cid) AS rn
+         |    FROM v CROSS JOIN cent c WHERE v.vec_id < 10) WHERE rn <= 3),
+         |cand AS (
+         |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+         |  FROM probes p JOIN assign a ON a.cid = p.cid
+         |  WHERE a.vec_id != p.query_id)
+         |SELECT query_id, rnk, neighbor_id, round(cos, 4) AS cos_sim FROM (
+         |  SELECT query_id, neighbor_id, ${cosSql("q.v", "n.v")} AS cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY ${cosSql("q.v", "n.v")} DESC, neighbor_id) AS rnk
+         |  FROM cand JOIN v q ON q.vec_id = query_id JOIN v n ON n.vec_id = neighbor_id)
+         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+    },
+    "t8_dedup_clusters" -> {
+      val mh = (0 until 8).map(j => s"${mhSql(j)} AS mh$j").mkString(", ")
+      val b0 = bandSql(Seq("mh0", "mh1", "mh2", "mh3"))
+      val b1 = bandSql(Seq("mh4", "mh5", "mh6", "mh7"))
+      s"""WITH RECURSIVE c AS (SELECT doc_id, $codesSql AS codes FROM documents),
+         |s AS (SELECT doc_id, $mh FROM c),
+         |bands AS (SELECT doc_id, 0 AS band, $b0 AS bh FROM s
+         |          UNION ALL SELECT doc_id, 1, $b1 FROM s),
+         |reps AS (SELECT band, bh, min(doc_id) AS doc_a, count(*) AS n
+         |         FROM bands GROUP BY band, bh HAVING count(*) > 1),
+         |cand AS (SELECT DISTINCT r.doc_a, m.doc_id AS doc_b
+         |         FROM bands m JOIN reps r ON m.band = r.band AND m.bh = r.bh
+         |         WHERE m.doc_id != r.doc_a),
+         |sh AS (SELECT doc_id, list_distinct($codesSql) AS s FROM documents),
+         |pairs AS (SELECT doc_a, doc_b
+         |  FROM cand JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b
+         |  WHERE $jaccSql >= 0.8),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(node, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.node),
+         |cl AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node)
+         |SELECT c.doc_id, c.cluster_id, cnt.n AS cluster_size,
+         |  (c.doc_id = c.cluster_id) AS is_survivor
+         |FROM cl c JOIN (SELECT cluster_id, count(*) AS n FROM cl GROUP BY 1) cnt
+         |  USING (cluster_id)
+         |ORDER BY doc_id""".stripMargin
+    },
     "e2_lsh_ann" -> {
       val bandSelects = (0 until 8).map { b =>
         s"SELECT vec_id, $b AS band, (sig >> ${4 * b}) & 15 AS bucket FROM s"
@@ -431,6 +525,8 @@ object PipelineQueries {
     "t5_fingerprint" -> t5Fingerprint,
     "t6_ngram_jaccard_topk" -> t6NgramJaccardTopk,
     "t7_simhash_neardup" -> t7SimhashNearDup,
+    "t8_dedup_clusters" -> t8DedupClusters,
+    "e4_ivf_ann" -> e4IvfAnn,
     "m1_multimodal" -> m1Multimodal,
     "e2_lsh_ann" -> e2LshAnn,
     "e3_embedding_neardup" -> e3EmbeddingNearDup

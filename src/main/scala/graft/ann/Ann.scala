@@ -154,6 +154,87 @@ object Ann {
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos"))
   }
 
+  // ------------------------------------------------------------------- IVF
+
+  /** (id, pos, x) exploded view of (id, vec) — the codegen-friendly shape
+    * for batched dot products (see [[signatureFrame]]'s 8x lesson). */
+  private def exploded(df: DataFrame, idAs: String, xAs: String): DataFrame =
+    df.select(col("id").as(idAs),
+      posexplode(col("vec").cast("array<double>")).as(Seq("pos", xAs)))
+
+  /** All pairwise cosines between `data` (id, vec) and the (small) centroid
+    * set (cid, vec): output (id, cid, cos). The centroid side is exploded
+    * and BROADCAST; the dot product is a plain codegen'd `sum(x * w)` after
+    * a broadcast equi-join on `pos` — embeddings are never shuffled, and the
+    * per-(id, cid) aggregation combines map-side. Summation is in array
+    * order on both engines (verified cross-engine by the e2/e3 gates). */
+  private def centroidCosines(data: DataFrame, centroids: DataFrame): DataFrame = {
+    val cx = exploded(centroids.withColumnRenamed("cid", "id"), "cid", "w")
+    val cn = centroids.select(col("cid"),
+      sqrt(aggregate(col("vec").cast("array<double>"), lit(0.0d),
+        (acc, x) => acc + x * x)).as("cnorm"))
+    val dn = data.select(col("id"),
+      sqrt(aggregate(col("vec").cast("array<double>"), lit(0.0d),
+        (acc, x) => acc + x * x)).as("dnorm"))
+    exploded(data, "id", "x")
+      .join(broadcast(cx), "pos")
+      .groupBy(col("id"), col("cid"))
+      .agg(sum(col("x") * col("w")).as("dot"))
+      .join(dn, "id")
+      .join(broadcast(cn), "cid")
+      .select(col("id"), col("cid"), (col("dot") / (col("dnorm") * col("cnorm"))).as("cos"))
+  }
+
+  /** IVF coarse-quantizer assignment: each vector -> its nearest centroid
+    * (cosine desc, centroid id asc on ties). One broadcast join + one
+    * map-side-combined aggregation; the `max(struct(cos, -cid))` argmax
+    * avoids a per-id sort window.
+    *
+    * `centroids` here is any small (cid, vec) frame. A production IVF trains
+    * it with k-means; a deterministic corpus sample (cf. e4's `id % 29`)
+    * gives the same query-time shape and keeps results oracle-checkable —
+    * swap in trained centroids without touching the search path. */
+  def ivfAssign(data: DataFrame, centroids: DataFrame): DataFrame =
+    centroidCosines(data, centroids)
+      .groupBy(col("id"))
+      .agg(max(struct(col("cos"), (-col("cid")).as("ncid"))).as("best"))
+      .select(col("id"), (-col("best.ncid")).as("cid"))
+
+  /** IVF ANN: probe the `nprobe` nearest centroid cells per query, then
+    * exact-cosine top-k over ONLY the vectors assigned to those cells.
+    *
+    * The 100 TB shape: the corpus is scanned once to build the (id, cid)
+    * assignment (in production: written as a cid-partitioned table so probes
+    * prune partitions); a query then touches ~nprobe/C of the corpus instead
+    * of all of it, and the candidate join carries only (query_id, cid) /
+    * (id, cid) pairs — vectors join back once for the re-rank, exactly like
+    * [[knnLsh]]. Recall/cost is tuned by C (cell count) and nprobe.
+    *
+    * Output: (query_id, rnk, neighbor_id, cos). */
+  def knnIvf(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
+    val assign = ivfAssign(corpus, centroids)
+    val wp = Window.partitionBy(col("id")).orderBy(col("cos").desc, col("cid"))
+    val probes = centroidCosines(queries, centroids)
+      .withColumn("rn", row_number().over(wp))
+      .where(col("rn") <= nprobe)
+      .select(col("id").as("query_id"), col("cid"))
+    val cand = probes.join(assign.withColumnRenamed("id", "neighbor_id"), "cid")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct()
+    val qv = queries.select(col("id").as("query_id"), col("vec").cast("array<double>").as("qv"))
+    val nv = corpus.select(col("id").as("neighbor_id"), col("vec").cast("array<double>").as("nv"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    cand
+      .join(qv, "query_id")
+      .join(nv, "neighbor_id")
+      .withColumn("cos", cosine(col("qv"), col("nv")))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos"))
+  }
+
   /** Embedding-cosine near-duplicate PAIRS: every (id_a < id_b) pair that
     * shares at least one LSH band bucket and has cosine >= `threshold`.
     * The corpus-scale shape of embedding dedup: linear banded candidate

@@ -1,0 +1,70 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed connected components over an edge DataFrame — the terminal
+ * step of a corpus-scale dedup pipeline: near-duplicate PAIRS (from the
+ * MinHash/SimHash/embedding band joins) become CLUSTERS, and one canonical
+ * survivor (the minimum id) is kept per cluster.
+ *
+ * Algorithm: iterative min-label propagation. Each vertex starts labeled
+ * with its own id; every round each vertex takes the minimum of its own
+ * label and its neighbors' labels; convergence when no label changes. The
+ * number of rounds is bounded by the graph diameter.
+ *
+ * SCALE NOTES:
+ *  - Dedup graphs produced by star-shaped verification (every bucket member
+ *    verified against the bucket's min-id representative, see
+ *    PipelineQueries.t2) have diameter <= 2 per bucket and small constant
+ *    diameter after bucket overlap, so the loop runs 2-4 rounds in practice.
+ *    For adversarial high-diameter graphs the classic fix is the
+ *    large-star/small-star algorithm (Kiveris et al., "Connected Components
+ *    in MapReduce and Beyond", SoCC'14), which converges in O(log^2 n)
+ *    rounds; the per-round join shape below is the same.
+ *  - Each round is ONE shuffle: an (edge join labels) groupBy-min with
+ *    map-side partial aggregation; labels carry (id, label) only — 16
+ *    bytes/vertex through the shuffle regardless of document size.
+ *  - `localCheckpoint` truncates the lineage each round, keeping the plan
+ *    linear instead of exponential in rounds. Retained executor storage is
+ *    bounded by rounds x 16 bytes/vertex (the label frames hold two longs),
+ *    and dedup graphs converge in 2-4 rounds — negligible next to the data.
+ *  - The convergence check is a `limit(1)` existence probe, not a count of
+ *    the whole frame.
+ */
+object ConnectedComponents {
+
+  /**
+   * @param vertices (id: long) — every vertex, including isolated ones
+   * @param edges    (src: long, dst: long) — undirected (symmetrized here)
+   * @return (id, label) where label = min vertex id in the component
+   */
+  def run(vertices: DataFrame, edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    var labels = vertices.select(col("id"), col("id").as("label")).localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = sym
+        .join(labels.select(col("id").as("src"), col("label")), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("label")).as("nbr"))
+      val next = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+        .localCheckpoint()
+      val changed = next
+        .join(labels.withColumnRenamed("label", "prev"), "id")
+        .where(col("label") =!= col("prev"))
+        .limit(1)
+      converged = changed.isEmpty
+      labels = next
+      iter += 1
+    }
+    require(converged, s"connected components did not converge in $maxIter rounds")
+    labels
+  }
+}

@@ -68,6 +68,48 @@ class AnnSpec extends AnyFunSuite with Matchers with SparkTestSession {
     withClue(s"multiprobe recall=$probed") { probed should be >= 0.8 }
   }
 
+  test("IVF: assignment maps every vector to its true nearest centroid") {
+    val data = clustered(noise = 6)
+    val centroids = data.where(col("id") % perCluster === 0)
+      .select(col("id").as("cid"), col("vec"))
+    val assign = Ann.ivfAssign(data, centroids).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cid")).toMap
+    // brute-force argmax via crossJoin for the expected assignment
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("cos").desc, col("cid"))
+    val expected = data.crossJoin(broadcast(
+        centroids.select(col("cid"), col("vec").as("cvec"))))
+      .withColumn("cos", Ann.cosine(col("vec").cast("array<double>"),
+        col("cvec").cast("array<double>")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("id"), col("cid")).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cid")).toMap
+    assign shouldBe expected
+  }
+
+  test("IVF: full probe (nprobe = all cells) reproduces brute force exactly") {
+    val data = clustered(noise = 6)
+    val centroids = data.where(col("id") % perCluster === 0)
+      .select(col("id").as("cid"), col("vec"))
+    val queries = data.where(col("id") % perCluster === 0)
+    val exact = Ann.knnBruteForce(queries, data, 5).collect().toSet
+    val ivf = Ann.knnIvf(queries, data, centroids, 5, nprobe = numClusters)
+      .collect().toSet
+    ivf shouldBe exact
+  }
+
+  test("IVF: nprobe=2 on clustered data has recall >= 0.9 (members live in the probed cells)") {
+    val data = clustered(noise = 6)
+    val centroids = data.where(col("id") % perCluster === 0)
+      .select(col("id").as("cid"), col("vec"))
+    val queries = data.where(col("id") % perCluster === 1) // non-centroid members
+    val exact = Ann.knnBruteForce(queries, data, 5)
+    val ivf = Ann.knnIvf(queries, data, centroids, 5, nprobe = 2)
+    val r = recallOf(ivf, exact)
+    withClue(s"recall=$r") { r should be >= 0.9 }
+  }
+
   test("LSH top-1 matches brute force top-1 for planted exact duplicates") {
     // duplicate of each centroid under a different id: its top-1 must be cos=1
     val data = clustered(noise = 6)
