@@ -286,6 +286,33 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** End-to-end curation funnel (c1): the composition a training-data
+    * pipeline actually runs — exact-dedup survivors (sha2 canonical)
+    * INTERSECT near-dup cluster survivors (t8) FILTER quality >= 0.5,
+    * aggregated per language. min/max quality (order-insensitive) rather
+    * than avg-of-doubles keeps the cross-engine hash deterministic; avg is
+    * only taken over integer n_chars (exact in double). */
+  def c1Curation(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val exact = d.groupBy(sha2(col("text"), 256))
+      .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+    val near = t8DedupClusters(spark, dir)
+      .where(col("is_survivor")).select(col("doc_id"))
+    val quality = round(
+      least(col("n_chars").cast("double") / 1000.0, lit(1.0)) * 0.5 +
+        when(col("lang") === "en", 0.3).otherwise(0.1) +
+        when(col("n_chars") > 100, 0.2).otherwise(0.0), 4)
+    d.join(exact, "doc_id").join(near, "doc_id")
+      .withColumn("q", quality)
+      .where(col("q") >= 0.5)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("num_docs"),
+        round(avg(col("n_chars")), 2).as("avg_chars"),
+        min(col("q")).as("min_quality"),
+        max(col("q")).as("max_quality"))
+      .orderBy(col("lang"))
+  }
+
   // ------------------------------------------------------------ oracle SQL
 
   private val codesSql =
@@ -315,6 +342,35 @@ object PipelineQueries {
       val w = Ann.planeWeights(j, 64).map(x => s"$x.0").mkString("[", ",", "]")
       s"(CASE WHEN list_dot_product($vecExpr, $w::DOUBLE[]) > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
+
+  /** Shared CTE chain (t8/c1): t2's banded candidates + exact-Jaccard pairs,
+    * symmetrized to edges, closed transitively (recursive CTE), reduced to
+    * (doc_id, cluster_id = min reachable id). Callers prefix WITH RECURSIVE. */
+  private val clusterCtesSql: String = {
+    val mh = (0 until 8).map(j => s"${mhSql(j)} AS mh$j").mkString(", ")
+    val b0 = bandSql(Seq("mh0", "mh1", "mh2", "mh3"))
+    val b1 = bandSql(Seq("mh4", "mh5", "mh6", "mh7"))
+    s"""c AS (SELECT doc_id, $codesSql AS codes FROM documents),
+       |s AS (SELECT doc_id, $mh FROM c),
+       |bands AS (SELECT doc_id, 0 AS band, $b0 AS bh FROM s
+       |          UNION ALL SELECT doc_id, 1, $b1 FROM s),
+       |reps AS (SELECT band, bh, min(doc_id) AS doc_a, count(*) AS n
+       |         FROM bands GROUP BY band, bh HAVING count(*) > 1),
+       |cand AS (SELECT DISTINCT r.doc_a, m.doc_id AS doc_b
+       |         FROM bands m JOIN reps r ON m.band = r.band AND m.bh = r.bh
+       |         WHERE m.doc_id != r.doc_a),
+       |sh AS (SELECT doc_id, list_distinct($codesSql) AS s FROM documents),
+       |pairs AS (SELECT doc_a, doc_b
+       |  FROM cand JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b
+       |  WHERE $jaccSql >= 0.8),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(node, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.node),
+       |cl AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node)""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "t1_minhash_signatures" -> {
@@ -466,36 +522,27 @@ object PipelineQueries {
          |  FROM cand JOIN v q ON q.vec_id = query_id JOIN v n ON n.vec_id = neighbor_id)
          |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
     },
-    "t8_dedup_clusters" -> {
-      val mh = (0 until 8).map(j => s"${mhSql(j)} AS mh$j").mkString(", ")
-      val b0 = bandSql(Seq("mh0", "mh1", "mh2", "mh3"))
-      val b1 = bandSql(Seq("mh4", "mh5", "mh6", "mh7"))
-      s"""WITH RECURSIVE c AS (SELECT doc_id, $codesSql AS codes FROM documents),
-         |s AS (SELECT doc_id, $mh FROM c),
-         |bands AS (SELECT doc_id, 0 AS band, $b0 AS bh FROM s
-         |          UNION ALL SELECT doc_id, 1, $b1 FROM s),
-         |reps AS (SELECT band, bh, min(doc_id) AS doc_a, count(*) AS n
-         |         FROM bands GROUP BY band, bh HAVING count(*) > 1),
-         |cand AS (SELECT DISTINCT r.doc_a, m.doc_id AS doc_b
-         |         FROM bands m JOIN reps r ON m.band = r.band AND m.bh = r.bh
-         |         WHERE m.doc_id != r.doc_a),
-         |sh AS (SELECT doc_id, list_distinct($codesSql) AS s FROM documents),
-         |pairs AS (SELECT doc_a, doc_b
-         |  FROM cand JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b
-         |  WHERE $jaccSql >= 0.8),
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |          UNION SELECT doc_b, doc_a FROM pairs),
-         |reach(node, r) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.node),
-         |cl AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node)
+    "t8_dedup_clusters" ->
+      s"""WITH RECURSIVE $clusterCtesSql
          |SELECT c.doc_id, c.cluster_id, cnt.n AS cluster_size,
          |  (c.doc_id = c.cluster_id) AS is_survivor
          |FROM cl c JOIN (SELECT cluster_id, count(*) AS n FROM cl GROUP BY 1) cnt
          |  USING (cluster_id)
-         |ORDER BY doc_id""".stripMargin
-    },
+         |ORDER BY doc_id""".stripMargin,
+    "c1_curation" ->
+      s"""WITH RECURSIVE $clusterCtesSql,
+         |surv AS (SELECT doc_id FROM cl WHERE doc_id = cluster_id),
+         |exact AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+         |q AS (SELECT doc_id, lang, n_chars,
+         |    round(least(n_chars / 1000.0, 1.0) * 0.5 +
+         |      CASE WHEN lang = 'en' THEN 0.3 ELSE 0.1 END +
+         |      CASE WHEN n_chars > 100 THEN 0.2 ELSE 0.0 END, 4) AS quality
+         |  FROM documents)
+         |SELECT lang, count(*) AS num_docs, round(avg(n_chars), 2) AS avg_chars,
+         |  min(quality) AS min_quality, max(quality) AS max_quality
+         |FROM q JOIN exact USING (doc_id) JOIN surv USING (doc_id)
+         |WHERE quality >= 0.5
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     "e2_lsh_ann" -> {
       val bandSelects = (0 until 8).map { b =>
         s"SELECT vec_id, $b AS band, (sig >> ${4 * b}) & 15 AS bucket FROM s"
@@ -527,6 +574,7 @@ object PipelineQueries {
     "t7_simhash_neardup" -> t7SimhashNearDup,
     "t8_dedup_clusters" -> t8DedupClusters,
     "e4_ivf_ann" -> e4IvfAnn,
+    "c1_curation" -> c1Curation,
     "m1_multimodal" -> m1Multimodal,
     "e2_lsh_ann" -> e2LshAnn,
     "e3_embedding_neardup" -> e3EmbeddingNearDup

@@ -148,6 +148,60 @@ object TablesetQueries {
     store.tablesetStats("gate_mixed").orderBy(col("resolution"))
   }
 
+  // ------------------------------------------------------------------- ts5
+
+  /** T1-T4 through the oracle gate: bulk-traverse an AOI (the stored res-5
+    * cells living in base cells 10..19) at target res 9 — T1 picks traversal
+    * res 5 (7^4 = 2401 <= maxFetchCount), the store query runs once for the
+    * whole AOI, and every row is tagged with its traversal cell. The oracle
+    * re-derives the same rows relationally (the distinct raw rows — the
+    * finest base table aggregates at parent resolutions only — filtered to
+    * the AOI's base cells). */
+  def ts5Traversal(spark: SparkSession, dir: String): DataFrame = {
+    import graft.traverse.Traversal
+    val store = ts1Store(spark, dir)
+    val aoi = store.scanForResolution("gate_sum", 5)
+      .select(col("h3index"))
+      .where(shiftright(col("h3index"), 45).bitwiseAND(lit(127L)).between(10, 19))
+      .collect().map(_.getLong(0)).toSeq
+    Traversal.traverseBulk(store, "gate_sum", aoi, 9,
+        Traversal.TraversalOptions(maxFetchCount = 2401))
+      .select(col("traversal_cell"), col("h3index"), round(col("qty"), 2).as("qty"))
+      .orderBy(col("h3index"))
+  }
+
+  // ------------------------------------------------------------------- ts6
+
+  /** A11/A12 through the oracle gate: two overlapping insert batches leave
+    * cross-batch duplicate rows (insert dedups within a batch only, like the
+    * reference's per-insert OPTIMIZE); a PARTITION-SCOPED deduplicateWhere
+    * (ph3 < 61) then removes them in the touched partitions ONLY. Expected:
+    * distinct rows where ph3 < 61, duplicated rows elsewhere — proving both
+    * the dedup and its partition scoping relationally. */
+  private def ts6Schema = CompactedTableSchema.builder("gate_optimize")
+    .h3BaseResolutions(Seq(9))
+    .useCompaction(false)
+    .addAggregatedColumn("v", T.Int64, Agg.Max)
+    .build()
+
+  private def ts6Store(spark: SparkSession, dir: String): CellStore = {
+    val store = CellStore(spark, rootFor(dir))
+    if (!store.listTablesets().contains("gate_optimize")) {
+      def batch(mod: Int) = lineitem(spark, dir)
+        .where(pmod(col("l_orderkey"), lit(mod)) === 0)
+        .select(Queries.synthCell.as("h3index"), pmod(col("l_orderkey"), lit(50)).as("v"))
+      store.insert("gate_optimize", batch(4), createSchema = Some(ts6Schema))
+      store.insert("gate_optimize", batch(2))
+      store.deduplicateWhere("gate_optimize", col("ph3") < 61)
+    }
+    store
+  }
+
+  def ts6DedupOptimize(spark: SparkSession, dir: String): DataFrame =
+    ts6Store(spark, dir).scanForResolution("gate_optimize", 9)
+      .select(col("h3index"), col("v"))
+      .orderBy(col("h3index"), col("v"))
+
   // ---------------------------------------------------------------- oracles
 
   /** parent-at-res arithmetic shared with Queries: replace res field, fill
@@ -192,6 +246,28 @@ object TablesetQueries {
          |  round(sum(a) / 2401.0, 4) AS area_price,
          |  (CASE WHEN count(DISTINCT cat) = 1 THEN min(cat) END)::SMALLINT AS cat
          |FROM rows_ GROUP BY 1 ORDER BY parent5""".stripMargin,
+    // the finest base table stores the deduplicated RAW rows (aggregation
+    // applies at parent resolutions only, matching the reference's base-table
+    // semantics) -> the expected rows are the distinct (cell, qty) pairs
+    "ts5_traversal" ->
+      s"""WITH cells AS (SELECT DISTINCT $synthCellSql AS cell, l_quantity AS qty FROM lineitem)
+         |SELECT ${parentSql("cell", 9, 5)} AS traversal_cell, cell AS h3index,
+         |  round(qty, 2) AS qty
+         |FROM cells WHERE ((cell >> 45) & 127) BETWEEN 10 AND 19
+         |ORDER BY h3index""".stripMargin,
+    // a's rows (mod 4) are a subset of b's (mod 2) -> they appear twice in
+    // storage; the scoped optimize distinct-s only the ph3 < 61 partitions
+    "ts6_dedup_optimize" ->
+      s"""WITH a AS (SELECT DISTINCT $synthCellSql AS cell, (l_orderkey % 50) AS v
+         |  FROM lineitem WHERE l_orderkey % 4 = 0),
+         |b AS (SELECT DISTINCT $synthCellSql AS cell, (l_orderkey % 50) AS v
+         |  FROM lineitem WHERE l_orderkey % 2 = 0),
+         |allr AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+         |SELECT cell AS h3index, v FROM (
+         |  SELECT DISTINCT cell, v FROM allr WHERE ((cell >> 45) & 127) < 61
+         |  UNION ALL
+         |  SELECT cell, v FROM allr WHERE ((cell >> 45) & 127) >= 61)
+         |ORDER BY h3index, v""".stripMargin,
     "ts4_stats" ->
       s"""WITH rows_ AS (SELECT DISTINCT $synthCellSql AS cell,
          |    l_quantity AS q, l_extendedprice AS a, (l_partkey % 3) AS cat
@@ -209,6 +285,8 @@ object TablesetQueries {
     "ts1_rollup_query" -> ts1RollupQuery,
     "ts2_compact_roundtrip" -> ts2CompactRoundtrip,
     "ts3_mixed_rollup" -> ts3MixedRollup,
-    "ts4_stats" -> ts4Stats
+    "ts4_stats" -> ts4Stats,
+    "ts5_traversal" -> ts5Traversal,
+    "ts6_dedup_optimize" -> ts6DedupOptimize
   )
 }

@@ -41,8 +41,12 @@ object ConnectedComponents {
    * @return (id, label) where label = min vertex id in the component
    */
   def run(vertices: DataFrame, edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    // materialize the edge list ONCE: the caller's `edges` may be an
+    // expensive pipeline (t8 feeds the whole MinHash+verify lineage in), and
+    // every propagation round + convergence probe re-reads it
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
     var labels = vertices.select(col("id"), col("id").as("label")).localCheckpoint()
     var converged = false
     var iter = 0
