@@ -160,9 +160,11 @@ object TablesetQueries {
   def ts5Traversal(spark: SparkSession, dir: String): DataFrame = {
     import graft.traverse.Traversal
     val store = ts1Store(spark, dir)
+    // ph3 (= base cell) is a partition column -> the AOI scan prunes to
+    // 10 of 122 partition directories instead of filtering after the read
     val aoi = store.scanForResolution("gate_sum", 5)
+      .where(col("ph3").between(10, 19))
       .select(col("h3index"))
-      .where(shiftright(col("h3index"), 45).bitwiseAND(lit(127L)).between(10, 19))
       .collect().map(_.getLong(0)).toSeq
     Traversal.traverseBulk(store, "gate_sum", aoi, 9,
         Traversal.TraversalOptions(maxFetchCount = 2401))

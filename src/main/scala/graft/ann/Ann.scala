@@ -142,16 +142,7 @@ object Ann {
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"))
       .distinct() // id-pair dedup only — no vector payloads shuffled
-    val qv = queries.select(col("id").as("query_id"), col("vec").cast("array<double>").as("qv"))
-    val nv = corpus.select(col("id").as("neighbor_id"), col("vec").cast("array<double>").as("nv"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    cand
-      .join(qv, "query_id")
-      .join(nv, "neighbor_id")
-      .withColumn("cos", cosine(col("qv"), col("nv")))
-      .withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos"))
+    rerank(cand, queries, corpus, k)
   }
 
   // ------------------------------------------------------------------- IVF
@@ -200,29 +191,12 @@ object Ann {
       .agg(max(struct(col("cos"), (-col("cid")).as("ncid"))).as("best"))
       .select(col("id"), (-col("best.ncid")).as("cid"))
 
-  /** IVF ANN: probe the `nprobe` nearest centroid cells per query, then
-    * exact-cosine top-k over ONLY the vectors assigned to those cells.
-    *
-    * The 100 TB shape: the corpus is scanned once to build the (id, cid)
-    * assignment (in production: written as a cid-partitioned table so probes
-    * prune partitions); a query then touches ~nprobe/C of the corpus instead
-    * of all of it, and the candidate join carries only (query_id, cid) /
-    * (id, cid) pairs — vectors join back once for the re-rank, exactly like
-    * [[knnLsh]]. Recall/cost is tuned by C (cell count) and nprobe.
-    *
-    * Output: (query_id, rnk, neighbor_id, cos). */
-  def knnIvf(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
-      k: Int, nprobe: Int): DataFrame = {
-    val assign = ivfAssign(corpus, centroids)
-    val wp = Window.partitionBy(col("id")).orderBy(col("cos").desc, col("cid"))
-    val probes = centroidCosines(queries, centroids)
-      .withColumn("rn", row_number().over(wp))
-      .where(col("rn") <= nprobe)
-      .select(col("id").as("query_id"), col("cid"))
-    val cand = probes.join(assign.withColumnRenamed("id", "neighbor_id"), "cid")
-      .where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"))
-      .distinct()
+  /** Exact-cosine re-rank of an id-pair candidate set: join the vectors
+    * back (once), score, keep top-k per query. Shared by [[knnLsh]] and
+    * [[knnIvf]] so tie-breaking (cos desc, neighbor_id) and double-precision
+    * handling stay in one place. */
+  private def rerank(cand: DataFrame, queries: DataFrame, corpus: DataFrame,
+      k: Int): DataFrame = {
     val qv = queries.select(col("id").as("query_id"), col("vec").cast("array<double>").as("qv"))
     val nv = corpus.select(col("id").as("neighbor_id"), col("vec").cast("array<double>").as("nv"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
@@ -233,6 +207,38 @@ object Ann {
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos"))
+  }
+
+  /** IVF ANN: probe the `nprobe` nearest centroid cells per query, then
+    * exact-cosine top-k over ONLY the vectors assigned to those cells.
+    *
+    * The 100 TB shape: the corpus is scanned once to build the (id, cid)
+    * assignment (in production: written as a cid-partitioned table so probes
+    * prune partitions); a query then touches ~nprobe/C of the corpus instead
+    * of all of it, and the candidate join carries only (query_id, cid) /
+    * (id, cid) pairs — vectors join back once for the re-rank, exactly like
+    * [[knnLsh]]. Recall/cost is tuned by C (cell count) and nprobe.
+    *
+    * CONTRACT: rows with NULL or empty vectors have no defined nearest
+    * centroid (zero norm) and take no part in assignment, probing, or
+    * results — unlike the LSH path, which maps them to signature 0. The
+    * exclusion is explicit here, not an artifact of the join shape.
+    *
+    * Output: (query_id, rnk, neighbor_id, cos). */
+  def knnIvf(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
+    val nonEmpty = (df: DataFrame) => df.where(size(col("vec")) > 0)
+    val assign = ivfAssign(nonEmpty(corpus), centroids)
+    val wp = Window.partitionBy(col("id")).orderBy(col("cos").desc, col("cid"))
+    val probes = centroidCosines(nonEmpty(queries), centroids)
+      .withColumn("rn", row_number().over(wp))
+      .where(col("rn") <= nprobe)
+      .select(col("id").as("query_id"), col("cid"))
+    val cand = probes.join(assign.withColumnRenamed("id", "neighbor_id"), "cid")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct()
+    rerank(cand, queries, corpus, k)
   }
 
   /** Embedding-cosine near-duplicate PAIRS: every (id_a < id_b) pair that

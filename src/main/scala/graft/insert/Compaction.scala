@@ -113,4 +113,62 @@ object Compaction {
       .withColumn(h3Col, col("_t"))
       .select(df.columns.map(col).toIndexedSeq: _*)
   }
+
+  /** Children expansion with the store's loudness contract: an oversized
+    * expansion must fail, not silently truncate (cf. CellStore probe guard). */
+  private def guardedChildren(cell: org.apache.spark.sql.Column, res: Int) =
+    when(h3_children_count(cell, lit(res)) > (1L << 28),
+      raise_error(concat(lit("uncompaction expansion to resolution "), lit(res),
+        lit(" exceeds 2^28 children for cell "), cell.cast("string")))
+        .cast("array<bigint>"))
+      .otherwise(h3_to_children(cell, lit(res)))
+
+  /** A7 driven by the RAW probe set, for stored rows COARSER than
+    * `targetRes` only. Each (stored row, probe) ancestor match explodes
+    * exactly the intersection subtree — the finer of the two cells — to
+    * `targetRes`, so the work is OUTPUT-sized. [[uncompactRestricted]]'s
+    * request-side enumeration is |probes| * 7^(targetRes - probeRes) rows
+    * BEFORE the join regardless of matches: exact, but a scale hazard when
+    * coarse probes cover large areas (measured 25s of a 128s bench on a
+    * 20k-probe res-5 -> res-9 traversal before this path existed).
+    *
+    * Probes finer than `targetRes` clamp to their targetRes ancestor.
+    * Matching joins on parent-at-min-resolution keys: probes emit at most
+    * one (res, key) row per physical resolution (never children), stored
+    * rows compute the key via `h3_to_parent` — one hash join per distinct
+    * probe resolution (one, in practice). Output duplicates can only arise
+    * from NESTED probes (impossible within one resolution), so the dedup
+    * shuffle runs only for mixed-resolution probe sets. */
+  def uncompactCoarseToProbes(coarse: DataFrame, targetRes: Int,
+      probes: DataFrame, h3Col: String = "h3index"): DataFrame = {
+    val q0 = probes.columns.head
+    val pn = probes.select(
+        when(h3_get_resolution(col(q0)) > targetRes,
+          h3_to_parent(col(q0), lit(targetRes))).otherwise(col(q0)).as("_q"))
+      .distinct()
+    val pRes = pn.select(h3_get_resolution(col("_q")).as("p")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val parts = pRes.map { p =>
+      val keys = (0 until targetRes).map { r =>
+        struct(lit(r).as("_r"),
+          (if (r < p) h3_to_parent(col("_q"), lit(r)) else col("_q")).as("_key"))
+      }
+      val qside = pn.where(h3_get_resolution(col("_q")) === p)
+        .select(col("_q"), explode(array(keys: _*)).as("_x"))
+        .select(col("_q"), col("_x._r").as("_r"), col("_x._key").as("_key"))
+        .distinct()
+      val sres = h3_get_resolution(col(h3Col))
+      val skey = when(sres >= p, h3_to_parent(col(h3Col), lit(p))).otherwise(col(h3Col))
+      coarse.join(qside, sres === col("_r") && skey === col("_key"))
+        .withColumn("_f",
+          when(h3_get_resolution(col("_q")) > h3_get_resolution(col(h3Col)), col("_q"))
+            .otherwise(col(h3Col)))
+        .withColumn(h3Col, explode(guardedChildren(col("_f"), targetRes)))
+        .select(coarse.columns.map(col).toIndexedSeq: _*)
+    }
+    val out =
+      if (parts.isEmpty) coarse.limit(0)
+      else parts.reduce(_ unionByName _)
+    if (pRes.lengthCompare(1) <= 0) out else out.dropDuplicates()
+  }
 }

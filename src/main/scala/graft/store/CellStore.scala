@@ -338,9 +338,13 @@ class CellStore(spark: SparkSession, rootPath: String) {
   def queryCells(name: String, cells: Seq[Long], targetRes: Int,
       doUncompact: Boolean = true, template: Option[String] = None): DataFrame = {
     import spark.implicits._
-    // a Seq probe set is small by construction -> force the broadcast hint
+    // a Seq probe set is small by construction -> force the broadcast hint;
+    // probe resolutions AND base cells are known driver-side, so the scan
+    // can be ph3-partition-pruned with no discovery job
     queryCellsImpl(name, cells.toDF("qcell"), targetRes, doUncompact, template,
-      broadcastProbes = true)
+      broadcastProbes = true,
+      knownProbeRes = Some(cells.map(graft.h3.H3.getResolution).distinct.sorted),
+      knownBaseCells = Some(cells.map(graft.h3.H3.getBaseCell(_).toLong).distinct))
   }
 
   /** DataFrame-probe overload of [[queryCells]]: no user-side `.collect()` —
@@ -357,7 +361,9 @@ class CellStore(spark: SparkSession, rootPath: String) {
 
   private def queryCellsImpl(name: String, cells: DataFrame, targetRes: Int,
       doUncompact: Boolean, template: Option[String],
-      broadcastProbes: Boolean): DataFrame = {
+      broadcastProbes: Boolean,
+      knownProbeRes: Option[Seq[Int]] = None,
+      knownBaseCells: Option[Seq[Long]] = None): DataFrame = {
     val schema = getTableset(name)
     require(targetRes <= schema.maxBaseResolution,
       s"query resolution $targetRes exceeds tableset max ${schema.maxBaseResolution}")
@@ -366,28 +372,80 @@ class CellStore(spark: SparkSession, rootPath: String) {
     val h3Col = CompactedTableSchema.ColH3Index
     val cellsDf = cells.toDF("qcell")
 
-    // P3: normalized probe set = distinct cells converted to every physical
-    // resolution <= targetRes. One combined set is exact because an H3 index
-    // encodes its resolution — equal indexes imply equal resolution.
     val physRes = (0 to targetRes).toSeq
-    val probes = changeResolutions(cellsDf, "qcell", physRes).persist(StorageLevel.MEMORY_AND_DISK)
+    // Spatial partition pruning: every stored cell matching a probe (ancestor
+    // OR descendant) shares the probe's base cell, so a driver-known probe
+    // set prunes `ph3` directories before any IO. With BaseCell partitioning
+    // ph3 IS the base cell; with LowerResolution ph3 is an H3 index whose
+    // base cell is extractable — both are partition-value predicates, so
+    // pruning happens at planning, not per row.
+    val scan = knownBaseCells match {
+      case Some(bcs) if bcs.nonEmpty =>
+        val pruned = schema.h3Partitioning match {
+          case H3Partitioning.BaseCell =>
+            col("ph3").isin(bcs: _*)
+          case H3Partitioning.LowerResolution(_) =>
+            h3_get_base_cell(col("ph3")).cast("long").isin(bcs: _*)
+        }
+        scanForResolution(name, targetRes).where(pruned)
+      case _ => scanForResolution(name, targetRes)
+    }
 
-    val scan = scanForResolution(name, targetRes)
-    val probeSide = if (broadcastProbes) broadcast(probes) else probes
+    // P3 probe normalization, two shapes:
+    //  - KEY-JOIN (default): probes emit at most |physRes| (res, key) rows
+    //    each — parents only, never children — and stored rows FINER than
+    //    the probe resolution compute the matching key via h3_to_parent on
+    //    the scan side. Same ancestor-or-descendant predicate as the
+    //    expanded set (parent-at-min-resolution equality), but the probe
+    //    side stays ~16 rows/probe where the expansion is 7^(targetRes -
+    //    probeRes): a 20k-cell res-5 AOI queried at res 9 is 200k key rows
+    //    vs 56M expanded cells (measured 25s -> ~3s of the sf0.1 bench).
+    //  - EXPANDED (template + mixed-res fallback): every probe converted to
+    //    every physical resolution; exact for any probe mix, and the shape
+    //    templates splice as `cell IN (...)`. One combined set is exact
+    //    because an H3 index encodes its resolution.
+    lazy val expandedProbes = changeResolutions(cellsDf, "qcell", physRes)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val probeResSet: Seq[Int] = knownProbeRes.getOrElse(cellsDf
+      .select(h3_get_resolution(col("qcell")).as("p")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted)
+
     val filtered = template match {
-      case None =>
-        // J1: hash left-semi join (`select.rs:110-130` IN-list); broadcast
-        // hinted for driver-provided Seq probes, AQE-decided for DataFrames
-        scan.join(probeSide, scan(h3Col) === probes("cell"), "left_semi")
       case Some(t) =>
-        applyTemplate(t, scan, probes)
+        applyTemplate(t, scan, expandedProbes)
+      case None if probeResSet.lengthCompare(1) == 0 =>
+        // J1 as a key equi-join; broadcast hinted for driver-provided Seq
+        // probes (now always small — keys, not expansions), AQE-decided
+        // for DataFrame probes
+        val p = probeResSet.head
+        val keys = physRes.map { r =>
+          struct(lit(r).as("_pr"),
+            (if (r < p) h3_to_parent(col("qcell"), lit(r)) else col("qcell")).as("_pk"))
+        }
+        val probeKeys = cellsDf.select(explode(array(keys: _*)).as("_x"))
+          .select(col("_x._pr").as("_pr"), col("_x._pk").as("_pk")).distinct()
+        val probeSide = if (broadcastProbes) broadcast(probeKeys) else probeKeys
+        val sres = h3_get_resolution(col(h3Col))
+        val skey = when(sres >= p, h3_to_parent(col(h3Col), lit(p))).otherwise(col(h3Col))
+        scan.join(probeSide, sres === col("_pr") && skey === col("_pk"), "left_semi")
+      case None =>
+        // mixed-resolution probe sets (rare): exact expanded-set fallback —
+        // per-row keys would need one join per probe resolution plus a
+        // result dedup, which only pays off for single-res sets
+        val probeSide = if (broadcastProbes) broadcast(expandedProbes) else expandedProbes
+        scan.join(probeSide, scan(h3Col) === expandedProbes("cell"), "left_semi")
     }
 
     val projected = filtered.select(schema.columns.keys.map(col).toIndexedSeq: _*)
     if (!doUncompact) projected
     else {
-      val targetCells = changeResolutions(cellsDf, "qcell", Seq(targetRes)).select("cell")
-      Compaction.uncompactRestricted(projected, targetRes, targetCells, h3Col)
+      // A7: rows already AT targetRes pass through untouched (the semi-join
+      // proved probe coverage); only COARSER (compacted) rows take the
+      // uncompaction join, sized by its actual output
+      val fine = projected.where(h3_get_resolution(col(h3Col)) === targetRes)
+      val coarse = projected.where(h3_get_resolution(col(h3Col)) < targetRes)
+      fine.unionByName(
+        Compaction.uncompactCoarseToProbes(coarse, targetRes, cellsDf, h3Col))
     }
   }
 
