@@ -220,6 +220,22 @@ object Queries {
         (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))).as("num_punct"))
       .orderBy(col("doc_id"))
 
+  /** Regex tokenization counts + a BPE-ish subword estimate (ceil(len/4)
+    * pieces per word — the constant-per-word approximation a byte-pair
+    * tokenizer converges to on natural text). Patterns use explicit ASCII
+    * classes so Java (Spark) and RE2 (DuckDB oracle) agree. */
+  def d5TokenRegex(spark: SparkSession, dir: String): DataFrame = {
+    val words = regexp_extract_all(col("text"), lit("[A-Za-z]+"), lit(0))
+    t(spark, dir, "documents").select(
+      col("doc_id"),
+      size(words).as("n_words"),
+      size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).as("n_nums"),
+      size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]+"), lit(0))).as("n_syms"),
+      aggregate(transform(words, w => floor((length(w) + lit(3)) / lit(4)).cast("long")),
+        lit(0L), (a, x) => a + x).as("n_subwords"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Quality score: simple length/punctuation heuristic, deterministic
     * integer arithmetic (training-data quality filter shape). */
   def d3QualityScore(spark: SparkSession, dir: String): DataFrame =
@@ -378,6 +394,16 @@ object Queries {
           | length(string_split_regex(trim(text), '\s+')) AS num_tokens,
           | length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS num_punct
           |FROM documents ORDER BY doc_id""".stripMargin,
+      // list_sum -> HUGEINT -> ::BIGINT cast rule (see t5); integer `//`
+      "d5_token_regex" ->
+        """SELECT doc_id,
+          |  length(regexp_extract_all(text, '[A-Za-z]+')) AS n_words,
+          |  length(regexp_extract_all(text, '[0-9]+')) AS n_nums,
+          |  length(regexp_extract_all(text, '[^A-Za-z0-9\s]+')) AS n_syms,
+          |  (CASE WHEN length(regexp_extract_all(text, '[A-Za-z]+')) = 0 THEN 0 ELSE
+          |    list_sum(list_transform(regexp_extract_all(text, '[A-Za-z]+'),
+          |      w -> (length(w) + 3) // 4)) END)::BIGINT AS n_subwords
+          |FROM documents ORDER BY doc_id""".stripMargin,
       "d3_quality_score" ->
         """SELECT doc_id,
           | round(least(n_chars / 1000.0, 1.0) * 0.5 +
@@ -430,6 +456,7 @@ object Queries {
     "s1_sessionize" -> s1Sessionize,
     "d1_exact_dedup" -> d1ExactDedup,
     "d2_token_stats" -> d2TokenStats,
+    "d5_token_regex" -> d5TokenRegex,
     "d3_quality_score" -> d3QualityScore,
     "d4_lang_distribution" -> d4LangDistribution,
     "e1_knn_brute_force" -> e1KnnBruteForce

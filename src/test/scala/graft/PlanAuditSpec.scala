@@ -65,6 +65,24 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkTestSession {
     plan should include("LeftSemi")
   }
 
+  test("Seq-probe queries prune ph3 (spatial) partitions at planning time") {
+    val cells = H3.toChildren(hexRes5, 7).take(5).toSeq
+    val plan = planOf(store.queryCells("plan_audit", cells, 7, doUncompact = false))
+    // all probes share base cell 20 -> the scan's PartitionFilters must
+    // carry a ph3 predicate (driver-derived, no discovery job)
+    plan.linesIterator.filter(_.contains("PartitionFilters"))
+      .mkString should include("ph3")
+  }
+
+  test("probe side is (res, key) pairs — no 7^k children expansion in the plan") {
+    // a res-5 probe queried at res 7 must NOT enumerate its 49 children:
+    // the key-join expands probes to parents only and matches finer stored
+    // rows via h3_to_parent on the scan side
+    val plan = planOf(store.queryCells("plan_audit", Seq(hexRes5), 7, doUncompact = false))
+    plan should not include "h3_to_children"
+    plan should include("h3_to_parent")
+  }
+
   test("h3index range filters reach the parquet scan (PK page-skipping analogue)") {
     // files are written h3index-sorted (sortedForWrite), so row-group
     // min/max stats form disjoint ranges — effective iff the range
