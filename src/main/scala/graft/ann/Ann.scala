@@ -191,6 +191,45 @@ object Ann {
       .agg(max(struct(col("cos"), (-col("cid")).as("ncid"))).as("best"))
       .select(col("id"), (-col("best.ncid")).as("cid"))
 
+  /** Deterministic Lloyd/k-means training for the IVF coarse quantizer
+    * (cosine objective). Seeded by an id-stride sample (every n/k-th vector
+    * by id — deterministic, no RNG); each iteration is two distributed
+    * steps: (1) assignment = [[ivfAssign]] (broadcast centroids, one
+    * map-side-combined aggregation), (2) re-estimation = per-(cid, pos)
+    * mean over the exploded vectors — one shuffle of (cid, pos, sum, n),
+    * never a vector collect. Per-round frames are k rows; `localCheckpoint`
+    * keeps the loop's lineage flat.
+    *
+    * Clusters that lose all members keep their previous centroid (k never
+    * shrinks silently). Returns (cid, vec) ready for [[knnIvf]] — swap for
+    * the deterministic modulo sample without touching the search path. */
+  def kmeansCentroids(data: DataFrame, k: Int, iters: Int,
+      stride: Long): DataFrame = {
+    require(k > 0 && iters >= 0, "k and iters must be positive")
+    var cent = data
+      .where(pmod(col("id"), lit(stride)) === 0)
+      .select(dense_rank().over(Window.orderBy(col("id"))).cast("long").as("cid"),
+        col("vec").cast("array<double>").as("vec"))
+      .where(col("cid") <= k)
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val assign = ivfAssign(data, cent)
+      val means = exploded(data, "id", "x")
+        .join(assign, "id")
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"), transform(col("pm"), p => p.getField("m")).as("vec"))
+      // empty clusters: fall back to the previous centroid
+      cent = cent.select(col("cid"), col("vec").as("prev"))
+        .join(means, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("vec"), col("prev")).as("vec"))
+        .localCheckpoint()
+    }
+    cent
+  }
+
   /** Exact-cosine re-rank of an id-pair candidate set: join the vectors
     * back (once), score, keep top-k per query. Shared by [[knnLsh]] and
     * [[knnIvf]] so tie-breaking (cos desc, neighbor_id) and double-precision

@@ -48,6 +48,25 @@ object StreamOps {
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("num_events"), col("total_value"))
 
+  /** Streaming exact dedup for continuous document ingestion: drops any row
+    * whose sha2-256 text hash was already seen within the watermark horizon.
+    * `dropDuplicatesWithinWatermark` expires state-store keys once the
+    * watermark passes them, so state is bounded by (arrival rate x horizon)
+    * — the production shape for corpus ingestion, where exact GLOBAL dedup
+    * would need unbounded state; pair it with a periodic batch optimize
+    * (d1 / CellStore.deduplicateWhere) for cross-horizon duplicates. The
+    * shuffle key is the 32-byte hash, never the document text (same rule as
+    * d1). On a batch frame this degrades to dropDuplicates on the hash
+    * (survivor arbitrary — use the d1 min-id shape when determinism
+    * matters). Input columns: (ts, text, ...). */
+  def dedupStream(docs: DataFrame, watermarkDelay: String): DataFrame = {
+    val keyed = docs.withColumn("text_sha", sha2(col("text"), 256))
+    if (keyed.isStreaming)
+      keyed.withWatermark("ts", watermarkDelay)
+        .dropDuplicatesWithinWatermark("text_sha")
+    else keyed.dropDuplicates("text_sha")
+  }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   case class Session(user_id: Long, start: Timestamp, end: Timestamp,

@@ -110,6 +110,46 @@ class AnnSpec extends AnyFunSuite with Matchers with SparkTestSession {
     withClue(s"recall=$r") { r should be >= 0.9 }
   }
 
+  /** Mean cosine of every vector to its assigned centroid — the spherical
+    * k-means objective (all spec vectors share norm 8, so the plain-mean
+    * update is the exact maximizer and Lloyd is monotone). */
+  private def objective(data: org.apache.spark.sql.DataFrame,
+      cent: org.apache.spark.sql.DataFrame): Double = {
+    val a = Ann.ivfAssign(data, cent)
+    data.join(a, "id")
+      .join(cent.select(col("cid"), col("vec").as("cvec")), "cid")
+      .select(avg(Ann.cosine(col("vec").cast("array<double>"),
+        col("cvec").cast("array<double>"))).as("j"))
+      .head().getDouble(0)
+  }
+
+  test("k-means: perfect seeds recover the planted clusters exactly") {
+    val data = clustered(noise = 6)
+    // stride = perCluster seeds each cluster with its uncorrupted centroid
+    val cent = Ann.kmeansCentroids(data, numClusters, iters = 2, stride = perCluster)
+    cent.count() shouldBe numClusters
+    val groups = Ann.ivfAssign(data, cent).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cid"))
+      .groupBy { case (id, _) => id / perCluster }
+    groups.values.foreach { members =>
+      members.map(_._2).distinct.length shouldBe 1 // one cid per planted cluster
+    }
+  }
+
+  test("k-means: Lloyd objective is non-decreasing from arbitrary seeds") {
+    val data = clustered(noise = 8)
+    val js = (0 to 3).map(i =>
+      objective(data, Ann.kmeansCentroids(data, numClusters, iters = i, stride = 4)))
+    js.sliding(2).foreach { case Seq(a, b) => b should be >= a - 1e-12 }
+    js.last should be > js.head // bad seeds must actually improve
+  }
+
+  test("k-means: clusters that lose all members keep their previous centroid (k stable)") {
+    val data = clustered(noise = 6).where(col("id") < 2 * perCluster) // 2 clusters
+    val cent = Ann.kmeansCentroids(data, 3, iters = 3, stride = 10) // 3 seeds
+    cent.count() shouldBe 3
+  }
+
   test("LSH top-1 matches brute force top-1 for planted exact duplicates") {
     // duplicate of each centroid under a different id: its top-1 must be cos=1
     val data = clustered(noise = 6)

@@ -83,6 +83,40 @@ class StreamOpsSpec extends AnyFunSuite with Matchers with SparkTestSession {
     } finally q.stop()
   }
 
+  import StreamOpsSpec.Doc
+
+  test("dedupStream: within-watermark duplicate texts are dropped across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Doc]
+    val q = StreamOps.dedupStream(stream.toDF(), "1 hour")
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      stream.addData(
+        Doc(1, ts("2024-01-01 10:00:00"), "alpha"),
+        Doc(2, ts("2024-01-01 10:00:10"), "alpha"), // in-batch dup
+        Doc(3, ts("2024-01-01 10:00:20"), "beta"))
+      q.processAllAvailable()
+      stream.addData(
+        Doc(4, ts("2024-01-01 10:05:00"), "alpha"), // cross-batch dup, in horizon
+        Doc(5, ts("2024-01-01 10:05:10"), "gamma"))
+      q.processAllAvailable()
+      val texts = spark.table("dedup_out").select("text").as[String].collect().sorted
+      texts shouldBe Array("alpha", "beta", "gamma")
+    } finally q.stop()
+  }
+
+  test("dedupStream: batch path keeps one row per distinct text") {
+    import spark.implicits._
+    val docs = Seq(
+      Doc(1, ts("2024-01-01 10:00:00"), "alpha"),
+      Doc(2, ts("2024-01-01 10:00:10"), "alpha"),
+      Doc(3, ts("2024-01-01 10:00:20"), "beta")).toDF()
+    val out = StreamOps.dedupStream(docs, "1 hour")
+    out.count() shouldBe 2
+    out.select("text").as[String].collect().sorted shouldBe Array("alpha", "beta")
+  }
+
   test("sessionize: gap splits sessions, totals conserved") {
     import spark.implicits._
     val sessions = StreamOps.sessionize(sampleEvents.toDS(), gapMillis = 10 * 60 * 1000)
@@ -95,4 +129,8 @@ class StreamOpsSpec extends AnyFunSuite with Matchers with SparkTestSession {
     u1.last.num_events shouldBe 1
     sessions.map(_.total_value).sum shouldBe 10.0
   }
+}
+
+object StreamOpsSpec {
+  case class Doc(doc_id: Long, ts: Timestamp, text: String)
 }
