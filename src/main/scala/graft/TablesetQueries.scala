@@ -172,6 +172,29 @@ object TablesetQueries {
       .orderBy(col("h3index"))
   }
 
+  // ------------------------------------------------------------------- ts7
+
+  /** T3 + P4 through the oracle gate: traversal with a PREFILTER template —
+    * only traversal cells whose res-5 rollup row passes `qty > 100` are
+    * fetched at res 9. The template exercises the two mandatory
+    * placeholders; the oracle keeps exactly the res-5 groups with
+    * sum(qty) > 100 (sums of integer-valued quantities are exact in double,
+    * so the threshold is engine-independent). */
+  def ts7PrefilterTraversal(spark: SparkSession, dir: String): DataFrame = {
+    import graft.traverse.Traversal
+    val store = ts1Store(spark, dir)
+    val aoi = store.scanForResolution("gate_sum", 5)
+      .where(col("ph3").between(40, 49))
+      .select(col("h3index"))
+      .collect().map(_.getLong(0)).toSeq
+    Traversal.traverseBulk(store, "gate_sum", aoi, 9,
+        Traversal.TraversalOptions(maxFetchCount = 2401,
+          prefilterTemplate = Some(
+            "SELECT * FROM <[table]> WHERE h3index IN <[h3indexes]> AND qty > 100")))
+      .select(col("traversal_cell"), col("h3index"), round(col("qty"), 2).as("qty"))
+      .orderBy(col("h3index"))
+  }
+
   // ------------------------------------------------------------------- ts6
 
   /** A11/A12 through the oracle gate: two overlapping insert batches leave
@@ -257,6 +280,16 @@ object TablesetQueries {
          |  round(qty, 2) AS qty
          |FROM cells WHERE ((cell >> 45) & 127) BETWEEN 10 AND 19
          |ORDER BY h3index""".stripMargin,
+    "ts7_prefilter_traversal" ->
+      s"""WITH cells AS (SELECT DISTINCT $synthCellSql AS cell, l_quantity AS qty FROM lineitem),
+         |r5 AS (SELECT ${parentSql("cell", 9, 5)} AS p5, sum(qty) AS s
+         |       FROM cells GROUP BY 1),
+         |keep AS (SELECT p5 FROM r5
+         |         WHERE ((p5 >> 45) & 127) BETWEEN 40 AND 49 AND s > 100)
+         |SELECT ${parentSql("cell", 9, 5)} AS traversal_cell, cell AS h3index,
+         |  round(qty, 2) AS qty
+         |FROM cells JOIN keep ON ${parentSql("cell", 9, 5)} = keep.p5
+         |ORDER BY h3index""".stripMargin,
     // a's rows (mod 4) are a subset of b's (mod 2) -> they appear twice in
     // storage; the scoped optimize distinct-s only the ph3 < 61 partitions
     "ts6_dedup_optimize" ->
@@ -289,6 +322,7 @@ object TablesetQueries {
     "ts3_mixed_rollup" -> ts3MixedRollup,
     "ts4_stats" -> ts4Stats,
     "ts5_traversal" -> ts5Traversal,
-    "ts6_dedup_optimize" -> ts6DedupOptimize
+    "ts6_dedup_optimize" -> ts6DedupOptimize,
+    "ts7_prefilter_traversal" -> ts7PrefilterTraversal
   )
 }

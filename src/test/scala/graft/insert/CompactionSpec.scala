@@ -85,6 +85,30 @@ class CompactionSpec extends AnyFunSuite with Matchers with SparkTestSession {
     out.map(_.getInt(1)).toSet shouldBe Set(42)
   }
 
+  test("uncompactCoarseToProbes: nested probes do not duplicate output cells") {
+    import spark.implicits._
+    val c2 = H3.fromParts(20, 2, Seq(1, 1))
+    val d = df(Seq(c2), Seq(1))
+    // the res-2 probe covers everything the res-4 probe covers
+    val probes = Seq(c2, H3.centerChild(c2, 4)).toDF("cell")
+    val out = Compaction.uncompactCoarseToProbes(d, 4, probes).collect()
+    out.length shouldBe 49
+    out.map(_.getLong(0)).distinct.length shouldBe 49
+    out.map(_.getInt(1)).toSet shouldBe Set(1)
+  }
+
+  test("uncompactCoarseToProbes: fine probes select only their subtree cells") {
+    import spark.implicits._
+    val c2 = H3.fromParts(20, 2, Seq(1, 1))
+    val d = df(Seq(c2), Seq(1))
+    val wanted = Seq(H3.centerChild(c2, 4), H3.toChildren(c2, 3).last)
+    val out = Compaction.uncompactCoarseToProbes(d, 4, wanted.toDF("cell")).collect()
+    // the res-4 probe yields itself; the res-3 probe yields its 7 children
+    out.map(_.getLong(0)).toSet shouldBe
+      (Set(H3.centerChild(c2, 4)) ++ H3.toChildren(H3.toChildren(c2, 3).last, 4))
+    out.length shouldBe 8
+  }
+
   test("uncompactRestricted mixes stored resolutions correctly") {
     import spark.implicits._
     // stored: one cell at res 2 (value 1) and one unrelated at res 4 (value 2)

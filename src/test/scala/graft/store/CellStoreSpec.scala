@@ -159,6 +159,26 @@ class CellStoreSpec extends AnyFunSuite with Matchers with SparkTestSession {
     at4.head.getAs[Long]("elephant_count") shouldBe 14L
   }
 
+  test("mixed-resolution probe sets: union of coverage, nested probes never duplicate rows") {
+    val store = newStore()
+    store.insert("okavango_delta", elephantInput, createSchema = Some(elephantSchema))
+    // nested probes: the res-4 ancestor covers ALL 49 rows, the res-7 cell
+    // is inside it — the expanded-set fallback (mixed res) must still
+    // return each stored row exactly once
+    val p4 = H3.toParent(hexRes5, 4)
+    val oneFine = H3.toChildren(hexRes5, 7).head
+    val got = store.queryCells("okavango_delta", Seq(p4, oneFine), 7).collect()
+    got.length shouldBe 49
+    got.map(_.getAs[Long]("h3index")).distinct.length shouldBe 49
+    // disjoint mixed probes: a res-6 cell (7 rows) + an unrelated res-7
+    // cell from a different base cell (0 rows)
+    val p6 = H3.toChildren(hexRes5, 6).head
+    val stranger = H3.fromParts(30, 7, Seq(1, 1, 1, 1, 1, 1, 1))
+    val got2 = store.queryCells("okavango_delta", Seq(p6, stranger), 7).collect()
+    got2.length shouldBe 7
+    got2.map(r => H3.toParent(r.getAs[Long]("h3index"), 6)).toSet shouldBe Set(p6)
+  }
+
   test("discovery + drop (D2/D3/D4)") {
     val store = newStore()
     store.insert("okavango_delta", elephantInput, createSchema = Some(elephantSchema))
