@@ -39,15 +39,25 @@ object PipelineQueries {
    * with NULL pos/code (explode_outer semantics, like posexplode_outer over
    * the empty array).
    */
+  /** Tokenize ONCE, derive many: every signature pipeline (t1 minhash, t3
+    * simhash, t5 fingerprint, t2/t6/t8 candidates+verify) reads this one
+    * materialized frame — the shape a real corpus pipeline has (one
+    * tokenization pass feeding N derivations), via the same per-dir
+    * memoization as the tableset stores and cluster labels. At corpus scale
+    * this frame is a written intermediate table instead of executor cache. */
+  private val shingleCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def shingleCodesExploded(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir).select(col("doc_id"), col("text"))
-      .select(col("doc_id"), col("text"), explode_outer(
-        when(char_length(col("text")) < 3, array().cast("array<int>"))
-          .otherwise(sequence(lit(1), char_length(col("text")) - 2))).as("cpos"))
-      .select(col("doc_id"), (col("cpos") - 1).as("pos"),
-        (ascii(col("text").substr(col("cpos"), lit(1))).cast("bigint") * 65536L +
-          ascii(col("text").substr(col("cpos") + 1, lit(1))) * 256L +
-          ascii(col("text").substr(col("cpos") + 2, lit(1)))).as("code"))
+    shingleCache.computeIfAbsent(dir, _ =>
+      docs(spark, dir).select(col("doc_id"), col("text"))
+        .select(col("doc_id"), col("text"), explode_outer(
+          when(char_length(col("text")) < 3, array().cast("array<int>"))
+            .otherwise(sequence(lit(1), char_length(col("text")) - 2))).as("cpos"))
+        .select(col("doc_id"), (col("cpos") - 1).as("pos"),
+          (ascii(col("text").substr(col("cpos"), lit(1))).cast("bigint") * 65536L +
+            ascii(col("text").substr(col("cpos") + 1, lit(1))) * 256L +
+            ascii(col("text").substr(col("cpos") + 2, lit(1)))).as("code"))
+        .localCheckpoint())
 
   /** Distinct shingle set per doc, derived from the exploded frame with a
     * codegen'd collect_set aggregation (order-insensitive — only ever used

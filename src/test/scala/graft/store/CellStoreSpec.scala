@@ -179,6 +179,28 @@ class CellStoreSpec extends AnyFunSuite with Matchers with SparkTestSession {
     got2.map(r => H3.toParent(r.getAs[Long]("h3index"), 6)).toSet shouldBe Set(p6)
   }
 
+  test("probe key-join equals the ancestor-or-descendant predicate (randomized probe mixes)") {
+    val store = newStore()
+    store.insert("okavango_delta", elephantInput, createSchema = Some(elephantSchema))
+    val inputCells = H3.toChildren(hexRes5, 7).toSeq
+    val rnd = new scala.util.Random(77)
+    val outside = H3.fromParts(30, 5, Seq(1, 1, 1, 1, 1))
+    (1 to 5).foreach { _ =>
+      val probes = (0 until 6).map { _ =>
+        val c = inputCells(rnd.nextInt(inputCells.length))
+        H3.toParent(c, 3 + rnd.nextInt(5)) // random res 3..7 ancestor (or self)
+      } :+ outside
+      // reference predicate: a res-7 input cell is covered iff some probe is
+      // its ancestor-or-self (probes are never finer than 7 here)
+      val expected = inputCells.filter(c =>
+        probes.exists(q => H3.toParent(c, H3.getResolution(q)) == q)).toSet
+      val got = store.queryCells("okavango_delta", probes, 7)
+        .collect().map(_.getAs[Long]("h3index"))
+      got.length shouldBe got.distinct.length // no duplicate rows, ever
+      got.toSet shouldBe expected
+    }
+  }
+
   test("discovery + drop (D2/D3/D4)") {
     val store = newStore()
     store.insert("okavango_delta", elephantInput, createSchema = Some(elephantSchema))
