@@ -236,6 +236,19 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Stopword counts and ratio — the third leg of quality scoring (length
+    * d3, punctuation d2, stopwords here): natural text has a stable
+    * stopword density; ratio far from it flags boilerplate/garbage. */
+  def d6StopwordRatio(spark: SparkSession, dir: String): DataFrame = {
+    val nstop = graft.text.TextOps.stopwordCount(col("text"))
+    val ntok = size(split(trim(col("text")), "\\s+"))
+    t(spark, dir, "documents").select(
+      col("doc_id"),
+      nstop.as("n_stop"),
+      round(nstop / greatest(ntok, lit(1)), 4).as("stop_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Quality score: simple length/punctuation heuristic, deterministic
     * integer arithmetic (training-data quality filter shape). */
   def d3QualityScore(spark: SparkSession, dir: String): DataFrame =
@@ -394,6 +407,16 @@ object Queries {
           | length(string_split_regex(trim(text), '\s+')) AS num_tokens,
           | length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS num_punct
           |FROM documents ORDER BY doc_id""".stripMargin,
+      "d6_stopword_ratio" -> {
+        val terms = graft.text.TextOps.Stopwords.map(m =>
+          s"((length(p) - length(replace(p, '$m', ''))) / ${m.length})::BIGINT")
+          .mkString(" + ")
+        s"""WITH p AS (SELECT doc_id, ' ' || text || ' ' AS p,
+           |  length(string_split_regex(trim(text), '\\s+')) AS ntok FROM documents),
+           |s AS (SELECT doc_id, ntok, ($terms) AS n_stop FROM p)
+           |SELECT doc_id, n_stop, round(n_stop / greatest(ntok, 1), 4) AS stop_ratio
+           |FROM s ORDER BY doc_id""".stripMargin
+      },
       // list_sum -> HUGEINT -> ::BIGINT cast rule (see t5); integer `//`
       "d5_token_regex" ->
         """SELECT doc_id,
@@ -457,6 +480,7 @@ object Queries {
     "d1_exact_dedup" -> d1ExactDedup,
     "d2_token_stats" -> d2TokenStats,
     "d5_token_regex" -> d5TokenRegex,
+    "d6_stopword_ratio" -> d6StopwordRatio,
     "d3_quality_score" -> d3QualityScore,
     "d4_lang_distribution" -> d4LangDistribution,
     "e1_knn_brute_force" -> e1KnnBruteForce

@@ -97,6 +97,18 @@ object TextOps {
     ((char_length(text) - char_length(regexp_replace(text,
       java.util.regex.Pattern.quote(marker), ""))) / marker.length).cast("long")
 
+  /** English stopword markers, space-padded for word-boundary matching (the
+    * same replace-count heuristic the language-ID markers use — counts are
+    * approximate under adjacent repeats, identically so in the oracle). */
+  val Stopwords: Seq[String] =
+    Seq(" the ", " and ", " of ", " to ", " in ", " is ", " it ", " that ")
+
+  /** Total stopword occurrences in `text` (padded). */
+  def stopwordCount(text: Column): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    Stopwords.map(m => occurrences(padded, m)).reduce(_ + _)
+  }
+
   /** Predicted language = argmax of marker occurrence counts; ties break to
     * the lexicographically largest language code; "und" when no marker hits.
     * The argmax is a `greatest` over zero-padded "score||lang" strings so the
