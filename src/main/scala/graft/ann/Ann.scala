@@ -230,19 +230,35 @@ object Ann {
     cent
   }
 
+  /** Norm of the vector column, computed once per row: (idAs, vector, norm). */
+  private def withNorm(df: DataFrame, idAs: String, vecAs: String,
+      normAs: String): DataFrame =
+    df.select(col("id").as(idAs), col("vec").cast("array<double>").as(vecAs),
+      sqrt(aggregate(col("vec").cast("array<double>"), lit(0.0d),
+        (acc, x) => acc + x * x)).as(normAs))
+
+  /** dot(a, b) / (na * nb) — same operations in the same order as
+    * [[cosine]], but with the norms precomputed: candidate re-ranking walks
+    * each pair's arrays ONCE (the dot) instead of three times. The
+    * interpreted higher-order fold is the per-pair cost driver at large
+    * candidate counts (measured ~3x on e3's 300k-candidate verify). */
+  private def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x) / (na * nb)
+
   /** Exact-cosine re-rank of an id-pair candidate set: join the vectors
-    * back (once), score, keep top-k per query. Shared by [[knnLsh]] and
-    * [[knnIvf]] so tie-breaking (cos desc, neighbor_id) and double-precision
-    * handling stay in one place. */
+    * back (once, with per-vector norms precomputed), score, keep top-k per
+    * query. Shared by [[knnLsh]] and [[knnIvf]] so tie-breaking (cos desc,
+    * neighbor_id) and double-precision handling stay in one place. */
   private def rerank(cand: DataFrame, queries: DataFrame, corpus: DataFrame,
       k: Int): DataFrame = {
-    val qv = queries.select(col("id").as("query_id"), col("vec").cast("array<double>").as("qv"))
-    val nv = corpus.select(col("id").as("neighbor_id"), col("vec").cast("array<double>").as("nv"))
+    val qv = withNorm(queries, "query_id", "qv", "qn")
+    val nv = withNorm(corpus, "neighbor_id", "nv", "nn")
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     cand
       .join(qv, "query_id")
       .join(nv, "neighbor_id")
-      .withColumn("cos", cosine(col("qv"), col("nv")))
+      .withColumn("cos",
+        cosineWithNorms(col("qv"), col("nv"), col("qn"), col("nn")))
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos"))
@@ -304,12 +320,13 @@ object Ann {
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    val va = data.select(col("id").as("id_a"), col("vec").cast("array<double>").as("va"))
-    val vb = data.select(col("id").as("id_b"), col("vec").cast("array<double>").as("vb"))
+    val va = withNorm(data, "id_a", "va", "na")
+    val vb = withNorm(data, "id_b", "vb", "nb")
     cand
       .join(va, "id_a")
       .join(vb, "id_b")
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos",
+        cosineWithNorms(col("va"), col("vb"), col("na"), col("nb")))
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
