@@ -128,6 +128,30 @@ object Queries {
         count(lit(1)).as("num_items"))
       .orderBy(col("r_name"))
 
+  /** Exact interpolated percentiles per group (Spark `percentile` ==
+    * DuckDB `quantile_cont`, both linear interpolation over the sorted
+    * set — exact, unlike approx_percentile, so cross-engine hashable). */
+  def q9Percentiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(percentile(col("l_quantity"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("l_quantity"), lit(0.9)), 4).as("p90"),
+        round(percentile(col("l_extendedprice"), lit(0.99)), 4).as("p99_price"))
+      .orderBy(col("l_returnflag"))
+
+  /** ROLLUP grouping sets — subtotals + grand total in one pass (the
+    * OLAP-cube surface; Spark plans one Expand + one aggregation). */
+  def q10Rollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"), col("qty"))
+      .orderBy(col("rf"), col("ls"))
+
   // --------------------------------------------------------------------- h3
 
   /** Deterministic valid H3 cell at res 9 from lineitem keys — identical
@@ -374,6 +398,18 @@ object Queries {
           |JOIN nation ON c_nationkey = n_nationkey
           |JOIN region ON n_regionkey = r_regionkey
           |GROUP BY r_name ORDER BY r_name""".stripMargin,
+      "q9_percentiles" ->
+        """SELECT l_returnflag,
+          | round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+          | round(quantile_cont(l_quantity, 0.9), 4) AS p90,
+          | round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price
+          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+      "q10_rollup" ->
+        """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+          | coalesce(l_linestatus, 'ALL') AS ls,
+          | count(*) AS n, round(sum(l_quantity), 2) AS qty
+          |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+          |ORDER BY 1, 2""".stripMargin,
       "h1_cell_ops" ->
         s"""SELECT l_orderkey, l_linenumber, cell,
            | ((cell >> 52) & 15)::INT AS res,
@@ -473,6 +509,8 @@ object Queries {
     "q6_events_daily" -> q6EventsDaily,
     "q7_customers_without_orders" -> q7CustomersWithoutOrders,
     "q8_region_revenue" -> q8RegionRevenue,
+    "q9_percentiles" -> q9Percentiles,
+    "q10_rollup" -> q10Rollup,
     "h1_cell_ops" -> h1CellOps,
     "h2_parent_rollup" -> h2ParentRollup,
     "h3_resolution_pyramid" -> h3ResolutionPyramid,
