@@ -24,7 +24,12 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // local-iteration filter (driver runs without it -> full bench)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // one warmup pass (JIT + codegen cache + file-footer cache), then measure
     names.foreach(n => run(SparkEntry.queries(n)))
     val results = names.map(n => n -> run(SparkEntry.queries(n)))

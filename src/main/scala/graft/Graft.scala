@@ -14,6 +14,7 @@ import org.apache.spark.sql.SparkSession
 object Graft {
   def register(spark: SparkSession): Unit = {
     graft.h3.expr.H3Functions.register(spark)
+    graft.ann.expr.VectorFunctions.register(spark)
     graft.geom.GeoFunctions.register(spark)
   }
 }

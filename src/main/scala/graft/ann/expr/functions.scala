@@ -1,0 +1,44 @@
+package graft.ann.expr
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graft.shims.{column, expression}
+
+/** Column facade + SQL registration for the vector expressions. */
+object functions {
+  private def c(e: Expression): Column = column(e)
+  private def e(col: Column): Expression = expression(col)
+
+  def vec_dot(a: Column, b: Column): Column = c(VecDot(e(a), e(b)))
+  def vec_cosine(a: Column, b: Column): Column = c(VecCosine(e(a), e(b)))
+}
+
+object VectorFunctions {
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression = {
+    args =>
+      if (args.length != n)
+        throw new IllegalArgumentException(
+          s"$name expects $n argument(s), got ${args.length}")
+      build(args)
+  }
+
+  val all: Seq[(String, Seq[Expression] => Expression, String)] = Seq(
+    ("vec_dot", arity("vec_dot", 2)(a => VecDot(a(0), a(1))),
+      "vec_dot(a, b) - sequential dot product of two double arrays"),
+    ("vec_cosine", arity("vec_cosine", 2)(a => VecCosine(a(0), a(1))),
+      "vec_cosine(a, b) - cosine similarity of two double arrays")
+  )
+
+  /** Register the vector functions in the session's registry (SQL-visible). */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    all.foreach { case (name, builder, usage) =>
+      registry.registerFunction(
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.ann.expr", null, name, usage, ""),
+        builder)
+    }
+  }
+}

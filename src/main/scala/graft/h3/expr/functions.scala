@@ -78,7 +78,7 @@ object H3Functions {
  */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
-    H3Functions.all.foreach { case (name, builder, usage) =>
+    (H3Functions.all ++ graft.ann.expr.VectorFunctions.all).foreach { case (name, builder, usage) =>
       ext.injectFunction(
         (FunctionIdentifier(name),
           new ExpressionInfo("graft.h3.expr", null, name, usage, ""),
