@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.ann.expr.functions.{vec_cosine, vec_dot}
+
 /**
  * Approximate-nearest-neighbor search over embedding columns
  * (`Array[Float]`), for training-data dedup/retrieval pipelines.
@@ -32,20 +34,22 @@ object Ann {
       ((((x >> 13) % 5).toInt + 5) % 5) - 2
     }
 
-  /** Cosine similarity of two double-array columns (computed in double). */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
-    val na = sqrt(aggregate(a, lit(0.0d), (acc, x) => acc + x * x))
-    val nb = sqrt(aggregate(b, lit(0.0d), (acc, x) => acc + x * x))
-    dot / (na * nb)
-  }
+  /** Cosine similarity of two double-array columns — the codegen'd one-pass
+    * [[graft.ann.expr.VecCosine]] (bit-identical to the interpreted
+    * aggregate/zip_with formulation it replaced; see that file's contract). */
+  def cosine(a: Column, b: Column): Column = vec_cosine(a, b)
 
-  /** Random-hyperplane signature: bit j = (v . w_j) > 0, packed to a long. */
+  /** Random-hyperplane signature: bit j = (v . w_j) > 0, packed to a long.
+    * Each dot product is a codegen'd [[graft.ann.expr.VecDot]] against a
+    * literal weight array — the whole signature evaluates inside one
+    * whole-stage-codegen stage (the interpreted higher-order formulation
+    * cost ~2x the whole query at a 50k corpus; the previous workaround was
+    * an explode-once/aggregate shape, now unnecessary). Empty or null
+    * vectors sign to 0 on every plane -> signature 0. */
   def rhpSignature(vec: Column, numPlanes: Int, dim: Int): Column = {
     val bits = (0 until numPlanes).map { j =>
       val w = array(planeWeights(j, dim).map(x => lit(x.toDouble)): _*)
-      when(aggregate(zip_with(vec, w, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x) > 0,
-        lit(1L << j)).otherwise(lit(0L))
+      when(vec_dot(vec, w) > 0, lit(1L << j)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
@@ -84,31 +88,13 @@ object Ann {
     *    candidates); turn it on for clustered/real embedding spaces.
     *
     * Output: (query_id, rnk, neighbor_id, cos). */
-  /** (id, sig) RHP signatures via the codegen-friendly formulation: the
-    * vector is exploded ONCE and each plane's dot product is a plain
-    * `sum(x * w[pos])` aggregate — whole-stage codegen end to end. The
-    * Column-API [[rhpSignature]] (numPlanes interpreted `aggregate` lambdas
-    * per row) costs ~2x the whole query at a 50k corpus; this shape is the
-    * same 8x lesson as the MinHash pipeline (PipelineQueries scaladoc). */
+  /** (id, sig) RHP signatures: one narrow projection, all planes codegen'd
+    * ([[rhpSignature]]'s VecDot loops) — no explode, no aggregation, no
+    * shuffle. Ids with empty/null vectors keep their row with sig 0. */
   private def signatureFrame(df: DataFrame, idAs: String,
-      numPlanes: Int, dim: Int): DataFrame = {
-    val sums = (0 until numPlanes).map { j =>
-      val w = element_at(array(planeWeights(j, dim).map(x => lit(x.toDouble)): _*),
-        col("pos") + 1)
-      sum(col("x") * w).as(s"d$j")
-    }
-    val bits = (0 until numPlanes).map { j =>
-      when(col(s"d$j") > 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    // posexplode_OUTER: ids with empty vectors keep a row (null pos/x ->
-    // null sums -> all sign bits 0 -> sig 0), matching rhpSignature's
-    // behavior instead of silently vanishing from the banding
+      numPlanes: Int, dim: Int): DataFrame =
     df.select(col("id").as(idAs),
-        posexplode_outer(col("vec").cast("array<double>")).as(Seq("pos", "x")))
-      .groupBy(col(idAs))
-      .agg(sums.head, sums.tail: _*)
-      .select(col(idAs), bits.reduce(_ + _).as("sig"))
-  }
+      rhpSignature(col("vec").cast("array<double>"), numPlanes, dim).as("sig"))
 
   /** (id, band, bucket) banding of the RHP signature; with `probe` also
     * emits every bucket at Hamming distance 1 (all-1-flip multiprobe). */
@@ -154,26 +140,22 @@ object Ann {
       posexplode(col("vec").cast("array<double>")).as(Seq("pos", xAs)))
 
   /** All pairwise cosines between `data` (id, vec) and the (small) centroid
-    * set (cid, vec): output (id, cid, cos). The centroid side is exploded
-    * and BROADCAST; the dot product is a plain codegen'd `sum(x * w)` after
-    * a broadcast equi-join on `pos` — embeddings are never shuffled, and the
-    * per-(id, cid) aggregation combines map-side. Summation is in array
-    * order on both engines (verified cross-engine by the e2/e3 gates). */
+    * set (cid, vec): output (id, cid, cos). The centroid side (vectors +
+    * precomputed norms) is BROADCAST; each (row, centroid) dot product is a
+    * codegen'd [[graft.ann.expr.VecDot]] loop — embeddings never enter a
+    * shuffle and there is no explode/aggregation at all (the previous
+    * explode-join-aggregate shape pushed n*k*dim rows through a hash
+    * aggregate; this streams n rows against k broadcast centroids).
+    * Accumulation is in array order on both engines (VecDot's determinism
+    * contract; verified cross-engine by the e2/e3/e4 gates). */
   private def centroidCosines(data: DataFrame, centroids: DataFrame): DataFrame = {
-    val cx = exploded(centroids.withColumnRenamed("cid", "id"), "cid", "w")
-    val cn = centroids.select(col("cid"),
-      sqrt(aggregate(col("vec").cast("array<double>"), lit(0.0d),
-        (acc, x) => acc + x * x)).as("cnorm"))
-    val dn = data.select(col("id"),
-      sqrt(aggregate(col("vec").cast("array<double>"), lit(0.0d),
-        (acc, x) => acc + x * x)).as("dnorm"))
-    exploded(data, "id", "x")
-      .join(broadcast(cx), "pos")
-      .groupBy(col("id"), col("cid"))
-      .agg(sum(col("x") * col("w")).as("dot"))
-      .join(dn, "id")
-      .join(broadcast(cn), "cid")
-      .select(col("id"), col("cid"), (col("dot") / (col("dnorm") * col("cnorm"))).as("cos"))
+    val c = centroids.select(col("cid"), col("vec").cast("array<double>").as("cv"),
+      sqrt(vec_dot(col("vec").cast("array<double>"), col("vec").cast("array<double>"))).as("cnorm"))
+    data.select(col("id"), col("vec").cast("array<double>").as("dv"),
+        sqrt(vec_dot(col("vec").cast("array<double>"), col("vec").cast("array<double>"))).as("dnorm"))
+      .crossJoin(broadcast(c))
+      .select(col("id"), col("cid"),
+        (vec_dot(col("dv"), col("cv")) / (col("dnorm") * col("cnorm"))).as("cos"))
   }
 
   /** IVF coarse-quantizer assignment: each vector -> its nearest centroid
@@ -234,16 +216,15 @@ object Ann {
   private def withNorm(df: DataFrame, idAs: String, vecAs: String,
       normAs: String): DataFrame =
     df.select(col("id").as(idAs), col("vec").cast("array<double>").as(vecAs),
-      sqrt(aggregate(col("vec").cast("array<double>"), lit(0.0d),
-        (acc, x) => acc + x * x)).as(normAs))
+      sqrt(vec_dot(col("vec").cast("array<double>"),
+        col("vec").cast("array<double>"))).as(normAs))
 
   /** dot(a, b) / (na * nb) — same operations in the same order as
     * [[cosine]], but with the norms precomputed: candidate re-ranking walks
-    * each pair's arrays ONCE (the dot) instead of three times. The
-    * interpreted higher-order fold is the per-pair cost driver at large
-    * candidate counts (measured ~3x on e3's 300k-candidate verify). */
+    * each pair's arrays ONCE (a codegen'd VecDot loop) instead of three
+    * times. */
   private def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x) / (na * nb)
+    vec_dot(a, b) / (na * nb)
 
   /** Exact-cosine re-rank of an id-pair candidate set: join the vectors
     * back (once, with per-vector norms precomputed), score, keep top-k per

@@ -1,0 +1,70 @@
+package graft.ann
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.ann.expr.functions.{vec_cosine, vec_dot}
+
+/** Contract tests for the codegen'd vector expressions: bit-identity with the
+  * interpreted aggregate/zip_with formulation they replaced (the cross-engine
+  * determinism anchor — the DuckDB oracles were verified against THAT shape),
+  * plus the null/empty/length-mismatch edge cases. */
+class VectorExprSpec extends AnyFunSuite with SparkTestSession {
+
+  private def interpDot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  test("vec_dot is bit-identical to the interpreted fold on random vectors") {
+    val df = spark.range(500).select(
+      col("id"),
+      transform(sequence(lit(0), lit(63)),
+        i => (pmod(col("id") * 37 + i * 101, lit(997)) - 498).cast("double") / 100.0).as("a"),
+      transform(sequence(lit(0), lit(63)),
+        i => (pmod(col("id") * 53 + i * 211, lit(997)) - 498).cast("double") / 100.0).as("b"))
+    val bad = df.where(
+      vec_dot(col("a"), col("b")) =!= interpDot(col("a"), col("b")) ||
+      vec_dot(col("a"), col("b")).isNull)
+    assert(bad.count() === 0)
+  }
+
+  test("vec_cosine equals dot/(|a||b|) with sequential norms, bitwise") {
+    val df = spark.range(200).select(
+      col("id"),
+      transform(sequence(lit(0), lit(31)),
+        i => (pmod(col("id") * 13 + i * 17, lit(101)) - 50).cast("double")).as("a"),
+      transform(sequence(lit(0), lit(31)),
+        i => (pmod(col("id") * 29 + i * 7, lit(101)) - 50).cast("double")).as("b"))
+    val expected = interpDot(col("a"), col("b")) /
+      (sqrt(interpDot(col("a"), col("a"))) * sqrt(interpDot(col("b"), col("b"))))
+    val bad = df.where(vec_cosine(col("a"), col("b")) =!= expected)
+    assert(bad.count() === 0)
+  }
+
+  test("null / empty / length-mismatch semantics match zip_with padding") {
+    import spark.implicits._
+    val df = Seq(
+      (1, Seq(1.0, 2.0), Seq(3.0, 4.0)),   // plain: 11.0
+      (2, Seq.empty[Double], Seq.empty[Double]), // empty: fold init 0.0
+      (3, Seq(1.0), Seq(1.0, 2.0))          // mismatch: zip_with pads -> null
+    ).toDF("id", "a", "b")
+    val r = df.select(col("id"), vec_dot(col("a"), col("b")).as("d"))
+      .collect().map(r => r.getInt(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(r(1) === Some(11.0))
+    assert(r(2) === Some(0.0))
+    assert(r(3) === None)
+    // null input array -> null (nullIntolerant)
+    val n = df.select(vec_dot(lit(null).cast("array<double>"), col("b")).as("d"))
+      .collect().forall(_.isNullAt(0))
+    assert(n)
+  }
+
+  test("expressions are SQL-visible after Graft.register") {
+    graft.Graft.register(spark)
+    val r = spark.sql(
+      "SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
+        "vec_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c").head()
+    assert(r.getDouble(0) === 11.0)
+    assert(r.getDouble(1) === 1.0)
+  }
+}
