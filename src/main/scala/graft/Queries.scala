@@ -273,6 +273,41 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Repetition-ratio quality signals (the Gopher-style repetition filters):
+    * per document, the fraction of word-bigrams occurring more than once
+    * (`dup_frac`) and the share of the single most frequent bigram
+    * (`top_frac`) — high values flag templated/spammy text that
+    * length/stopword heuristics miss.
+    *
+    * Scale shape: tokenize -> one shuffle to pair adjacent words (window
+    * lead by position) -> two codegen'd hash aggregations keyed on
+    * (doc_id, bigram) then doc_id. No interpreted array lambdas; the
+    * per-doc state is counts, never materialized bigram lists. */
+  def d7RepetitionRatio(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val words = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(filter(split(col("text"), "\\s+"), x => x =!= "")).as(Seq("pos", "w")))
+    val bigrams = words
+      .withColumn("nx", lead(col("w"), 1).over(w))
+      .where(col("nx").isNotNull)
+      .select(col("doc_id"), concat(col("w"), lit(" "), col("nx")).as("g"))
+    val agg = bigrams.groupBy(col("doc_id"), col("g")).count()
+      .groupBy(col("doc_id"))
+      .agg(sum(col("count")).as("total"),
+        sum(when(col("count") > 1, col("count")).otherwise(0L)).as("dup"),
+        max(col("count")).as("top"))
+    t(spark, dir, "documents").select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("total"), lit(0L)).as("n_bigrams"),
+        round(coalesce(col("dup"), lit(0L)).cast("double") /
+          greatest(coalesce(col("total"), lit(1L)), lit(1L)), 4).as("dup_frac"),
+        round(coalesce(col("top"), lit(0L)).cast("double") /
+          greatest(coalesce(col("total"), lit(1L)), lit(1L)), 4).as("top_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Quality score: simple length/punctuation heuristic, deterministic
     * integer arithmetic (training-data quality filter shape). */
   def d3QualityScore(spark: SparkSession, dir: String): DataFrame =
@@ -301,13 +336,9 @@ object Queries {
     val emb = t(spark, dir, "embeddings")
     val queries = emb.where(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val cosine = {
-      val dot = aggregate(zip_with(col("qe"), col("ne"), (a, b) => a * b),
-        lit(0.0d), (acc, x) => acc + x)
-      val na = sqrt(aggregate(col("qe"), lit(0.0d), (acc, x) => acc + x * x))
-      val nb = sqrt(aggregate(col("ne"), lit(0.0d), (acc, x) => acc + x * x))
-      dot / (na * nb)
-    }
+    // codegen'd one-pass cosine (bit-identical to the interpreted fold —
+    // see graft.ann.expr.VectorExpressions' determinism contract)
+    val cosine = graft.ann.expr.functions.vec_cosine(col("qe"), col("ne"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     queries.withColumn("qe", col("qe").cast("array<double>"))
@@ -463,6 +494,20 @@ object Queries {
           |    list_sum(list_transform(regexp_extract_all(text, '[A-Za-z]+'),
           |      w -> (length(w) + 3) // 4)) END)::BIGINT AS n_subwords
           |FROM documents ORDER BY doc_id""".stripMargin,
+      "d7_repetition_ratio" ->
+        """WITH w AS (SELECT doc_id,
+          |    list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS ws
+          |  FROM documents),
+          |bg AS (SELECT doc_id, unnest(list_transform(range(1, greatest(length(ws), 1)),
+          |    i -> ws[i::INT] || ' ' || ws[(i+1)::INT])) AS g FROM w),
+          |cnt AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+          |agg AS (SELECT doc_id, sum(c) AS total,
+          |    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup, max(c) AS top
+          |  FROM cnt GROUP BY 1)
+          |SELECT d.doc_id, coalesce(total, 0)::BIGINT AS n_bigrams,
+          |  round(coalesce(dup, 0)::DOUBLE / greatest(coalesce(total, 1), 1), 4) AS dup_frac,
+          |  round(coalesce(top, 0)::DOUBLE / greatest(coalesce(total, 1), 1), 4) AS top_frac
+          |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
       "d3_quality_score" ->
         """SELECT doc_id,
           | round(least(n_chars / 1000.0, 1.0) * 0.5 +
@@ -519,6 +564,7 @@ object Queries {
     "d2_token_stats" -> d2TokenStats,
     "d5_token_regex" -> d5TokenRegex,
     "d6_stopword_ratio" -> d6StopwordRatio,
+    "d7_repetition_ratio" -> d7RepetitionRatio,
     "d3_quality_score" -> d3QualityScore,
     "d4_lang_distribution" -> d4LangDistribution,
     "e1_knn_brute_force" -> e1KnnBruteForce

@@ -227,6 +227,70 @@ object TablesetQueries {
       .select(col("h3index"), col("v"))
       .orderBy(col("h3index"), col("v"))
 
+  // ------------------------------------------------------------------- ts8
+
+  /** F7 through the oracle gate: temporal partition bucketing. The tableset
+    * declares `Months(6)` temporal partitioning on a DateTime column, so
+    * every row lands in a `pt=<bucket>` partition directory computed by the
+    * reference's formula `ceil((year*100 + 100*(month-1)/12)/n)`
+    * (`schema/partitioning.rs:69-91`). The gate scans a pt RANGE (1994-01 ..
+    * 1996-12 — a Hive partition-value predicate, pruned at planning) and
+    * aggregates per bucket; the oracle re-derives every row's bucket from
+    * o_orderdate with the same arithmetic. min/max over v (not sum-of-
+    * doubles) keeps the comparison order-insensitive cross-engine. */
+  private def ts8Schema = CompactedTableSchema.builder("gate_temporal")
+    .h3BaseResolutions(Seq(9))
+    .useCompaction(false)
+    .addSimpleColumn("d", T.DateTimeT)
+    .addSimpleColumn("v", T.Float64)
+    .temporalPartitioning(TemporalPartitioning.Months(6))
+    .build()
+
+  /** Deterministic valid res-9 cell from the orders keys (same construction
+    * as [[Queries.synthCell]], different key columns). */
+  private def synthOrderCell: org.apache.spark.sql.Column = {
+    val bc = pmod(col("o_orderkey") * 7 + col("o_custkey"), lit(122))
+    val d1 = pmod(col("o_custkey") + col("o_orderkey"), lit(5)) + 2
+    val digits = (2 to 9).map { i =>
+      shiftleft(pmod(col("o_custkey") + lit(i) * col("o_orderkey"), lit(7)).cast("long"),
+        3 * (15 - i))
+    }
+    val base = shiftleft(lit(1L), 59)
+      .bitwiseOR(shiftleft(lit(9L), 52))
+      .bitwiseOR(shiftleft(bc.cast("long"), 45))
+      .bitwiseOR(shiftleft(d1.cast("long"), 3 * (15 - 1)))
+      .bitwiseOR(lit(262143L))
+    digits.foldLeft(base)(_ bitwiseOR _)
+  }
+
+  private def ts8Store(spark: SparkSession, dir: String): CellStore = {
+    val store = CellStore(spark, rootFor(dir))
+    if (!store.listTablesets().contains("gate_temporal")) {
+      val input = spark.read.parquet(s"$dir/orders.parquet").select(
+        synthOrderCell.as("h3index"),
+        col("o_orderdate").as("d"),
+        col("o_totalprice").as("v"))
+      store.insert("gate_temporal", input, createSchema = Some(ts8Schema))
+    }
+    store
+  }
+
+  // pt buckets for Months(6): Jan 1994 -> ceil(199400/6) = 33234;
+  // Dec 1996 -> ceil((199600 + 100*11/12)/6) = 33282
+  private val Ts8PtLo = 33234L
+  private val Ts8PtHi = 33282L
+
+  def ts8TemporalBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val store = ts8Store(spark, dir)
+    store.scanForResolution("gate_temporal", 9)
+      .where(col("pt").between(Ts8PtLo, Ts8PtHi))
+      .groupBy(col("pt").cast("long").as("pt"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("v")), 2).as("min_v"),
+        round(max(col("v")), 2).as("max_v"))
+      .orderBy(col("pt"))
+  }
+
   // ---------------------------------------------------------------- oracles
 
   /** parent-at-res arithmetic shared with Queries: replace res field, fill
@@ -303,6 +367,24 @@ object TablesetQueries {
          |  UNION ALL
          |  SELECT cell, v FROM allr WHERE ((cell >> 45) & 127) >= 61)
          |ORDER BY h3index, v""".stripMargin,
+    "ts8_temporal_buckets" -> {
+      val synthOrderCellSql = {
+        val digits = (2 to 9).map { i =>
+          s"(((o_custkey + $i*o_orderkey) % 7)::BIGINT << ${3 * (15 - i)})"
+        }.mkString(" | ")
+        "((1::BIGINT << 59) | (9::BIGINT << 52)" +
+          " | (((o_orderkey * 7 + o_custkey) % 122)::BIGINT << 45)" +
+          " | ((((o_custkey + o_orderkey) % 5) + 2)::BIGINT << 42)" +
+          s" | $digits | 262143::BIGINT)"
+      }
+      s"""WITH rows_ AS (SELECT DISTINCT $synthOrderCellSql AS cell,
+         |    o_orderdate AS d, o_totalprice AS v FROM orders),
+         |b AS (SELECT ceil((year(d)*100 + 100.0*(month(d)-1)/12.0)/6)::BIGINT AS pt, v
+         |  FROM rows_)
+         |SELECT pt, count(*) AS n, round(min(v), 2) AS min_v, round(max(v), 2) AS max_v
+         |FROM b WHERE pt BETWEEN $Ts8PtLo AND $Ts8PtHi
+         |GROUP BY pt ORDER BY pt""".stripMargin
+    },
     "ts4_stats" ->
       s"""WITH rows_ AS (SELECT DISTINCT $synthCellSql AS cell,
          |    l_quantity AS q, l_extendedprice AS a, (l_partkey % 3) AS cat
@@ -323,6 +405,7 @@ object TablesetQueries {
     "ts4_stats" -> ts4Stats,
     "ts5_traversal" -> ts5Traversal,
     "ts6_dedup_optimize" -> ts6DedupOptimize,
-    "ts7_prefilter_traversal" -> ts7PrefilterTraversal
+    "ts7_prefilter_traversal" -> ts7PrefilterTraversal,
+    "ts8_temporal_buckets" -> ts8TemporalBuckets
   )
 }

@@ -83,6 +83,32 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkTestSession {
     plan should include("h3_to_parent")
   }
 
+  test("temporal bucket (pt) filters prune partitions at planning time (F7)") {
+    val dir = Files.createTempDirectory("graft_plan_pt_").toString
+    val schema = CompactedTableSchema.builder("plan_pt")
+      .h3BaseResolutions(Seq(7))
+      .addSimpleColumn("observed_on", T.DateTime64T)
+      .addAggregatedColumn("density", T.Float64, Agg.Max)
+      .temporalPartitioning(TemporalPartitioning.Months(6))
+      .build()
+    val cells = H3.toChildren(hexRes5, 7).take(100)
+    val rows = cells.zipWithIndex.map { case (c, i) =>
+      Row(c, Timestamp.valueOf(s"202${i % 3}-0${1 + i % 9}-15 12:00:00"), i.toDouble)
+    }
+    val input = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 4),
+      StructType(Seq(
+        StructField("h3index", LongType, false),
+        StructField("observed_on", TimestampType, false),
+        StructField("density", DoubleType, false))))
+    val s = CellStore(spark, dir)
+    s.insert("plan_pt", input, createSchema = Some(schema))
+    val plan = planOf(s.scanForResolution("plan_pt", 7)
+      .where(col("pt") === 33684L)) // Jan..Jun 2021 bucket
+    plan.linesIterator.filter(_.contains("PartitionFilters"))
+      .mkString should include("pt")
+  }
+
   test("h3index range filters reach the parquet scan (PK page-skipping analogue)") {
     // files are written h3index-sorted (sortedForWrite), so row-group
     // min/max stats form disjoint ranges — effective iff the range
