@@ -67,6 +67,34 @@ object StreamOps {
     else keyed.dropDuplicates("text_sha")
   }
 
+  /** Continuous tableset ingest: run a streaming H3 DataFrame through the
+    * FULL batch insert pipeline per micro-batch — validation, in-batch
+    * dedup, compaction, rollup, partitioned append
+    * ([[graft.store.CellStore.insert]]) — via foreachBatch. This is the
+    * streaming analogue of the reference's chunked insert loop
+    * (`cellstore.rs:30-57`): each micro-batch is one exactly-once-published
+    * chunk (Spark tracks batch ids in the checkpoint; a replayed batch
+    * re-appends, so pair with the periodic partition-scoped
+    * [[graft.store.CellStore.deduplicateWhere]] optimize — the SAME
+    * companion the reference needs for its insert retries, optimize.rs).
+    * Cross-batch duplicates follow reference semantics: dedup is per
+    * insert; the optimize pass removes the rest.
+    *
+    * Returns the started query; callers own its lifecycle. */
+  def insertStream(stream: DataFrame, store: graft.store.CellStore, name: String,
+      checkpointDir: String,
+      createSchema: Option[graft.schema.CompactedTableSchema] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    createSchema.foreach(store.createTableset)
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        store.insert(name, batch)
+      }
+      .start()
+  }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   case class Session(user_id: Long, start: Timestamp, end: Timestamp,

@@ -117,6 +117,39 @@ class StreamOpsSpec extends AnyFunSuite with Matchers with SparkTestSession {
     out.select("text").as[String].collect().sorted shouldBe Array("alpha", "beta")
   }
 
+  test("insertStream: micro-batches run the full insert pipeline; optimize cleans cross-batch dups") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.schema.{AggregationMethod => Agg, GraftDataType => T, CompactedTableSchema}
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_ingest_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt_").toString
+    val store = graft.store.CellStore(spark, root)
+    val schema = CompactedTableSchema.builder("stream_ingest")
+      .h3BaseResolutions(Seq(9))
+      .useCompaction(false)
+      .addAggregatedColumn("v", T.Float64, Agg.Max)
+      .build()
+    val cells = graft.h3.H3.toChildren(
+      graft.h3.H3.fromParts(20, 5, Seq(0, 0, 0, 0, 0)), 9).take(50).toSeq
+    val stream = MemoryStream[(Long, Double)]
+    val q = StreamOps.insertStream(
+      stream.toDF().toDF("h3index", "v"), store, "stream_ingest", ckpt, Some(schema))
+    try {
+      stream.addData(cells.take(30).map(c => (c, 1.0)): _*)
+      q.processAllAvailable()
+      store.scanForResolution("stream_ingest", 9).count() shouldBe 30
+      // overlapping second batch: dedup is PER insert (reference semantics) —
+      // cross-batch duplicates persist until the optimize pass
+      stream.addData(cells.slice(20, 50).map(c => (c, 1.0)): _*)
+      q.processAllAvailable()
+      store.scanForResolution("stream_ingest", 9).count() shouldBe 60
+    } finally q.stop()
+    store.deduplicate("stream_ingest")
+    val after = store.scanForResolution("stream_ingest", 9)
+    after.count() shouldBe 50
+    after.select("h3index").distinct().count() shouldBe 50
+  }
+
   test("sessionize: gap splits sessions, totals conserved") {
     import spark.implicits._
     val sessions = StreamOps.sessionize(sampleEvents.toDS(), gapMillis = 10 * 60 * 1000)
