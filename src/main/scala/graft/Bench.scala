@@ -25,11 +25,8 @@ object Bench {
     }
 
     // local-iteration filter (driver runs without it -> full bench)
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-      .filter(_.nonEmpty)
     val names = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => only.forall(_.contains(n)))
+      .filter(SparkEntry.onlySelected)
     // one warmup pass (JIT + codegen cache + file-footer cache), then measure
     names.foreach(n => run(SparkEntry.queries(n)))
     val results = names.map(n => n -> run(SparkEntry.queries(n)))

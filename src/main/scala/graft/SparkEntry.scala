@@ -12,4 +12,11 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Queries.oracles ++ PipelineQueries.oracles ++ TablesetQueries.oracles ++ GeoQueries.oracles
+  /** SPARK_GRAFT_ONLY local-iteration filter, shared by Verify and Bench
+    * (the driver sets no filter -> full set). */
+  private[graft] def onlySelected(name: String): Boolean = onlyFilter.forall(_.contains(name))
+  private lazy val onlyFilter: Option[Set[String]] =
+    sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
 }

@@ -243,13 +243,18 @@ object TablesetQueries {
     .useCompaction(false)
     .addSimpleColumn("d", T.DateTimeT)
     .addSimpleColumn("v", T.Float64)
-    .temporalPartitioning(TemporalPartitioning.Months(6))
+    .temporalPartitioning(TemporalPartitioning.Months(24))
     .build()
 
   /** Deterministic valid res-9 cell from the orders keys (same construction
-    * as [[Queries.synthCell]], different key columns). */
+    * as [[Queries.synthCell]], different key columns). Base cells span 12
+    * (not 122) values: the gate's partition-directory count is
+    * |ph3| x |pt buckets|, and the orders dates span 7 years — 122 base
+    * cells would mean thousands of tiny gate-scale directories whose
+    * listing/footer overhead swamps the query being measured (ph3-spread
+    * pruning is covered by the ts5/ts7 gates). */
   private def synthOrderCell: org.apache.spark.sql.Column = {
-    val bc = pmod(col("o_orderkey") * 7 + col("o_custkey"), lit(122))
+    val bc = pmod(col("o_orderkey") * 7 + col("o_custkey"), lit(12))
     val d1 = pmod(col("o_custkey") + col("o_orderkey"), lit(5)) + 2
     val digits = (2 to 9).map { i =>
       shiftleft(pmod(col("o_custkey") + lit(i) * col("o_orderkey"), lit(7)).cast("long"),
@@ -275,10 +280,11 @@ object TablesetQueries {
     store
   }
 
-  // pt buckets for Months(6): Jan 1994 -> ceil(199400/6) = 33234;
-  // Dec 1996 -> ceil((199600 + 100*11/12)/6) = 33282
-  private val Ts8PtLo = 33234L
-  private val Ts8PtHi = 33282L
+  // pt buckets for Months(24): Jan 1994 -> ceil(199400/24) = 8309;
+  // Dec 1996 -> ceil((199600 + 100*11/12)/24) = 8321 (that bucket also
+  // covers early 1997 — bucket-aligned range, same filter on both engines)
+  private val Ts8PtLo = 8309L
+  private val Ts8PtHi = 8321L
 
   def ts8TemporalBuckets(spark: SparkSession, dir: String): DataFrame = {
     val store = ts8Store(spark, dir)
@@ -373,13 +379,13 @@ object TablesetQueries {
           s"(((o_custkey + $i*o_orderkey) % 7)::BIGINT << ${3 * (15 - i)})"
         }.mkString(" | ")
         "((1::BIGINT << 59) | (9::BIGINT << 52)" +
-          " | (((o_orderkey * 7 + o_custkey) % 122)::BIGINT << 45)" +
+          " | (((o_orderkey * 7 + o_custkey) % 12)::BIGINT << 45)" +
           " | ((((o_custkey + o_orderkey) % 5) + 2)::BIGINT << 42)" +
           s" | $digits | 262143::BIGINT)"
       }
       s"""WITH rows_ AS (SELECT DISTINCT $synthOrderCellSql AS cell,
          |    o_orderdate AS d, o_totalprice AS v FROM orders),
-         |b AS (SELECT ceil((year(d)*100 + 100.0*(month(d)-1)/12.0)/6)::BIGINT AS pt, v
+         |b AS (SELECT ceil((year(d)*100 + 100.0*(month(d)-1)/12.0)/24)::BIGINT AS pt, v
          |  FROM rows_)
          |SELECT pt, count(*) AS n, round(min(v), 2) AS min_v, round(max(v), 2) AS max_v
          |FROM b WHERE pt BETWEEN $Ts8PtLo AND $Ts8PtHi

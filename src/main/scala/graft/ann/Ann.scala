@@ -169,6 +169,11 @@ object Ann {
     * swap in trained centroids without touching the search path. */
   def ivfAssign(data: DataFrame, centroids: DataFrame): DataFrame =
     centroidCosines(data, centroids)
+      // ids with empty/null vectors have NO nearest centroid (their cos is
+      // null for every centroid) and are excluded from assignment — without
+      // this filter the max(struct) argmax would fall through the all-null
+      // cos field and "assign" them to the lowest-numbered centroid
+      .where(col("cos").isNotNull)
       .groupBy(col("id"))
       .agg(max(struct(col("cos"), (-col("cid")).as("ncid"))).as("best"))
       .select(col("id"), (-col("best.ncid")).as("cid"))

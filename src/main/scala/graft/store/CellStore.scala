@@ -283,8 +283,12 @@ class CellStore(spark: SparkSession, rootPath: String) {
     * across tasks at key boundaries (bounded file sizes — no single-task
     * hot partition at scale), and together with [[sortedForWrite]] the files
     * within a directory carry DISJOINT h3index ranges, which is what makes
-    * min/max row-group skipping actually effective (SURVEY §4). One extra
-    * shuffle per insert, amortized against every subsequent read. */
+    * min/max row-group skipping actually effective (SURVEY §4). Cost per
+    * insert: one extra shuffle PLUS repartitionByRange's bounds-sampling
+    * job, which re-executes the upstream plan — the insert pipeline persists
+    * its compaction/rollup frames, so the sampling pass reads cached blocks;
+    * deduplicateWhere checkpoints before ranging for the same reason.
+    * Amortized against every subsequent read. */
   private def rangedForWrite(df: DataFrame, schema: CompactedTableSchema,
       partCols: Seq[String]): DataFrame = {
     val key = (partCols ++ schema.orderByKey).filter(df.columns.contains).distinct
@@ -611,9 +615,15 @@ class CellStore(spark: SparkSession, rootPath: String) {
     val touchedSafe = coalesce(touched, lit(false))
     val deduped = all.where(touchedSafe).dropDuplicates()
     if (deduped.isEmpty) return
+    // checkpoint BEFORE the range repartition: repartitionByRange computes
+    // its bounds with a separate SAMPLING job that re-executes the upstream
+    // plan — without the checkpoint here, that sampling pass would re-run
+    // the whole touched-partition dedup a second time (and the checkpoint
+    // is needed anyway to break the read-the-overwrite-target lineage)
     val (withParts, _) = partitionColumns(deduped, schema)
-    sortedForWrite(rangedForWrite(withParts, schema, allPartCols), schema, allPartCols)
-      .localCheckpoint().write
+    val staged = withParts.localCheckpoint()
+    sortedForWrite(rangedForWrite(staged, schema, allPartCols), schema, allPartCols)
+      .write
       .mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(allPartCols: _*)

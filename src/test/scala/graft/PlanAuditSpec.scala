@@ -103,10 +103,13 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkTestSession {
         StructField("density", DoubleType, false))))
     val s = CellStore(spark, dir)
     s.insert("plan_pt", input, createSchema = Some(schema))
-    val plan = planOf(s.scanForResolution("plan_pt", 7)
-      .where(col("pt") === 33684L)) // Jan..Jun 2021 bucket
-    plan.linesIterator.filter(_.contains("PartitionFilters"))
+    // Feb 2021 bucket: ceil((202100 + 100*1/12)/6) = 33685 — populated by
+    // the generator (month 2 rows are exactly the 2021 rows), so the pruned
+    // scan must both carry the pt PartitionFilter AND return rows
+    val pruned = s.scanForResolution("plan_pt", 7).where(col("pt") === 33685L)
+    planOf(pruned).linesIterator.filter(_.contains("PartitionFilters"))
       .mkString should include("pt")
+    pruned.count() should be > 0L
   }
 
   test("h3index range filters reach the parquet scan (PK page-skipping analogue)") {

@@ -59,12 +59,23 @@ class VectorExprSpec extends AnyFunSuite with SparkTestSession {
     assert(n)
   }
 
-  test("expressions are SQL-visible after Graft.register") {
+  test("expressions are SQL-visible after Graft.register, with literal coercion") {
     graft.Graft.register(spark)
+    // plain SQL decimals (not 1.0d doubles): the registration path must
+    // coerce to array<double> like the Column facade does
     val r = spark.sql(
-      "SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
-        "vec_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c").head()
+      "SELECT vec_dot(array(1.0, 2.0), array(3.0, 4.0)) AS d, " +
+        "vec_cosine(array(1.0, 0.0), array(1.0, 0.0)) AS c").head()
     assert(r.getDouble(0) === 11.0)
     assert(r.getDouble(1) === 1.0)
+  }
+
+  test("Column facade coerces float arrays (the embeddings column type)") {
+    import spark.implicits._
+    val df = Seq((1, Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))).toDF("id", "a", "b")
+    val r = df.select(vec_dot(col("a"), col("b")).as("d"),
+      vec_cosine(col("a"), col("a")).as("c")).head()
+    assert(r.getDouble(0) === 11.0)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12) // fp: dot/(|v||v|) != exactly 1
   }
 }
