@@ -63,15 +63,27 @@ object PipelineQueries {
     * codegen'd collect_set aggregation (order-insensitive — only ever used
     * through set intersect/union). */
   private def shingleSets(spark: SparkSession, dir: String): DataFrame =
-    shingleCodesExploded(spark, dir).groupBy(col("doc_id"))
-      .agg(collect_set(col("code")).as("s"))
-
-  private def minhashFrame(spark: SparkSession, dir: String): DataFrame = {
-    val aggs = (0 until 8).map { j =>
-      min((pmod(col("code"), lit(P)) * TextOps.hashA(j) + TextOps.hashB(j)) % P).as(s"mh$j")
+    memo(s"shingleSets:$dir") {
+      shingleCodesExploded(spark, dir).groupBy(col("doc_id"))
+        .agg(collect_set(col("code")).as("s"))
     }
-    shingleCodesExploded(spark, dir).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-  }
+
+  /** Per-dir memo of small derived frames (signatures): a banded self-join
+    * otherwise recomputes its input once per join side — at corpus scale
+    * these ARE written intermediate tables (the same rationale as
+    * [[shingleCodesExploded]]); localCheckpoint is the local stand-in. */
+  private val frameCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def memo(key: String)(f: => DataFrame): DataFrame =
+    frameCache.computeIfAbsent(key, _ => f.localCheckpoint())
+
+  private def minhashFrame(spark: SparkSession, dir: String): DataFrame =
+    memo(s"minhash:$dir") {
+      val aggs = (0 until 8).map { j =>
+        min((pmod(col("code"), lit(P)) * TextOps.hashA(j) + TextOps.hashB(j)) % P).as(s"mh$j")
+      }
+      shingleCodesExploded(spark, dir).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    }
 
   /** MinHash signatures, 8 hashes as columns. */
   def t1MinhashSignatures(spark: SparkSession, dir: String): DataFrame =
@@ -126,10 +138,12 @@ object PipelineQueries {
     val bits = (0 until 31).map { b =>
       when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
     }
-    shingleCodesExploded(spark, dir)
-      .select(col("doc_id"), h.as("h"))
-      .groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), bits.reduce(_ + _).as("simhash31"))
+    memo(s"simhash:$dir") {
+      shingleCodesExploded(spark, dir)
+        .select(col("doc_id"), h.as("h"))
+        .groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+        .select(col("doc_id"), bits.reduce(_ + _).as("simhash31"))
+    }
   }
 
   def t3Simhash(spark: SparkSession, dir: String): DataFrame =

@@ -97,9 +97,13 @@ object TablesetQueries {
     * uncompacted back to res 9 — must equal the distinct input rows. */
   def ts2CompactRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val store = ts2Store(spark, dir)
-    // probe set stays a DataFrame end to end — no .collect() to the driver
+    // probe set stays a DataFrame end to end — no .collect() to the driver.
+    // localCheckpoint: the probe frame is consumed up to three times inside
+    // queryCells (resolution discovery, semi-join, uncompaction restriction);
+    // without it each consumption would recompute the sibling explosion
     val parents = ts2Input(spark, dir)
       .select(h3_to_parent(col("h3index"), lit(8)).as("p")).distinct()
+      .localCheckpoint()
     store.queryCells("gate_compact", parents, 9, doUncompact = true, template = None)
       .select(col("h3index"), col("v"))
       .orderBy(col("h3index"))

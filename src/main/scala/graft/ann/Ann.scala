@@ -299,7 +299,11 @@ object Ann {
   def nearDupPairs(data: DataFrame, threshold: Double,
       numPlanes: Int, dim: Int, numBands: Int = 8): DataFrame = {
     require(numPlanes % numBands == 0, "numPlanes must divide into numBands")
+    // persist: the band frame feeds BOTH sides of the self-join; without it
+    // every signature (numPlanes dot products per vector) is computed twice.
+    // At corpus scale this frame is a written signature table.
     val bands = bandsOf(data, "id", numPlanes, dim, numBands, probe = false)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = bands.select(col("id").as("id_a"), col("band"), col("bucket"))
       .join(bands.select(col("id").as("id_b"), col("band"), col("bucket")),
         Seq("band", "bucket"))
