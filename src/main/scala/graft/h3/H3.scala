@@ -122,6 +122,26 @@ object H3 {
         ((1L << digitShift(parentRes)) - 1)
   }
 
+  /** Numeric [min, max] envelope (inclusive) containing EVERY descendant of
+    * `h` at `childRes` — and possibly invalid digit combinations in between
+    * (a superset, never an exact enumeration). In the index layout the
+    * digits `res(h)+1..childRes` are the only varying bits (digits beyond
+    * childRes stay 7, the resolution field is fixed at childRes), so the
+    * all-zeros and all-sixes fillings bound the set numerically. This is
+    * what makes h3index-sorted parquet row groups SKIPPABLE for probe
+    * queries: the envelope is a plain range predicate on the raw column. */
+  def descendantRange(h: Long, childRes: Int): (Long, Long) = {
+    val res = getResolution(h)
+    require(childRes >= res && childRes <= MaxRes,
+      s"childRes $childRes out of range for cell at res $res")
+    val clear = ((1L << digitShift(res)) - 1) & ~((1L << digitShift(childRes)) - 1)
+    val lo = (h & ~(0xFL << ResOffset) & ~clear) | (childRes.toLong << ResOffset)
+    var sixes = 0L
+    var k = 0
+    while (k < childRes - res) { sixes |= 6L << (digitShift(childRes) + 3 * k); k += 1 }
+    (lo, lo | sixes)
+  }
+
   /** Child of `h` one resolution finer, taking direction digit `d` (0..6). */
   @inline private def makeChild(h: Long, childRes: Int, d: Int): Long = {
     val sh = digitShift(childRes)

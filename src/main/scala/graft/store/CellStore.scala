@@ -363,12 +363,11 @@ class CellStore(spark: SparkSession, rootPath: String) {
       doUncompact: Boolean = true, template: Option[String] = None): DataFrame = {
     import spark.implicits._
     // a Seq probe set is small by construction -> force the broadcast hint;
-    // probe resolutions AND base cells are known driver-side, so the scan
-    // can be ph3-partition-pruned with no discovery job
+    // probe resolutions, base cells AND index ranges are known driver-side,
+    // so the scan is ph3-partition-pruned and h3index-range-restricted with
+    // no discovery job
     queryCellsImpl(name, cells.toDF("qcell"), targetRes, doUncompact, template,
-      broadcastProbes = true,
-      knownProbeRes = Some(cells.map(graft.h3.H3.getResolution).distinct.sorted),
-      knownBaseCells = Some(cells.map(graft.h3.H3.getBaseCell(_).toLong).distinct))
+      broadcastProbes = true, knownCells = Some(cells))
   }
 
   /** DataFrame-probe overload of [[queryCells]]: no user-side `.collect()` —
@@ -383,11 +382,37 @@ class CellStore(spark: SparkSession, rootPath: String) {
       doUncompact: Boolean, template: Option[String]): DataFrame =
     queryCellsImpl(name, cells, targetRes, doUncompact, template, broadcastProbes = false)
 
+  /** Driver-known probes -> an OR-of-ranges predicate on the RAW h3index
+    * column: for each physical resolution r, every stored row matching some
+    * probe lies (numerically) inside that resolution's probe envelope
+    * [min, max] — ancestors are exact parent values, descendants fall in
+    * [[H3.descendantRange]]. A row at res r sits in envelope_r, so the OR
+    * over all physical resolutions covers every possible match; non-matches
+    * that slip through die in the semi-join. Because the predicate
+    * references ONLY the data column (no resolution/kind conjuncts), Spark
+    * pushes the whole disjunction into the parquet scan (`PushedFilters`),
+    * where row groups whose min/max h3index stats intersect no envelope are
+    * skipped — this is what turns the write-side h3index ordering
+    * (sortedForWrite/rangedForWrite) into actual IO skipping, the
+    * ClickHouse primary-key-skip analogue realized. (A formulation with
+    * per-resolution conjuncts would mix partition and data columns inside
+    * an OR, which neither partition-prunes nor pushes.) */
+  private def probeRangeFilter(cells: Seq[Long],
+      physRes: Seq[Int]): org.apache.spark.sql.Column = {
+    val h3Col = CompactedTableSchema.ColH3Index
+    physRes.map { r =>
+      val bounds = cells.map { c =>
+        if (H3.getResolution(c) >= r) { val v = H3.toParentUnsafe(c, r); (v, v) }
+        else H3.descendantRange(c, r)
+      }
+      col(h3Col).between(bounds.map(_._1).min, bounds.map(_._2).max)
+    }.reduce(_ || _)
+  }
+
   private def queryCellsImpl(name: String, cells: DataFrame, targetRes: Int,
       doUncompact: Boolean, template: Option[String],
       broadcastProbes: Boolean,
-      knownProbeRes: Option[Seq[Int]] = None,
-      knownBaseCells: Option[Seq[Long]] = None): DataFrame = {
+      knownCells: Option[Seq[Long]] = None): DataFrame = {
     val schema = getTableset(name)
     require(targetRes <= schema.maxBaseResolution,
       s"query resolution $targetRes exceeds tableset max ${schema.maxBaseResolution}")
@@ -395,6 +420,8 @@ class CellStore(spark: SparkSession, rootPath: String) {
       s"probe DataFrame must have exactly one column, got ${cells.columns.mkString(", ")}")
     val h3Col = CompactedTableSchema.ColH3Index
     val cellsDf = cells.toDF("qcell")
+    val knownProbeRes = knownCells.map(_.map(H3.getResolution).distinct.sorted)
+    val knownBaseCells = knownCells.map(_.map(H3.getBaseCell(_).toLong).distinct)
 
     val physRes = (0 to targetRes).toSeq
     // Spatial partition pruning: every stored cell matching a probe (ancestor
@@ -402,17 +429,29 @@ class CellStore(spark: SparkSession, rootPath: String) {
     // set prunes `ph3` directories before any IO. With BaseCell partitioning
     // ph3 IS the base cell; with LowerResolution ph3 is an H3 index whose
     // base cell is extractable — both are partition-value predicates, so
-    // pruning happens at planning, not per row.
-    val scan = knownBaseCells match {
-      case Some(bcs) if bcs.nonEmpty =>
-        val pruned = schema.h3Partitioning match {
-          case H3Partitioning.BaseCell =>
-            col("ph3").isin(bcs: _*)
-          case H3Partitioning.LowerResolution(_) =>
-            h3_get_base_cell(col("ph3")).cast("long").isin(bcs: _*)
-        }
-        scanForResolution(name, targetRes).where(pruned)
-      case _ => scanForResolution(name, targetRes)
+    // pruning happens at planning, not per row. Driver-known probes
+    // additionally push [[probeRangeFilter]]'s h3index range disjunction to
+    // the parquet scan (row-group skipping) — except under a template,
+    // whose `<[table]>` placeholder must expose the unrestricted pruned
+    // scan (the reference splices the physical table; exotic templates may
+    // look beyond the probe set's own rows).
+    val scan = {
+      val base = knownBaseCells match {
+        case Some(bcs) if bcs.nonEmpty =>
+          val pruned = schema.h3Partitioning match {
+            case H3Partitioning.BaseCell =>
+              col("ph3").isin(bcs: _*)
+            case H3Partitioning.LowerResolution(_) =>
+              h3_get_base_cell(col("ph3")).cast("long").isin(bcs: _*)
+          }
+          scanForResolution(name, targetRes).where(pruned)
+        case _ => scanForResolution(name, targetRes)
+      }
+      (knownCells, template) match {
+        case (Some(cs), None) if cs.nonEmpty =>
+          base.where(probeRangeFilter(cs, physRes))
+        case _ => base
+      }
     }
 
     // P3 probe normalization, two shapes:

@@ -74,6 +74,17 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkTestSession {
       .mkString should include("ph3")
   }
 
+  test("Seq-probe queries push h3index range envelopes into the parquet scan") {
+    // the probes' per-resolution descendant envelopes must reach parquet as
+    // BETWEEN-style pushed filters — this plus h3index-sorted files is what
+    // makes row-group min/max skipping real for probe queries
+    val cells = H3.toChildren(hexRes5, 7).take(5).toSeq
+    val plan = planOf(store.queryCells("plan_audit", cells, 7, doUncompact = false))
+    val pushed = plan.linesIterator.filter(_.contains("PushedFilters")).mkString
+    pushed should include("GreaterThanOrEqual(h3index")
+    pushed should include("LessThanOrEqual(h3index")
+  }
+
   test("probe side is (res, key) pairs — no 7^k children expansion in the plan") {
     // a res-5 probe queried at res 7 must NOT enumerate its 49 children:
     // the key-join expands probes to parents only and matches finer stored

@@ -143,6 +143,21 @@ class H3Spec extends AnyFunSuite with graft.PropHelper {
     }
   }
 
+  test("descendantRange bounds every child; nothing outside descends") {
+    forAll(Gen.choose(0, 13).flatMap(r => cellAt(r).map((_, r)))) {
+      case (h, r) =>
+        val cr = math.min(r + 2, 15)
+        val (lo, hi) = H3.descendantRange(h, cr)
+        // every enumerated descendant falls inside the envelope
+        H3.toChildren(h, cr).foreach { c => assert(lo <= c && c <= hi) }
+        // the envelope at the cell's own res is the cell itself
+        assert(H3.descendantRange(h, r) == ((h, h)))
+        // boundary values carry the child resolution and descend from h
+        assert(H3.getResolution(lo) == cr && H3.isAncestorOf(h, lo))
+        assert(H3.getResolution(hi) == cr)
+    }
+  }
+
   test("centerChild keeps pentagon-ness") {
     val pent = H3.fromParts(14, 0, Nil)
     val cc = H3.centerChild(pent, 4)
