@@ -292,6 +292,28 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Persistent IVF index (e5): same quantizer/probe/k parameters as e4,
+    * but searched through [[graft.ann.IvfIndex]]'s cid-PARTITIONED layout —
+    * probes prune `cid=` partition directories at planning. The gate shares
+    * e4's oracle: an index search must return EXACTLY the ad-hoc knnIvf
+    * results. The index builds once per dir (like the tableset stores). */
+  private val ivfIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def e5IvfIndex(spark: SparkSession, dir: String): DataFrame = {
+    val v = emb(spark, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val path = ivfIndexCache.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft_ivf_index_").toString
+      val centroids = v.where(pmod(col("id"), lit(29)) === 0)
+        .select(col("id").as("cid"), col("vec"))
+      graft.ann.IvfIndex.build(spark, v, centroids, p)
+      p
+    })
+    graft.ann.IvfIndex.search(spark, path, v.where(col("id") < 10), 5, 3)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** Dedup clustering (t8): the t2 near-duplicate pairs become connected
     * components; every document gets (cluster_id = min doc_id in its
     * component, cluster_size, is_survivor). This is the terminal step of
@@ -405,6 +427,38 @@ object PipelineQueries {
        |  UNION
        |  SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.node),
        |cl AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node)""".stripMargin
+  }
+
+  /** Shared by e4 (ad-hoc knnIvf) and e5 (persisted IvfIndex search): the
+    * index layout must not change results. Explicit dot/(|a||b|) everywhere
+    * — bit-matches Spark's VecDot assignment and precomputed-norm re-rank. */
+  private val ivfOracleSql: String = {
+    val cosSql = (a: String, b: String) =>
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id % 29 = 0),
+       |assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT v.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${cosSql("v.v", "c.cv")} DESC, c.cid) AS rn
+       |    FROM v CROSS JOIN cent c) WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid FROM (
+       |    SELECT v.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${cosSql("v.v", "c.cv")} DESC, c.cid) AS rn
+       |    FROM v CROSS JOIN cent c WHERE v.vec_id < 10) WHERE rn <= 3),
+       |cand AS (
+       |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+       |  FROM probes p JOIN assign a ON a.cid = p.cid
+       |  WHERE a.vec_id != p.query_id)
+       |SELECT query_id, rnk, neighbor_id, round(cos, 4) AS cos_sim FROM (
+       |  SELECT query_id, neighbor_id, ${cosSql("q.v", "n.v")} AS cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY ${cosSql("q.v", "n.v")} DESC, neighbor_id) AS rnk
+       |  FROM cand JOIN v q ON q.vec_id = query_id JOIN v n ON n.vec_id = neighbor_id)
+       |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
@@ -527,36 +581,10 @@ object PipelineQueries {
         |  round((coalesce(c.c, 0)::DOUBLE / greatest(g.n, 1))::FLOAT::DOUBLE, 4) AS feat
         |FROM grid g LEFT JOIN cnt c ON c.doc_id = g.doc_id AND c.bin = g.bin
         |ORDER BY g.doc_id, g.bin""".stripMargin,
-    "e4_ivf_ann" -> {
-      // explicit dot/(|a||b|) everywhere — bit-matches Spark's explode-sum
-      // assignment (see Ann.centroidCosines) and aggregate-fold re-rank
-      val cosSql = (a: String, b: String) =>
-        s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
-      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |cent AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id % 29 = 0),
-         |assign AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT v.vec_id, c.cid,
-         |      row_number() OVER (PARTITION BY v.vec_id
-         |        ORDER BY ${cosSql("v.v", "c.cv")} DESC, c.cid) AS rn
-         |    FROM v CROSS JOIN cent c) WHERE rn = 1),
-         |probes AS (
-         |  SELECT vec_id AS query_id, cid FROM (
-         |    SELECT v.vec_id, c.cid,
-         |      row_number() OVER (PARTITION BY v.vec_id
-         |        ORDER BY ${cosSql("v.v", "c.cv")} DESC, c.cid) AS rn
-         |    FROM v CROSS JOIN cent c WHERE v.vec_id < 10) WHERE rn <= 3),
-         |cand AS (
-         |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
-         |  FROM probes p JOIN assign a ON a.cid = p.cid
-         |  WHERE a.vec_id != p.query_id)
-         |SELECT query_id, rnk, neighbor_id, round(cos, 4) AS cos_sim FROM (
-         |  SELECT query_id, neighbor_id, ${cosSql("q.v", "n.v")} AS cos,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY ${cosSql("q.v", "n.v")} DESC, neighbor_id) AS rnk
-         |  FROM cand JOIN v q ON q.vec_id = query_id JOIN v n ON n.vec_id = neighbor_id)
-         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
-    },
+    "e4_ivf_ann" -> ivfOracleSql,
+    // e5 searches the PERSISTED cid-partitioned index with identical
+    // quantizer/probe/k parameters — same expected output as e4
+    "e5_ivf_index" -> ivfOracleSql,
     "t8_dedup_clusters" ->
       s"""WITH RECURSIVE $clusterCtesSql
          |SELECT c.doc_id, c.cluster_id, cnt.n AS cluster_size,
@@ -609,6 +637,7 @@ object PipelineQueries {
     "t7_simhash_neardup" -> t7SimhashNearDup,
     "t8_dedup_clusters" -> t8DedupClusters,
     "e4_ivf_ann" -> e4IvfAnn,
+    "e5_ivf_index" -> e5IvfIndex,
     "c1_curation" -> c1Curation,
     "m1_multimodal" -> m1Multimodal,
     "e2_lsh_ann" -> e2LshAnn,

@@ -148,7 +148,7 @@ object Ann {
     * aggregate; this streams n rows against k broadcast centroids).
     * Accumulation is in array order on both engines (VecDot's determinism
     * contract; verified cross-engine by the e2/e3/e4 gates). */
-  private def centroidCosines(data: DataFrame, centroids: DataFrame): DataFrame = {
+  private[ann] def centroidCosines(data: DataFrame, centroids: DataFrame): DataFrame = {
     val c = centroids.select(col("cid"), col("vec").cast("array<double>").as("cv"),
       sqrt(vec_dot(col("vec").cast("array<double>"), col("vec").cast("array<double>"))).as("cnorm"))
     data.select(col("id"), col("vec").cast("array<double>").as("dv"),
@@ -235,7 +235,7 @@ object Ann {
     * back (once, with per-vector norms precomputed), score, keep top-k per
     * query. Shared by [[knnLsh]] and [[knnIvf]] so tie-breaking (cos desc,
     * neighbor_id) and double-precision handling stay in one place. */
-  private def rerank(cand: DataFrame, queries: DataFrame, corpus: DataFrame,
+  private[ann] def rerank(cand: DataFrame, queries: DataFrame, corpus: DataFrame,
       k: Int): DataFrame = {
     val qv = withNorm(queries, "query_id", "qv", "qn")
     val nv = withNorm(corpus, "neighbor_id", "nv", "nn")

@@ -1,0 +1,83 @@
+package graft.ann
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Persistent IVF index: the corpus, PHYSICALLY PARTITIONED BY ASSIGNED
+ * CENTROID CELL, plus the centroid table — the production layout
+ * [[Ann.knnIvf]]'s scaladoc promises. Where knnIvf recomputes the
+ * assignment per query batch (fine for one-shot jobs), an index built once
+ * serves every subsequent query batch with PARTITION-PRUNED reads: probes
+ * resolve to nprobe centroid cells per query, and the scan touches only
+ * those `cid=` directories — at 100 TB a query batch reads
+ * ~nprobe/C of the corpus instead of all of it, with no assignment
+ * recomputation.
+ *
+ * Layout:
+ *   <path>/centroids/   (cid, vec)           — small, read whole
+ *   <path>/data/cid=<c>/ (id, vec)           — corpus rows by nearest centroid
+ *
+ * Determinism: assignment and search use the same [[Ann.ivfAssign]] /
+ * [[Ann.rerank]] machinery as knnIvf, so a search over the index returns
+ * EXACTLY knnIvf's results for the same (centroids, k, nprobe) — the e5
+ * gate pins that equivalence against the e4 DuckDB oracle.
+ *
+ * Rows with empty/null vectors have no nearest centroid and are not
+ * indexed (same contract as knnIvf).
+ */
+object IvfIndex {
+
+  /** Build (or rebuild) the index at `path` from `corpus` (id, vec) and
+    * `centroids` (cid, vec). One broadcast assignment pass over the corpus,
+    * one cid-partitioned write; rows within each partition are written
+    * id-sorted so re-rank joins scan ordered row groups. */
+  def build(spark: SparkSession, corpus: DataFrame, centroids: DataFrame,
+      path: String): Unit = {
+    val nonEmpty = corpus.where(size(col("vec")) > 0)
+    centroids.select(col("cid"), col("vec"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
+    val assign = Ann.ivfAssign(nonEmpty, centroids)
+    nonEmpty.join(assign, "id")
+      .repartition(col("cid"))
+      .sortWithinPartitions(col("cid"), col("id"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("cid")
+      .parquet(s"$path/data")
+  }
+
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(s"$path/data")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  /** Top-k cosine search against the index: for each query (id, vec), rank
+    * the vectors stored in its `nprobe` nearest centroid cells. The probed
+    * cid set is collected driver-side (<= |queries| * nprobe values) and
+    * planted as a partition-value predicate, so the corpus scan prunes to
+    * the probed `cid=` directories at planning time.
+    * Output: (query_id, rnk, neighbor_id, cos). */
+  def search(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val nonEmpty = queries.where(size(col("vec")) > 0)
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("cos").desc, col("cid"))
+    val probes = Ann.centroidCosines(nonEmpty, centroids)
+      .withColumn("rn", row_number().over(wp))
+      .where(col("rn") <= nprobe)
+      .select(col("id").as("query_id"), col("cid"))
+      .localCheckpoint() // consumed twice: cid collection + candidate join
+    val probedCids = probes.select("cid").distinct().collect().map(_.get(0))
+    val indexed = spark.read.parquet(s"$path/data")
+      .where(col("cid").isin(probedCids: _*)) // partition pruning
+    val cand = probes
+      .join(indexed.select(col("id").as("neighbor_id"), col("cid")), "cid")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct()
+    Ann.rerank(cand, queries, indexed.select(col("id"), col("vec")), k)
+  }
+}

@@ -1,0 +1,63 @@
+package graft.ann
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestSession
+
+/** Structural + plan properties of the persistent IVF index: the layout is
+  * really partitioned by cid, searches prune to the probed partitions at
+  * planning time, and results equal the ad-hoc knnIvf path (the e5 gate
+  * additionally pins that equivalence against the DuckDB oracle). */
+class IvfIndexSpec extends AnyFunSuite with Matchers with SparkTestSession {
+
+  private def vectors = {
+    import spark.implicits._
+    // deterministic 40-dim lattice vectors, ids 0..199
+    (0L until 200L).map { i =>
+      (i, (0 until 40).map(j => (((i * 31 + j * 17) % 19) - 9).toDouble))
+    }.toDF("id", "vec")
+  }
+
+  private lazy val indexPath: String = {
+    val p = Files.createTempDirectory("graft_ivf_spec_").toString
+    val v = vectors
+    val centroids = v.where(pmod(col("id"), lit(23)) === 0)
+      .select(col("id").as("cid"), col("vec"))
+    IvfIndex.build(spark, v, centroids, p)
+    p
+  }
+
+  test("layout is physically partitioned by cid") {
+    IvfIndex.exists(spark, indexPath) shouldBe true
+    val dirs = new java.io.File(s"$indexPath/data").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    all(dirs) should startWith("cid=")
+    dirs.length should be > 1
+    // every corpus row with a non-empty vector is indexed exactly once
+    spark.read.parquet(s"$indexPath/data").count() shouldBe 200
+  }
+
+  test("search prunes to the probed cid partitions at planning time") {
+    val queries = vectors.where(col("id") < 3)
+    val plan = IvfIndex.search(spark, indexPath, queries, 4, 2)
+      .queryExecution.executedPlan.toString
+    plan.linesIterator.filter(_.contains("PartitionFilters"))
+      .mkString should include("cid")
+  }
+
+  test("index search equals ad-hoc knnIvf for the same parameters") {
+    val v = vectors
+    val centroids = v.where(pmod(col("id"), lit(23)) === 0)
+      .select(col("id").as("cid"), col("vec"))
+    val queries = v.where(col("id") < 5)
+    val viaIndex = IvfIndex.search(spark, indexPath, queries, 4, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val adHoc = Ann.knnIvf(queries, v, centroids, 4, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    viaIndex shouldBe adHoc
+  }
+}
