@@ -219,6 +219,17 @@ object Queries {
       .withColumn("total_value", round(col("total_value"), 2))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** Sliding-window event statistics (2-hour windows every hour) through
+    * [[graft.streaming.StreamOps.windowedEventStats]] — the same plan a
+    * Structured Streaming query produces (s1 covers sessions, this covers
+    * overlapping windows). The oracle re-derives Spark's epoch-aligned
+    * window assignment: each event belongs to the two windows starting at
+    * trunc_hour(ts) and trunc_hour(ts) - 1h. */
+  def s2WindowedStats(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamOps.windowedEventStats(events(spark, dir), "2 hours", "1 hour", "1 hour")
+      .withColumn("total_value", round(col("total_value"), 2))
+      .orderBy(col("window_start"), col("event_type"))
+
   // -------------------------------------------------------------- documents
 
   /** Exact dedup: canonical doc per distinct text (min doc_id wins).
@@ -533,6 +544,14 @@ object Queries {
           |  count(*) AS num_events, round(sum(value), 2) AS total_value
           |FROM s GROUP BY user_id, sid
           |ORDER BY user_id, session_start""".stripMargin,
+      "s2_windowed_stats" ->
+        """WITH w AS (
+          |  SELECT event_type, value,
+          |    date_trunc('hour', ts) - to_hours(k) AS window_start
+          |  FROM events, range(0, 2) t(k))
+          |SELECT window_start, window_start + INTERVAL 2 HOUR AS window_end,
+          |  event_type, count(*) AS num_events, round(sum(value), 2) AS total_value
+          |FROM w GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin,
       "e1_knn_brute_force" ->
         """SELECT query_id, rnk, neighbor_id, round(cos, 4) AS cos_sim FROM (
           |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
@@ -560,6 +579,7 @@ object Queries {
     "h2_parent_rollup" -> h2ParentRollup,
     "h3_resolution_pyramid" -> h3ResolutionPyramid,
     "s1_sessionize" -> s1Sessionize,
+    "s2_windowed_stats" -> s2WindowedStats,
     "d1_exact_dedup" -> d1ExactDedup,
     "d2_token_stats" -> d2TokenStats,
     "d5_token_regex" -> d5TokenRegex,
