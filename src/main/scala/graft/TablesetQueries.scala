@@ -1,6 +1,5 @@
 package graft
 
-import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -35,10 +34,10 @@ object TablesetQueries {
   private def lineitem(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")
 
-  /** Root dir holding the tablesets for one sfDir (created lazily). */
+  /** Root dir holding the tablesets for one sfDir (created lazily, removed
+    * best-effort at JVM exit). */
   private def rootFor(dir: String): String =
-    builtRoots.computeIfAbsent(dir,
-      _ => Files.createTempDirectory("graft_ts_gate_").toString)
+    builtRoots.computeIfAbsent(dir, _ => graft.util.TempDirs.create("graft_ts_gate_"))
 
   // ------------------------------------------------------------------- ts1
 

@@ -396,16 +396,31 @@ class CellStore(spark: SparkSession, rootPath: String) {
     * (sortedForWrite/rangedForWrite) into actual IO skipping, the
     * ClickHouse primary-key-skip analogue realized. (A formulation with
     * per-resolution conjuncts would mix partition and data columns inside
-    * an OR, which neither partition-prunes nor pushes.) */
+    * an OR, which neither partition-prunes nor pushes.)
+    *
+    * Envelopes are computed PER BASE CELL: the base cell lives in the high
+    * bits of the index, so one global [min, max] over probes spanning
+    * distant base cells covers most of the keyspace and skips nothing —
+    * grouping keeps each range inside one base cell's keyspan. The
+    * disjunct count is |physRes| x |probe base cells|, capped at 256
+    * leaves (beyond that, fall back to per-resolution global envelopes:
+    * a probe set spanning 30+ base cells is an area scan, where ph3
+    * partition pruning is the effective mechanism anyway). */
   private def probeRangeFilter(cells: Seq[Long],
       physRes: Seq[Int]): org.apache.spark.sql.Column = {
     val h3Col = CompactedTableSchema.ColH3Index
-    physRes.map { r =>
-      val bounds = cells.map { c =>
-        if (H3.getResolution(c) >= r) { val v = H3.toParentUnsafe(c, r); (v, v) }
-        else H3.descendantRange(c, r)
+    val groups: Seq[Seq[Long]] = {
+      val byBc = cells.groupBy(H3.getBaseCell).values.toSeq
+      if (byBc.size * physRes.size <= 256) byBc else Seq(cells)
+    }
+    physRes.flatMap { r =>
+      groups.map { g =>
+        val bounds = g.map { c =>
+          if (H3.getResolution(c) >= r) { val v = H3.toParentUnsafe(c, r); (v, v) }
+          else H3.descendantRange(c, r)
+        }
+        col(h3Col).between(bounds.map(_._1).min, bounds.map(_._2).max)
       }
-      col(h3Col).between(bounds.map(_._1).min, bounds.map(_._2).max)
     }.reduce(_ || _)
   }
 
