@@ -285,6 +285,33 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Benchmark decontamination (c2): flag training documents sharing any
+    * word 4-gram with a benchmark/eval set (here: every 23rd doc plays the
+    * benchmark) — the standard n-gram-overlap contamination check run
+    * before training. Scale shape: the BENCHMARK gram set is broadcast
+    * (eval suites are small by construction); corpus grams stream past it,
+    * and only matching (doc_id, gram) pairs — rare — reach the final
+    * per-doc distinct count. One window shuffle for gram formation (same
+    * as d7), no corpus-side self-join. */
+  def c2Contamination(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val words = docs(spark, dir)
+      .select(col("doc_id"),
+        posexplode(filter(split(col("text"), "\\s+"), x => x =!= "")).as(Seq("pos", "w")))
+    val grams = words
+      .withColumn("w1", lead(col("w"), 1).over(w))
+      .withColumn("w2", lead(col("w"), 2).over(w))
+      .withColumn("w3", lead(col("w"), 3).over(w))
+      .where(col("w3").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("w"), col("w1"), col("w2"), col("w3")).as("g"))
+    val bench = grams.where(pmod(col("doc_id"), lit(23)) === 0).select("g").distinct()
+    grams.where(pmod(col("doc_id"), lit(23)) =!= 0)
+      .join(broadcast(bench), "g")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Shared e4/e5 IVF parameters — the two gates AND [[ivfOracleSql]] must
     * stay in lockstep (the e5 gate's whole point is that the persisted
     * index returns EXACTLY the ad-hoc results); one definition site removes
@@ -597,6 +624,18 @@ object PipelineQueries {
         |  round((coalesce(c.c, 0)::DOUBLE / greatest(g.n, 1))::FLOAT::DOUBLE, 4) AS feat
         |FROM grid g LEFT JOIN cnt c ON c.doc_id = g.doc_id AND c.bin = g.bin
         |ORDER BY g.doc_id, g.bin""".stripMargin,
+    "c2_contamination" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS ws
+        |  FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, greatest(length(ws)-2, 1)),
+        |    i -> ws[i::INT] || ' ' || ws[(i+1)::INT] || ' ' || ws[(i+2)::INT]
+        |         || ' ' || ws[(i+3)::INT])) AS g
+        |  FROM w),
+        |bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 23 = 0)
+        |SELECT doc_id, count(DISTINCT g.g) AS n_shared
+        |FROM g JOIN bench USING (g) WHERE doc_id % 23 != 0
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "e4_ivf_ann" -> ivfOracleSql,
     // e5 searches the PERSISTED cid-partitioned index with identical
     // quantizer/probe/k parameters — same expected output as e4
@@ -655,6 +694,7 @@ object PipelineQueries {
     "e4_ivf_ann" -> e4IvfAnn,
     "e5_ivf_index" -> e5IvfIndex,
     "c1_curation" -> c1Curation,
+    "c2_contamination" -> c2Contamination,
     "m1_multimodal" -> m1Multimodal,
     "e2_lsh_ann" -> e2LshAnn,
     "e3_embedding_neardup" -> e3EmbeddingNearDup
