@@ -319,6 +319,22 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Stratified per-language sampling (d8): keep the top-N documents per
+    * language by a deterministic quality key — the data-mixing shape every
+    * training pipeline runs (per-source/per-language caps). One shuffle on
+    * the stratum key; rank + filter happens inside the window, so only N
+    * rows per stratum survive into downstream stages. Deterministic
+    * tie-break (n_chars desc, doc_id) keeps it oracle-checkable. */
+  def d8StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_chars").desc, col("doc_id"))
+    t(spark, dir, "documents")
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        row_number().over(w).as("rn"))
+      .where(col("rn") <= 20)
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
   /** Quality score: simple length/punctuation heuristic, deterministic
     * integer arithmetic (training-data quality filter shape). */
   def d3QualityScore(spark: SparkSession, dir: String): DataFrame =
@@ -519,6 +535,12 @@ object Queries {
           |  round(coalesce(dup, 0)::DOUBLE / greatest(coalesce(total, 1), 1), 4) AS dup_frac,
           |  round(coalesce(top, 0)::DOUBLE / greatest(coalesce(total, 1), 1), 4) AS top_frac
           |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+      "d8_stratified_sample" ->
+        """SELECT lang, doc_id, n_chars FROM (
+          |  SELECT lang, doc_id, n_chars,
+          |    row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
+          |  FROM documents)
+          |WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin,
       "d3_quality_score" ->
         """SELECT doc_id,
           | round(least(n_chars / 1000.0, 1.0) * 0.5 +
@@ -585,6 +607,7 @@ object Queries {
     "d5_token_regex" -> d5TokenRegex,
     "d6_stopword_ratio" -> d6StopwordRatio,
     "d7_repetition_ratio" -> d7RepetitionRatio,
+    "d8_stratified_sample" -> d8StratifiedSample,
     "d3_quality_score" -> d3QualityScore,
     "d4_lang_distribution" -> d4LangDistribution,
     "e1_knn_brute_force" -> e1KnnBruteForce
