@@ -76,9 +76,13 @@ object PipelineQueries {
     * context. */
   private val frameCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private def memo(spark: SparkSession, key: String)(f: => DataFrame): DataFrame =
-    frameCache.computeIfAbsent(s"${spark.sparkContext.applicationId}:$key",
-      _ => f.localCheckpoint())
+  private def memo(spark: SparkSession, key: String)(f: => DataFrame): DataFrame = {
+    val appId = spark.sparkContext.applicationId
+    // evict entries of OTHER (stopped) contexts: stale checkpointed frames
+    // are unusable and would otherwise pin each dead session's plans forever
+    frameCache.keySet.removeIf(k => !k.startsWith(s"$appId:"))
+    frameCache.computeIfAbsent(s"$appId:$key", _ => f.localCheckpoint())
+  }
 
   private def minhashFrame(spark: SparkSession, dir: String): DataFrame =
     memo(spark, s"minhash:$dir") {
@@ -479,7 +483,7 @@ object PipelineQueries {
     val cosSql = (a: String, b: String) =>
       s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
     s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |cent AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id % 29 = 0),
+       |cent AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id % $IvfCentroidStride = 0),
        |assign AS (
        |  SELECT vec_id, cid FROM (
        |    SELECT v.vec_id, c.cid,
@@ -491,7 +495,7 @@ object PipelineQueries {
        |    SELECT v.vec_id, c.cid,
        |      row_number() OVER (PARTITION BY v.vec_id
        |        ORDER BY ${cosSql("v.v", "c.cv")} DESC, c.cid) AS rn
-       |    FROM v CROSS JOIN cent c WHERE v.vec_id < 10) WHERE rn <= 3),
+       |    FROM v CROSS JOIN cent c WHERE v.vec_id < $IvfNumQueries) WHERE rn <= $IvfNprobe),
        |cand AS (
        |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
        |  FROM probes p JOIN assign a ON a.cid = p.cid
@@ -501,7 +505,7 @@ object PipelineQueries {
        |    row_number() OVER (PARTITION BY query_id
        |      ORDER BY ${cosSql("q.v", "n.v")} DESC, neighbor_id) AS rnk
        |  FROM cand JOIN v q ON q.vec_id = query_id JOIN v n ON n.vec_id = neighbor_id)
-       |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+       |WHERE rnk <= $IvfK ORDER BY query_id, rnk""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(

@@ -299,15 +299,16 @@ object Ann {
   def nearDupPairs(data: DataFrame, threshold: Double,
       numPlanes: Int, dim: Int, numBands: Int = 8): DataFrame = {
     require(numPlanes % numBands == 0, "numPlanes must divide into numBands")
-    // localCheckpoint: the band frame feeds BOTH sides of the self-join;
-    // without it every signature (numPlanes dot products per vector) is
-    // computed twice. At corpus scale this frame is a written signature
-    // table. Blocks are materialized once per CALL and reclaimed when the
-    // frame is GC'd — callers invoking this repeatedly on the same data
-    // should memoize the result (cf. PipelineQueries e3) rather than
-    // accumulate one copy per call.
+    // lazy localCheckpoint: the band frame feeds BOTH sides of the
+    // self-join; without it every signature (numPlanes dot products per
+    // vector) is computed twice. At corpus scale this frame is a written
+    // signature table. eager=false keeps DataFrame CONSTRUCTION free (the
+    // job runs on first action, once); blocks are reclaimed when the frame
+    // is GC'd — callers invoking this repeatedly on the same data should
+    // memoize the result (cf. PipelineQueries e3) rather than accumulate
+    // one copy per call.
     val bands = bandsOf(data, "id", numPlanes, dim, numBands, probe = false)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val cand = bands.select(col("id").as("id_a"), col("band"), col("bucket"))
       .join(bands.select(col("id").as("id_b"), col("band"), col("bucket")),
         Seq("band", "bucket"))

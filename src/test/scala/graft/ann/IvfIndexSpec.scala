@@ -1,6 +1,5 @@
 package graft.ann
 
-import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -23,7 +22,7 @@ class IvfIndexSpec extends AnyFunSuite with Matchers with SparkTestSession {
   }
 
   private lazy val indexPath: String = {
-    val p = Files.createTempDirectory("graft_ivf_spec_").toString
+    val p = graft.util.TempDirs.create("graft_ivf_spec_")
     val v = vectors
     val centroids = v.where(pmod(col("id"), lit(23)) === 0)
       .select(col("id").as("cid"), col("vec"))
