@@ -48,6 +48,24 @@ class IvfIndexSpec extends AnyFunSuite with Matchers with SparkTestSession {
       .mkString should include("cid")
   }
 
+  test("kmeans-trained quantizer + persisted index: recall floor vs brute force") {
+    // the production composition: Lloyd-trained centroids -> build -> search;
+    // nprobe=4 of 8 trained cells must recover most true top-4 neighbors
+    val v = vectors
+    val trained = Ann.kmeansCentroids(v, k = 8, iters = 3, stride = 25)
+    val p = graft.util.TempDirs.create("graft_ivf_kmeans_")
+    IvfIndex.build(spark, v, trained, p)
+    val queries = v.where(col("id") < 10)
+    val got = IvfIndex.search(spark, p, queries, 4, 4)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = Ann.knnBruteForce(queries, v, 4)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (got & truth).size.toDouble / truth.size
+    recall should be >= 0.7
+  }
+
   test("index search equals ad-hoc knnIvf for the same parameters") {
     val v = vectors
     val centroids = v.where(pmod(col("id"), lit(23)) === 0)
