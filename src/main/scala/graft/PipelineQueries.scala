@@ -289,6 +289,22 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Multimodal frame sampling (m2): the video-style path of the media
+    * plumbing — payloads split into 8 equal "frames", every 3rd sampled,
+    * checksummed. Complements m1 (decode metadata + byte histogram) so both
+    * stub featurizer paths carry an oracle. The DuckDB side has no BLOB
+    * substring, so it slices the TEXT instead — byte-exact because the
+    * corpus is pure ASCII (verified octet_length == length at both
+    * scales). */
+  def m2FrameSample(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.synthesizeMediaTable(docs(spark, dir))
+    graft.multimodal.Multimodal.sampleFrames(media, "content", 8, 3)
+      .select(col("doc_id"), col("frame_idx"),
+        length(col("frame_bytes")).cast("long").as("frame_len"),
+        sha2(col("frame_bytes"), 256).as("frame_sha"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   /** Benchmark decontamination (c2): flag training documents sharing any
     * word 4-gram with a benchmark/eval set (here: every 23rd doc plays the
     * benchmark) — the standard n-gram-overlap contamination check run
@@ -628,6 +644,16 @@ object PipelineQueries {
         |  round((coalesce(c.c, 0)::DOUBLE / greatest(g.n, 1))::FLOAT::DOUBLE, 4) AS feat
         |FROM grid g LEFT JOIN cnt c ON c.doc_id = g.doc_id AND c.bin = g.bin
         |ORDER BY g.doc_id, g.bin""".stripMargin,
+    "m2_frame_sample" ->
+      """WITH f AS (SELECT doc_id, text AS s,
+        |    greatest(length(text) // 8, 1) AS flen FROM documents),
+        |fr AS (SELECT doc_id, k AS frame_idx,
+        |    substring(s, (k*flen+1)::INT, flen::INT) AS fs
+        |  FROM f, range(0, 8) t(k) WHERE k % 3 = 0)
+        |SELECT doc_id, frame_idx::INT AS frame_idx,
+        |  length(fs)::BIGINT AS frame_len,
+        |  sha256(fs) AS frame_sha
+        |FROM fr ORDER BY doc_id, frame_idx""".stripMargin,
     "c2_contamination" ->
       """WITH w AS (SELECT doc_id,
         |    list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS ws
@@ -700,6 +726,7 @@ object PipelineQueries {
     "c1_curation" -> c1Curation,
     "c2_contamination" -> c2Contamination,
     "m1_multimodal" -> m1Multimodal,
+    "m2_frame_sample" -> m2FrameSample,
     "e2_lsh_ann" -> e2LshAnn,
     "e3_embedding_neardup" -> e3EmbeddingNearDup
   )
