@@ -76,7 +76,7 @@ object PipelineQueries {
     * context. */
   private val frameCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private def memo(spark: SparkSession, key: String)(f: => DataFrame): DataFrame = {
+  private[graft] def memo(spark: SparkSession, key: String)(f: => DataFrame): DataFrame = {
     val appId = spark.sparkContext.applicationId
     // evict entries of OTHER (stopped) contexts: stale checkpointed frames
     // are unusable and would otherwise pin each dead session's plans forever

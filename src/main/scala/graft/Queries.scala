@@ -230,6 +230,48 @@ object Queries {
       .withColumn("total_value", round(col("total_value"), 2))
       .orderBy(col("window_start"), col("event_type"))
 
+  // ----------------------------------------------------------------- joins
+
+  /** As-of join gate (q11): each error event matched to the same user's most
+    * recent click at-or-before it, through
+    * [[graft.join.TemporalJoins.asofJoin]] (union + running-last window —
+    * ONE shuffle on user_id, no nested loop). The oracle is DuckDB's native
+    * `ASOF LEFT JOIN`, an independent engine implementation of the same
+    * semantics, so the operator is cross-checked end to end including the
+    * inclusive (<=) tie rule and unmatched-left NULLs. Clicks are
+    * pre-aggregated per (user, ts) to meet the operator's uniqueness
+    * contract. */
+  def q11AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val errors = ev.where(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.where(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("click_id"))
+    graft.join.TemporalJoins.asofJoin(errors, clicks, "user_id", "ts", "ts")
+      .select(col("event_id"), col("user_id"),
+        col("asof_click_id").as("click_id"),
+        (unix_micros(col("ts")) - unix_micros(col("asof_ts"))).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Range-join gate (q12): every event falling in the 10-minute window each
+    * error event opens for its user, then per-window counts — through
+    * [[graft.join.TemporalJoins.rangeJoin]] (interval-to-bucket explode +
+    * equi-join, never a BroadcastNestedLoop). Oracle: DuckDB's inequality
+    * join over the same windows. */
+  def q12RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val windows = ev.where(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id"),
+        col("ts").as("ws"), (col("ts") + expr("INTERVAL 10 MINUTES")).as("we"))
+    val points = ev.select(col("user_id"), col("ts"), col("value"))
+    graft.join.TemporalJoins.rangeJoin(points, windows, "user_id", "ts", "ws", "we", 600L)
+      .groupBy(col("err_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("err_id"))
+  }
+
   // -------------------------------------------------------------- documents
 
   /** Exact dedup: canonical doc per distinct text (min doc_id wins).
@@ -333,6 +375,70 @@ object Queries {
       .where(col("rn") <= 20)
       .select(col("lang"), col("doc_id"), col("n_chars"))
       .orderBy(col("lang"), col("doc_id"))
+  }
+
+  /** Corpus-duplicated trigram fraction (d9) — the corpus-LEVEL duplication
+    * signal (Dolma/RefinedWeb-style): per document, the share of its word
+    * trigrams that also occur in at least one OTHER document. Complements d7,
+    * which measures repetition WITHIN a document; together they catch
+    * boilerplate that is clean in isolation but duplicated across the crawl.
+    *
+    * Scale shape: trigrams shuffle as sha2-256 keys (32 bytes/row, like d1 —
+    * the corpus text itself never transits a shuffle), the per-gram distinct
+    * document counts join back on the same key, and the gram frame is
+    * memoized across its two consumers (at corpus scale it is a written
+    * intermediate table). */
+  def d9DupNgramFrac(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val keyed = PipelineQueries.memo(spark, s"trigrams:$dir") {
+      t(spark, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(filter(split(col("text"), "\\s+"), x => x =!= "")).as(Seq("pos", "w")))
+        .withColumn("w2", lead(col("w"), 1).over(w))
+        .withColumn("w3", lead(col("w"), 2).over(w))
+        .where(col("w3").isNotNull)
+        .select(col("doc_id"),
+          sha2(concat_ws(" ", col("w"), col("w2"), col("w3")), 256).as("h"))
+    }
+    val nd = keyed.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("nd"))
+    val per = keyed.join(nd, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup"))
+    t(spark, dir, "documents").select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        round(coalesce(col("n_dup"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_grams"), lit(1L)), lit(1L)), 4).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-document top-3 TF-IDF terms (d10) — the topical-signature shape a
+    * data-mixing / clustering pipeline derives per document. Scoring uses the
+    * raw rational form tf * N / df (one IEEE division, no logarithm) so the
+    * scores — and therefore the ranking with its (score desc, term) tie-break
+    * — are bit-identical in Spark and the DuckDB oracle.
+    *
+    * Scale shape: one tokenization pass feeds both the term-frequency and
+    * document-frequency aggregations (memoized), the join key is the term,
+    * and only (doc_id, term, tf) rows — never documents — shuffle. */
+  def d10TfidfTopk(spark: SparkSession, dir: String): DataFrame = {
+    val docsDf = t(spark, dir, "documents")
+    val n = docsDf.count()
+    val words = PipelineQueries.memo(spark, s"terms:$dir") {
+      docsDf.select(col("doc_id"),
+        explode(filter(split(col("text"), "\\s+"), x => x =!= "")).as("term"))
+    }
+    val tf = words.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = words.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, Seq("term"))
+      .withColumn("score", col("tf").cast("double") * lit(n.toDouble) / col("df").cast("double"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("term"), round(col("score"), 4).as("tfidf"))
+      .orderBy(col("doc_id"), col("rnk"))
   }
 
   /** Quality score: simple length/punctuation heuristic, deterministic
@@ -541,6 +647,46 @@ object Queries {
           |    row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
           |  FROM documents)
           |WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin,
+      "q11_asof_join" ->
+        """WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+          |c AS (SELECT user_id, ts, max(event_id) AS click_id
+          |      FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+          |SELECT e.event_id, e.user_id, c.click_id,
+          |  epoch_us(e.ts) - epoch_us(c.ts) AS gap_us
+          |FROM e ASOF LEFT JOIN c ON e.user_id = c.user_id AND e.ts >= c.ts
+          |ORDER BY e.event_id""".stripMargin,
+      "q12_range_join" ->
+        """WITH w AS (SELECT event_id AS err_id, user_id, ts AS ws,
+          |    ts + INTERVAL 10 MINUTE AS we FROM events WHERE event_type = 'error')
+          |SELECT err_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+          |FROM w JOIN events e ON e.user_id = w.user_id AND e.ts >= w.ws AND e.ts <= w.we
+          |GROUP BY err_id ORDER BY err_id""".stripMargin,
+      "d9_dup_ngram_frac" ->
+        """WITH w AS (SELECT doc_id,
+          |    list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS ws
+          |  FROM documents),
+          |g AS (SELECT doc_id, unnest(list_transform(range(1, greatest(length(ws) - 1, 1)),
+          |    i -> ws[i::INT] || ' ' || ws[(i+1)::INT] || ' ' || ws[(i+2)::INT])) AS g FROM w),
+          |cnt AS (SELECT g, count(distinct doc_id) AS nd FROM g GROUP BY 1),
+          |per AS (SELECT doc_id, count(*) AS n_grams,
+          |    sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS n_dup
+          |  FROM g JOIN cnt USING (g) GROUP BY 1)
+          |SELECT d.doc_id, coalesce(n_grams, 0)::BIGINT AS n_grams,
+          |  round(coalesce(n_dup, 0)::DOUBLE / greatest(coalesce(n_grams, 1), 1), 4) AS dup_frac
+          |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin,
+      "d10_tfidf_topk" ->
+        """WITH w AS (SELECT doc_id,
+          |    unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')) AS term
+          |  FROM documents),
+          |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+          |df AS (SELECT term, count(distinct doc_id) AS df FROM w GROUP BY 1),
+          |n AS (SELECT count(*) AS n FROM documents),
+          |s AS (SELECT doc_id, term, (tf::DOUBLE * n) / df AS score
+          |      FROM tf JOIN df USING (term) CROSS JOIN n),
+          |r AS (SELECT doc_id, term, score,
+          |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk FROM s)
+          |SELECT doc_id, rnk, term, round(score, 4) AS tfidf
+          |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
       "d3_quality_score" ->
         """SELECT doc_id,
           | round(least(n_chars / 1000.0, 1.0) * 0.5 +
@@ -608,6 +754,10 @@ object Queries {
     "d6_stopword_ratio" -> d6StopwordRatio,
     "d7_repetition_ratio" -> d7RepetitionRatio,
     "d8_stratified_sample" -> d8StratifiedSample,
+    "d9_dup_ngram_frac" -> d9DupNgramFrac,
+    "d10_tfidf_topk" -> d10TfidfTopk,
+    "q11_asof_join" -> q11AsofJoin,
+    "q12_range_join" -> q12RangeJoin,
     "d3_quality_score" -> d3QualityScore,
     "d4_lang_distribution" -> d4LangDistribution,
     "e1_knn_brute_force" -> e1KnnBruteForce
