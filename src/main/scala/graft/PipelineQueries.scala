@@ -311,19 +311,20 @@ object PipelineQueries {
     * before training. Scale shape: the BENCHMARK gram set is broadcast
     * (eval suites are small by construction); corpus grams stream past it,
     * and only matching (doc_id, gram) pairs — rare — reach the final
-    * per-doc distinct count. One window shuffle for gram formation (same
-    * as d7), no corpus-side self-join. */
+    * per-doc distinct count. Gram formation is shuffle-free (position
+    * explode + element_at, like d7), no corpus-side self-join. */
   def c2Contamination(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val words = docs(spark, dir)
+    val grams = docs(spark, dir)
       .select(col("doc_id"),
-        posexplode(filter(split(col("text"), "\\s+"), x => x =!= "")).as(Seq("pos", "w")))
-    val grams = words
-      .withColumn("w1", lead(col("w"), 1).over(w))
-      .withColumn("w2", lead(col("w"), 2).over(w))
-      .withColumn("w3", lead(col("w"), 3).over(w))
-      .where(col("w3").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("w"), col("w1"), col("w2"), col("w3")).as("g"))
+        filter(split(col("text"), "\\s+"), x => x =!= "").as("ws"))
+      .select(col("doc_id"), col("ws"), explode(
+        when(size(col("ws")) >= 4, sequence(lit(1), size(col("ws")) - 3))
+          .otherwise(array().cast("array<int>"))).as("i"))
+      .select(col("doc_id"),
+        concat_ws(" ", element_at(col("ws"), col("i")),
+          element_at(col("ws"), col("i") + 1),
+          element_at(col("ws"), col("i") + 2),
+          element_at(col("ws"), col("i") + 3)).as("g"))
     val bench = grams.where(pmod(col("doc_id"), lit(23)) === 0).select("g").distinct()
     grams.where(pmod(col("doc_id"), lit(23)) =!= 0)
       .join(broadcast(bench), "g")

@@ -337,14 +337,18 @@ object Queries {
     * (doc_id, bigram) then doc_id. No interpreted array lambdas; the
     * per-doc state is counts, never materialized bigram lists. */
   def d7RepetitionRatio(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val words = t(spark, dir, "documents")
+    // Adjacent-word pairing WITHOUT a window: exploding positions and pairing
+    // via element_at needs no shuffle at all before the counting aggregation
+    // (a lead() window would shuffle + sort every word in the corpus first).
+    val bigrams = t(spark, dir, "documents")
       .select(col("doc_id"),
-        posexplode(filter(split(col("text"), "\\s+"), x => x =!= "")).as(Seq("pos", "w")))
-    val bigrams = words
-      .withColumn("nx", lead(col("w"), 1).over(w))
-      .where(col("nx").isNotNull)
-      .select(col("doc_id"), concat(col("w"), lit(" "), col("nx")).as("g"))
+        filter(split(col("text"), "\\s+"), x => x =!= "").as("ws"))
+      .select(col("doc_id"), col("ws"), explode(
+        when(size(col("ws")) >= 2, sequence(lit(1), size(col("ws")) - 1))
+          .otherwise(array().cast("array<int>"))).as("i"))
+      .select(col("doc_id"),
+        concat(element_at(col("ws"), col("i")), lit(" "),
+          element_at(col("ws"), col("i") + 1)).as("g"))
     val agg = bigrams.groupBy(col("doc_id"), col("g")).count()
       .groupBy(col("doc_id"))
       .agg(sum(col("count")).as("total"),
@@ -389,16 +393,19 @@ object Queries {
     * memoized across its two consumers (at corpus scale it is a written
     * intermediate table). */
   def d9DupNgramFrac(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // Same shuffle-free adjacent-word pairing as d7 (explode positions +
+    // element_at), extended to trigrams.
     val keyed = PipelineQueries.memo(spark, s"trigrams:$dir") {
       t(spark, dir, "documents")
         .select(col("doc_id"),
-          posexplode(filter(split(col("text"), "\\s+"), x => x =!= "")).as(Seq("pos", "w")))
-        .withColumn("w2", lead(col("w"), 1).over(w))
-        .withColumn("w3", lead(col("w"), 2).over(w))
-        .where(col("w3").isNotNull)
+          filter(split(col("text"), "\\s+"), x => x =!= "").as("ws"))
+        .select(col("doc_id"), col("ws"), explode(
+          when(size(col("ws")) >= 3, sequence(lit(1), size(col("ws")) - 2))
+            .otherwise(array().cast("array<int>"))).as("i"))
         .select(col("doc_id"),
-          sha2(concat_ws(" ", col("w"), col("w2"), col("w3")), 256).as("h"))
+          sha2(concat(element_at(col("ws"), col("i")), lit(" "),
+            element_at(col("ws"), col("i") + 1), lit(" "),
+            element_at(col("ws"), col("i") + 2)), 256).as("h"))
     }
     val nd = keyed.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("nd"))
     val per = keyed.join(nd, Seq("h"))
