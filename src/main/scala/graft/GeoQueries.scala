@@ -97,6 +97,54 @@ object GeoQueries {
     595243812519935999L, 595243924189085695L, 595243932779020287L,
     595243941368954879L, 595243949958889471L, 595243967138758655L)
 
+  /** G3 border cells over the same triangle as g2, at widths 1 and 2 — the
+    * reference's border_cells (geom/border_cells.rs:15-77): cells within
+    * ~width cells of the exterior ring, via JTS inward offset + strip
+    * polyfill. Pinned like g1/g2 to precomputed vectors; the suite's
+    * structural invariants (subset-of-polyfill, monotone in width) are
+    * spec-asserted in GeomSpec. */
+  def g3BorderCells(spark: SparkSession, dir: String): DataFrame = {
+    val factory = new org.locationtech.jts.geom.GeometryFactory()
+    val tri = factory.createPolygon(Array(
+      new org.locationtech.jts.geom.Coordinate(6.0, 48.0),
+      new org.locationtech.jts.geom.Coordinate(10.5, 48.5),
+      new org.locationtech.jts.geom.Coordinate(8.0, 52.3),
+      new org.locationtech.jts.geom.Coordinate(6.0, 48.0)))
+    import spark.implicits._
+    Seq(1, 2).flatMap(w => Geo.borderCells(tri, 4, w).map(c => (w, c)))
+      .toDF("width", "cell").orderBy(col("width"), col("cell"))
+  }
+
+  private val g3Expected: Map[Int, Seq[Long]] = Map(
+    1 -> Seq(594756634379550719L, 595214031216705535L, 595240574114594815L,
+      595240608474333183L, 595240848992501759L, 595240883352240127L,
+      595241544777203711L, 595241587726876671L, 595241596316811263L,
+      595241622086615039L, 595241630676549631L, 595241656446353407L,
+      595241690806091775L, 595241699396026367L, 595241707985960959L,
+      595241725165830143L, 595241733755764735L, 595241759525568511L,
+      595241768115503103L, 595241776705437695L, 595241828245045247L,
+      595241845424914431L, 595241871194718207L, 595241905554456575L,
+      595241948504129535L, 595241957094064127L, 595242481080074239L,
+      595242498259943423L, 595242515439812607L, 595242532619681791L,
+      595243812519935999L, 595243924189085695L, 595243932779020287L,
+      595243941368954879L, 595243967138758655L),
+    2 -> Seq(594756634379550719L, 595214031216705535L, 595240574114594815L,
+      595240608474333183L, 595240848992501759L, 595240883352240127L,
+      595241536187269119L, 595241544777203711L, 595241587726876671L,
+      595241596316811263L, 595241613496680447L, 595241622086615039L,
+      595241630676549631L, 595241639266484223L, 595241656446353407L,
+      595241690806091775L, 595241699396026367L, 595241707985960959L,
+      595241725165830143L, 595241733755764735L, 595241759525568511L,
+      595241768115503103L, 595241776705437695L, 595241793885306879L,
+      595241811065176063L, 595241828245045247L, 595241836834979839L,
+      595241845424914431L, 595241862604783615L, 595241871194718207L,
+      595241888374587391L, 595241896964521983L, 595241905554456575L,
+      595241939914194943L, 595241948504129535L, 595241957094064127L,
+      595241965683998719L, 595242481080074239L, 595242498259943423L,
+      595242515439812607L, 595242532619681791L, 595243812519935999L,
+      595243924189085695L, 595243932779020287L, 595243941368954879L,
+      595243949958889471L, 595243967138758655L))
+
   val oracles: Map[String, String] = Map(
     "g1_geo_roundtrip" -> {
       val rows = g1Expected.map { case (i, c) => s"($i::BIGINT, $c::BIGINT, TRUE)" }.mkString(", ")
@@ -105,11 +153,17 @@ object GeoQueries {
     "g2_polyfill" -> {
       val rows = g2Expected.map(c => s"($c::BIGINT)").mkString(", ")
       s"SELECT cell FROM (VALUES $rows) t(cell) ORDER BY cell"
+    },
+    "g3_border_cells" -> {
+      val rows = (for ((w, cs) <- g3Expected.toSeq.sortBy(_._1); c <- cs)
+        yield s"($w, $c::BIGINT)").mkString(", ")
+      s"SELECT width, cell FROM (VALUES $rows) t(width, cell) ORDER BY width, cell"
     }
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g1_geo_roundtrip" -> g1GeoRoundtrip,
-    "g2_polyfill" -> g2Polyfill
+    "g2_polyfill" -> g2Polyfill,
+    "g3_border_cells" -> g3BorderCells
   )
 }

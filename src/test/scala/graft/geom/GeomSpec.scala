@@ -123,6 +123,12 @@ class GeomSpec extends AnyFunSuite with Matchers {
     // border cells are a subset of the filled cells (reference assertion)
     (border.toSet -- filled.toSet) shouldBe empty
     border.length should be < filled.length
+
+    // a wider border strip covers at least the narrower one (monotone in width)
+    val border2 = Geo.borderCells(shell, 5, width = 2)
+    (border.toSet -- border2.toSet) shouldBe empty
+    border2.length should be >= border.length
+    (border2.toSet -- filled.toSet) shouldBe empty
   }
 
   test("polyfill: polygon smaller than one cell still produces cells (G1 exterior-ring rule)") {
