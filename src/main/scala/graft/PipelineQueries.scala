@@ -314,7 +314,34 @@ object PipelineQueries {
     * per-doc distinct count. Gram formation is shuffle-free (position
     * explode + element_at, like d7), no corpus-side self-join. */
   def c2Contamination(spark: SparkSession, dir: String): DataFrame = {
-    val grams = docs(spark, dir)
+    val grams = contamGrams(spark, dir)
+    val bench = grams.where(pmod(col("doc_id"), lit(23)) === 0).select("g").distinct()
+    grams.where(pmod(col("doc_id"), lit(23)) =!= 0)
+      .join(broadcast(bench), "g")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Shared c2/c3 oracle: the decontamination result is exact under both
+    * plans (broadcast-exact and Bloom-prefiltered). */
+  private val contamOracleSql: String =
+    """WITH w AS (SELECT doc_id,
+      |    list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS ws
+      |  FROM documents),
+      |g AS (SELECT doc_id, unnest(list_transform(range(1, greatest(length(ws)-2, 1)),
+      |    i -> ws[i::INT] || ' ' || ws[(i+1)::INT] || ' ' || ws[(i+2)::INT]
+      |         || ' ' || ws[(i+3)::INT])) AS g
+      |  FROM w),
+      |bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 23 = 0)
+      |SELECT doc_id, count(DISTINCT g.g) AS n_shared
+      |FROM g JOIN bench USING (g) WHERE doc_id % 23 != 0
+      |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  /** Word 4-grams for the decontamination gates (c2/c3): shuffle-free
+    * position explode + element_at, every 23rd doc plays the benchmark. */
+  private def contamGrams(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
       .select(col("doc_id"),
         filter(split(col("text"), "\\s+"), x => x =!= "").as("ws"))
       .select(col("doc_id"), col("ws"), explode(
@@ -325,9 +352,28 @@ object PipelineQueries {
           element_at(col("ws"), col("i") + 1),
           element_at(col("ws"), col("i") + 2),
           element_at(col("ws"), col("i") + 3)).as("g"))
+
+  /** Bloom-prefiltered decontamination (c3) — same contract and output as
+    * c2, but the plan is the one that survives when the benchmark/eval gram
+    * set is too large to broadcast EXACTLY (a full eval-suite union is
+    * easily 10^8 grams): a Bloom filter over the benchmark grams (bits, not
+    * strings — ~1.2 MB here at 1% fpp) is broadcast and prunes corpus grams
+    * BEFORE any shuffle; the surviving ~1% candidates are then verified
+    * with an exact join against the benchmark gram table, which removes
+    * Bloom false positives. The result is therefore EXACT — the oracle is
+    * byte-identical to c2's — while the shuffled volume is candidates-only.
+    * The `mightContainString` probe is a closure over the broadcast sketch
+    * (one branch outside codegen), paid only on the prefilter. */
+  def c3BloomDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val grams = contamGrams(spark, dir)
     val bench = grams.where(pmod(col("doc_id"), lit(23)) === 0).select("g").distinct()
+    val bloom = bench.stat.bloomFilter("g", 1L << 20, 0.01)
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val mightContain =
+      udf((s: String) => s != null && bloomBc.value.mightContainString(s))
     grams.where(pmod(col("doc_id"), lit(23)) =!= 0)
-      .join(broadcast(bench), "g")
+      .where(mightContain(col("g")))
+      .join(bench, "g")
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("g")).as("n_shared"))
       .orderBy(col("doc_id"))
@@ -655,18 +701,10 @@ object PipelineQueries {
         |  length(fs)::BIGINT AS frame_len,
         |  sha256(fs) AS frame_sha
         |FROM fr ORDER BY doc_id, frame_idx""".stripMargin,
-    "c2_contamination" ->
-      """WITH w AS (SELECT doc_id,
-        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS ws
-        |  FROM documents),
-        |g AS (SELECT doc_id, unnest(list_transform(range(1, greatest(length(ws)-2, 1)),
-        |    i -> ws[i::INT] || ' ' || ws[(i+1)::INT] || ' ' || ws[(i+2)::INT]
-        |         || ' ' || ws[(i+3)::INT])) AS g
-        |  FROM w),
-        |bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 23 = 0)
-        |SELECT doc_id, count(DISTINCT g.g) AS n_shared
-        |FROM g JOIN bench USING (g) WHERE doc_id % 23 != 0
-        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "c2_contamination" -> contamOracleSql,
+    // c3 = c2 with a Bloom prefilter + exact verify — Bloom false positives
+    // are removed by the verify join, so the expected output is IDENTICAL
+    "c3_bloom_decontam" -> contamOracleSql,
     "e4_ivf_ann" -> ivfOracleSql,
     // e5 searches the PERSISTED cid-partitioned index with identical
     // quantizer/probe/k parameters — same expected output as e4
@@ -726,6 +764,7 @@ object PipelineQueries {
     "e5_ivf_index" -> e5IvfIndex,
     "c1_curation" -> c1Curation,
     "c2_contamination" -> c2Contamination,
+    "c3_bloom_decontam" -> c3BloomDecontam,
     "m1_multimodal" -> m1Multimodal,
     "m2_frame_sample" -> m2FrameSample,
     "e2_lsh_ann" -> e2LshAnn,

@@ -448,6 +448,46 @@ object Queries {
       .orderBy(col("doc_id"), col("rnk"))
   }
 
+  /** Exact duplicated-span document pairs (d11) — the substring-dedup
+    * signal (Lee et al. "Deduplicating Training Data Makes Language Models
+    * Better"): pairs of distinct documents sharing at least one EXACT
+    * 12-word window, with the number of distinct shared windows. Exact
+    * complement to the approximate t2/t6 paths: those estimate set overlap,
+    * this finds verbatim copied spans.
+    *
+    * Scale shape: windows shuffle as sha2-256 keys (32 bytes — the span
+    * text never transits a shuffle), per-doc-distinct before the join, and
+    * windows occurring in more than [[D11DfCap]] documents are dropped
+    * BEFORE the self-join — boilerplate spans would otherwise contribute
+    * O(df^2) pairs each, the quadratic blowup that kills this query at
+    * corpus scale. The cap is part of the query contract (mirrored in the
+    * oracle), exactly like production substring-dedup passes drop
+    * ubiquitous spans. */
+  private val D11SpanWords = 12
+  private val D11DfCap = 50
+  def d11DupSpanPairs(spark: SparkSession, dir: String): DataFrame = {
+    val k = D11SpanWords
+    val grams = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        filter(split(col("text"), "\\s+"), x => x =!= "").as("ws"))
+      .select(col("doc_id"), col("ws"), explode(
+        when(size(col("ws")) >= k, sequence(lit(1), size(col("ws")) - (k - 1)))
+          .otherwise(array().cast("array<int>"))).as("i"))
+      .select(col("doc_id"),
+        sha2(array_join(slice(col("ws"), col("i"), lit(k)), " "), 256).as("h"))
+      .distinct()
+    val shared = grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("nd"))
+      .where(col("nd").between(2, D11DfCap))
+      .select(col("h"))
+    val g = grams.join(shared, Seq("h"))
+    g.as("a").join(g.as("b"), col("a.h") === col("b.h") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Quality score: simple length/punctuation heuristic, deterministic
     * integer arithmetic (training-data quality filter shape). */
   def d3QualityScore(spark: SparkSession, dir: String): DataFrame =
@@ -694,6 +734,22 @@ object Queries {
           |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk FROM s)
           |SELECT doc_id, rnk, term, round(score, 4) AS tfidf
           |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+      "d11_dup_span_pairs" ->
+        s"""WITH w AS (SELECT doc_id,
+          |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS ws
+          |  FROM documents),
+          |p AS (SELECT doc_id, ws,
+          |    unnest(range(1, greatest(length(ws) - ${D11SpanWords - 2}, 1))) AS i
+          |  FROM w),
+          |g AS (SELECT DISTINCT doc_id,
+          |    array_to_string(list_slice(ws, i, i + ${D11SpanWords - 1}), ' ') AS g
+          |  FROM p),
+          |ok AS (SELECT g FROM (SELECT g, count(*) AS nd FROM g GROUP BY 1)
+          |       WHERE nd BETWEEN 2 AND $D11DfCap),
+          |gg AS (SELECT doc_id, g.g FROM g JOIN ok USING (g))
+          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+          |FROM gg a JOIN gg b ON a.g = b.g AND a.doc_id < b.doc_id
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
       "d3_quality_score" ->
         """SELECT doc_id,
           | round(least(n_chars / 1000.0, 1.0) * 0.5 +
@@ -763,6 +819,7 @@ object Queries {
     "d8_stratified_sample" -> d8StratifiedSample,
     "d9_dup_ngram_frac" -> d9DupNgramFrac,
     "d10_tfidf_topk" -> d10TfidfTopk,
+    "d11_dup_span_pairs" -> d11DupSpanPairs,
     "q11_asof_join" -> q11AsofJoin,
     "q12_range_join" -> q12RangeJoin,
     "d3_quality_score" -> d3QualityScore,

@@ -300,6 +300,42 @@ object TablesetQueries {
       .orderBy(col("pt"))
   }
 
+  // ------------------------------------------------------------------- ts9
+
+  /** ts9: sidecar-loss recovery — build a Sum-rollup tableset (same input
+    * and shape as ts1's), DELETE its schema.json, re-derive the schema from
+    * the physical layout alone ([[CellStore.recoverTableset]] — the
+    * analogue of the reference's catalog rediscovery, tableset.rs:219-244),
+    * then query the RECOVERED tableset. The stored data is untouched, so
+    * the scan must still hash-match ts1's first-principles oracle; what the
+    * gate proves is that a tableset stays discoverable and queryable from
+    * its data layout alone (lost sidecar / foreign writer). */
+  private def ts9Store(spark: SparkSession, dir: String): CellStore = {
+    val store = CellStore(spark, rootFor(dir))
+    if (!store.listTablesets().contains("gate_recover")) {
+      val input = lineitem(spark, dir)
+        .select(Queries.synthCell.as("h3index"), col("l_quantity").as("qty"))
+      store.insert("gate_recover", input, createSchema = Some(
+        CompactedTableSchema.builder("gate_recover")
+          .h3BaseResolutions(Seq(5, 9))
+          .addAggregatedColumn("qty", T.Float64, Agg.Sum)
+          .build()))
+      val sidecar = new org.apache.hadoop.fs.Path(
+        s"${rootFor(dir)}/gate_recover/schema.json")
+      val fs = sidecar.getFileSystem(spark.sessionState.newHadoopConf())
+      require(fs.delete(sidecar, false), s"could not delete $sidecar")
+      store.recoverTableset("gate_recover")
+    }
+    store
+  }
+
+  def ts9RecoverQuery(spark: SparkSession, dir: String): DataFrame = {
+    val store = ts9Store(spark, dir)
+    store.scanForResolution("gate_recover", 5)
+      .select(col("h3index").as("parent5"), round(col("qty"), 2).as("sum_qty"))
+      .orderBy(col("parent5"))
+  }
+
   // ---------------------------------------------------------------- oracles
 
   /** parent-at-res arithmetic shared with Queries: replace res field, fill
@@ -320,12 +356,17 @@ object TablesetQueries {
       s" | $digits | 262143::BIGINT)"
   }
 
+  // the engine dedups full rows before rollup -> DISTINCT first
+  private val ts1OracleSql: String =
+    s"""WITH cells AS (SELECT DISTINCT $synthCellSql AS cell, l_quantity AS qty FROM lineitem)
+       |SELECT ${parentSql("cell", 9, 5)} AS parent5, round(sum(qty), 2) AS sum_qty
+       |FROM cells GROUP BY 1 ORDER BY parent5""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    // the engine dedups full rows before rollup -> DISTINCT first
-    "ts1_rollup_query" ->
-      s"""WITH cells AS (SELECT DISTINCT $synthCellSql AS cell, l_quantity AS qty FROM lineitem)
-         |SELECT ${parentSql("cell", 9, 5)} AS parent5, round(sum(qty), 2) AS sum_qty
-         |FROM cells GROUP BY 1 ORDER BY parent5""".stripMargin,
+    "ts1_rollup_query" -> ts1OracleSql,
+    // ts9 re-derives the schema from the physical layout after sidecar
+    // loss; the stored data is untouched, so ts1's expected rows apply
+    "ts9_recover_query" -> ts1OracleSql,
     "ts2_compact_roundtrip" ->
       s"""WITH base AS (SELECT DISTINCT $synthCellSql AS cell, (l_orderkey % 50) AS v
          |  FROM lineitem WHERE l_orderkey % 20 = 0),
@@ -415,6 +456,7 @@ object TablesetQueries {
     "ts5_traversal" -> ts5Traversal,
     "ts6_dedup_optimize" -> ts6DedupOptimize,
     "ts7_prefilter_traversal" -> ts7PrefilterTraversal,
-    "ts8_temporal_buckets" -> ts8TemporalBuckets
+    "ts8_temporal_buckets" -> ts8TemporalBuckets,
+    "ts9_recover_query" -> ts9RecoverQuery
   )
 }
