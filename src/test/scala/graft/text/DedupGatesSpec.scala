@@ -1,0 +1,71 @@
+package graft.text
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.{PipelineQueries, Queries, SparkTestSession}
+
+/** Branches the sf-scale oracles do NOT exercise:
+  *  - d11's df-cap (no 12-word span in the synthetic corpus occurs in more
+  *    than 50 documents, so the cap never fires in the gate) — a crafted
+  *    boilerplate span shared by ALL docs must be dropped before pairing,
+  *    while a rare shared span still pairs;
+  *  - c3 ≡ c2 on real data: the Bloom prefilter must not change the result
+  *    (false positives are removed by the exact verify join).
+  */
+class DedupGatesSpec extends AnyFunSuite with Matchers with SparkTestSession {
+
+  /** Write a crafted documents.parquet into a temp dir shaped like an sf
+    * dir, so the d-series queries can run on it unchanged. */
+  private def corpusDir(texts: Seq[String]): String = {
+    val dir = Files.createTempDirectory("graft_dedup_gate_").toString
+    import spark.implicits._
+    texts.zipWithIndex
+      .map { case (t, i) =>
+        (i.toLong, t, "en", s"src$i", t.length.toLong)
+      }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def words(prefix: String, n: Int): String =
+    (0 until n).map(i => s"$prefix$i").mkString(" ")
+
+  test("d11: ubiquitous spans are dropped by the df-cap; rare spans pair") {
+    // 60 docs all opening with the SAME 12-word boilerplate (df=60 > cap=50)
+    // and otherwise unique text; docs 0 and 1 additionally share one rare
+    // 12-word span. Without the cap, the boilerplate alone would produce
+    // C(60,2) = 1770 pairs.
+    val boiler = words("b", 12)
+    val rare = words("r", 12)
+    val texts = (0 until 60).map { i =>
+      val tail = if (i <= 1) rare else words(s"u$i-", 12)
+      s"$boiler $tail"
+    }
+    val dir = corpusDir(texts)
+    // NOTE: windows STRADDLING the boilerplate/tail boundary are unique per
+    // doc (the tail differs), so only the pure-boilerplate window is capped.
+    val out = Queries.d11DupSpanPairs(spark, dir).collect()
+    out.map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe Seq((0L, 1L))
+    // docs 0 and 1: identical text "boiler rare" => every window of the
+    // 24-word doc is shared; the boilerplate-only window (position 1) is
+    // capped out, leaving the 12 windows at positions 2..13.
+    out.head.getLong(2) shouldBe 12L
+  }
+
+  test("d11: documents shorter than the span width produce no rows") {
+    val dir = corpusDir(Seq(words("a", 5), words("a", 5)))
+    Queries.d11DupSpanPairs(spark, dir).count() shouldBe 0L
+  }
+
+  test("c3 bloom decontamination equals c2 exact broadcast on sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val c2 = PipelineQueries.c2Contamination(spark, dir).collect().toSeq
+    val c3 = PipelineQueries.c3BloomDecontam(spark, dir).collect().toSeq
+    c3 shouldBe c2
+  }
+}
