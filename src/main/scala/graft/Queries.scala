@@ -467,15 +467,19 @@ object Queries {
   private val D11DfCap = 50
   def d11DupSpanPairs(spark: SparkSession, dir: String): DataFrame = {
     val k = D11SpanWords
-    val grams = t(spark, dir, "documents")
-      .select(col("doc_id"),
-        filter(split(col("text"), "\\s+"), x => x =!= "").as("ws"))
-      .select(col("doc_id"), col("ws"), explode(
-        when(size(col("ws")) >= k, sequence(lit(1), size(col("ws")) - (k - 1)))
-          .otherwise(array().cast("array<int>"))).as("i"))
-      .select(col("doc_id"),
-        sha2(array_join(slice(col("ws"), col("i"), lit(k)), " "), 256).as("h"))
-      .distinct()
+    // memoized: the frame feeds the df-count agg, the cap join, and BOTH
+    // sides of the pair self-join — uncached it would be recomputed 4x
+    val grams = PipelineQueries.memo(spark, s"d11grams:$dir") {
+      t(spark, dir, "documents")
+        .select(col("doc_id"),
+          filter(split(col("text"), "\\s+"), x => x =!= "").as("ws"))
+        .select(col("doc_id"), col("ws"), explode(
+          when(size(col("ws")) >= k, sequence(lit(1), size(col("ws")) - (k - 1)))
+            .otherwise(array().cast("array<int>"))).as("i"))
+        .select(col("doc_id"),
+          sha2(array_join(slice(col("ws"), col("i"), lit(k)), " "), 256).as("h"))
+        .distinct()
+    }
     val shared = grams.groupBy(col("h"))
       .agg(count(lit(1)).as("nd"))
       .where(col("nd").between(2, D11DfCap))
