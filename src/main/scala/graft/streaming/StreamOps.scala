@@ -67,6 +67,30 @@ object StreamOps {
     else keyed.dropDuplicates("text_sha")
   }
 
+  /** Watermarked stream-stream interval join (the attribution shape: each
+    * left event matches right events with the same key whose timestamp
+    * falls in [left.ts, left.ts + horizon]). On streaming inputs BOTH
+    * buffers are bounded: the watermarks plus the time-range predicate let
+    * Spark expire join state older than watermark + horizon — without the
+    * range condition a stream-stream inner join would buffer both sides
+    * forever. The identical plan runs on batch frames (unified model),
+    * which is how the spec cross-checks results. Column names must be
+    * disjoint apart from `key`; the right frame's timestamp column is
+    * `rightTs`. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, horizon: String,
+      watermarkDelay: String): DataFrame = {
+    val l = (if (left.isStreaming) left.withWatermark(leftTs, watermarkDelay)
+             else left).alias("l")
+    val r = (if (right.isStreaming) right.withWatermark(rightTs, watermarkDelay)
+             else right).alias("r")
+    l.join(r,
+      expr(s"l.$key = r.$key") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL '$horizon'"))
+      .drop(col(s"r.$key"))
+  }
+
   /** Continuous tableset ingest: run a streaming H3 DataFrame through the
     * FULL batch insert pipeline per micro-batch — validation, in-batch
     * dedup, compaction, rollup, partitioned append

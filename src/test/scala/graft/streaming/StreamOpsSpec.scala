@@ -106,6 +106,41 @@ class StreamOpsSpec extends AnyFunSuite with Matchers with SparkTestSession {
     } finally q.stop()
   }
 
+  test("intervalJoin: stream-stream attribution matches the batch join; out-of-horizon excluded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val imps = Seq(
+      (ts("2024-01-01 10:00:00"), 1L, "imp_a"),
+      (ts("2024-01-01 10:00:00"), 2L, "imp_b"))
+    val clicks = Seq(
+      (ts("2024-01-01 10:03:00"), 1L, "click_1"), // in horizon (5 min)
+      (ts("2024-01-01 10:30:00"), 1L, "click_2"), // out of horizon
+      (ts("2024-01-01 10:04:00"), 3L, "click_3")) // no matching impression
+    val expected = Seq(("imp_a", "click_1"))
+
+    // batch path
+    val bOut = StreamOps.intervalJoin(
+      imps.toDF("ts", "user_id", "imp"), clicks.toDF("c_ts", "user_id", "click"),
+      "user_id", "ts", "c_ts", "5 minutes", "10 minutes")
+    bOut.select("imp", "click").as[(String, String)].collect().toSeq shouldBe expected
+
+    // streaming path: same data through two MemoryStreams
+    val impStream = MemoryStream[(Timestamp, Long, String)]
+    val clickStream = MemoryStream[(Timestamp, Long, String)]
+    impStream.addData(imps: _*)
+    clickStream.addData(clicks: _*)
+    val q = StreamOps.intervalJoin(
+      impStream.toDF().toDF("ts", "user_id", "imp"),
+      clickStream.toDF().toDF("c_ts", "user_id", "click"),
+      "user_id", "ts", "c_ts", "5 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("attr_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      spark.table("attr_out").select("imp", "click")
+        .as[(String, String)].collect().toSeq shouldBe expected
+    } finally q.stop()
+  }
+
   test("dedupStream: batch path keeps one row per distinct text") {
     import spark.implicits._
     val docs = Seq(
