@@ -272,6 +272,26 @@ object Queries {
       .orderBy(col("err_id"))
   }
 
+  /** Salted-join gate (q13): per-priority lineitem revenue through
+    * [[graft.skew.Skew.saltedJoin]] — the explicit hot-key remedy for joins
+    * AQE cannot replan (streaming, or a single key too hot for a split
+    * partition). The salt widens the orderkey shuffle over 8 buckets and
+    * replicates the orders side per bucket; the result is identical to the
+    * plain equi-join, which is exactly what the oracle checks. */
+  def q13SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("o_orderkey"),
+        col("l_extendedprice"), col("l_discount"))
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    graft.skew.Skew.saltedJoin(l, o, "o_orderkey", 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   // -------------------------------------------------------------- documents
 
   /** Exact dedup: canonical doc per distinct text (min doc_id wins).
@@ -712,6 +732,12 @@ object Queries {
           |SELECT err_id, count(*) AS n_events, round(sum(value), 2) AS total_value
           |FROM w JOIN events e ON e.user_id = w.user_id AND e.ts >= w.ws AND e.ts <= w.we
           |GROUP BY err_id ORDER BY err_id""".stripMargin,
+      "q13_salted_join" ->
+        """SELECT o_orderpriority,
+          |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+          |  count(*) AS n_items
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
       "d9_dup_ngram_frac" ->
         """WITH w AS (SELECT doc_id,
           |    list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS ws
@@ -826,6 +852,7 @@ object Queries {
     "d11_dup_span_pairs" -> d11DupSpanPairs,
     "q11_asof_join" -> q11AsofJoin,
     "q12_range_join" -> q12RangeJoin,
+    "q13_salted_join" -> q13SaltedJoin,
     "d3_quality_score" -> d3QualityScore,
     "d4_lang_distribution" -> d4LangDistribution,
     "e1_knn_brute_force" -> e1KnnBruteForce
