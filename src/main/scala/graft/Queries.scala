@@ -292,6 +292,27 @@ object Queries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Semi-structured extraction gate (q14): the events table carries a JSON
+    * `props` column; parse it with a SCHEMA'D `from_json` (a single codegen
+    * JsonToStructs evaluation — the idiomatic Spark shape; repeated
+    * `get_json_object` calls would re-parse the string per field), filter
+    * on the extracted field, aggregate. Oracle: DuckDB's independent JSON
+    * extension. At scale the parse cost is one pass and the extracted
+    * column prunes like any other — semi-structured data stays queryable
+    * without a schema migration. */
+  def q14JsonProps(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
+          .getField("k").as("k"), col("value"))
+      .where(col("k") >= 50)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("k")), 4).as("avg_k"),
+        round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("event_type"))
+
   // -------------------------------------------------------------- documents
 
   /** Exact dedup: canonical doc per distinct text (min doc_id wins).
@@ -738,6 +759,13 @@ object Queries {
           |  count(*) AS n_items
           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
           |GROUP BY 1 ORDER BY 1""".stripMargin,
+      "q14_json_props" ->
+        """SELECT event_type, count(*) AS n, round(avg(k), 4) AS avg_k,
+          |  round(sum(value), 2) AS total_value
+          |FROM (SELECT event_type,
+          |        json_extract_string(props, '$.k')::BIGINT AS k, value
+          |      FROM events)
+          |WHERE k >= 50 GROUP BY 1 ORDER BY 1""".stripMargin,
       "d9_dup_ngram_frac" ->
         """WITH w AS (SELECT doc_id,
           |    list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS ws
@@ -853,6 +881,7 @@ object Queries {
     "q11_asof_join" -> q11AsofJoin,
     "q12_range_join" -> q12RangeJoin,
     "q13_salted_join" -> q13SaltedJoin,
+    "q14_json_props" -> q14JsonProps,
     "d3_quality_score" -> d3QualityScore,
     "d4_lang_distribution" -> d4LangDistribution,
     "e1_knn_brute_force" -> e1KnnBruteForce
