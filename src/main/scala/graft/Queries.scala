@@ -272,6 +272,37 @@ object Queries {
       .orderBy(col("err_id"))
   }
 
+  /** ROWS-frame running window gate (q15): per-user moving average and max
+    * of `value` over the previous 3 events (deterministic (ts, event_id)
+    * ordering). Covers the sliding ROWS frame — the remaining window shape
+    * after rank (q5), percentile (q9), lag/cumsum (s1) and top-k (d8/d10).
+    * One shuffle on user_id; frame evaluation is streaming within the
+    * sorted partition. */
+  def q15RunningWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-3, 0)
+    events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("run_avg", round(avg(col("value")).over(w), 4))
+      .withColumn("run_max", round(max(col("value")).over(w), 2))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
+  /** Corpus vocabulary profile (d12) — the Zipf/coverage numbers a
+    * tokenizer- or mixing-design pass reads off a corpus: total token
+    * count, vocabulary size, hapax count (terms seen once — the long-tail
+    * mass), and type-token ratio. One row. Scale shape: reuses the
+    * memoized one-pass terms frame (shared with d10), one groupBy(term)
+    * with map-side partial counts, then a single global fold. */
+  def d12VocabStats(spark: SparkSession, dir: String): DataFrame =
+    termsFrame(spark, dir)
+      .groupBy(col("term")).agg(count(lit(1)).as("f"))
+      .agg(sum(col("f")).as("total_tokens"),
+        count(lit(1)).as("vocab_size"),
+        sum(when(col("f") === 1, 1L).otherwise(0L)).as("hapax_count"))
+      .select(col("total_tokens"), col("vocab_size"), col("hapax_count"),
+        round(col("vocab_size").cast("double") / col("total_tokens"), 6).as("ttr"))
+
   /** Salted-join gate (q13): per-priority lineitem revenue through
     * [[graft.skew.Skew.saltedJoin]] — the explicit hot-key remedy for joins
     * AQE cannot replan (streaming, or a single key too hot for a split
@@ -471,13 +502,18 @@ object Queries {
     * Scale shape: one tokenization pass feeds both the term-frequency and
     * document-frequency aggregations (memoized), the join key is the term,
     * and only (doc_id, term, tf) rows — never documents — shuffle. */
+  /** One tokenization pass shared by d10 and d12 (memoized like the
+    * signature frames — at corpus scale this is a written terms table). */
+  private def termsFrame(spark: SparkSession, dir: String): DataFrame =
+    PipelineQueries.memo(spark, s"terms:$dir") {
+      t(spark, dir, "documents").select(col("doc_id"),
+        explode(filter(split(col("text"), "\\s+"), x => x =!= "")).as("term"))
+    }
+
   def d10TfidfTopk(spark: SparkSession, dir: String): DataFrame = {
     val docsDf = t(spark, dir, "documents")
     val n = docsDf.count()
-    val words = PipelineQueries.memo(spark, s"terms:$dir") {
-      docsDf.select(col("doc_id"),
-        explode(filter(split(col("text"), "\\s+"), x => x =!= "")).as("term"))
-    }
+    val words = termsFrame(spark, dir)
     val tf = words.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = words.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
@@ -759,6 +795,22 @@ object Queries {
           |  count(*) AS n_items
           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
           |GROUP BY 1 ORDER BY 1""".stripMargin,
+      "q15_running_window" ->
+        """SELECT user_id, event_id, ts, value,
+          |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS run_avg,
+          |  round(max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 2) AS run_max
+          |FROM events ORDER BY user_id, ts, event_id""".stripMargin,
+      "d12_vocab_stats" ->
+        """WITH w AS (SELECT doc_id,
+          |    unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')) AS term
+          |  FROM documents),
+          |f AS (SELECT term, count(*) AS f FROM w GROUP BY 1)
+          |SELECT sum(f)::BIGINT AS total_tokens, count(*) AS vocab_size,
+          |  sum(CASE WHEN f = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax_count,
+          |  round(count(*)::DOUBLE / sum(f), 6) AS ttr
+          |FROM f""".stripMargin,
       "q14_json_props" ->
         """SELECT event_type, count(*) AS n, round(avg(k), 4) AS avg_k,
           |  round(sum(value), 2) AS total_value
@@ -878,10 +930,12 @@ object Queries {
     "d9_dup_ngram_frac" -> d9DupNgramFrac,
     "d10_tfidf_topk" -> d10TfidfTopk,
     "d11_dup_span_pairs" -> d11DupSpanPairs,
+    "d12_vocab_stats" -> d12VocabStats,
     "q11_asof_join" -> q11AsofJoin,
     "q12_range_join" -> q12RangeJoin,
     "q13_salted_join" -> q13SaltedJoin,
     "q14_json_props" -> q14JsonProps,
+    "q15_running_window" -> q15RunningWindow,
     "d3_quality_score" -> d3QualityScore,
     "d4_lang_distribution" -> d4LangDistribution,
     "e1_knn_brute_force" -> e1KnnBruteForce
