@@ -157,4 +157,32 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkTestSession {
     // orders join customer/nation must not be a SortMergeJoin
     plan should not include "SortMergeJoin"
   }
+
+  test("q15: one hash shuffle on the window key; read schema pruned to 4 columns") {
+    val plan = planOf(Queries.q15RunningWindow(spark, "/root/testdata/sf0.001"))
+    val hashEx = plan.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning")).toSeq
+    hashEx should have size 1 // the final orderBy is rangepartitioning
+    hashEx.head should include("user_id")
+    val readSchema = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    readSchema should not include "props"
+    readSchema should not include "event_type"
+  }
+
+  test("q14: JSON aggregation is map-side partial before the shuffle") {
+    val plan = planOf(Queries.q14JsonProps(spark, "/root/testdata/sf0.001"))
+    plan should include("from_json")
+    // partial aggregate must appear (map-side combine of the parsed rows)
+    plan should include("partial_avg")
+    plan should include("partial_sum")
+  }
+
+  test("d11: no exchange ships span text — shuffle keys are the sha2 hash or doc ids") {
+    val plan = planOf(Queries.d11DupSpanPairs(spark, "/root/testdata/sf0.001"))
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    exchanges should not be empty
+    // the span string materializer must never appear in an exchange row
+    all(exchanges) should not include "array_join"
+    all(exchanges) should not include "ws#"
+  }
 }
