@@ -26,7 +26,7 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // single-JVM local[32] on a 128 GiB box: the full 59-query bench keeps
+  // single-JVM local[32] on a 128 GiB box: the full gate-suite bench keeps
   // memoized frames + broadcasts + tableset stores alive across two passes,
   // and an 8g heap GC-thrashes (individual queries randomly inflate 10-50x)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")}",

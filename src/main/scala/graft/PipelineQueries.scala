@@ -313,15 +313,12 @@ object PipelineQueries {
     * and only matching (doc_id, gram) pairs — rare — reach the final
     * per-doc distinct count. Gram formation is shuffle-free (position
     * explode + element_at, like d7), no corpus-side self-join. */
-  def c2Contamination(spark: SparkSession, dir: String): DataFrame = {
-    val grams = contamGrams(spark, dir)
-    val bench = grams.where(pmod(col("doc_id"), lit(23)) === 0).select("g").distinct()
-    grams.where(pmod(col("doc_id"), lit(23)) =!= 0)
-      .join(broadcast(bench), "g")
+  def c2Contamination(spark: SparkSession, dir: String): DataFrame =
+    contamGrams(spark, dir).where(pmod(col("doc_id"), lit(23)) =!= 0)
+      .join(broadcast(contamBench(spark, dir)), "g")
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("g")).as("n_shared"))
       .orderBy(col("doc_id"))
-  }
 
   /** Shared c2/c3 oracle: the decontamination result is exact under both
     * plans (broadcast-exact and Bloom-prefiltered). */
@@ -338,20 +335,37 @@ object PipelineQueries {
       |FROM g JOIN bench USING (g) WHERE doc_id % 23 != 0
       |GROUP BY 1 ORDER BY doc_id""".stripMargin
 
-  /** Word 4-grams for the decontamination gates (c2/c3): shuffle-free
-    * position explode + element_at, every 23rd doc plays the benchmark. */
+  /** Word 4-grams for the decontamination gates (c2/c3): the shared
+    * shuffle-free formation ([[TextOps.wordGrams]]); every 23rd doc plays
+    * the benchmark. */
   private def contamGrams(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
-      .select(col("doc_id"),
-        filter(split(col("text"), "\\s+"), x => x =!= "").as("ws"))
-      .select(col("doc_id"), col("ws"), explode(
-        when(size(col("ws")) >= 4, sequence(lit(1), size(col("ws")) - 3))
-          .otherwise(array().cast("array<int>"))).as("i"))
-      .select(col("doc_id"),
-        concat_ws(" ", element_at(col("ws"), col("i")),
-          element_at(col("ws"), col("i") + 1),
-          element_at(col("ws"), col("i") + 2),
-          element_at(col("ws"), col("i") + 3)).as("g"))
+    TextOps.wordGrams(docs(spark, dir), 4)
+
+  /** Benchmark gram set shared by c3's Bloom build and its exact verify
+    * join (memoized — bench.stat.bloomFilter is an EAGER job, so without
+    * the memo the full gram formation would run twice per call). */
+  private def contamBench(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, s"contamBench:$dir") {
+      contamGrams(spark, dir)
+        .where(pmod(col("doc_id"), lit(23)) === 0).select("g").distinct()
+    }
+
+  /** Per-(session, dir) Bloom broadcast for c3 — rebuilt per call it would
+    * leak one ~1.2 MB broadcast per invocation for the session lifetime
+    * (Bench alone calls c3 three times). Evicted with dead contexts like
+    * [[memo]]. */
+  private val bloomCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.broadcast.Broadcast[
+      org.apache.spark.util.sketch.BloomFilter]]()
+  private def contamBloom(spark: SparkSession, dir: String)
+      : org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter] = {
+    val appId = spark.sparkContext.applicationId
+    bloomCache.keySet.removeIf(k => !k.startsWith(s"$appId:"))
+    bloomCache.computeIfAbsent(s"$appId:$dir", _ =>
+      spark.sparkContext.broadcast(
+        contamBench(spark, dir).stat.bloomFilter("g", 1L << 20, 0.01)))
+  }
 
   /** Bloom-prefiltered decontamination (c3) — same contract and output as
     * c2, but the plan is the one that survives when the benchmark/eval gram
@@ -365,13 +379,11 @@ object PipelineQueries {
     * The `mightContainString` probe is a closure over the broadcast sketch
     * (one branch outside codegen), paid only on the prefilter. */
   def c3BloomDecontam(spark: SparkSession, dir: String): DataFrame = {
-    val grams = contamGrams(spark, dir)
-    val bench = grams.where(pmod(col("doc_id"), lit(23)) === 0).select("g").distinct()
-    val bloom = bench.stat.bloomFilter("g", 1L << 20, 0.01)
-    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val bench = contamBench(spark, dir)
+    val bloomBc = contamBloom(spark, dir)
     val mightContain =
       udf((s: String) => s != null && bloomBc.value.mightContainString(s))
-    grams.where(pmod(col("doc_id"), lit(23)) =!= 0)
+    contamGrams(spark, dir).where(pmod(col("doc_id"), lit(23)) =!= 0)
       .where(mightContain(col("g")))
       .join(bench, "g")
       .groupBy(col("doc_id"))

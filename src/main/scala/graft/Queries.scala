@@ -465,19 +465,11 @@ object Queries {
     * memoized across its two consumers (at corpus scale it is a written
     * intermediate table). */
   def d9DupNgramFrac(spark: SparkSession, dir: String): DataFrame = {
-    // Same shuffle-free adjacent-word pairing as d7 (explode positions +
-    // element_at), extended to trigrams.
+    // Shared shuffle-free gram formation (TextOps.wordGrams), hashed
+    // before the shuffle.
     val keyed = PipelineQueries.memo(spark, s"trigrams:$dir") {
-      t(spark, dir, "documents")
-        .select(col("doc_id"),
-          filter(split(col("text"), "\\s+"), x => x =!= "").as("ws"))
-        .select(col("doc_id"), col("ws"), explode(
-          when(size(col("ws")) >= 3, sequence(lit(1), size(col("ws")) - 2))
-            .otherwise(array().cast("array<int>"))).as("i"))
-        .select(col("doc_id"),
-          sha2(concat(element_at(col("ws"), col("i")), lit(" "),
-            element_at(col("ws"), col("i") + 1), lit(" "),
-            element_at(col("ws"), col("i") + 2)), 256).as("h"))
+      graft.text.TextOps.wordGrams(t(spark, dir, "documents"), 3)
+        .select(col("doc_id"), sha2(col("g"), 256).as("h"))
     }
     val nd = keyed.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("nd"))
     val per = keyed.join(nd, Seq("h"))
@@ -547,14 +539,8 @@ object Queries {
     // memoized: the frame feeds the df-count agg, the cap join, and BOTH
     // sides of the pair self-join — uncached it would be recomputed 4x
     val grams = PipelineQueries.memo(spark, s"d11grams:$dir") {
-      t(spark, dir, "documents")
-        .select(col("doc_id"),
-          filter(split(col("text"), "\\s+"), x => x =!= "").as("ws"))
-        .select(col("doc_id"), col("ws"), explode(
-          when(size(col("ws")) >= k, sequence(lit(1), size(col("ws")) - (k - 1)))
-            .otherwise(array().cast("array<int>"))).as("i"))
-        .select(col("doc_id"),
-          sha2(array_join(slice(col("ws"), col("i"), lit(k)), " "), 256).as("h"))
+      graft.text.TextOps.wordGrams(t(spark, dir, "documents"), k)
+        .select(col("doc_id"), sha2(col("g"), 256).as("h"))
         .distinct()
     }
     val shared = grams.groupBy(col("h"))

@@ -313,17 +313,24 @@ object TablesetQueries {
   private def ts9Store(spark: SparkSession, dir: String): CellStore = {
     val store = CellStore(spark, rootFor(dir))
     if (!store.listTablesets().contains("gate_recover")) {
-      val input = lineitem(spark, dir)
-        .select(Queries.synthCell.as("h3index"), col("l_quantity").as("qty"))
-      store.insert("gate_recover", input, createSchema = Some(
-        CompactedTableSchema.builder("gate_recover")
-          .h3BaseResolutions(Seq(5, 9))
-          .addAggregatedColumn("qty", T.Float64, Agg.Sum)
-          .build()))
+      // failure-idempotent build: insert appends, so a retry after a crash
+      // between the sidecar delete and the recovery write must NOT re-run
+      // it — gate the insert on the data directory, not the sidecar
+      val dataDir = new org.apache.hadoop.fs.Path(
+        s"${rootFor(dir)}/gate_recover/data")
+      val fs = dataDir.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(dataDir)) {
+        val input = lineitem(spark, dir)
+          .select(Queries.synthCell.as("h3index"), col("l_quantity").as("qty"))
+        store.insert("gate_recover", input, createSchema = Some(
+          CompactedTableSchema.builder("gate_recover")
+            .h3BaseResolutions(Seq(5, 9))
+            .addAggregatedColumn("qty", T.Float64, Agg.Sum)
+            .build()))
+      }
       val sidecar = new org.apache.hadoop.fs.Path(
         s"${rootFor(dir)}/gate_recover/schema.json")
-      val fs = sidecar.getFileSystem(spark.sessionState.newHadoopConf())
-      require(fs.delete(sidecar, false), s"could not delete $sidecar")
+      if (fs.exists(sidecar)) fs.delete(sidecar, false)
       store.recoverTableset("gate_recover")
     }
     store

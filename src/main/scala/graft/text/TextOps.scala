@@ -23,6 +23,24 @@ object TextOps {
   /** Modulus for all hashing: the Mersenne prime 2^31-1. */
   val P = 2147483647L
 
+  /** Word k-grams of a documents frame: (doc_id, g) with g the
+    * space-joined k-token window. The ONE shared formation for every
+    * n-gram operator (d9 trigrams, c2/c3 4-gram decontamination, d11
+    * 12-word spans): whitespace tokenize once, explode window START
+    * POSITIONS (shuffle-free — no per-document gram array is built), and
+    * materialize each gram on the way out of the generator. Docs shorter
+    * than k yield no rows. Callers hash `g` (sha2) before any shuffle. */
+  def wordGrams(docs: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"),
+        filter(split(col("text"), "\\s+"), x => x =!= "").as("ws"))
+      .select(col("doc_id"), col("ws"), explode(
+        when(size(col("ws")) >= k, sequence(lit(1), size(col("ws")) - (k - 1)))
+          .otherwise(array().cast("array<int>"))).as("i"))
+      .select(col("doc_id"),
+        array_join(slice(col("ws"), col("i"), lit(k)), " ").as("g"))
+
   /** Hash family: h_j(x) = (x*A_j + B_j) mod P. A_j stays < 2^21 so
     * (P-1)*A_j fits comfortably in a signed 64-bit long. */
   def hashA(j: Int): Long = 976369L + (2L * j * 1299721L) % 1048573L

@@ -62,6 +62,16 @@ class DedupGatesSpec extends AnyFunSuite with Matchers with SparkTestSession {
     Queries.d11DupSpanPairs(spark, dir).count() shouldBe 0L
   }
 
+  test("d12: hapax terms are counted (always 0 at gate scale — crafted corpus)") {
+    // two docs: "common" appears in both (f=4), "only0"/"only1" once each
+    val dir = corpusDir(Seq("common common only0", "common common only1"))
+    val r = graft.Queries.d12VocabStats(spark, dir).collect().head
+    r.getLong(0) shouldBe 6L // total tokens
+    r.getLong(1) shouldBe 3L // vocab: common, only0, only1
+    r.getLong(2) shouldBe 2L // hapax: only0, only1
+    r.getDouble(3) shouldBe 0.5 // ttr = 3/6
+  }
+
   test("c3 bloom decontamination equals c2 exact broadcast on sf0.001") {
     val dir = "/root/testdata/sf0.001"
     val c2 = PipelineQueries.c2Contamination(spark, dir).collect().toSeq
