@@ -288,6 +288,21 @@ object Queries {
       .orderBy(col("user_id"), col("ts"), col("event_id"))
   }
 
+  /** Set-operation gate (q16): INTERSECT / EXCEPT with SQL bag-to-set
+    * semantics — repeat customers (ordered in both 1995 and 1996) minus
+    * anyone with an urgent order in that span. Spark plans both as
+    * aggregated joins (left-semi / left-anti over distinct keys): one
+    * shuffle per operand, no row explosion. */
+  def q16SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    def custs(cond: Column) = o.where(cond).select(col("o_custkey")).distinct()
+    custs(year(col("o_orderdate")) === 1995)
+      .intersect(custs(year(col("o_orderdate")) === 1996))
+      .except(custs(col("o_orderpriority") === "1-URGENT" &&
+        year(col("o_orderdate")) <= 1996))
+      .orderBy(col("o_custkey"))
+  }
+
   /** Corpus vocabulary profile (d12) — the Zipf/coverage numbers a
     * tokenizer- or mixing-design pass reads off a corpus: total token
     * count, vocabulary size, hapax count (terms seen once — the long-tail
@@ -788,6 +803,15 @@ object Queries {
           |  round(max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
           |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 2) AS run_max
           |FROM events ORDER BY user_id, ts, event_id""".stripMargin,
+      "q16_set_ops" ->
+        """WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+          |b AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+          |u AS (SELECT DISTINCT o_custkey FROM orders
+          |      WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) <= 1996)
+          |SELECT o_custkey FROM (
+          |  (SELECT * FROM a INTERSECT SELECT * FROM b)
+          |  EXCEPT SELECT * FROM u)
+          |ORDER BY o_custkey""".stripMargin,
       "d12_vocab_stats" ->
         """WITH w AS (SELECT doc_id,
           |    unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')) AS term
@@ -922,6 +946,7 @@ object Queries {
     "q13_salted_join" -> q13SaltedJoin,
     "q14_json_props" -> q14JsonProps,
     "q15_running_window" -> q15RunningWindow,
+    "q16_set_ops" -> q16SetOps,
     "d3_quality_score" -> d3QualityScore,
     "d4_lang_distribution" -> d4LangDistribution,
     "e1_knn_brute_force" -> e1KnnBruteForce
