@@ -77,9 +77,12 @@ object StreamOps {
     * which is how the spec cross-checks results. Column names must be
     * disjoint apart from `key`; the right frame's timestamp column is
     * `rightTs`. */
+  /** `joinType`: "inner" or "left_outer". Outer rows (left events with no
+    * match) are emitted only once the watermark passes their horizon — the
+    * engine must prove no matching right event can still arrive. */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, horizon: String,
-      watermarkDelay: String): DataFrame = {
+      watermarkDelay: String, joinType: String = "inner"): DataFrame = {
     val l = (if (left.isStreaming) left.withWatermark(leftTs, watermarkDelay)
              else left).alias("l")
     val r = (if (right.isStreaming) right.withWatermark(rightTs, watermarkDelay)
@@ -87,7 +90,8 @@ object StreamOps {
     l.join(r,
       expr(s"l.$key = r.$key") &&
         col(s"r.$rightTs") >= col(s"l.$leftTs") &&
-        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL '$horizon'"))
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL '$horizon'"),
+      joinType)
       .drop(col(s"r.$key"))
   }
 

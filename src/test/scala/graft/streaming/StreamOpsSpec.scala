@@ -141,6 +141,33 @@ class StreamOpsSpec extends AnyFunSuite with Matchers with SparkTestSession {
     } finally q.stop()
   }
 
+  test("intervalJoin left_outer: unmatched impressions emit nulls after the watermark closes them") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val impStream = MemoryStream[(Timestamp, Long, String)]
+    val clickStream = MemoryStream[(Timestamp, Long, String)]
+    impStream.addData(
+      (ts("2024-01-01 10:00:00"), 1L, "imp_a"),
+      (ts("2024-01-01 10:00:00"), 2L, "imp_b"))
+    clickStream.addData((ts("2024-01-01 10:03:00"), 1L, "click_1"))
+    val q = StreamOps.intervalJoin(
+      impStream.toDF().toDF("ts", "user_id", "imp"),
+      clickStream.toDF().toDF("c_ts", "user_id", "click"),
+      "user_id", "ts", "c_ts", "5 minutes", "10 minutes", "left_outer")
+      .writeStream.format("memory").queryName("attr_outer").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // push BOTH watermarks far past imp_b's horizon (10:05 + 10 min delay)
+      impStream.addData((ts("2024-01-01 12:00:00"), 9L, "imp_z"))
+      clickStream.addData((ts("2024-01-01 12:00:00"), 9L, "click_z"))
+      q.processAllAvailable()
+      val rows = spark.table("attr_outer")
+        .select("imp", "click").as[(String, Option[String])].collect().toMap
+      rows("imp_a") shouldBe Some("click_1")
+      rows("imp_b") shouldBe None // emitted as an outer row, not dropped
+    } finally q.stop()
+  }
+
   test("dedupStream: batch path keeps one row per distinct text") {
     import spark.implicits._
     val docs = Seq(
