@@ -81,7 +81,21 @@ object PipelineQueries {
     // evict entries of OTHER (stopped) contexts: stale checkpointed frames
     // are unusable and would otherwise pin each dead session's plans forever
     frameCache.keySet.removeIf(k => !k.startsWith(s"$appId:"))
-    frameCache.computeIfAbsent(s"$appId:$key", _ => f.localCheckpoint())
+    // NOT computeIfAbsent: memoized builders NEST (c1 -> clusters ->
+    // shingle frames; d9 -> trigrams), and a nested computeIfAbsent on the
+    // same ConcurrentHashMap throws IllegalStateException("Recursive
+    // update") — which query trips it depends on registry iteration order,
+    // so it surfaces as order-dependent gate flakes. get/build/putIfAbsent
+    // tolerates reentrancy; a rare concurrent double-build is harmless
+    // (both frames are valid; one wins the publish).
+    val k = s"$appId:$key"
+    val existing = frameCache.get(k)
+    if (existing != null) existing
+    else {
+      val built = f.localCheckpoint()
+      val prev = frameCache.putIfAbsent(k, built)
+      if (prev != null) prev else built
+    }
   }
 
   private def minhashFrame(spark: SparkSession, dir: String): DataFrame =

@@ -177,6 +177,13 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkTestSession {
     plan should include("partial_sum")
   }
 
+  test("q16: set ops plan as aggregated semi/anti joins, never a cartesian product") {
+    val plan = planOf(Queries.q16SetOps(spark, "/root/testdata/sf0.001"))
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    (plan should include).regex("LeftSemi|LeftAnti")
+  }
+
   test("d11: no exchange ships span text — shuffle keys are the sha2 hash or doc ids") {
     val plan = planOf(Queries.d11DupSpanPairs(spark, "/root/testdata/sf0.001"))
     val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq

@@ -72,6 +72,18 @@ class DedupGatesSpec extends AnyFunSuite with Matchers with SparkTestSession {
     r.getDouble(3) shouldBe 0.5 // ttr = 3/6
   }
 
+  test("memo tolerates nested builders (regression: Recursive update flake)") {
+    // c1/t6/t8 builders nest memo calls; computeIfAbsent threw
+    // IllegalStateException("Recursive update") depending on which query
+    // populated the inner frames first (registry iteration order)
+    val df = PipelineQueries.memo(spark, "reentrancy_outer") {
+      PipelineQueries.memo(spark, "reentrancy_inner") {
+        spark.range(3).toDF("x")
+      }
+    }
+    df.count() shouldBe 3L
+  }
+
   test("c3 bloom decontamination equals c2 exact broadcast on sf0.001") {
     val dir = "/root/testdata/sf0.001"
     val c2 = PipelineQueries.c2Contamination(spark, dir).collect().toSeq
