@@ -303,6 +303,103 @@ object Queries {
       .orderBy(col("o_custkey"))
   }
 
+  /** Correlated-subquery gate (q17): orders priced more than 1.5x their
+    * customer's average order value. Written as SQL with a genuinely
+    * correlated scalar subquery so the gate exercises Catalyst's
+    * decorrelation: the optimizer rewrites it into ONE aggregate over
+    * orders plus ONE equi-join on o_custkey — a single shuffle, not a
+    * per-row re-scan (which is what a naive nested-loop execution of the
+    * same SQL would do at 100 TB). The subquery's avg is rounded to 2
+    * decimals in both engines so float summation order can't flip a
+    * borderline row across the threshold. */
+  def q17CorrelatedSubquery(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("q17_orders")
+    spark.sql(
+      """SELECT o.o_custkey, o.o_orderkey, round(o.o_totalprice, 2) AS totalprice
+        |FROM q17_orders o
+        |WHERE o.o_totalprice > 1.5 * (SELECT round(avg(i.o_totalprice), 2)
+        |                              FROM q17_orders i
+        |                              WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o.o_custkey, o.o_orderkey""".stripMargin)
+  }
+
+  /** Pivot gate (q18): order revenue as an o_orderpriority x year matrix
+    * via `RelationalGroupedDataset.pivot` WITH explicit pivot values —
+    * the explicit list matters at scale: without it Spark runs an extra
+    * distinct-collect job over the pivot column before planning. Spark
+    * plans the pivot as agg(priority, yr) then pivotfirst(priority) —
+    * two narrow-key shuffles, both with map-side partial aggregation;
+    * the oracle states the equivalent CASE WHEN formulation. */
+  def q18Pivot(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .withColumn("yr", year(col("o_orderdate")))
+      .where(col("yr").between(1995, 1998))
+      .groupBy(col("o_orderpriority"))
+      .pivot("yr", Seq(1995, 1996, 1997, 1998))
+      .agg(round(sum(col("o_totalprice")), 2))
+      .withColumnsRenamed(Map(
+        "1995" -> "y1995", "1996" -> "y1996",
+        "1997" -> "y1997", "1998" -> "y1998"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Structured Streaming gate (s3): the SAME windowed aggregation as s2 run
+    * as an ACTUAL streaming query — file source over the events parquet,
+    * watermarked tumbling windows, `Trigger.AvailableNow`, memory sink —
+    * hash-matched against the batch DuckDB oracle. Complete output mode
+    * emits every window at end-of-stream so the finite stream equals the
+    * batch aggregation exactly (append mode's watermark-gated emission is
+    * covered in StreamOpsSpec). This gates the streaming machinery itself —
+    * source listing, state store, epoch-aligned window assignment — not
+    * just the plan shape. */
+  def s3StreamWindowed(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    // glob (not the bare file path): FileStreamSource requires the glob's
+    // base path to be a directory it can list for new files
+    val src0 = spark.readStream.schema(raw.schema).parquet(s"$dir/events.*")
+    val src = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        src0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => src0
+    }
+    val agg = graft.streaming.StreamOps
+      .windowedEventStats(src, "1 hour", "1 hour", "30 minutes")
+      .withColumn("total_value", round(col("total_value"), 2))
+    val sink = "s3_stream_sink"
+    spark.catalog.dropTempView(sink) // idempotent across bench passes
+    val q = agg.writeStream.format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink).orderBy(col("window_start"), col("event_type"))
+  }
+
+  /** PII-redaction gate (d13): scrub emails / IPv4s / phone numbers from
+    * document text via [[graft.text.TextOps.redactPii]]. The corpus text
+    * carries no PII, so each doc is suffixed with deterministic synthetic
+    * PII derived from doc_id (identically in the oracle) — the gate then
+    * checks match counts AND an md5 of the full redacted string, so the
+    * replacement itself (not just the count) is cross-checked against
+    * DuckDB's RE2 engine. Narrow map-only pass; see redactPii scale note. */
+  def d13PiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextOps
+    val synth = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com via 10."), pmod(col("doc_id"), lit(256)).cast("string"),
+      lit(".0."), pmod(col("doc_id"), lit(100)).cast("string"),
+      lit(" or 555-"), lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+    t(spark, dir, "documents")
+      .select(col("doc_id"), synth.as("s"))
+      .select(col("doc_id"),
+        regexp_count(col("s"), lit(TextOps.EmailRe)).as("n_emails"),
+        regexp_count(col("s"), lit(TextOps.Ipv4Re)).as("n_ips"),
+        regexp_count(col("s"), lit(TextOps.PhoneRe)).as("n_phones"),
+        md5(TextOps.redactPii(col("s"))).as("red_md5"),
+        char_length(TextOps.redactPii(col("s"))).as("red_len"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus vocabulary profile (d12) — the Zipf/coverage numbers a
     * tokenizer- or mixing-design pass reads off a corpus: total token
     * count, vocabulary size, hapax count (terms seen once — the long-tail
@@ -895,6 +992,47 @@ object Queries {
           |  count(*) AS num_events, round(sum(value), 2) AS total_value
           |FROM s GROUP BY user_id, sid
           |ORDER BY user_id, session_start""".stripMargin,
+      "q17_correlated_subquery" ->
+        """SELECT o.o_custkey, o.o_orderkey, round(o.o_totalprice, 2) AS totalprice
+          |FROM orders o
+          |WHERE o.o_totalprice > 1.5 * (SELECT round(avg(i.o_totalprice), 2)
+          |                              FROM orders i
+          |                              WHERE i.o_custkey = o.o_custkey)
+          |ORDER BY o.o_custkey, o.o_orderkey""".stripMargin,
+      "q18_pivot" ->
+        """SELECT o_orderpriority,
+          | round(sum(CASE WHEN year(o_orderdate) = 1995 THEN o_totalprice END), 2) AS y1995,
+          | round(sum(CASE WHEN year(o_orderdate) = 1996 THEN o_totalprice END), 2) AS y1996,
+          | round(sum(CASE WHEN year(o_orderdate) = 1997 THEN o_totalprice END), 2) AS y1997,
+          | round(sum(CASE WHEN year(o_orderdate) = 1998 THEN o_totalprice END), 2) AS y1998
+          |FROM orders WHERE year(o_orderdate) BETWEEN 1995 AND 1998
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      "s3_stream_windowed" ->
+        """SELECT date_trunc('hour', ts) AS window_start,
+          | date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+          | event_type, count(*) AS num_events, round(sum(value), 2) AS total_value
+          |FROM events GROUP BY 1, 2, 3
+          |ORDER BY window_start, event_type""".stripMargin,
+      "d13_pii_redact" ->
+        """WITH s AS (
+          |  SELECT doc_id,
+          |    concat(text, ' contact user', doc_id, '@example.com via 10.',
+          |      doc_id % 256, '.0.', doc_id % 100,
+          |      ' or 555-', lpad((doc_id % 10000)::VARCHAR, 4, '0')) AS t
+          |  FROM documents),
+          |r AS (
+          |  SELECT doc_id, t,
+          |    regexp_replace(regexp_replace(regexp_replace(t,
+          |      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+          |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+          |      '\b555-[0-9]{4}\b', '<PHONE>', 'g') AS red
+          |  FROM s)
+          |SELECT doc_id,
+          |  len(regexp_extract_all(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_emails,
+          |  len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ips,
+          |  len(regexp_extract_all(t, '\b555-[0-9]{4}\b')) AS n_phones,
+          |  md5(red) AS red_md5, length(red) AS red_len
+          |FROM r ORDER BY doc_id""".stripMargin,
       "s2_windowed_stats" ->
         """WITH w AS (
           |  SELECT event_type, value,
@@ -947,6 +1085,10 @@ object Queries {
     "q14_json_props" -> q14JsonProps,
     "q15_running_window" -> q15RunningWindow,
     "q16_set_ops" -> q16SetOps,
+    "q17_correlated_subquery" -> q17CorrelatedSubquery,
+    "q18_pivot" -> q18Pivot,
+    "s3_stream_windowed" -> s3StreamWindowed,
+    "d13_pii_redact" -> d13PiiRedact,
     "d3_quality_score" -> d3QualityScore,
     "d4_lang_distribution" -> d4LangDistribution,
     "e1_knn_brute_force" -> e1KnnBruteForce

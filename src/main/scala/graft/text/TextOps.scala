@@ -142,6 +142,27 @@ object TextOps {
     when(substring(best, 1, 10) > "0000000000", substring(best, 11, 2)).otherwise(lit("und"))
   }
 
+  /** PII scrubbing patterns. Deliberately restricted to regex syntax with
+    * identical semantics in Java regex (Spark's engine) and RE2 (the DuckDB
+    * oracle's): plain character classes, bounded/unbounded repeats, and `\b`
+    * word boundaries — no backreferences or lookaround. */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRe = "\\b555-[0-9]{4}\\b"
+
+  /** Redact emails, then IPv4 addresses, then phone numbers with typed
+    * placeholder tokens. Email first: an address's local/domain parts contain
+    * dotted digit runs the IP pattern could otherwise claim. Narrow per-row
+    * codegen'd `regexp_replace` chain — no shuffle, no UDF; at corpus scale
+    * this is a map-only pass that pipelines into whatever filter or write
+    * follows it. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
   /** Order-sensitive document fingerprint: position-weighted polynomial hash
     * of the shingle codes, weights 31^(i mod 8) mod P; 0 for empty. */
   def fingerprint(text: Column): Column = {

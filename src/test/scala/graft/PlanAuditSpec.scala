@@ -192,4 +192,24 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkTestSession {
     all(exchanges) should not include "array_join"
     all(exchanges) should not include "ws#"
   }
+
+  test("q17: correlated scalar subquery decorrelates to one aggregate + join") {
+    val plan = planOf(Queries.q17CorrelatedSubquery(spark, "/root/testdata/sf0.001"))
+    // Catalyst must rewrite the per-row subquery into a relational join —
+    // a surviving scalar-subquery node would re-run the aggregate per row
+    plan should not include "Subquery subquery"
+    plan should not include "ScalarSubquery"
+    plan should include("HashAggregate")
+    (plan should include).regex("SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin")
+  }
+
+  test("q18: pivot with explicit values — two partial-agg stages, no collect job") {
+    val plan = planOf(Queries.q18Pivot(spark, "/root/testdata/sf0.001"))
+    // explicit pivot values -> no eager distinct-collect job; Spark plans
+    // the pivot as agg(priority, yr) then pivotfirst(priority): two hash
+    // exchanges, both preceded by map-side partial aggregates, keys narrow
+    plan.linesIterator.count(_.contains("Exchange hashpartitioning")) shouldBe 2
+    plan should include("partial_pivotfirst")
+    plan should include("partial_sum")
+  }
 }

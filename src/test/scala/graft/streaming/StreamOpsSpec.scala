@@ -212,6 +212,23 @@ class StreamOpsSpec extends AnyFunSuite with Matchers with SparkTestSession {
     after.select("h3index").distinct().count() shouldBe 50
   }
 
+  test("s3 gate: AvailableNow file-source streaming run equals the batch plan") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.Queries.s3StreamWindowed(spark, dir)
+      .collect().map(_.toSeq).toSet
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val ev =
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    val batch = StreamOps.windowedEventStats(ev, "1 hour", "1 hour", "30 minutes")
+      .withColumn("total_value", round(col("total_value"), 2))
+      .collect().map(_.toSeq).toSet
+    streamed should not be empty
+    streamed shouldBe batch
+  }
+
   test("sessionize: gap splits sessions, totals conserved") {
     import spark.implicits._
     val sessions = StreamOps.sessionize(sampleEvents.toDS(), gapMillis = 10 * 60 * 1000)

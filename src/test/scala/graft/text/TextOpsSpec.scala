@@ -79,6 +79,25 @@ class TextOpsSpec extends AnyFunSuite with Matchers with SparkTestSession {
       .collect().foreach(r => r.getDouble(0) shouldBe r.getDouble(1) +- 1e-9)
   }
 
+  test("redactPii: emails, IPv4s, phones replaced; email claimed before IP") {
+    import spark.implicits._
+    val out = Seq(
+      "mail a.b-c%d@sub.example.org now",
+      "server at 192.168.0.1 responded",
+      "call 555-0123 or 555-9999",
+      // the dotted digits inside the address belong to the EMAIL, not an IP
+      "odd address 1.2.3.4@5.6.7.8mail.com here",
+      "no pii at all",
+      "v1.2.3 is not an ip, 1.2.3.4 is").toDF("text")
+      .select(TextOps.redactPii(col("text"))).as[String].collect()
+    out(0) shouldBe "mail <EMAIL> now"
+    out(1) shouldBe "server at <IP> responded"
+    out(2) shouldBe "call <PHONE> or <PHONE>"
+    out(3) shouldBe "odd address <EMAIL> here"
+    out(4) shouldBe "no pii at all"
+    out(5) shouldBe "v1.2.3 is not an ip, <IP> is"
+  }
+
   test("langId deterministic and sane on marker-rich text") {
     import spark.implicits._
     val out = Seq(
