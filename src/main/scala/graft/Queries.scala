@@ -400,6 +400,52 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Streaming-dedup gate (s4): continuous corpus-ingestion dedup run as an
+    * ACTUAL streaming query — file source over the documents parquet, a
+    * synthetic event time, [[graft.streaming.StreamOps.dedupStream]]
+    * (`dropDuplicatesWithinWatermark` keyed on the sha2-256 text hash — the
+    * 32-byte shuffle key rule, never the text), `Trigger.AvailableNow`,
+    * memory sink. WHICH doc survives a duplicate family depends on arrival
+    * order under parallel file reads, so the gate projects the
+    * deterministic part: the surviving distinct hash set. */
+  def s4StreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/documents.parquet")
+    // +1 day: an event time equal to epoch 0 — the engine's INITIAL
+    // watermark value — is filtered as late data before reaching the
+    // dedup state store, silently dropping doc_id 0
+    val src = spark.readStream.schema(raw.schema).parquet(s"$dir/documents.*")
+      .withColumn("ts", timestamp_micros(col("doc_id") + lit(86400000000L)))
+    val dedup = graft.streaming.StreamOps.dedupStream(src, "10 minutes")
+      .select(col("text_sha"))
+    val sink = "s4_stream_sink"
+    spark.catalog.dropTempView(sink) // idempotent across bench passes
+    val q = dedup.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink).orderBy(col("text_sha"))
+  }
+
+  /** Tokens per training shard (d14): documents packed into shards of
+    * [[D14ShardBudget]] tokens in stable doc_id order — the step that turns
+    * a curated corpus into bounded training files. The running token count
+    * comes from [[graft.util.PrefixSum.runningSum]], the two-phase parallel
+    * scan: a naive `sum OVER (ORDER BY doc_id)` would funnel the corpus
+    * through ONE reducer (the oracle states exactly that naive form, which
+    * is fine at DuckDB's single-node scale). The plan audit asserts no
+    * single-partition exchange appears. */
+  def d14ShardPacking(spark: SparkSession, dir: String): DataFrame =
+    graft.util.PrefixSum.runningSum(
+        t(spark, dir, "documents")
+          .select(col("doc_id"),
+            size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", "cum_tokens")
+      .withColumn("shard", floor((col("cum_tokens") - col("n_tokens")) / lit(D14ShardBudget)))
+      .orderBy(col("doc_id"))
+
+  private[graft] val D14ShardBudget = 50000L
+
   /** Corpus vocabulary profile (d12) — the Zipf/coverage numbers a
     * tokenizer- or mixing-design pass reads off a corpus: total token
     * count, vocabulary size, hapax count (terms seen once — the long-tail
@@ -1033,6 +1079,22 @@ object Queries {
           |  len(regexp_extract_all(t, '\b555-[0-9]{4}\b')) AS n_phones,
           |  md5(red) AS red_md5, length(red) AS red_len
           |FROM r ORDER BY doc_id""".stripMargin,
+      "s4_stream_dedup" ->
+        """SELECT DISTINCT sha256(text) AS text_sha FROM documents
+          |ORDER BY text_sha""".stripMargin,
+      "d14_shard_packing" ->
+        """WITH tk AS (
+          |  SELECT doc_id,
+          |    length(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens
+          |  FROM documents),
+          |c AS (
+          |  SELECT doc_id, n_tokens,
+          |    (sum(n_tokens) OVER (ORDER BY doc_id
+          |       ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_tokens
+          |  FROM tk)
+          |SELECT doc_id, n_tokens, cum_tokens,
+          |  ((cum_tokens - n_tokens) // 50000)::BIGINT AS shard
+          |FROM c ORDER BY doc_id""".stripMargin,
       "s2_windowed_stats" ->
         """WITH w AS (
           |  SELECT event_type, value,
@@ -1088,7 +1150,9 @@ object Queries {
     "q17_correlated_subquery" -> q17CorrelatedSubquery,
     "q18_pivot" -> q18Pivot,
     "s3_stream_windowed" -> s3StreamWindowed,
+    "s4_stream_dedup" -> s4StreamDedup,
     "d13_pii_redact" -> d13PiiRedact,
+    "d14_shard_packing" -> d14ShardPacking,
     "d3_quality_score" -> d3QualityScore,
     "d4_lang_distribution" -> d4LangDistribution,
     "e1_knn_brute_force" -> e1KnnBruteForce

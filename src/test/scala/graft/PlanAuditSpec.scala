@@ -193,6 +193,15 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkTestSession {
     all(exchanges) should not include "ws#"
   }
 
+  test("d14: shard packing never plans a single-partition window") {
+    val plan = planOf(Queries.d14ShardPacking(spark, "/root/testdata/sf0.001"))
+    // the prefix sum must stay the two-phase parallel scan — a global
+    // ORDER BY window would surface here as an Exchange SinglePartition
+    // feeding a Window node
+    plan should not include "Exchange SinglePartition"
+    plan should include("BroadcastHashJoin") // per-partition offsets join
+  }
+
   test("q17: correlated scalar subquery decorrelates to one aggregate + join") {
     val plan = planOf(Queries.q17CorrelatedSubquery(spark, "/root/testdata/sf0.001"))
     // Catalyst must rewrite the per-row subquery into a relational join —
