@@ -152,6 +152,23 @@ object Queries {
         col("n"), col("qty"))
       .orderBy(col("rf"), col("ls"))
 
+  /** CUBE grouping-sets gate (q19): q10 covers ROLLUP; this covers the full
+    * subset lattice plus `grouping_id()` (which grouping set produced each
+    * row — the bit order, first cube column = MSB, must agree with the
+    * oracle's GROUPING()). Plans as a single expand + one shuffle with
+    * map-side partials, same scale shape as any groupBy. */
+  def q19Cube(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice")), 2).as("rev"),
+        grouping_id().as("gid"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("gid"), col("n"), col("rev"))
+      .orderBy(col("gid"), col("rf"), col("ls"))
+
   // --------------------------------------------------------------------- h3
 
   /** Deterministic valid H3 cell at res 9 from lineitem keys — identical
@@ -445,6 +462,38 @@ object Queries {
       .orderBy(col("doc_id"))
 
   private[graft] val D14ShardBudget = 50000L
+
+  /** Bigram-LM quality scoring (d15) — the CCNet-style curation signal:
+    * train a bigram language model ON the corpus itself (MLE — no smoothing
+    * needed, every scored bigram was seen at training) and score each doc by
+    * its average bigram log-likelihood; low scores flag gibberish/boilerplate
+    * relative to the corpus distribution, without a Python UDF or external
+    * model. Scale shape: the model is two count aggregations over the SHARED
+    * hashed bigram frame and scoring is one join + per-doc aggregate; every
+    * shuffle key is a sha2-256 hash (TextOps contract), never gram text.
+    * Docs with < 2 tokens have no bigrams: n_bigrams = 0, NULL score.
+    * Cross-engine float note: ln() can differ in the last ulp across libm
+    * implementations; rounding the AVERAGE at 1e-4 is ~8 orders above that
+    * noise. */
+  def d15LmQuality(spark: SparkSession, dir: String): DataFrame = {
+    val bi = PipelineQueries.memo(spark, s"bigrams_lm:$dir") {
+      graft.text.TextOps.wordGrams(t(spark, dir, "documents"), 2)
+        .select(col("doc_id"), sha2(col("g"), 256).as("gh"),
+          sha2(element_at(split(col("g"), " "), 1), 256).as("w1h"))
+    }
+    val cg = bi.groupBy(col("gh"), col("w1h")).agg(count(lit(1)).as("cg"))
+    val cw = cg.groupBy(col("w1h")).agg(sum(col("cg")).as("cw"))
+    val lm = cg.join(cw, Seq("w1h"))
+      .select(col("gh"), (log(col("cg")) - log(col("cw"))).as("ll"))
+    val per = bi.join(lm, Seq("gh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("ll")), 4).as("avg_ll"))
+    t(spark, dir, "documents").select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("avg_ll"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Corpus vocabulary profile (d12) — the Zipf/coverage numbers a
     * tokenizer- or mixing-design pass reads off a corpus: total token
@@ -1053,6 +1102,13 @@ object Queries {
           | round(sum(CASE WHEN year(o_orderdate) = 1998 THEN o_totalprice END), 2) AS y1998
           |FROM orders WHERE year(o_orderdate) BETWEEN 1995 AND 1998
           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      "q19_cube" ->
+        """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+          | coalesce(l_linestatus, 'ALL') AS ls,
+          | GROUPING(l_returnflag, l_linestatus) AS gid,
+          | count(*) AS n, round(sum(l_extendedprice), 2) AS rev
+          |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+          |ORDER BY gid, rf, ls""".stripMargin,
       "s3_stream_windowed" ->
         """SELECT date_trunc('hour', ts) AS window_start,
           | date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
@@ -1095,6 +1151,28 @@ object Queries {
           |SELECT doc_id, n_tokens, cum_tokens,
           |  ((cum_tokens - n_tokens) // 50000)::BIGINT AS shard
           |FROM c ORDER BY doc_id""".stripMargin,
+      "d15_lm_quality" ->
+        """WITH w AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+          |  FROM documents),
+          |p AS (SELECT doc_id, ws,
+          |    unnest(range(1, greatest(length(ws), 1))) AS i
+          |  FROM w),
+          |g AS (SELECT doc_id,
+          |    array_to_string(list_slice(ws, i, i + 1), ' ') AS g
+          |  FROM p),
+          |cnt AS (SELECT g, string_split(g, ' ')[1] AS w1, count(*) AS cg
+          |  FROM g GROUP BY 1, 2),
+          |cw AS (SELECT w1, sum(cg) AS cw FROM cnt GROUP BY 1),
+          |lm AS (SELECT cnt.g AS g, ln(cg) - ln(cw) AS ll
+          |  FROM cnt JOIN cw USING (w1)),
+          |per AS (SELECT doc_id, count(*) AS n_bigrams,
+          |    round(avg(ll), 4) AS avg_ll
+          |  FROM g JOIN lm USING (g) GROUP BY 1)
+          |SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams, avg_ll
+          |FROM documents d LEFT JOIN per USING (doc_id)
+          |ORDER BY d.doc_id""".stripMargin,
       "s2_windowed_stats" ->
         """WITH w AS (
           |  SELECT event_type, value,
@@ -1149,10 +1227,12 @@ object Queries {
     "q16_set_ops" -> q16SetOps,
     "q17_correlated_subquery" -> q17CorrelatedSubquery,
     "q18_pivot" -> q18Pivot,
+    "q19_cube" -> q19Cube,
     "s3_stream_windowed" -> s3StreamWindowed,
     "s4_stream_dedup" -> s4StreamDedup,
     "d13_pii_redact" -> d13PiiRedact,
     "d14_shard_packing" -> d14ShardPacking,
+    "d15_lm_quality" -> d15LmQuality,
     "d3_quality_score" -> d3QualityScore,
     "d4_lang_distribution" -> d4LangDistribution,
     "e1_knn_brute_force" -> e1KnnBruteForce
