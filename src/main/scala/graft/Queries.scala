@@ -152,6 +152,22 @@ object Queries {
         col("n"), col("qty"))
       .orderBy(col("rf"), col("ls"))
 
+  /** Bag-semantics set ops (q20): `intersectAll` / `exceptAll` keep
+    * MULTIPLICITY (SQL ALL variants) — a different operator from q16's
+    * set-semantics pair: Spark rewrites them as a count aggregate per side
+    * joined on the key with `replicate_rows` regeneration, not semi/anti
+    * joins. Customers' order multiplicities in 1995 minus their urgent-order
+    * multiplicities: a customer with 3 orders of which 1 urgent appears
+    * exactly 2x. Same narrow-key single-shuffle scale shape as a groupBy. */
+  def q20BagSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val in95 = o.where(year(col("o_orderdate")) === 1995)
+    in95.select(col("o_custkey"))
+      .exceptAll(in95.where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey")))
+      .orderBy(col("o_custkey"))
+  }
+
   /** CUBE grouping-sets gate (q19): q10 covers ROLLUP; this covers the full
     * subset lattice plus `grouping_id()` (which grouping set produced each
     * row — the bit order, first cube column = MSB, must agree with the
@@ -462,6 +478,34 @@ object Queries {
       .orderBy(col("doc_id"))
 
   private[graft] val D14ShardBudget = 50000L
+
+  /** Gopher-style quality rule bundle (d16) — the published heuristic
+    * filters of Rae et al. 2021 that survive contact with a whitespace
+    * tokenizer: mean word length in [3, 10], fraction of words containing
+    * an alphabetic character > 0.8, symbol-to-word ratio ('#'/'*') < 0.1,
+    * plus the composite pass flag. One narrow codegen'd pass (higher-order
+    * array functions, no UDF, no shuffle before the final sort); metrics
+    * surface individually so a curation pipeline can tune thresholds
+    * without recomputing. */
+  def d16GopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val ws = filter(split(col("text"), "\\s+"), x => x =!= "")
+    val nw = greatest(size(ws).cast("long"), lit(1L))
+    val meanLen = aggregate(ws, lit(0L), (acc, x) => acc + char_length(x))
+      .cast("double") / nw
+    val fracAlpha = size(filter(ws, x => x.rlike("[a-zA-Z]")))
+      .cast("double") / nw
+    val nSym = (char_length(col("text")) -
+      char_length(regexp_replace(col("text"), "[#*]", ""))).cast("double")
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        round(meanLen, 4).as("mean_word_len"),
+        round(fracAlpha, 4).as("frac_alpha_words"),
+        round(nSym / nw, 4).as("symbol_ratio"))
+      .withColumn("passes",
+        col("mean_word_len").between(3.0, 10.0) &&
+          col("frac_alpha_words") > 0.8 && col("symbol_ratio") < 0.1)
+      .orderBy(col("doc_id"))
+  }
 
   /** Bigram-LM quality scoring (d15) — the CCNet-style curation signal:
     * train a bigram language model ON the corpus itself (MLE — no smoothing
@@ -1109,6 +1153,13 @@ object Queries {
           | count(*) AS n, round(sum(l_extendedprice), 2) AS rev
           |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
           |ORDER BY gid, rf, ls""".stripMargin,
+      "q20_bag_set_ops" ->
+        """SELECT o_custkey FROM orders
+          |WHERE year(o_orderdate) = 1995
+          |EXCEPT ALL
+          |SELECT o_custkey FROM orders
+          |WHERE year(o_orderdate) = 1995 AND o_orderpriority = '1-URGENT'
+          |ORDER BY o_custkey""".stripMargin,
       "s3_stream_windowed" ->
         """SELECT date_trunc('hour', ts) AS window_start,
           | date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
@@ -1151,6 +1202,24 @@ object Queries {
           |SELECT doc_id, n_tokens, cum_tokens,
           |  ((cum_tokens - n_tokens) // 50000)::BIGINT AS shard
           |FROM c ORDER BY doc_id""".stripMargin,
+      "d16_gopher_rules" ->
+        """WITH m AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws,
+          |    length(text) - length(regexp_replace(text, '[#*]', '', 'g')) AS n_sym
+          |  FROM documents),
+          |r AS (
+          |  SELECT doc_id,
+          |    round(coalesce(list_sum(list_transform(ws, x -> length(x))), 0)::DOUBLE
+          |      / greatest(length(ws), 1), 4) AS mean_word_len,
+          |    round(length(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE
+          |      / greatest(length(ws), 1), 4) AS frac_alpha_words,
+          |    round(n_sym::DOUBLE / greatest(length(ws), 1), 4) AS symbol_ratio
+          |  FROM m)
+          |SELECT doc_id, mean_word_len, frac_alpha_words, symbol_ratio,
+          |  (mean_word_len BETWEEN 3.0 AND 10.0)
+          |    AND frac_alpha_words > 0.8 AND symbol_ratio < 0.1 AS passes
+          |FROM r ORDER BY doc_id""".stripMargin,
       "d15_lm_quality" ->
         """WITH w AS (
           |  SELECT doc_id,
@@ -1228,11 +1297,13 @@ object Queries {
     "q17_correlated_subquery" -> q17CorrelatedSubquery,
     "q18_pivot" -> q18Pivot,
     "q19_cube" -> q19Cube,
+    "q20_bag_set_ops" -> q20BagSetOps,
     "s3_stream_windowed" -> s3StreamWindowed,
     "s4_stream_dedup" -> s4StreamDedup,
     "d13_pii_redact" -> d13PiiRedact,
     "d14_shard_packing" -> d14ShardPacking,
     "d15_lm_quality" -> d15LmQuality,
+    "d16_gopher_rules" -> d16GopherRules,
     "d3_quality_score" -> d3QualityScore,
     "d4_lang_distribution" -> d4LangDistribution,
     "e1_knn_brute_force" -> e1KnnBruteForce

@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Approximate-distinct (HyperLogLog++) coverage: no DuckDB oracle is
+  * possible (sketch estimates are engine-specific), so this pins the
+  * cross-engine-relevant properties instead — bounded relative error vs the
+  * exact count, and insensitivity to partitioning (the sketch must merge
+  * associatively across partitions, which is what makes it the scale path
+  * for cardinality at 100 TB: fixed-size state per group, no distinct
+  * shuffle of the values themselves). */
+class SketchSpec extends AnyFunSuite with Matchers with SparkTestSession {
+
+  test("approx_count_distinct within 5% of exact on corpus terms, any partitioning") {
+    val terms = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(explode(filter(split(col("text"), "\\s+"), x => x =!= "")).as("term"))
+    val exact = terms.select(countDistinct(col("term"))).first().getLong(0)
+    exact should be > 0L
+    for (parts <- Seq(1, 7, 32)) {
+      val approx = terms.repartition(parts)
+        .select(approx_count_distinct(col("term"), rsd = 0.02))
+        .first().getLong(0)
+      math.abs(approx - exact).toDouble / exact should be < 0.05
+    }
+  }
+}
