@@ -374,6 +374,9 @@ object TablesetQueries {
     // ts9 re-derives the schema from the physical layout after sidecar
     // loss; the stored data is untouched, so ts1's expected rows apply
     "ts9_recover_query" -> ts1OracleSql,
+    // s5 ingests the ts1 dataset through the streaming path; a reader must
+    // not be able to tell — identical expected rows
+    "s5_stream_ingest" -> ts1OracleSql,
     "ts2_compact_roundtrip" ->
       s"""WITH base AS (SELECT DISTINCT $synthCellSql AS cell, (l_orderkey % 50) AS v
          |  FROM lineitem WHERE l_orderkey % 20 = 0),
@@ -455,8 +458,42 @@ object TablesetQueries {
          |ORDER BY resolution""".stripMargin
   )
 
+  // ------------------------------------------------------------------- s5
+
+  /** s5 gate: the ts1 dataset ingested through an ACTUAL streaming query —
+    * file source, `StreamOps.insertStream` (foreachBatch -> the full
+    * insert/dedup/rollup/partitioned-write pipeline), Trigger.AvailableNow —
+    * then read back rolled up at res 5. The result must hash-match the SAME
+    * first-principles oracle as the batch ts1 path: streaming ingest and
+    * batch ingest are required to be indistinguishable to a reader. */
+  private def s5Store(spark: SparkSession, dir: String): CellStore = {
+    val store = CellStore(spark, rootFor(dir))
+    if (!store.listTablesets().contains("gate_stream")) {
+      val raw = lineitem(spark, dir)
+      val src = spark.readStream.schema(raw.schema).parquet(s"$dir/lineitem.*")
+        .select(Queries.synthCell.as("h3index"), col("l_quantity").as("qty"))
+      val ckpt = graft.util.TempDirs.create("graft_s5_ckpt_")
+      val q = graft.streaming.StreamOps.insertStream(
+        src, store, "gate_stream", ckpt, createSchema = Some(s5Schema),
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+    store
+  }
+
+  private def s5Schema = CompactedTableSchema.builder("gate_stream")
+    .h3BaseResolutions(Seq(5, 9))
+    .addAggregatedColumn("qty", T.Float64, Agg.Sum)
+    .build()
+
+  def s5StreamIngest(spark: SparkSession, dir: String): DataFrame =
+    s5Store(spark, dir).scanForResolution("gate_stream", 5)
+      .select(col("h3index").as("parent5"), round(col("qty"), 2).as("sum_qty"))
+      .orderBy(col("parent5"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts1_rollup_query" -> ts1RollupQuery,
+    "s5_stream_ingest" -> s5StreamIngest,
     "ts2_compact_roundtrip" -> ts2CompactRoundtrip,
     "ts3_mixed_rollup" -> ts3MixedRollup,
     "ts4_stats" -> ts4Stats,

@@ -111,12 +111,15 @@ object StreamOps {
     * Returns the started query; callers own its lifecycle. */
   def insertStream(stream: DataFrame, store: graft.store.CellStore, name: String,
       checkpointDir: String,
-      createSchema: Option[graft.schema.CompactedTableSchema] = None)
+      createSchema: Option[graft.schema.CompactedTableSchema] = None,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
       : org.apache.spark.sql.streaming.StreamingQuery = {
     createSchema.foreach(store.createTableset)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         store.insert(name, batch)
       }
