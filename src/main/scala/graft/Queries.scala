@@ -22,19 +22,22 @@ object Queries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is TIMESTAMP(NANOS), which Spark's parquet reader rejects;
-    * read nanos as long and convert to a microsecond timestamp. */
-  private def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = t(spark, dir, "events")
+  /** events.ts is TIMESTAMP(NANOS), which Spark's parquet reader rejects
+    * unless nanos are read as long; this is the ONE conversion back to a
+    * microsecond timestamp, shared by the batch reader, the streaming gates
+    * and the specs. Integer division: `/` is DOUBLE division, and
+    * epoch-nanos (~1.7e18) exceed double's 53-bit mantissa — the round-trip
+    * would silently shift timestamps by up to a few microseconds. */
+  private[graft] def convertEventTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        // integer division: `/` is DOUBLE division, and epoch-nanos (~1.7e18)
-        // exceed double's 53-bit mantissa — the round-trip silently shifts
-        // timestamps by up to a few microseconds
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => df
     }
+
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    convertEventTs(t(spark, dir, "events"))
   }
 
   // ------------------------------------------------------------- relational
@@ -347,13 +350,17 @@ object Queries {
     * borderline row across the threshold. */
   def q17CorrelatedSubquery(spark: SparkSession, dir: String): DataFrame = {
     t(spark, dir, "orders").createOrReplaceTempView("q17_orders")
-    spark.sql(
+    val df = spark.sql(
       """SELECT o.o_custkey, o.o_orderkey, round(o.o_totalprice, 2) AS totalprice
         |FROM q17_orders o
         |WHERE o.o_totalprice > 1.5 * (SELECT round(avg(i.o_totalprice), 2)
         |                              FROM q17_orders i
         |                              WHERE i.o_custkey = o.o_custkey)
         |ORDER BY o.o_custkey, o.o_orderkey""".stripMargin)
+    // spark.sql analyzes eagerly (the view is inlined into df's plan) —
+    // drop it so the gate leaves no session-global catalog state behind
+    spark.catalog.dropTempView("q17_orders")
+    df
   }
 
   /** Pivot gate (q18): order revenue as an o_orderpriority x year matrix
@@ -389,12 +396,8 @@ object Queries {
     val raw = spark.read.parquet(s"$dir/events.parquet")
     // glob (not the bare file path): FileStreamSource requires the glob's
     // base path to be a directory it can list for new files
-    val src0 = spark.readStream.schema(raw.schema).parquet(s"$dir/events.*")
-    val src = raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        src0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => src0
-    }
+    val src = convertEventTs(
+      spark.readStream.schema(raw.schema).parquet(s"$dir/events.*"))
     val agg = graft.streaming.StreamOps
       .windowedEventStats(src, "1 hour", "1 hour", "30 minutes")
       .withColumn("total_value", round(col("total_value"), 2))
@@ -424,12 +427,17 @@ object Queries {
       lit(" or 555-"), lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
     t(spark, dir, "documents")
       .select(col("doc_id"), synth.as("s"))
+      // materialize the redaction once in its own projection: md5 and
+      // char_length both consume it, and relying on codegen subexpression
+      // elimination would double the 3-regex chain if the expression ever
+      // falls back to interpreted mode
+      .withColumn("red", TextOps.redactPii(col("s")))
       .select(col("doc_id"),
         regexp_count(col("s"), lit(TextOps.EmailRe)).as("n_emails"),
         regexp_count(col("s"), lit(TextOps.Ipv4Re)).as("n_ips"),
         regexp_count(col("s"), lit(TextOps.PhoneRe)).as("n_phones"),
-        md5(TextOps.redactPii(col("s"))).as("red_md5"),
-        char_length(TextOps.redactPii(col("s"))).as("red_len"))
+        md5(col("red")).as("red_md5"),
+        char_length(col("red")).as("red_len"))
       .orderBy(col("doc_id"))
   }
 

@@ -477,6 +477,17 @@ object TablesetQueries {
         src, store, "gate_stream", ckpt, createSchema = Some(s5Schema),
         trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
       q.awaitTermination()
+      // The stream==batch equivalence gated here holds for SINGLE-batch
+      // ingest: CellStore.insert dedups full rows per batch, so a duplicate
+      // row pair SPLIT ACROSS batches would survive into the Sum rollup
+      // (the documented cure is the post-ingest optimize pass, covered by
+      // ts6 and the insertStream spec). AvailableNow processes all files in
+      // one batch unless maxFilesPerTrigger is set — assert that here so a
+      // fixture-layout or option change fails loudly instead of silently
+      // bending the gate's contract.
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      require(dataBatches == 1,
+        s"s5 gate expects single-batch ingest, saw $dataBatches data batches")
     }
     store
   }

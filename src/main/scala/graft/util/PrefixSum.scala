@@ -31,8 +31,27 @@ import org.apache.spark.sql.functions._
   */
 object PrefixSum {
 
-  /** Adds `outCol` = running sum of `valueCol` (cast to long) over the
-    * global `orderCol` order, inclusive of the current row.
+  /** Phase 1 in isolation: the range-partitioned frame with `__pid` and the
+    * partition-local running sum `__local`, BEFORE checkpointing. Exposed
+    * (package-private) so plan audits can assert the window never collapses
+    * to a single partition — `runningSum`'s localCheckpoint truncates the
+    * lineage, so the returned frame's plan cannot be audited for this. */
+  private[graft] def localPrefix(df: DataFrame, orderCol: String,
+      valueCol: String, p: Int): DataFrame = {
+    val parted = df
+      .repartitionByRange(p, col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+    val w = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // NULL values count as 0 (coalesce BEFORE the sum): a sum over an
+    // all-null partition would otherwise be NULL, and the driver-side
+    // offsets collect below would NPE on it
+    parted.withColumn("__local",
+      sum(coalesce(col(valueCol).cast("long"), lit(0L))).over(w))
+  }
+
+  /** Adds `outCol` = running sum of `valueCol` (cast to long; NULL counts
+    * as 0) over the global `orderCol` order, inclusive of the current row.
     *
     * `orderCol` must be globally unique — uniqueness is what makes the
     * result invariant to the sampled range-partition boundaries.
@@ -57,20 +76,14 @@ object PrefixSum {
     // different partitions, silently corrupting the offsets. Materializing
     // once pins a single partition assignment (and runs the shuffle+window
     // once instead of twice).
-    val parted = df
-      .repartitionByRange(p, col(orderCol))
-      .withColumn("__pid", spark_partition_id())
-    val w = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = parted
-      .withColumn("__local", sum(col(valueCol).cast("long")).over(w))
-      .localCheckpoint()
+    val local = localPrefix(df, orderCol, valueCol, p).localCheckpoint()
 
     // Phase 2: P partial totals -> driver exclusive prefix -> broadcast back.
     // repartitionByRange assigns ascending key ranges to ascending partition
-    // ids, so offsets are the prefix over pid order.
+    // ids, so offsets are the prefix over pid order. (NOT max(__local): the
+    // running sum is only monotone for non-negative values.)
     val totals = local.groupBy(col("__pid"))
-      .agg(sum(col(valueCol).cast("long")).as("__ptotal"))
+      .agg(sum(coalesce(col(valueCol).cast("long"), lit(0L))).as("__ptotal"))
       .collect()
       .map(r => (r.getInt(0), r.getLong(1)))
       .sortBy(_._1)

@@ -194,10 +194,19 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkTestSession {
   }
 
   test("d14: shard packing never plans a single-partition window") {
+    // audit PrefixSum's phase 1 directly on d14's token frame: the gate's
+    // own plan starts at the localCheckpoint (lineage truncated), so the
+    // window shape must be asserted on the pre-checkpoint frame
+    val toks = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        expr("size(filter(split(text, '\\\\s+'), x -> x != ''))")
+          .cast("long").as("n_tokens"))
+    val phase1 = graft.util.PrefixSum.localPrefix(toks, "doc_id", "n_tokens", 32)
+      .queryExecution.executedPlan.toString
+    phase1 should not include "Exchange SinglePartition"
+    phase1 should include("Window")
     val plan = planOf(Queries.d14ShardPacking(spark, "/root/testdata/sf0.001"))
-    // the prefix sum must stay the two-phase parallel scan — a global
-    // ORDER BY window would surface here as an Exchange SinglePartition
-    // feeding a Window node
     plan should not include "Exchange SinglePartition"
     plan should include("BroadcastHashJoin") // per-partition offsets join
   }

@@ -217,11 +217,8 @@ class StreamOpsSpec extends AnyFunSuite with Matchers with SparkTestSession {
     val streamed = graft.Queries.s3StreamWindowed(spark, dir)
       .collect().map(_.toSeq).toSet
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
-    val ev =
-      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
+    val ev = graft.Queries.convertEventTs(
+      spark.read.parquet(s"$dir/events.parquet"))
     val batch = StreamOps.windowedEventStats(ev, "1 hour", "1 hour", "30 minutes")
       .withColumn("total_value", round(col("total_value"), 2))
       .collect().map(_.toSeq).toSet

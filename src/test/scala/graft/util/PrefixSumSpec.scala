@@ -37,13 +37,28 @@ class PrefixSumSpec extends AnyFunSuite with Matchers with SparkTestSession {
     out shouldBe Array(42L)
   }
 
-  test("no single-partition exchange in the plan; offsets join is broadcast") {
+  test("null values count as 0; negative values handled (no max-of-running shortcut)") {
+    import spark.implicits._
+    val df = Seq[(Int, java.lang.Long)](
+      (1, 10L), (2, null), (3, -25L), (4, null), (5, 7L), (6, -1L))
+      .toDF("k", "v")
+    val got = PrefixSum.runningSum(df, "k", "v", "cum", numPartitions = 3)
+      .select("k", "cum").as[(Int, Long)].collect().toMap
+    got shouldBe Map(1 -> 10L, 2 -> 10L, 3 -> -15L, 4 -> -15L, 5 -> -8L, 6 -> -9L)
+  }
+
+  test("phase 1 never plans a single-partition window; offsets join is broadcast") {
     import spark.implicits._
     val df = Seq.tabulate(100)(i => (i, 1L)).toDF("k", "v")
-    val plan = PrefixSum.runningSum(df, "k", "v", "cum", numPartitions = 8)
+    // audit phase 1 BEFORE the checkpoint: runningSum's localCheckpoint
+    // truncates lineage, so the returned frame's plan can't show the window
+    val phase1 = PrefixSum.localPrefix(df, "k", "v", 8)
       .queryExecution.executedPlan.toString
-    // the whole point: the N-row path must never collapse to one partition
-    plan should not include "Exchange SinglePartition"
-    plan should include("BroadcastHashJoin")
+    phase1 should not include "Exchange SinglePartition"
+    phase1 should include("Window")
+    phase1 should include("Exchange hashpartitioning(__pid")
+    val full = PrefixSum.runningSum(df, "k", "v", "cum", numPartitions = 8)
+      .queryExecution.executedPlan.toString
+    full should include("BroadcastHashJoin")
   }
 }
