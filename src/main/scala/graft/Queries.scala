@@ -155,6 +155,29 @@ object Queries {
         col("n"), col("qty"))
       .orderBy(col("rf"), col("ls"))
 
+  /** LATERAL join gate (q21): per-nation top-2 customers by account
+    * balance via a correlated subquery in FROM — a different Catalyst
+    * operator from q17's scalar subquery (LateralJoin + DomainJoin
+    * decorrelation) and from q5's window formulation of the same semantics.
+    * Catalyst rewrites the per-row LIMIT subquery into a partitioned
+    * rank-filter over ONE shuffle of customer — the plan a window query
+    * would produce — rather than re-running the inner query per nation
+    * row. The oracle is DuckDB's native LATERAL executor. */
+  def q21LateralJoin(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "nation").createOrReplaceTempView("q21_nation")
+    t(spark, dir, "customer").createOrReplaceTempView("q21_customer")
+    val df = spark.sql(
+      """SELECT n.n_name, c.c_custkey, round(c.c_acctbal, 2) AS acctbal
+        |FROM q21_nation n,
+        |LATERAL (SELECT c_custkey, c_acctbal FROM q21_customer
+        |         WHERE c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+        |ORDER BY n.n_name, acctbal DESC, c.c_custkey""".stripMargin)
+    spark.catalog.dropTempView("q21_nation")
+    spark.catalog.dropTempView("q21_customer")
+    df
+  }
+
   /** Bag-semantics set ops (q20): `intersectAll` / `exceptAll` keep
     * MULTIPLICITY (SQL ALL variants) — a different operator from q16's
     * set-semantics pair: Spark rewrites them as a count aggregate per side
@@ -1168,6 +1191,13 @@ object Queries {
           |SELECT o_custkey FROM orders
           |WHERE year(o_orderdate) = 1995 AND o_orderpriority = '1-URGENT'
           |ORDER BY o_custkey""".stripMargin,
+      "q21_lateral_join" ->
+        """SELECT n.n_name, c.c_custkey, round(c.c_acctbal, 2) AS acctbal
+          |FROM nation n,
+          |LATERAL (SELECT c_custkey, c_acctbal FROM customer
+          |         WHERE c_nationkey = n.n_nationkey
+          |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+          |ORDER BY n.n_name, acctbal DESC, c.c_custkey""".stripMargin,
       "s3_stream_windowed" ->
         """SELECT date_trunc('hour', ts) AS window_start,
           | date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
@@ -1306,6 +1336,7 @@ object Queries {
     "q18_pivot" -> q18Pivot,
     "q19_cube" -> q19Cube,
     "q20_bag_set_ops" -> q20BagSetOps,
+    "q21_lateral_join" -> q21LateralJoin,
     "s3_stream_windowed" -> s3StreamWindowed,
     "s4_stream_dedup" -> s4StreamDedup,
     "d13_pii_redact" -> d13PiiRedact,

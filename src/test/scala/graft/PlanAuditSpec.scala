@@ -211,6 +211,15 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkTestSession {
     plan should include("BroadcastHashJoin") // per-partition offsets join
   }
 
+  test("q21: LATERAL correlated LIMIT subquery decorrelates — no nested loop per outer row") {
+    val plan = planOf(Queries.q21LateralJoin(spark, "/root/testdata/sf0.001"))
+    // the per-nation LIMIT 2 must become a partitioned rank filter over one
+    // customer shuffle, not a re-executed subquery or a cartesian expansion
+    plan should include("Window")
+    plan should not include "CartesianProduct"
+    plan should not include "LateralJoin" // fully rewritten away
+  }
+
   test("q17: correlated scalar subquery decorrelates to one aggregate + join") {
     val plan = planOf(Queries.q17CorrelatedSubquery(spark, "/root/testdata/sf0.001"))
     // Catalyst must rewrite the per-row subquery into a relational join —
