@@ -173,15 +173,23 @@ object Geo {
       lat += stepDeg
     }
 
-    // exterior ring cells (boundary coverage for tiny polygons)
-    geom match {
-      case p: Polygon =>
-        val ring = p.getExteriorRing
-        val densified = org.locationtech.jts.densify.Densifier.densify(ring, stepDeg)
-        densified.getCoordinates.foreach { c =>
-          cells += latLngToCell(c.y, c.x, res)
-        }
-      case _ => ()
+    // exterior ring cells (boundary coverage for tiny polygons) — walk EVERY
+    // polygonal part: a MultiPolygon's small islands would otherwise be
+    // silently dropped when no interior sample lands inside them. Hole
+    // (interior) rings are deliberately NOT walked: their boundary cells'
+    // centers lie outside the polygon and must stay excluded.
+    def exteriorRings(g: Geometry): Seq[org.locationtech.jts.geom.LineString] =
+      g match {
+        case p: Polygon => Seq(p.getExteriorRing)
+        case m: org.locationtech.jts.geom.GeometryCollection =>
+          (0 until m.getNumGeometries).flatMap(i => exteriorRings(m.getGeometryN(i)))
+        case _ => Seq.empty
+      }
+    exteriorRings(geom).foreach { ring =>
+      val densified = org.locationtech.jts.densify.Densifier.densify(ring, stepDeg)
+      densified.getCoordinates.foreach { c =>
+        cells += latLngToCell(c.y, c.x, res)
+      }
     }
     cells.toSeq.sorted
   }

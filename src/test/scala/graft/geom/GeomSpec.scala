@@ -141,4 +141,42 @@ class GeomSpec extends AnyFunSuite with Matchers {
       new Coordinate(clng - d, clat - d)))
     Geo.polyfill(tiny, 4).length should be > 0
   }
+
+  test("polyfill: a hole excludes its interior cells; the donut is shell minus hole-interior") {
+    val center = H3.centerChild(H3.fromParts(hexBase, 0, Nil), 5)
+    val (clat, clng) = Geo.cellToLatLng(center)
+    val d = math.toDegrees(Geo.unitAt(5)) * 8
+    def ring(r: Double) = factory.createLinearRing(Array(
+      new Coordinate(clng - r, clat - r), new Coordinate(clng + r, clat - r),
+      new Coordinate(clng + r, clat + r), new Coordinate(clng - r, clat + r),
+      new Coordinate(clng - r, clat - r)))
+    val solid = factory.createPolygon(ring(d))
+    val donut = factory.createPolygon(ring(d), Array(ring(d * 0.4)))
+    val solidCells = Geo.polyfill(solid, 5).toSet
+    val donutCells = Geo.polyfill(donut, 5).toSet
+    donutCells should not contain center // hole interior excluded
+    solidCells should contain(center)
+    donutCells.subsetOf(solidCells) shouldBe true
+    donutCells.size should be < solidCells.size
+  }
+
+  test("polyfill: every MultiPolygon part is covered, including a sub-cell island") {
+    val centerA = H3.centerChild(H3.fromParts(hexBase, 0, Nil), 4)
+    val (alat, alng) = Geo.cellToLatLng(centerA)
+    val big = math.toDegrees(Geo.unitAt(4)) * 5
+    val tinyOff = big * 4 // island far outside the big part's envelope
+    def box(clng: Double, clat: Double, r: Double) = factory.createPolygon(Array(
+      new Coordinate(clng - r, clat - r), new Coordinate(clng + r, clat - r),
+      new Coordinate(clng + r, clat + r), new Coordinate(clng - r, clat + r),
+      new Coordinate(clng - r, clat - r)))
+    val island = box(alng + tinyOff, alat + tinyOff, big * 0.005)
+    val mp = factory.createMultiPolygon(Array(box(alng, alat, big), island))
+    val cells = Geo.polyfill(mp, 4).toSet
+    cells should contain(centerA)
+    // the sub-cell island contributes its boundary cell(s) — previously
+    // dropped because only the first Polygon's exterior ring was walked
+    val islandCells = Geo.polyfill(island, 4).toSet
+    islandCells should not be empty
+    islandCells.subsetOf(cells) shouldBe true
+  }
 }
