@@ -178,24 +178,50 @@ object PipelineQueries {
     * banded self-join produces exactly the all-pairs result while shuffling
     * only (band, bucket, doc_id, simhash). The DuckDB oracle is the plain
     * all-pairs filter, independently verifying that exactness. */
-  def t7SimhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+  private def simhashPairsFrame(spark: SparkSession, dir: String): DataFrame = {
     val bands = Seq((0, 255L), (8, 255L), (16, 255L), (24, 127L)).zipWithIndex.map {
       case ((sh, m), b) =>
         struct(lit(b).as("band"),
           shiftright(col("simhash31"), sh).bitwiseAND(lit(m)).as("bucket"))
     }
-    val banded = simhashFrame(spark, dir)
-      .select(col("doc_id"), col("simhash31"), explode(array(bands: _*)).as("b"))
-      .select(col("doc_id"), col("simhash31"), col("b.band").as("band"), col("b.bucket").as("bucket"))
-    banded.select(col("doc_id").as("doc_a"), col("simhash31").as("sa"), col("band"), col("bucket"))
-      .join(banded.select(col("doc_id").as("doc_b"), col("simhash31").as("sb"),
-        col("band"), col("bucket")), Seq("band", "bucket"))
-      .where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
-      .where(col("hamming") <= 3)
-      .distinct()
-      .orderBy(col("doc_a"), col("doc_b"))
+    memo(spark, s"simhashPairs:$dir") {
+      val banded = simhashFrame(spark, dir)
+        .select(col("doc_id"), col("simhash31"), explode(array(bands: _*)).as("b"))
+        .select(col("doc_id"), col("simhash31"), col("b.band").as("band"), col("b.bucket").as("bucket"))
+      banded.select(col("doc_id").as("doc_a"), col("simhash31").as("sa"), col("band"), col("bucket"))
+        .join(banded.select(col("doc_id").as("doc_b"), col("simhash31").as("sb"),
+          col("band"), col("bucket")), Seq("band", "bucket"))
+        .where(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
+        .where(col("hamming") <= 3)
+        .distinct()
+    }
+  }
+
+  def t7SimhashNearDup(spark: SparkSession, dir: String): DataFrame =
+    simhashPairsFrame(spark, dir).orderBy(col("doc_a"), col("doc_b"))
+
+  /** Near-duplicate provenance matrix (d17): which source pairs leak into
+    * each other. The t7 near-dup pairs are joined to each endpoint's
+    * `source` (a narrow broadcast-sized projection of documents) and
+    * counted per unordered source pair — the report a curation pipeline
+    * uses to decide which crawls to decontaminate against which. The pair
+    * frame is shared (memoized) with t7, so the banded self-join runs once.
+    * The source lookup is one row per document, so it is NOT broadcast —
+    * the equi-joins shuffle on doc_id and AQE demotes them to broadcast
+    * only when the pair side is genuinely small. */
+  def d17NearDupProvenance(spark: SparkSession, dir: String): DataFrame = {
+    val src = docs(spark, dir).select(col("doc_id"), col("source"))
+    simhashPairsFrame(spark, dir)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("source_a")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("source_b")), "doc_b")
+      .select(least(col("source_a"), col("source_b")).as("src_a"),
+        greatest(col("source_a"), col("source_b")).as("src_b"),
+        col("hamming"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"), min(col("hamming")).as("min_hamming"))
+      .orderBy(col("src_a"), col("src_b"))
   }
 
   /** Embedding-cosine near-duplicate pairs (banded LSH candidates + exact
@@ -536,6 +562,25 @@ object PipelineQueries {
       s"(CASE WHEN list_dot_product($vecExpr, $w::DOUBLE[]) > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
 
+  /** Shared CTE chain (t7/d17): simhash31 per document, then the
+    * deliberately all-pairs hamming <= 3 near-dup pairs (no banding —
+    * proves the Spark side's banded join loses nothing). Callers prefix
+    * WITH and select from `pairs(doc_a, doc_b, hamming)`. */
+  private val simhashPairsCtesSql: String = {
+    val hs = s"list_transform(codes, c -> ((c % $P) * ${TextOps.hashA(0)} + ${TextOps.hashB(0)}) % $P)"
+    val bits = (0 until 31).map { b =>
+      s"(CASE WHEN list_sum(list_transform(hs, h -> ((h >> $b) & 1)*2 - 1)) > 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""c AS (SELECT doc_id, $codesSql AS codes FROM documents),
+       |h AS (SELECT doc_id, $hs AS hs FROM c),
+       |sim AS (SELECT doc_id, $bits AS simhash31 FROM h),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    bit_count(xor(a.simhash31, b.simhash31))::INT AS hamming
+       |  FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash31, b.simhash31)) <= 3)""".stripMargin
+  }
+
   /** Shared CTE chain (t8/c1): t2's banded candidates + exact-Jaccard pairs,
     * symmetrized to edges, closed transitively (recursive CTE), reduced to
     * (doc_id, cluster_id = min reachable id). Callers prefix WITH RECURSIVE. */
@@ -670,22 +715,19 @@ object PipelineQueries {
          |FROM cand JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b
          |ORDER BY jacc DESC, doc_a, doc_b LIMIT 20""".stripMargin
     },
-    "t7_simhash_neardup" -> {
-      val hs = s"list_transform(codes, c -> ((c % $P) * ${TextOps.hashA(0)} + ${TextOps.hashB(0)}) % $P)"
-      val bits = (0 until 31).map { b =>
-        s"(CASE WHEN list_sum(list_transform(hs, h -> ((h >> $b) & 1)*2 - 1)) > 0 THEN ${1L << b} ELSE 0 END)"
-      }.mkString(" + ")
-      // deliberately all-pairs (no banding): proves the Spark side's banded
-      // join loses nothing at hamming <= 3
-      s"""WITH c AS (SELECT doc_id, $codesSql AS codes FROM documents),
-         |h AS (SELECT doc_id, $hs AS hs FROM c),
-         |sim AS (SELECT doc_id, $bits AS simhash31 FROM h)
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  bit_count(xor(a.simhash31, b.simhash31))::INT AS hamming
-         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash31, b.simhash31)) <= 3
-         |ORDER BY doc_a, doc_b""".stripMargin
-    },
+    "t7_simhash_neardup" ->
+      s"""WITH $simhashPairsCtesSql
+         |SELECT doc_a, doc_b, hamming FROM pairs
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "d17_neardup_provenance" ->
+      s"""WITH $simhashPairsCtesSql,
+         |src AS (SELECT doc_id, source FROM documents)
+         |SELECT least(sa.source, sb.source) AS src_a,
+         |  greatest(sa.source, sb.source) AS src_b,
+         |  count(*) AS n_pairs, min(hamming) AS min_hamming
+         |FROM pairs JOIN src sa ON sa.doc_id = pairs.doc_a
+         |JOIN src sb ON sb.doc_id = pairs.doc_b
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "e3_embedding_neardup" -> {
       val bandSelects = (0 until 6).map { b =>
         s"SELECT vec_id, $b AS band, (sig >> ${8 * b}) & 255 AS bucket FROM s"
@@ -794,6 +836,7 @@ object PipelineQueries {
     "m1_multimodal" -> m1Multimodal,
     "m2_frame_sample" -> m2FrameSample,
     "e2_lsh_ann" -> e2LshAnn,
-    "e3_embedding_neardup" -> e3EmbeddingNearDup
+    "e3_embedding_neardup" -> e3EmbeddingNearDup,
+    "d17_neardup_provenance" -> d17NearDupProvenance
   )
 }

@@ -211,6 +211,52 @@ object Queries {
         col("gid"), col("n"), col("rev"))
       .orderBy(col("gid"), col("rf"), col("ls"))
 
+  /** CDC-style keep-latest dedup (q22): collapse an event stream to the
+    * most recent row per key — the canonical changelog-compaction /
+    * slowly-changing-dimension shape. One shuffle on the key; the window
+    * rank and the filter fuse into a single stage (Spark pushes the
+    * `rn = 1` filter into the sort-based window evaluation), so only one
+    * row per key survives into downstream operators. Timestamps are
+    * emitted as epoch millis so both engines compare integer values.
+    * No (user_id, microsecond) collisions exist in the data, so the
+    * (ts, event_id) ordering is total and the survivor deterministic. */
+  def q22KeepLatest(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        col("value"), row_number().over(w).as("rn"))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ts_ms"),
+        col("event_type"), round(col("value"), 2).as("value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Per-language quality-decile curation (c4): rank every document inside
+    * its language stratum by the d3 quality score, bucket into NTILE(10)
+    * deciles, and keep the top two bands — the "take the best 20% of each
+    * language" mixing step a curation pipeline runs before sampling.
+    * The rank order (quality desc, doc_id) is total, so the decile
+    * boundaries — and the aggregate per band — are deterministic and
+    * oracle-checkable. One shuffle on the stratum key, then a groupBy
+    * whose partial aggregation runs inside the window stage's partitions. */
+  def c4QualityNtile(spark: SparkSession, dir: String): DataFrame = {
+    val quality = round(
+      least(col("n_chars").cast("double") / 1000.0, lit(1.0)) * 0.5 +
+        when(col("lang") === "en", 0.3).otherwise(0.1) +
+        when(col("n_chars") > 100, 0.2).otherwise(0.0), 4)
+    val w = Window.partitionBy(col("lang")).orderBy(col("quality").desc, col("doc_id"))
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), quality.as("quality"))
+      .withColumn("decile", ntile(10).over(w))
+      .where(col("decile") <= 2)
+      .groupBy(col("lang"), col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("quality")), 4).as("avg_q"),
+        round(min(col("quality")), 4).as("min_q"))
+      .orderBy(col("lang"), col("decile"))
+  }
+
   // --------------------------------------------------------------------- h3
 
   /** Deterministic valid H3 cell at res 9 from lineitem keys — identical
@@ -1198,6 +1244,28 @@ object Queries {
           |         WHERE c_nationkey = n.n_nationkey
           |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
           |ORDER BY n.n_name, acctbal DESC, c.c_custkey""".stripMargin,
+      "q22_keep_latest" ->
+        """SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type,
+          | round(value, 2) AS value
+          |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+          |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+          |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+      "c4_quality_ntile" ->
+        """WITH q AS (
+          |  SELECT doc_id, lang,
+          |    round(least(n_chars / 1000.0, 1.0) * 0.5 +
+          |      CASE WHEN lang = 'en' THEN 0.3 ELSE 0.1 END +
+          |      CASE WHEN n_chars > 100 THEN 0.2 ELSE 0.0 END, 4) AS quality
+          |  FROM documents),
+          |b AS (
+          |  SELECT lang, quality,
+          |    ntile(10) OVER (PARTITION BY lang
+          |                    ORDER BY quality DESC, doc_id) AS decile
+          |  FROM q)
+          |SELECT lang, decile, count(*) AS n_docs,
+          |  round(avg(quality), 4) AS avg_q, round(min(quality), 4) AS min_q
+          |FROM b WHERE decile <= 2
+          |GROUP BY lang, decile ORDER BY lang, decile""".stripMargin,
       "s3_stream_windowed" ->
         """SELECT date_trunc('hour', ts) AS window_start,
           | date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
@@ -1345,6 +1413,8 @@ object Queries {
     "d16_gopher_rules" -> d16GopherRules,
     "d3_quality_score" -> d3QualityScore,
     "d4_lang_distribution" -> d4LangDistribution,
-    "e1_knn_brute_force" -> e1KnnBruteForce
+    "e1_knn_brute_force" -> e1KnnBruteForce,
+    "q22_keep_latest" -> q22KeepLatest,
+    "c4_quality_ntile" -> c4QualityNtile
   )
 }
