@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Semantic invariants of the q22/c4/d17 gates that the sf-scale oracle
+  * equality cannot distinguish from coincidence: keep-latest survivorship,
+  * NTILE balance, and the provenance matrix's conservation of the t7 pair
+  * set. All run on sf0.001. */
+class CurationGatesSpec extends AnyFunSuite with Matchers with SparkTestSession {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q22: exactly one survivor per user, and it carries the user's max timestamp") {
+    // no .cache() here: a leftover cache entry would silently reshape the
+    // identical query's plan in PlanAuditSpec (InMemoryTableScan reuse)
+    val out = Queries.q22KeepLatest(spark, dir).collect()
+    val events = Queries.convertEventTs(spark.read.parquet(s"$dir/events.parquet"))
+    val users = events.select(col("user_id")).distinct().count()
+    out.length.toLong shouldBe users
+    out.map(_.getLong(0)).distinct.length shouldBe out.length
+    // survivor ts == max ts per user (ordering is ts desc, so the kept row
+    // must carry the maximum, whatever the event_id tiebreak did)
+    val maxTs = events.groupBy(col("user_id"))
+      .agg(max(unix_millis(col("ts"))).as("max_ms"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach(r => r.getLong(2) shouldBe maxTs(r.getLong(0)))
+  }
+
+  test("c4: only deciles 1-2 survive and NTILE balance holds within each language") {
+    val out = Queries.c4QualityNtile(spark, dir).collect()
+    out.map(_.getInt(1)).toSet should contain theSameElementsAs Set(1, 2)
+    // NTILE(10) sizes differ by at most 1 between any two buckets of the
+    // same window; decile 1 is never smaller than decile 2
+    out.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val bySize = rows.map(r => r.getInt(1) -> r.getLong(2)).toMap
+      (bySize(1) - bySize(2)) should (be >= 0L and be <= 1L)
+    }
+    // quality ordering: decile 1's minimum is >= decile 2's average
+    out.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val minQ1 = rows.find(_.getInt(1) == 1).get.getDouble(4)
+      val avgQ2 = rows.find(_.getInt(1) == 2).get.getDouble(3)
+      minQ1 should be >= avgQ2
+    }
+  }
+
+  test("d17: the provenance matrix conserves the t7 pair set exactly") {
+    val pairs = PipelineQueries.t7SimhashNearDup(spark, dir).count()
+    val matrix = PipelineQueries.d17NearDupProvenance(spark, dir).collect()
+    matrix.map(_.getLong(2)).sum shouldBe pairs
+    // unordered source pairs: src_a <= src_b always
+    matrix.foreach(r => r.getString(0) should be <= r.getString(1))
+  }
+}

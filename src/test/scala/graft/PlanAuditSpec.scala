@@ -239,4 +239,29 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkTestSession {
     plan should include("partial_pivotfirst")
     plan should include("partial_sum")
   }
+
+  test("q22: keep-latest plans one key shuffle — rank filter fuses into the window stage") {
+    val plan = planOf(Queries.q22KeepLatest(spark, "/root/testdata/sf0.001"))
+    plan should include("Window")
+    plan should not include "Exchange SinglePartition"
+    // one hash exchange on user_id for the window; the final ORDER BY is a
+    // range exchange, not a second hash repartition
+    plan.linesIterator.count(_.contains("Exchange hashpartitioning")) shouldBe 1
+  }
+
+  test("c4: decile groupBy reuses the window's lang partitioning — one hash shuffle total") {
+    val plan = planOf(Queries.c4QualityNtile(spark, "/root/testdata/sf0.001"))
+    plan should include("Window")
+    // hashpartitioning(lang) satisfies the (lang, decile) grouping: the
+    // aggregate must NOT introduce a second hash exchange
+    plan.linesIterator.count(_.contains("Exchange hashpartitioning")) shouldBe 1
+    plan should not include "Exchange SinglePartition"
+  }
+
+  test("d17: provenance joins shuffle ids and sources only — no exchange ships document text") {
+    val plan = planOf(PipelineQueries.d17NearDupProvenance(spark, "/root/testdata/sf0.001"))
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    exchanges should not be empty
+    all(exchanges) should not include "text#"
+  }
 }
