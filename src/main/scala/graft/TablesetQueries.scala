@@ -343,6 +343,60 @@ object TablesetQueries {
       .orderBy(col("parent5"))
   }
 
+  // --------------------------------------------------------------- ts10/11
+
+  /** Versioned ReplacingMergeTree through the oracle gate: batch 1 writes
+    * cells at version 1, batch 2 re-writes a subset at version 2 with new
+    * values. Collapse keeps the max-version row per cell (ties on the exact
+    * version break on the greater payload — synthCell collisions make such
+    * ties real at sf scale, so the tiebreak itself is under the oracle).
+    * ts10 collapses ON DISK (replace = OPTIMIZE ... FINAL); ts11 collapses
+    * AT READ TIME (scanForResolutionFinal = SELECT ... FINAL) over an
+    * un-rewritten tableset — both must produce identical relational
+    * results. */
+  private def replaceSchema(name: String) = CompactedTableSchema.builder(name)
+    .h3BaseResolutions(Seq(9))
+    .useCompaction(false)
+    .engine(TableEngine.ReplacingMergeTree(Some("version")))
+    .addSimpleColumn("version", T.Int64)
+    .addSimpleColumn("val", T.Int64)
+    .build()
+
+  private def versionedBatches(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val li = lineitem(spark, dir)
+    val a = li.where(pmod(col("l_orderkey"), lit(2)) === 0)
+      .select(Queries.synthCell.as("h3index"), lit(1L).as("version"),
+        pmod(col("l_orderkey"), lit(50)).as("val"))
+    val b = li.where(pmod(col("l_orderkey"), lit(6)) === 0)
+      .select(Queries.synthCell.as("h3index"), lit(2L).as("version"),
+        pmod(col("l_orderkey"), lit(37)).as("val"))
+    (a, b)
+  }
+
+  private def versionedStore(spark: SparkSession, dir: String, name: String,
+      optimize: Boolean): CellStore = {
+    val store = CellStore(spark, rootFor(dir))
+    if (!store.listTablesets().contains(name)) {
+      val (a, b) = versionedBatches(spark, dir)
+      store.insert(name, a, createSchema = Some(replaceSchema(name)))
+      store.insert(name, b)
+      if (optimize) store.replace(name)
+    }
+    store
+  }
+
+  def ts10ReplaceOptimize(spark: SparkSession, dir: String): DataFrame =
+    versionedStore(spark, dir, "gate_replace", optimize = true)
+      .scanForResolution("gate_replace", 9)
+      .select(col("h3index"), col("version"), col("val"))
+      .orderBy(col("h3index"))
+
+  def ts11FinalRead(spark: SparkSession, dir: String): DataFrame =
+    versionedStore(spark, dir, "gate_final", optimize = false)
+      .scanForResolutionFinal("gate_final", 9)
+      .select(col("h3index"), col("version"), col("val"))
+      .orderBy(col("h3index"))
+
   // ---------------------------------------------------------------- oracles
 
   /** parent-at-res arithmetic shared with Queries: replace res field, fill
@@ -369,8 +423,26 @@ object TablesetQueries {
        |SELECT ${parentSql("cell", 9, 5)} AS parent5, round(sum(qty), 2) AS sum_qty
        |FROM cells GROUP BY 1 ORDER BY parent5""".stripMargin
 
+  // keep-latest per cell: version decides, exact-version ties break on the
+  // greater payload (synthCell collisions make ties real — the tiebreak is
+  // part of the contract, not an accident)
+  private val versionedOracleSql: String =
+    s"""WITH a AS (SELECT DISTINCT $synthCellSql AS cell, 1::BIGINT AS version,
+       |    (l_orderkey % 50)::BIGINT AS val FROM lineitem WHERE l_orderkey % 2 = 0),
+       |b AS (SELECT DISTINCT $synthCellSql AS cell, 2::BIGINT AS version,
+       |    (l_orderkey % 37)::BIGINT AS val FROM lineitem WHERE l_orderkey % 6 = 0),
+       |allr AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+       |SELECT cell AS h3index, version, val FROM (
+       |  SELECT cell, version, val, row_number() OVER (PARTITION BY cell
+       |    ORDER BY version DESC, val DESC) AS rn FROM allr)
+       |WHERE rn = 1 ORDER BY h3index""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "ts1_rollup_query" -> ts1OracleSql,
+    "ts10_replace_optimize" -> versionedOracleSql,
+    // ts11 reads the SAME logical content through the read-time collapse
+    // (no rewrite) — identical expected rows by construction
+    "ts11_final_read" -> versionedOracleSql,
     // ts9 re-derives the schema from the physical layout after sidecar
     // loss; the stored data is untouched, so ts1's expected rows apply
     "ts9_recover_query" -> ts1OracleSql,
@@ -512,6 +584,8 @@ object TablesetQueries {
     "ts6_dedup_optimize" -> ts6DedupOptimize,
     "ts7_prefilter_traversal" -> ts7PrefilterTraversal,
     "ts8_temporal_buckets" -> ts8TemporalBuckets,
-    "ts9_recover_query" -> ts9RecoverQuery
+    "ts9_recover_query" -> ts9RecoverQuery,
+    "ts10_replace_optimize" -> ts10ReplaceOptimize,
+    "ts11_final_read" -> ts11FinalRead
   )
 }

@@ -95,10 +95,18 @@ object AggregationMethod {
 
 /** Table engine semantics (`schema/other.rs:11-15`). In the Spark port the
   * dedup/merge behavior is realized explicitly at publish time (SURVEY §4):
-  * ReplacingMergeTree -> dropDuplicates on the order-by key. */
+  * ReplacingMergeTree -> dropDuplicates on the order-by key.
+  *
+  * ReplacingMergeTree optionally carries a VERSION column (ClickHouse's
+  * `ReplacingMergeTree([ver])`): when set, collapse keeps the row with the
+  * largest version per sort key instead of plain distinct. Collapse runs at
+  * optimize time ([[graft.store.CellStore.replaceWhere]]) or at read time
+  * (`scanForResolutionFinal`, the `SELECT ... FINAL` analogue) — inserts
+  * never collapse across batches, exactly like ClickHouse merges. */
 sealed trait TableEngine
 object TableEngine {
-  case object ReplacingMergeTree extends TableEngine
+  final case class ReplacingMergeTree(versionColumn: Option[String] = None)
+      extends TableEngine
   final case class SummingMergeTree(sumColumns: Seq[String]) extends TableEngine
   case object AggregatingMergeTree extends TableEngine
 }
@@ -193,7 +201,7 @@ final case class CompactedTableSchema(
     name: String,
     baseResolutions: Seq[Int],
     columns: ListMap[String, ColumnDef],
-    engine: TableEngine = TableEngine.ReplacingMergeTree,
+    engine: TableEngine = TableEngine.ReplacingMergeTree(),
     useCompaction: Boolean = true,
     temporalResolution: TemporalResolution = TemporalResolution.Second,
     temporalPartitioning: Option[TemporalPartitioning] = None,
@@ -227,6 +235,17 @@ final case class CompactedTableSchema(
 
   def temporalColumns: Seq[String] =
     columns.collect { case (n, c) if c.dataType.isTemporal => n }.toSeq
+
+  /** ReplacingMergeTree's declared version column, if any. */
+  def versionColumn: Option[String] = engine match {
+    case TableEngine.ReplacingMergeTree(v) => v
+    case _ => None
+  }
+
+  /** Sort key a versioned collapse groups on: the ORDER BY key minus the
+    * version column (ClickHouse collapses rows with an identical sort key;
+    * the version decides the survivor, it is not part of the key). */
+  def replaceKey: Seq[String] = orderByKey.filterNot(versionColumn.contains)
 
   /** ORDER BY (primary key): h3index first (forced weight -100), then by
     * order_key_position, ties by name (`schema/mod.rs:169-199`). */
@@ -274,6 +293,28 @@ final case class CompactedTableSchema(
         val missing = sumCols.filterNot(columns.contains)
         if (missing.nonEmpty)
           throw new SchemaError(s"SummingMergeTree sum columns missing: $missing")
+      case TableEngine.ReplacingMergeTree(Some(ver)) =>
+        // compaction merges equal-valued sibling groups into a PARENT cell;
+        // a later version of one child could then never shadow its coverage
+        // (the parent's h3index differs from the child's sort key). The two
+        // features are mutually exclusive by construction.
+        if (useCompaction)
+          throw new SchemaError(
+            "a ReplacingMergeTree version column requires useCompaction(false): " +
+              "compacted parent cells cannot be shadowed by a newer child version")
+        columns.get(ver) match {
+          case None =>
+            throw new SchemaError(s"ReplacingMergeTree version column '$ver' not in schema")
+          case Some(ColumnDef.Simple(_, nullable, _, _)) =>
+            if (nullable)
+              throw new SchemaError(
+                s"ReplacingMergeTree version column '$ver' must be non-nullable " +
+                  "(a NULL version has no place in the keep-latest order)")
+          case Some(_) =>
+            throw new SchemaError(
+              s"ReplacingMergeTree version column '$ver' must be a simple column " +
+                "(h3index and aggregated columns cannot carry the row version)")
+        }
       case _ => ()
     }
     // partitioning derivability (`schema/mod.rs:252-271`)
@@ -310,7 +351,7 @@ object CompactedTableSchema {
   final class Builder(name: String) {
     private var resolutions: Seq[Int] = Nil
     private var cols: ListMap[String, ColumnDef] = ListMap(ColH3Index -> ColumnDef.H3Index)
-    private var engine: TableEngine = TableEngine.ReplacingMergeTree
+    private var engine: TableEngine = TableEngine.ReplacingMergeTree()
     private var compaction = true
     private var tempRes: TemporalResolution = TemporalResolution.Second
     private var tempPart: Option[TemporalPartitioning] = None

@@ -67,7 +67,9 @@ object SchemaJson {
   private def engineNode(e: TableEngine): ObjectNode = {
     val n = mapper.createObjectNode()
     e match {
-      case TableEngine.ReplacingMergeTree => n.put("type", "ReplacingMergeTree")
+      case TableEngine.ReplacingMergeTree(ver) =>
+        n.put("type", "ReplacingMergeTree")
+        ver.foreach(n.put("version_column", _))
       case TableEngine.SummingMergeTree(cols) =>
         n.put("type", "SummingMergeTree")
         val a = n.putArray("sum_columns"); cols.foreach(a.add)
@@ -103,7 +105,9 @@ object SchemaJson {
     val engine = {
       val e = req(root, "engine")
       req(e, "type").asText() match {
-        case "ReplacingMergeTree" => TableEngine.ReplacingMergeTree
+        case "ReplacingMergeTree" =>
+          TableEngine.ReplacingMergeTree(
+            Option(e.get("version_column")).filterNot(_.isNull).map(_.asText()))
         case "AggregatingMergeTree" => TableEngine.AggregatingMergeTree
         case "SummingMergeTree" =>
           val a = req(e, "sum_columns").asInstanceOf[ArrayNode]

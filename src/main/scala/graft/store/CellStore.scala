@@ -646,7 +646,53 @@ class CellStore(spark: SparkSession, rootPath: String) {
     * partitions (breaking the read-the-overwrite-target lineage), then a
     * single dynamic-overwrite write publishes them. A failure before the
     * job's commit leaves the live directory untouched; rerun to retry. */
-  def deduplicateWhere(name: String, touched: org.apache.spark.sql.Column): Unit = {
+  def deduplicateWhere(name: String, touched: org.apache.spark.sql.Column): Unit =
+    optimizePartitions(name, touched, (all, _) => all.dropDuplicates())
+
+  /** ClickHouse `OPTIMIZE ... FINAL` for a versioned ReplacingMergeTree:
+    * collapse each sort key (the ORDER BY key minus the version column) to
+    * the row with the LARGEST version, within the touched partitions only.
+    * Requires the tableset's engine to declare a version column. Exact-
+    * version ties break deterministically on the remaining payload columns
+    * (greatest wins) — ClickHouse keeps an arbitrary row of the tied set;
+    * a distributed engine must not.
+    *
+    * Like ClickHouse merges, the collapse is per PARTITION: two versions of
+    * a sort key that land in different partition directories (e.g. a
+    * temporal partition column that changed between versions) are both
+    * kept — the same contract as ClickHouse's partition-local merges. */
+  def replaceWhere(name: String, touched: org.apache.spark.sql.Column): Unit =
+    optimizePartitions(name, touched, (all, schema) => keepLatest(all, schema))
+
+  def replace(name: String): Unit = replaceWhere(name, lit(true))
+
+  /** Keep-latest collapse of a frame holding tableset rows (+ partition
+    * columns): group by (partition cols ++ replaceKey), survivor = the
+    * lexicographic max of (version, remaining payload) — one shuffle with
+    * map-side partial aggregation, no window sort. */
+  private def keepLatest(df: DataFrame, schema: CompactedTableSchema): DataFrame = {
+    val ver = schema.versionColumn.getOrElse(throw new IllegalArgumentException(
+      s"tableset '${schema.name}' declares no ReplacingMergeTree version column"))
+    val partCols = df.columns.filter(c =>
+      c == "kind" || c == "resolution" || c == "ph3" || c == "pt" || c.startsWith("pt_"))
+    val keyCols = (partCols ++ schema.replaceKey.filter(df.columns.contains)).distinct
+    val payload = ver +: df.columns.filterNot(c => keyCols.contains(c) || c == ver)
+    df.groupBy(keyCols.map(col).toIndexedSeq: _*)
+      .agg(max(struct(payload.map(col).toIndexedSeq: _*)).as("_latest"))
+      .select(df.columns.map(c =>
+        (if (keyCols.contains(c)) col(c) else col(s"_latest.$c")).as(c)).toIndexedSeq: _*)
+  }
+
+  /** `SELECT ... FINAL`: the resolution scan with the versioned keep-latest
+    * collapse applied AT READ TIME — no rewrite, stale versions stay on
+    * disk until [[replaceWhere]] merges them away. Partition pruning is
+    * unaffected (the collapse groups on the partition columns, above any
+    * pushed filters). */
+  def scanForResolutionFinal(name: String, targetRes: Int): DataFrame =
+    keepLatest(scanForResolution(name, targetRes), getTableset(name))
+
+  private def optimizePartitions(name: String, touched: org.apache.spark.sql.Column,
+      collapse: (DataFrame, CompactedTableSchema) => DataFrame): Unit = {
     val schema = getTableset(name)
     val dp = dataPath(name)
     if (!fs.exists(dp)) return
@@ -667,7 +713,7 @@ class CellStore(spark: SparkSession, rootPath: String) {
         s"(${allowed.mkString(", ")}); found: ${bad.mkString(", ")} — a row-level " +
         "predicate would delete the unmatched rows of partially-matched partitions")
     val touchedSafe = coalesce(touched, lit(false))
-    val deduped = all.where(touchedSafe).dropDuplicates()
+    val deduped = collapse(all.where(touchedSafe), schema)
     if (deduped.isEmpty) return
     // checkpoint BEFORE the range repartition: repartitionByRange computes
     // its bounds with a separate SAMPLING job that re-executes the upstream

@@ -105,6 +105,40 @@ class SchemaSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("ReplacingMergeTree version column: must exist, be simple, non-nullable, compaction off") {
+    def base = CompactedTableSchema.builder("some_table").h3BaseResolutions(Seq(3))
+      .useCompaction(false)
+      .addSimpleColumn("v", T.Int64)
+      .addAggregatedColumn("x", T.Float64, Agg.Max)
+    base.engine(TableEngine.ReplacingMergeTree(Some("v"))).build()
+      .versionColumn shouldBe Some("v")
+    base.engine(TableEngine.ReplacingMergeTree(Some("v"))).build()
+      .replaceKey shouldBe Seq("h3index") // version never part of the sort key
+    a[SchemaError] should be thrownBy // not in schema
+      base.engine(TableEngine.ReplacingMergeTree(Some("nope"))).build()
+    a[SchemaError] should be thrownBy // aggregated column can't be the version
+      base.engine(TableEngine.ReplacingMergeTree(Some("x"))).build()
+    a[SchemaError] should be thrownBy { // nullable version rejected
+      CompactedTableSchema.builder("some_table").h3BaseResolutions(Seq(3))
+        .useCompaction(false)
+        .addColumn("v", ColumnDef.Simple(T.Int64, nullable = true))
+        .engine(TableEngine.ReplacingMergeTree(Some("v"))).build()
+    }
+    a[SchemaError] should be thrownBy { // compaction + version mutually exclusive
+      CompactedTableSchema.builder("some_table").h3BaseResolutions(Seq(3))
+        .addSimpleColumn("v", T.Int64)
+        .engine(TableEngine.ReplacingMergeTree(Some("v"))).build()
+    }
+  }
+
+  test("version column survives the JSON round-trip") {
+    val s = CompactedTableSchema.builder("some_table").h3BaseResolutions(Seq(3))
+      .useCompaction(false)
+      .addSimpleColumn("v", T.Int64)
+      .engine(TableEngine.ReplacingMergeTree(Some("v"))).build()
+    CompactedTableSchema.fromJson(s.toJson) shouldBe s
+  }
+
   test("temporal partitioning parse: '5 years' valid, '0 years'/'z years' raise (test_schema.py:10-15)") {
     TemporalPartitioning.parse("5 years") shouldBe TemporalPartitioning.Years(5)
     TemporalPartitioning.parse("1 month") shouldBe TemporalPartitioning.Months(1)

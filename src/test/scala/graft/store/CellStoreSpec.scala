@@ -370,6 +370,78 @@ class CellStoreSpec extends AnyFunSuite with Matchers with SparkTestSession {
       store.readH3Parquet(dir.resolve("noh3").toString)
   }
 
+  // -------------------------------------------------- versioned replace
+
+  private def versionedSchema = CompactedTableSchema.builder("versioned")
+    .h3BaseResolutions(Seq(7))
+    .useCompaction(false)
+    .engine(TableEngine.ReplacingMergeTree(Some("version")))
+    .addSimpleColumn("version", T.Int64)
+    .addSimpleColumn("val", T.Int64)
+    .build()
+
+  private def versionedInput(cells: Seq[Long], version: Long, valOf: Int => Long) = {
+    val rows = cells.zipWithIndex.map { case (c, i) => Row(c, version, valOf(i)) }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 2),
+      StructType(Seq(
+        StructField("h3index", LongType, false),
+        StructField("version", LongType, false),
+        StructField("val", LongType, false))))
+  }
+
+  test("versioned replace keeps the max-version row per cell") {
+    val store = newStore()
+    val cells = H3.toChildren(hexRes5, 7).toSeq
+    store.insert("versioned", versionedInput(cells, 1L, _.toLong),
+      createSchema = Some(versionedSchema))
+    store.insert("versioned", versionedInput(cells.take(10), 2L, i => 100L + i))
+    store.scanForResolution("versioned", 7).count() shouldBe 59 // stale rows kept
+    store.replace("versioned")
+    val rows = store.scanForResolution("versioned", 7)
+      .select("h3index", "version", "val").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    rows should have size 49
+    cells.take(10).zipWithIndex.foreach { case (c, i) =>
+      rows(c) shouldBe ((2L, 100L + i))
+    }
+    cells.drop(10).foreach { c => rows(c)._1 shouldBe 1L }
+  }
+
+  test("versioned replace: exact-version ties break on the greater payload") {
+    val store = newStore()
+    val cells = H3.toChildren(hexRes5, 7).take(3).toSeq
+    store.insert("versioned", versionedInput(cells, 1L, _ => 5L),
+      createSchema = Some(versionedSchema))
+    store.insert("versioned", versionedInput(cells, 1L, _ => 9L)) // same version
+    store.replace("versioned")
+    val vals = store.scanForResolution("versioned", 7).select("val").collect().map(_.getLong(0))
+    vals should have length 3
+    all(vals) shouldBe 9L
+  }
+
+  test("FINAL read collapses at read time without rewriting any file") {
+    val dir = Files.createTempDirectory("graft_store_").toString
+    val store = CellStore(spark, dir)
+    val cells = H3.toChildren(hexRes5, 7).toSeq
+    store.insert("versioned", versionedInput(cells, 1L, _.toLong),
+      createSchema = Some(versionedSchema))
+    store.insert("versioned", versionedInput(cells.take(10), 2L, i => 100L + i))
+    val before = parquetFiles(dir)
+    val rows = store.scanForResolutionFinal("versioned", 7)
+      .select("h3index", "version").collect()
+    rows should have length 49
+    rows.count(_.getLong(1) == 2L) shouldBe 10
+    parquetFiles(dir) shouldBe before // SELECT ... FINAL never writes
+    store.scanForResolution("versioned", 7).count() shouldBe 59 // stale rows still live
+  }
+
+  test("replace without a declared version column is rejected") {
+    val store = newStore()
+    store.insert("okavango_delta", elephantInput, createSchema = Some(elephantSchema))
+    an[IllegalArgumentException] should be thrownBy store.replace("okavango_delta")
+  }
+
   test("insert rejects resolutions above the tableset max") {
     val store = newStore()
     store.createTableset(sumSchema)
