@@ -781,6 +781,28 @@ object Queries {
       .orderBy(col("lang"), col("doc_id"))
   }
 
+  /** Deterministic train/val/test split (c5): assign every document to a
+    * split by an arithmetic hash of its id — the canonical corpus-split op.
+    * The assignment is pure per-row arithmetic (NO shuffle, no sampling
+    * state, reproducible across engines and runs — the property a 100 TB
+    * split needs: re-running it on a grown corpus never reassigns an
+    * existing document). The gate aggregates per (lang, split): counts
+    * verify the 80/10/10 proportions hold per stratum, the id-sum
+    * checksums the exact membership, not just the sizes.
+    *
+    * Knuth multiplicative hashing (2654435761 = 2^32/phi) mixes the
+    * sequential doc_ids; products stay far below 2^63 so the arithmetic is
+    * exact in both engines. */
+  def c5HashSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(col("doc_id") * lit(2654435761L) + lit(40503L), lit(1000L))
+    val split = when(bucket < 800, "train").when(bucket < 900, "val").otherwise("test")
+    t(spark, dir, "documents")
+      .select(col("lang"), split.as("split"), col("doc_id"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("lang"), col("split"))
+  }
+
   /** Corpus-duplicated trigram fraction (d9) — the corpus-LEVEL duplication
     * signal (Dolma/RefinedWeb-style): per document, the share of its word
     * trigrams that also occur in at least one OTHER document. Complements d7,
@@ -1266,6 +1288,14 @@ object Queries {
           |  round(avg(quality), 4) AS avg_q, round(min(quality), 4) AS min_q
           |FROM b WHERE decile <= 2
           |GROUP BY lang, decile ORDER BY lang, decile""".stripMargin,
+      // sum(BIGINT) is HUGEINT in DuckDB -> ::BIGINT (the t5 lesson)
+      "c5_hash_split" ->
+        """WITH s AS (SELECT lang,
+          |  CASE WHEN (doc_id * 2654435761 + 40503) % 1000 < 800 THEN 'train'
+          |       WHEN (doc_id * 2654435761 + 40503) % 1000 < 900 THEN 'val'
+          |       ELSE 'test' END AS split, doc_id FROM documents)
+          |SELECT lang, split, count(*) AS n_docs, sum(doc_id)::BIGINT AS id_sum
+          |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin,
       "s3_stream_windowed" ->
         """SELECT date_trunc('hour', ts) AS window_start,
           | date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
@@ -1415,6 +1445,7 @@ object Queries {
     "d4_lang_distribution" -> d4LangDistribution,
     "e1_knn_brute_force" -> e1KnnBruteForce,
     "q22_keep_latest" -> q22KeepLatest,
-    "c4_quality_ntile" -> c4QualityNtile
+    "c4_quality_ntile" -> c4QualityNtile,
+    "c5_hash_split" -> c5HashSplit
   )
 }

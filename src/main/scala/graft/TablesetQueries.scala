@@ -443,6 +443,9 @@ object TablesetQueries {
     // ts11 reads the SAME logical content through the read-time collapse
     // (no rewrite) — identical expected rows by construction
     "ts11_final_read" -> versionedOracleSql,
+    // s6 ingests the same versioned rows through the STREAMING path and
+    // reads via FINAL — a reader must not be able to tell
+    "s6_versioned_stream" -> versionedOracleSql,
     // ts9 re-derives the schema from the physical layout after sidecar
     // loss; the stored data is untouched, so ts1's expected rows apply
     "ts9_recover_query" -> ts1OracleSql,
@@ -574,8 +577,46 @@ object TablesetQueries {
       .select(col("h3index").as("parent5"), round(col("qty"), 2).as("sum_qty"))
       .orderBy(col("parent5"))
 
+  // ------------------------------------------------------------------- s6
+
+  /** s6 gate: CDC-style VERSIONED ingest through the streaming path — both
+    * version batches arrive in one streaming micro-batch (insert never
+    * collapses versions, exactly like ClickHouse merges vs inserts), and
+    * the read goes through scanForResolutionFinal. Stream ingest + FINAL
+    * read must equal the batch replace oracle: the whole
+    * stream-upsert-read pipeline is under one relational derivation. */
+  private def s6Store(spark: SparkSession, dir: String): CellStore = {
+    val store = CellStore(spark, rootFor(dir))
+    if (!store.listTablesets().contains("gate_vstream")) {
+      val raw = lineitem(spark, dir)
+      val versioned = spark.readStream.schema(raw.schema).parquet(s"$dir/lineitem.*")
+        .select(explode(array(
+          struct(Queries.synthCell.as("h3index"), lit(1L).as("version"),
+            pmod(col("l_orderkey"), lit(50)).as("val"),
+            (pmod(col("l_orderkey"), lit(2)) === 0).as("keep")),
+          struct(Queries.synthCell.as("h3index"), lit(2L).as("version"),
+            pmod(col("l_orderkey"), lit(37)).as("val"),
+            (pmod(col("l_orderkey"), lit(6)) === 0).as("keep")))).as("r"))
+        .where(col("r.keep"))
+        .select(col("r.h3index"), col("r.version"), col("r.val"))
+      val ckpt = graft.util.TempDirs.create("graft_s6_ckpt_")
+      val q = graft.streaming.StreamOps.insertStream(
+        versioned, store, "gate_vstream", ckpt,
+        createSchema = Some(replaceSchema("gate_vstream")),
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+    store
+  }
+
+  def s6VersionedStreamIngest(spark: SparkSession, dir: String): DataFrame =
+    s6Store(spark, dir).scanForResolutionFinal("gate_vstream", 9)
+      .select(col("h3index"), col("version"), col("val"))
+      .orderBy(col("h3index"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts1_rollup_query" -> ts1RollupQuery,
+    "s6_versioned_stream" -> s6VersionedStreamIngest,
     "s5_stream_ingest" -> s5StreamIngest,
     "ts2_compact_roundtrip" -> ts2CompactRoundtrip,
     "ts3_mixed_rollup" -> ts3MixedRollup,

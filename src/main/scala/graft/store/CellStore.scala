@@ -482,8 +482,13 @@ class CellStore(spark: SparkSession, rootPath: String) {
     //    every physical resolution; exact for any probe mix, and the shape
     //    templates splice as `cell IN (...)`. One combined set is exact
     //    because an H3 index encodes its resolution.
+    // NOT persisted: the expansion is consumed once per execution, and a
+    // per-query persist with no owner to unpersist it accrues executor
+    // storage forever (the traverseIterator leak, round 1 advice, in a new
+    // coat). The expansion itself is cheap codegen'd arithmetic; a probe
+    // frame that is expensive to COMPUTE is the caller's checkpoint
+    // responsibility (as ts2's localCheckpoint does).
     lazy val expandedProbes = changeResolutions(cellsDf, "qcell", physRes)
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val probeResSet: Seq[Int] = knownProbeRes.getOrElse(cellsDf
       .select(h3_get_resolution(col("qcell")).as("p")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted)
