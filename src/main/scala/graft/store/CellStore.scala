@@ -47,6 +47,7 @@ class CellStore(spark: SparkSession, rootPath: String) {
   private def tablesetPath(name: String) = new Path(rootPath, name)
   private def schemaPath(name: String) = new Path(tablesetPath(name), "schema.json")
   private def dataPath(name: String) = new Path(tablesetPath(name), "data")
+  private def rejectsPath(name: String) = new Path(tablesetPath(name), "rejects")
 
   // ---------------------------------------------------------------- catalog
 
@@ -186,7 +187,8 @@ class CellStore(spark: SparkSession, rootPath: String) {
   /** Full insert pipeline (§3.2): conform -> dedup -> compact (A6) -> split
     * by resolution (A8) -> rollup to coarser base resolutions (A1-A5) ->
     * single partitioned append. */
-  def insert(name: String, input: DataFrame, createSchema: Option[CompactedTableSchema] = None): Unit = {
+  def insert(name: String, input: DataFrame, createSchema: Option[CompactedTableSchema] = None,
+      invalidPolicy: InvalidPolicy = InvalidPolicy.Fail): Unit = {
     createSchema.foreach(createTableset)
     val schema = getTableset(name)
     val h3Col = CompactedTableSchema.ColH3Index
@@ -200,9 +202,19 @@ class CellStore(spark: SparkSession, rootPath: String) {
     // P5/S3: reject invalid h3 indexes at the ingest boundary (the reference's
     // DataframeInvalidH3IndexType, utils.rs:9-20) — without this, garbage
     // longs get plausible partitions from h3_get_resolution and poison the
-    // layout. Inline raise_error keeps the check single-pass and codegen'd;
-    // it fires during the insert job, never adding a separate validation scan.
-    val conformed = conformed0.withColumn(h3Col, validatedH3Column)
+    // layout. Under Fail the inline raise_error keeps the check single-pass
+    // and codegen'd (fires during the insert job, no separate validation
+    // scan). Under Quarantine the invalid rows divert to rejects/ first —
+    // one extra pushed-filter pass over the input, the price of not letting
+    // a single garbage cell wedge a continuous ingest.
+    val conformed = invalidPolicy match {
+      case InvalidPolicy.Fail => conformed0.withColumn(h3Col, validatedH3Column)
+      case InvalidPolicy.Quarantine =>
+        val invalid = conformed0.where(!h3_is_valid(col(h3Col)))
+        if (!invalid.isEmpty)
+          invalid.write.mode(SaveMode.Append).parquet(rejectsPath(name).toString)
+        conformed0.where(h3_is_valid(col(h3Col)))
+    }
 
     if (conformed.isEmpty) return
 
@@ -688,6 +700,18 @@ class CellStore(spark: SparkSession, rootPath: String) {
         (if (keyCols.contains(c)) col(c) else col(s"_latest.$c")).as(c)).toIndexedSeq: _*)
   }
 
+  /** Rows quarantined by [[InvalidPolicy.Quarantine]] inserts, in the
+    * tableset's declared column shape (empty frame if nothing was ever
+    * rejected). The quarantine is append-only; reprocessing and cleanup
+    * are the operator's workflow, not the store's. */
+  def rejects(name: String): DataFrame = {
+    val schema = getTableset(name)
+    val rp = rejectsPath(name)
+    if (fs.exists(rp)) spark.read.parquet(rp.toString)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema.toStructType)
+  }
+
   /** `SELECT ... FINAL`: the resolution scan with the versioned keep-latest
     * collapse applied AT READ TIME — no rewrite, stale versions stay on
     * disk until [[replaceWhere]] merges them away. Partition pruning is
@@ -739,4 +763,19 @@ class CellStore(spark: SparkSession, rootPath: String) {
 
 object CellStore {
   def apply(spark: SparkSession, rootPath: String): CellStore = new CellStore(spark, rootPath)
+
+  /** What to do with rows whose h3index fails validation at the ingest
+    * boundary (P5, reference utils.rs:9-20 rejects the whole frame).
+    *  - [[InvalidPolicy.Fail]] (default, reference parity): the insert job
+    *    dies on the first invalid cell.
+    *  - [[InvalidPolicy.Quarantine]]: invalid rows are diverted to the
+    *    tableset's `rejects/` directory (readable via [[CellStore.rejects]])
+    *    and the valid remainder inserts normally — the operational choice
+    *    for continuous ingest, where one garbage cell must not wedge a
+    *    100 TB stream. */
+  sealed trait InvalidPolicy
+  object InvalidPolicy {
+    case object Fail extends InvalidPolicy
+    case object Quarantine extends InvalidPolicy
+  }
 }

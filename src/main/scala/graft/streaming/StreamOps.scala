@@ -113,7 +113,9 @@ object StreamOps {
       checkpointDir: String,
       createSchema: Option[graft.schema.CompactedTableSchema] = None,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
+      invalidPolicy: graft.store.CellStore.InvalidPolicy =
+        graft.store.CellStore.InvalidPolicy.Fail)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     createSchema.foreach(store.createTableset)
     stream.writeStream
@@ -121,7 +123,7 @@ object StreamOps {
       .outputMode("append")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        store.insert(name, batch)
+        store.insert(name, batch, invalidPolicy = invalidPolicy)
       }
       .start()
   }

@@ -442,6 +442,34 @@ class CellStoreSpec extends AnyFunSuite with Matchers with SparkTestSession {
     an[IllegalArgumentException] should be thrownBy store.replace("okavango_delta")
   }
 
+  test("Quarantine insert diverts invalid cells to rejects/ and stores the rest") {
+    val store = newStore()
+    val cells = H3.toChildren(hexRes5, 7).take(5).toSeq
+    val bad = versionedInput(Seq(42L, 7L), 9L, i => 90L + i) // garbage longs
+    store.insert("versioned",
+      versionedInput(cells, 1L, _.toLong).unionByName(bad),
+      createSchema = Some(versionedSchema),
+      invalidPolicy = CellStore.InvalidPolicy.Quarantine)
+    store.scanForResolution("versioned", 7).count() shouldBe 5
+    val rej = store.rejects("versioned").collect()
+    rej.map(_.getLong(0)).sorted shouldBe Array(7L, 42L)
+    rej.map(_.getLong(1)) shouldBe Array(9L, 9L) // full row preserved
+    // the default Fail policy still rejects the whole frame (reference parity)
+    an[Exception] should be thrownBy {
+      store.insert("versioned", bad)
+      store.scanForResolution("versioned", 7).count()
+    }
+  }
+
+  test("rejects() of a clean tableset is an empty frame in the declared shape") {
+    val store = newStore()
+    store.insert("versioned", versionedInput(H3.toChildren(hexRes5, 7).take(3).toSeq, 1L, _.toLong),
+      createSchema = Some(versionedSchema))
+    val rej = store.rejects("versioned")
+    rej.count() shouldBe 0L
+    rej.columns.toSeq shouldBe Seq("h3index", "version", "val")
+  }
+
   test("insert rejects resolutions above the tableset max") {
     val store = newStore()
     store.createTableset(sumSchema)
