@@ -258,6 +258,34 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkTestSession {
     plan should not include "Exchange SinglePartition"
   }
 
+  test("FINAL scan: keep-latest is a partial-agg groupBy under partition pruning, no window sort") {
+    val dir = Files.createTempDirectory("graft_plan_v_").toString
+    val schema = CompactedTableSchema.builder("plan_versioned")
+      .h3BaseResolutions(Seq(7))
+      .useCompaction(false)
+      .engine(TableEngine.ReplacingMergeTree(Some("version")))
+      .addSimpleColumn("version", T.Int64)
+      .addSimpleColumn("val", T.Int64)
+      .build()
+    val cells = H3.toChildren(hexRes5, 7).take(8)
+    val input = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        cells.map(c => Row(c, 1L, 7L)).toIndexedSeq, 2),
+      StructType(Seq(
+        StructField("h3index", LongType, false),
+        StructField("version", LongType, false),
+        StructField("val", LongType, false))))
+    val s = CellStore(spark, dir)
+    s.insert("plan_versioned", input, createSchema = Some(schema))
+    val plan = planOf(s.scanForResolutionFinal("plan_versioned", 7))
+    // the collapse must be a hash aggregate with a MAP-SIDE partial max —
+    // never a row_number window (which would sort every partition)
+    plan should include("partial_max")
+    plan should not include "Window"
+    // and the D7 partition pruning must survive below the aggregate
+    plan.linesIterator.filter(_.contains("PartitionFilters")).mkString should include("kind")
+  }
+
   test("d17: provenance joins shuffle ids and sources only — no exchange ships document text") {
     val plan = planOf(PipelineQueries.d17NearDupProvenance(spark, "/root/testdata/sf0.001"))
     val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
