@@ -446,6 +446,21 @@ object TablesetQueries {
     // s6 ingests the same versioned rows through the STREAMING path and
     // reads via FINAL — a reader must not be able to tell
     "s6_versioned_stream" -> versionedOracleSql,
+    // both rollups re-derived from first principles, joined on the cell
+    "ts12_cross_tableset_join" ->
+      s"""WITH cells AS (SELECT DISTINCT $synthCellSql AS cell, l_quantity AS qty FROM lineitem),
+         |sums AS (SELECT ${parentSql("cell", 9, 5)} AS p5, sum(qty) AS s
+         |         FROM cells GROUP BY 1),
+         |rows_ AS (SELECT DISTINCT $synthCellSql AS cell,
+         |    l_quantity AS q, l_extendedprice AS a_, (l_partkey % 3) AS cat
+         |  FROM lineitem),
+         |mixed AS (SELECT ${parentSql("cell", 9, 5)} AS p5, avg(q) AS a,
+         |    (CASE WHEN count(DISTINCT cat) = 1 THEN min(cat) END)::SMALLINT AS cat
+         |  FROM rows_ GROUP BY 1)
+         |SELECT sums.p5 AS parent5, round(s, 2) AS sum_qty,
+         |  round(a, 4) AS avg_qty, cat
+         |FROM sums JOIN mixed ON sums.p5 = mixed.p5
+         |ORDER BY parent5""".stripMargin,
     // ts9 re-derives the schema from the physical layout after sidecar
     // loss; the stored data is untouched, so ts1's expected rows apply
     "ts9_recover_query" -> ts1OracleSql,
@@ -577,6 +592,28 @@ object TablesetQueries {
       .select(col("h3index").as("parent5"), round(col("qty"), 2).as("sum_qty"))
       .orderBy(col("parent5"))
 
+  // ------------------------------------------------------------------ ts12
+
+  /** Cross-tableset analytics: join the res-5 rollups of two independently
+    * built tablesets on the cell key — the "overlay two datasets on the
+    * same grid" op every H3 store user runs (the reference composes it in
+    * client SQL over two compacted tables). Both sides are already
+    * aggregated to the coarse resolution, so the join input is the rolled-
+    * up cell count, not the base data; the oracle re-derives both rollups
+    * relationally and joins them. */
+  def ts12CrossTablesetJoin(spark: SparkSession, dir: String): DataFrame = {
+    val sums = ts1Store(spark, dir).scanForResolution("gate_sum", 5)
+      .select(col("h3index"), col("qty"))
+    val mixed = ts3Store(spark, dir).scanForResolution("gate_mixed", 5)
+      .select(col("h3index"), col("q_avg"), col("cat"))
+    sums.join(mixed, "h3index")
+      .select(col("h3index").as("parent5"),
+        round(col("qty"), 2).as("sum_qty"),
+        round(col("q_avg"), 4).as("avg_qty"),
+        col("cat"))
+      .orderBy(col("parent5"))
+  }
+
   // ------------------------------------------------------------------- s6
 
   /** s6 gate: CDC-style VERSIONED ingest through the streaming path — both
@@ -627,6 +664,7 @@ object TablesetQueries {
     "ts8_temporal_buckets" -> ts8TemporalBuckets,
     "ts9_recover_query" -> ts9RecoverQuery,
     "ts10_replace_optimize" -> ts10ReplaceOptimize,
-    "ts11_final_read" -> ts11FinalRead
+    "ts11_final_read" -> ts11FinalRead,
+    "ts12_cross_tableset_join" -> ts12CrossTablesetJoin
   )
 }
