@@ -478,6 +478,25 @@ object PipelineQueries {
       v.where(col("id") < IvfNumQueries), IvfK, IvfNprobe))
   }
 
+  /** Incrementally-grown IVF index (e6): build from the even half of the
+    * corpus, [[graft.ann.IvfIndex.append]] the odd half against the FROZEN
+    * quantizer, then search with e4's parameters. The centroids come from
+    * the FULL corpus (the production shape: quantizer trained once on a
+    * representative sample, shards appended as they arrive), so the grown
+    * index must return exactly the single-pass result — e4's oracle again. */
+  def e6IvfAppend(spark: SparkSession, dir: String): DataFrame = {
+    val v = ivfCorpus(spark, dir)
+    val path = ivfIndexCache.computeIfAbsent(s"append:$dir", _ => {
+      val p = graft.util.TempDirs.create("graft_ivf_append_")
+      graft.ann.IvfIndex.build(spark, v.where(pmod(col("id"), lit(2)) === 0),
+        ivfCentroids(v), p)
+      graft.ann.IvfIndex.append(spark, v.where(pmod(col("id"), lit(2)) === 1), p)
+      p
+    })
+    ivfProject(graft.ann.IvfIndex.search(spark, path,
+      v.where(col("id") < IvfNumQueries), IvfK, IvfNprobe))
+  }
+
   /** Dedup clustering (t8): the t2 near-duplicate pairs become connected
     * components; every document gets (cluster_id = min doc_id in its
     * component, cluster_size, is_survivor). This is the terminal step of
@@ -774,6 +793,9 @@ object PipelineQueries {
     // are removed by the verify join, so the expected output is IDENTICAL
     "c3_bloom_decontam" -> contamOracleSql,
     "e4_ivf_ann" -> ivfOracleSql,
+    // e6 searches an incrementally-grown index — same expected rows as a
+    // single-pass build by construction (frozen quantizer)
+    "e6_ivf_append" -> ivfOracleSql,
     // e5 searches the PERSISTED cid-partitioned index with identical
     // quantizer/probe/k parameters — same expected output as e4
     "e5_ivf_index" -> ivfOracleSql,
@@ -830,6 +852,7 @@ object PipelineQueries {
     "t8_dedup_clusters" -> t8DedupClusters,
     "e4_ivf_ann" -> e4IvfAnn,
     "e5_ivf_index" -> e5IvfIndex,
+    "e6_ivf_append" -> e6IvfAppend,
     "c1_curation" -> c1Curation,
     "c2_contamination" -> c2Contamination,
     "c3_bloom_decontam" -> c3BloomDecontam,

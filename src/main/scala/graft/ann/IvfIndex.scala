@@ -48,6 +48,25 @@ object IvfIndex {
       .parquet(s"$path/data")
   }
 
+  /** Incremental append: assign NEW rows to the EXISTING centroid table and
+    * append them into their `cid=` partitions. The quantizer is frozen —
+    * append never moves old rows or re-trains, exactly like a production
+    * IVF index absorbing a new corpus shard. An index grown by appends is
+    * indistinguishable to [[search]] from one built in a single pass over
+    * the union (the e6 gate pins that against e4's oracle); only the
+    * per-partition file count grows until a rebuild compacts it. */
+  def append(spark: SparkSession, newRows: DataFrame, path: String): Unit = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val nonEmpty = newRows.where(size(col("vec")) > 0)
+    val assign = Ann.ivfAssign(nonEmpty, centroids)
+    nonEmpty.join(assign, "id")
+      .repartition(col("cid"))
+      .sortWithinPartitions(col("cid"), col("id"))
+      .write.mode(SaveMode.Append)
+      .partitionBy("cid")
+      .parquet(s"$path/data")
+  }
+
   def exists(spark: SparkSession, path: String): Boolean = {
     val p = new Path(s"$path/data")
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)

@@ -66,6 +66,35 @@ class IvfIndexSpec extends AnyFunSuite with Matchers with SparkTestSession {
     recall should be >= 0.7
   }
 
+  test("append: a grown index equals a single-pass build, and old files are untouched") {
+    val v = vectors
+    val centroids = v.where(pmod(col("id"), lit(23)) === 0)
+      .select(col("id").as("cid"), col("vec"))
+    val p = graft.util.TempDirs.create("graft_ivf_append_spec_")
+    IvfIndex.build(spark, v.where(pmod(col("id"), lit(2)) === 0), centroids, p)
+    def files() = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$p/data")).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .map(f => f.toString -> java.nio.file.Files.getLastModifiedTime(f).toMillis)
+        .toMap
+    }
+    val before = files()
+    IvfIndex.append(spark, v.where(pmod(col("id"), lit(2)) === 1), p)
+    // append-only: every pre-existing file survives byte-identical
+    val after = files()
+    before.foreach { case (f, mtime) => after.get(f) shouldBe Some(mtime) }
+    after.size should be > before.size
+    spark.read.parquet(s"$p/data").count() shouldBe 200
+    // the grown index answers exactly like the single-pass index
+    val queries = v.where(col("id") < 5)
+    val grown = IvfIndex.search(spark, p, queries, 4, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val single = IvfIndex.search(spark, indexPath, queries, 4, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    grown shouldBe single
+  }
+
   test("index search equals ad-hoc knnIvf for the same parameters") {
     val v = vectors
     val centroids = v.where(pmod(col("id"), lit(23)) === 0)
