@@ -446,6 +446,15 @@ object TablesetQueries {
     // s6 ingests the same versioned rows through the STREAMING path and
     // reads via FINAL — a reader must not be able to tell
     "s6_versioned_stream" -> versionedOracleSql,
+    // pre-evolution rows carry an explicit NULL for the added column
+    "ts13_schema_evolution" ->
+      s"""WITH a AS (SELECT DISTINCT $synthCellSql AS cell, (l_orderkey % 50) AS v,
+         |    NULL::BIGINT AS w FROM lineitem WHERE l_orderkey % 4 = 0),
+         |b AS (SELECT DISTINCT $synthCellSql AS cell, (l_orderkey % 50) AS v,
+         |    (l_orderkey % 31)::BIGINT AS w FROM lineitem WHERE l_orderkey % 4 = 1)
+         |SELECT cell AS h3index, v, w
+         |FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+         |ORDER BY h3index, v, w""".stripMargin,
     // both rollups re-derived from first principles, joined on the cell
     "ts12_cross_tableset_join" ->
       s"""WITH cells AS (SELECT DISTINCT $synthCellSql AS cell, l_quantity AS qty FROM lineitem),
@@ -614,6 +623,43 @@ object TablesetQueries {
       .orderBy(col("parent5"))
   }
 
+  // ------------------------------------------------------------------ ts13
+
+  /** Schema evolution through the oracle gate: insert, ALTER ADD COLUMN
+    * (metadata-only — no rewrite, no backfill), insert again with the new
+    * column, read everything back. Historical rows must surface NULL for
+    * the added column; post-evolution rows carry their values. The oracle
+    * re-derives both batches relationally with an explicit NULL column for
+    * the pre-evolution rows. */
+  private def ts13Store(spark: SparkSession, dir: String): CellStore = {
+    val store = CellStore(spark, rootFor(dir))
+    if (!store.listTablesets().contains("gate_evolve")) {
+      val li = lineitem(spark, dir)
+      store.insert("gate_evolve",
+        li.where(pmod(col("l_orderkey"), lit(4)) === 0)
+          .select(Queries.synthCell.as("h3index"),
+            pmod(col("l_orderkey"), lit(50)).as("v")),
+        createSchema = Some(CompactedTableSchema.builder("gate_evolve")
+          .h3BaseResolutions(Seq(9))
+          .useCompaction(false)
+          .addSimpleColumn("v", T.Int64)
+          .build()))
+      store.addColumn("gate_evolve", "w",
+        ColumnDef.Simple(T.Int64, nullable = true))
+      store.insert("gate_evolve",
+        li.where(pmod(col("l_orderkey"), lit(4)) === 1)
+          .select(Queries.synthCell.as("h3index"),
+            pmod(col("l_orderkey"), lit(50)).as("v"),
+            pmod(col("l_orderkey"), lit(31)).as("w")))
+    }
+    store
+  }
+
+  def ts13SchemaEvolution(spark: SparkSession, dir: String): DataFrame =
+    ts13Store(spark, dir).scanForResolution("gate_evolve", 9)
+      .select(col("h3index"), col("v"), col("w"))
+      .orderBy(col("h3index"), col("v"), col("w"))
+
   // ------------------------------------------------------------------- s6
 
   /** s6 gate: CDC-style VERSIONED ingest through the streaming path — both
@@ -665,6 +711,7 @@ object TablesetQueries {
     "ts9_recover_query" -> ts9RecoverQuery,
     "ts10_replace_optimize" -> ts10ReplaceOptimize,
     "ts11_final_read" -> ts11FinalRead,
-    "ts12_cross_tableset_join" -> ts12CrossTablesetJoin
+    "ts12_cross_tableset_join" -> ts12CrossTablesetJoin,
+    "ts13_schema_evolution" -> ts13SchemaEvolution
   )
 }

@@ -83,7 +83,9 @@ class CellStore(spark: SparkSession, rootPath: String) {
     require(overwrite || !fs.exists(schemaPath(name)),
       s"tableset '$name' already has a schema.json; recovery is lossy — " +
         "pass overwrite = true to replace it anyway")
-    val df = spark.read.parquet(dp.toString)
+    // mergeSchema: files written before an addColumn lack the added column;
+    // recovery must see the UNION of file schemas, not a random footer
+    val df = spark.read.option("mergeSchema", "true").parquet(dp.toString)
     val partCols = Set("kind", "resolution", "ph3") ++
       df.columns.filter(c => c == "pt" || c.startsWith("pt_"))
     val base = df.where(col("kind") === "base")
@@ -126,6 +128,25 @@ class CellStore(spark: SparkSession, rootPath: String) {
       val out = fs.create(p, true)
       try out.write(validated.toJson.getBytes("UTF-8")) finally out.close()
     }
+  }
+
+  /** Schema evolution: add a column to an existing tableset (the
+    * `ALTER TABLE ... ADD COLUMN` analogue). The column MUST be nullable —
+    * historical files don't carry it, and every read resolves it to NULL
+    * for pre-evolution rows (declared-schema reads, no file rewrite, no
+    * backfill job: at 100 TB an ALTER must be a metadata operation).
+    * Subsequent inserts conform to the widened schema; rollup aggregation
+    * of the new column treats historical rows as absent (NULL-skipping
+    * agg semantics), matching ClickHouse's added-column defaults. */
+  def addColumn(name: String, colName: String, cdef: ColumnDef): Unit = {
+    val schema = getTableset(name)
+    require(!schema.columns.contains(colName),
+      s"tableset '$name' already has a column '$colName'")
+    require(cdef.nullable,
+      s"added column '$colName' must be nullable: historical rows have no value for it")
+    val widened = schema.copy(columns = schema.columns + (colName -> cdef)).validated
+    val out = fs.create(schemaPath(name), true) // overwrite the sidecar
+    try out.write(widened.toJson.getBytes("UTF-8")) finally out.close()
   }
 
   /** D2: drop all data of the tableset; tolerates absence. */
@@ -356,10 +377,19 @@ class CellStore(spark: SparkSession, rootPath: String) {
     * partitions at res <= target plus the base partition at target.
     * The filter lands on Hive partition columns -> partition pruning. */
   def scanForResolution(name: String, targetRes: Int): DataFrame = {
-    val df = spark.read.parquet(dataPath(name).toString)
+    val df = readDeclared(name)
     df.where((col("kind") === "compacted" && col("resolution") <= targetRes) ||
       (col("kind") === "base" && col("resolution") === targetRes))
   }
+
+  /** Data read under the DECLARED schema (partition columns are inferred
+    * from the layout and appended): a column added by [[addColumn]] is
+    * absent from historical files, and a footer-inferred read would pick a
+    * random file's schema — declared reads resolve it to NULL everywhere
+    * instead. */
+  private def readDeclared(name: String): DataFrame =
+    spark.read.schema(getTableset(name).toStructType)
+      .parquet(dataPath(name).toString)
 
   /** §3.1 `query_tableset_cells`: fetch the data of the given cells (any
     * resolutions) at `targetRes`.
@@ -725,7 +755,10 @@ class CellStore(spark: SparkSession, rootPath: String) {
     val schema = getTableset(name)
     val dp = dataPath(name)
     if (!fs.exists(dp)) return
-    val all = spark.read.parquet(dp.toString)
+    // declared-schema read: a partition-scoped rewrite must carry added
+    // columns (NULL for historical rows), not silently drop them because a
+    // random file's footer predates the ALTER
+    val all = readDeclared(name)
     val partCols0 = partitionColumns(all, schema)._2
     val allPartCols = "kind" +: "resolution" +: "ph3" +: partCols0
     val allowed = (allPartCols ++ Seq("pt")).toSet ++

@@ -470,6 +470,39 @@ class CellStoreSpec extends AnyFunSuite with Matchers with SparkTestSession {
     rej.columns.toSeq shouldBe Seq("h3index", "version", "val")
   }
 
+  test("addColumn: metadata-only ALTER — old rows read NULL, optimize keeps values") {
+    val store = newStore()
+    val cells = H3.toChildren(hexRes5, 7).toSeq
+    store.insert("versioned", versionedInput(cells.take(5), 1L, _.toLong),
+      createSchema = Some(versionedSchema))
+    store.addColumn("versioned", "w", ColumnDef.Simple(T.Int64, nullable = true))
+    // post-evolution insert carries the new column
+    val rows2 = cells.slice(5, 8).zipWithIndex.map { case (c, i) =>
+      Row(c, 1L, i.toLong, 100L + i)
+    }
+    store.insert("versioned", spark.createDataFrame(
+      spark.sparkContext.parallelize(rows2.toIndexedSeq, 1),
+      StructType(Seq(
+        StructField("h3index", LongType, false),
+        StructField("version", LongType, false),
+        StructField("val", LongType, false),
+        StructField("w", LongType, true)))))
+    def wById() = store.scanForResolution("versioned", 7)
+      .select("h3index", "w").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val w1 = wById()
+    cells.take(5).foreach { c => w1(c) shouldBe None } // historical rows: NULL
+    cells.slice(5, 8).zipWithIndex.foreach { case (c, i) => w1(c) shouldBe Some(100L + i) }
+    // a partition-scoped rewrite must PRESERVE the added column's values
+    store.deduplicate("versioned")
+    wById() shouldBe w1
+    // contract violations
+    an[IllegalArgumentException] should be thrownBy
+      store.addColumn("versioned", "w", ColumnDef.Simple(T.Int64, nullable = true))
+    an[IllegalArgumentException] should be thrownBy
+      store.addColumn("versioned", "w2", ColumnDef.Simple(T.Int64, nullable = false))
+  }
+
   test("insert rejects resolutions above the tableset max") {
     val store = newStore()
     store.createTableset(sumSchema)
