@@ -16,5 +16,6 @@ object Graft {
     graft.h3.expr.H3Functions.register(spark)
     graft.ann.expr.VectorFunctions.register(spark)
     graft.geom.GeoFunctions.register(spark)
+    graft.plans.H3ParentPredicateRewrite.install(spark)
   }
 }

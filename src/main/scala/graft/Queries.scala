@@ -949,6 +949,48 @@ object Queries {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  // ------------------------------------------------------------------ h4
+
+  /** Scratch parquet for h4: (cell, qty) range-partitioned and sorted on the
+    * raw cell — files and row groups carry disjoint h3index min/max stats,
+    * the layout [[graft.store.CellStore]] produces at write. Built once per
+    * sf dir (files outlive sessions; keyed by dir only). */
+  private val h4CellsDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def h4CellsPath(spark: SparkSession, dir: String): String =
+    h4CellsDirs.computeIfAbsent(dir, _ => {
+      val out = graft.util.TempDirs.create("graft_h4_cells_")
+      t(spark, dir, "lineitem")
+        .select(synthCell.as("cell"), col("l_quantity").as("qty"))
+        .repartitionByRange(4, col("cell"))
+        .sortWithinPartitions("cell")
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+
+  /** h4 gate: the [[graft.plans.H3ParentPredicateRewrite]] optimizer rule
+    * under the oracle. The filter is `h3_to_parent(cell, 5) IN (3 parents)`
+    * — a per-row expression no file format can skip for — and the rule
+    * infers the exact raw-cell range conjunct, which pushes into the
+    * parquet scan and prunes row groups via the sorted layout's min/max
+    * stats (PlanAuditSpec asserts the pushed ranges; this gate pins the
+    * semantics: the rewritten plan must produce the PLAIN relational
+    * answer). Probe parents are the 3 most frequent parent5 values
+    * (tie-broken on the cell value), collected by a 3-row driver aggregate
+    * exactly like the store's Seq-probe planning; the oracle re-derives
+    * them as a subquery. */
+  def h4ParentPrune(spark: SparkSession, dir: String): DataFrame = {
+    Graft.register(spark)
+    val cells = spark.read.parquet(h4CellsPath(spark, dir))
+    val parents = cells
+      .groupBy(h3_to_parent(col("cell"), lit(5)).as("p")).count()
+      .orderBy(col("count").desc, col("p"))
+      .limit(3).collect().map(_.getLong(0)).toSeq
+    cells.where(h3_to_parent(col("cell"), lit(5)).isin(parents: _*))
+      .groupBy(h3_to_parent(col("cell"), lit(5)).as("parent5"))
+      .agg(count(lit(1)).as("num_cells"), round(sum(col("qty")), 2).as("sum_qty"))
+      .orderBy(col("parent5"))
+  }
+
   // ---------------------------------------------------------------- oracles
 
   /** DuckDB SQL equivalents. Same column names, same ORDER BY. */
@@ -1063,6 +1105,14 @@ object Queries {
            |  SELECT 7, (((cell - (9::BIGINT << 52)) + (7::BIGINT << 52)) | ((1::BIGINT << 24) - 1)) FROM cells)
            |SELECT res, cell_at_res, count(*) AS num_children FROM lvl
            |GROUP BY res, cell_at_res ORDER BY res, cell_at_res""".stripMargin,
+      "h4_parent_prune" ->
+        s"""WITH cells AS (SELECT $synthCellSql AS cell, l_quantity AS qty FROM lineitem),
+           |par AS (SELECT ${parent5("cell")} AS p, count(*) AS c FROM cells GROUP BY 1),
+           |probe AS (SELECT p FROM par ORDER BY c DESC, p LIMIT 3)
+           |SELECT ${parent5("cell")} AS parent5, count(*) AS num_cells,
+           | round(sum(qty), 2) AS sum_qty
+           |FROM cells WHERE ${parent5("cell")} IN (SELECT p FROM probe)
+           |GROUP BY 1 ORDER BY parent5""".stripMargin,
       "d1_exact_dedup" ->
         """SELECT min(doc_id) AS canonical_id, count(*) AS dup_count
           |FROM documents GROUP BY sha256(text) ORDER BY canonical_id""".stripMargin,
@@ -1412,6 +1462,7 @@ object Queries {
     "h1_cell_ops" -> h1CellOps,
     "h2_parent_rollup" -> h2ParentRollup,
     "h3_resolution_pyramid" -> h3ResolutionPyramid,
+    "h4_parent_prune" -> h4ParentPrune,
     "s1_sessionize" -> s1Sessionize,
     "s2_windowed_stats" -> s2WindowedStats,
     "d1_exact_dedup" -> d1ExactDedup,

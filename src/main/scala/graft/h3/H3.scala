@@ -142,6 +142,31 @@ object H3 {
     (lo, lo | sixes)
   }
 
+  /** EXACT numeric preimage of `toParentUnsafe(x, res(p)) == p` as inclusive
+    * [lo, hi] ranges over ALL 64-bit inputs — valid cells AND garbage longs
+    * alike (toParentUnsafe is pure bit math, so garbage inputs can still
+    * land on `p`; an inferred scan predicate must admit them or it changes
+    * query results on unvalidated data).
+    *
+    * Derivation: toParentUnsafe keeps every bit of x above digitShift(r)
+    * except the resolution field (replaced by r) and forces the bits below
+    * to 1s. So x maps to p iff (a) x == p exactly (the res-field <= r
+    * pass-through can only hit p itself, since p carries res field r), or
+    * (b) x's res field is some rho > r and all other bits above
+    * digitShift(r) equal p's — i.e. one contiguous block of width
+    * 2^digitShift(r) per rho, because the resolution field (bits 52-55)
+    * sits ABOVE the base cell + digit bits. The ranges are disjoint and
+    * ascending. One parent at res r yields 1 + (15 - r) ranges. */
+  def parentPreimageRanges(p: Long, parentRes: Int): Seq[(Long, Long)] = {
+    require(parentRes >= 0 && parentRes <= MaxRes, s"res $parentRes out of range")
+    val mask = (1L << digitShift(parentRes)) - 1
+    val prefix = p & ~(0xFL << ResOffset) & ~mask
+    (p, p) +: (parentRes + 1 to MaxRes).map { rho =>
+      val lo = prefix | (rho.toLong << ResOffset)
+      (lo, lo | mask)
+    }
+  }
+
   /** Child of `h` one resolution finer, taking direction digit `d` (0..6). */
   @inline private def makeChild(h: Long, childRes: Int, d: Int): Long = {
     val sh = digitShift(childRes)

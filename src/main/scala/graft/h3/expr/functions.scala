@@ -84,5 +84,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
           new ExpressionInfo("graft.h3.expr", null, name, usage, ""),
           builder))
     }
+    // h3_to_parent probe predicates -> raw-h3index range pushdown; injected
+    // into the main operator-optimization fixed point so the inferred
+    // conjunct can keep propagating (through joins, aliases) afterwards
+    ext.injectOptimizerRule(_ => graft.plans.H3ParentPredicateRewrite)
   }
 }
