@@ -145,8 +145,34 @@ class CellStore(spark: SparkSession, rootPath: String) {
     require(cdef.nullable,
       s"added column '$colName' must be nullable: historical rows have no value for it")
     val widened = schema.copy(columns = schema.columns + (colName -> cdef)).validated
+    writeSchema(name, widened)
+  }
+
+  /** Schema evolution: drop a column (`ALTER TABLE ... DROP COLUMN`
+    * analogue). Metadata-only like [[addColumn]]: historical files keep
+    * the bytes, but every read resolves through the DECLARED schema, so
+    * the column is projected away at scan time; the next partition
+    * rewrite ([[deduplicateWhere]]/[[replaceWhere]]) physically sheds it
+    * from the partitions it touches. Structural columns cannot be
+    * dropped: the h3index key, explicit partition columns, and the
+    * engine's version column. */
+  def dropColumn(name: String, colName: String): Unit = {
+    val schema = getTableset(name)
+    require(schema.columns.contains(colName),
+      s"tableset '$name' has no column '$colName'")
+    require(schema.columns(colName) != ColumnDef.H3Index,
+      "cannot drop the h3index column")
+    require(!schema.partitionBy.contains(colName),
+      s"cannot drop partition column '$colName'")
+    require(!schema.versionColumn.contains(colName),
+      s"cannot drop ReplacingMergeTree version column '$colName'")
+    val narrowed = schema.copy(columns = schema.columns - colName).validated
+    writeSchema(name, narrowed)
+  }
+
+  private def writeSchema(name: String, schema: CompactedTableSchema): Unit = {
     val out = fs.create(schemaPath(name), true) // overwrite the sidecar
-    try out.write(widened.toJson.getBytes("UTF-8")) finally out.close()
+    try out.write(schema.toJson.getBytes("UTF-8")) finally out.close()
   }
 
   /** D2: drop all data of the tableset; tolerates absence. */

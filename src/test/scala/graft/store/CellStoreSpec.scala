@@ -503,6 +503,31 @@ class CellStoreSpec extends AnyFunSuite with Matchers with SparkTestSession {
       store.addColumn("versioned", "w2", ColumnDef.Simple(T.Int64, nullable = false))
   }
 
+  test("dropColumn: metadata-only — column gone from reads, rewrite sheds it") {
+    val store = newStore()
+    val cells = H3.toChildren(hexRes5, 7).toSeq.take(6)
+    store.insert("versioned", versionedInput(cells, 1L, _.toLong),
+      createSchema = Some(versionedSchema))
+    store.dropColumn("versioned", "val")
+    store.getTableset("versioned").columns.keySet should not contain "val"
+    // declared-schema read projects the dropped column away (files still carry it)
+    val cols = store.scanForResolution("versioned", 7).columns.toSeq
+    cols should contain("h3index")
+    cols should not contain "val"
+    // a partition rewrite keeps working and physically sheds the column
+    store.deduplicate("versioned")
+    store.scanForResolution("versioned", 7).count() shouldBe cells.size.toLong
+    // subsequent inserts conform to the NARROWED schema
+    store.insert("versioned", versionedInput(
+      H3.toChildren(hexRes5, 7).toSeq.slice(6, 8), 2L, _.toLong)
+      .drop("val"))
+    store.scanForResolution("versioned", 7).count() shouldBe (cells.size + 2).toLong
+    // structural guards
+    an[IllegalArgumentException] should be thrownBy store.dropColumn("versioned", "nope")
+    an[IllegalArgumentException] should be thrownBy store.dropColumn("versioned", "h3index")
+    an[IllegalArgumentException] should be thrownBy store.dropColumn("versioned", "version")
+  }
+
   test("insert rejects resolutions above the tableset max") {
     val store = newStore()
     store.createTableset(sumSchema)
