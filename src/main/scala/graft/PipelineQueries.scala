@@ -345,6 +345,53 @@ object PipelineQueries {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** Multimodal perceptual-hash near-duplicate pairs (m3): the image-dedup
+    * leg of the pipeline. Payloads get a 64-bit average-hash signature
+    * ([[graft.multimodal.Multimodal.withAverageHash]], integer-exact), and
+    * pairs within Hamming distance 12 are found with a 16-band x 4-bit
+    * banded self-join — LOSSLESS by pigeonhole (12 differing bits touch at
+    * most 12 of 16 bands, so every qualifying pair shares an intact band),
+    * which the all-pairs DuckDB oracle independently verifies. Only
+    * (band, bucket, id, two 32-bit halves) transit the shuffle — payloads
+    * never do. Geometry note: the block-mean stub signature is
+    * length-shift sensitive, so same-content distances land near ~10 here
+    * (hence T=12 and narrow 4-bit bands); a real pHash over decoded
+    * pixels concentrates duplicates at T<=3, where the SAME pipeline runs
+    * 4 bands x 16 bits and buckets prune ~16k x instead of ~16 x. */
+  def m3PhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = memo(spark, s"m3pairs:$dir") {
+      val media = graft.multimodal.Multimodal.synthesizeMediaTable(docs(spark, dir))
+      val sig = graft.multimodal.Multimodal
+        .withAverageHash(media.where(length(col("content")) > 0), "content")
+        .select(col("doc_id"), col("ahash_hi"), col("ahash_lo"))
+      val bands = (0 until 8).map { j =>
+        struct(lit(j).as("band"),
+          shiftright(col("ahash_lo"), 4 * j).bitwiseAND(lit(15L)).as("bucket"))
+      } ++ (8 until 16).map { j =>
+        struct(lit(j).as("band"),
+          shiftright(col("ahash_hi"), 4 * (j - 8)).bitwiseAND(lit(15L)).as("bucket"))
+      }
+      val banded = sig
+        .select(col("doc_id"), col("ahash_hi"), col("ahash_lo"),
+          explode(array(bands: _*)).as("b"))
+        .select(col("doc_id"), col("ahash_hi"), col("ahash_lo"),
+          col("b.band").as("band"), col("b.bucket").as("bucket"))
+      banded
+        .select(col("doc_id").as("doc_a"), col("ahash_hi").as("ha"),
+          col("ahash_lo").as("la"), col("band"), col("bucket"))
+        .join(banded.select(col("doc_id").as("doc_b"), col("ahash_hi").as("hb"),
+          col("ahash_lo").as("lb"), col("band"), col("bucket")),
+          Seq("band", "bucket"))
+        .where(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          (bit_count(col("ha").bitwiseXOR(col("hb"))) +
+            bit_count(col("la").bitwiseXOR(col("lb")))).as("hamming"))
+        .where(col("hamming") <= 12)
+        .distinct()
+    }
+    pairs.orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Benchmark decontamination (c2): flag training documents sharing any
     * word 4-gram with a benchmark/eval set (here: every 23rd doc plays the
     * benchmark) — the standard n-gram-overlap contamination check run
@@ -788,6 +835,31 @@ object PipelineQueries {
         |  length(fs)::BIGINT AS frame_len,
         |  sha256(fs) AS frame_sha
         |FROM fr ORDER BY doc_id, frame_idx""".stripMargin,
+    // m3: all-pairs re-derivation of the banded join — byte values via
+    // ord() on the TEXT (pure-ASCII corpus, see the m2 note); the bit
+    // threshold is the same integer comparison, so signatures are exact
+    "m3_phash_neardup" ->
+      """WITH m AS (SELECT doc_id, text AS s, length(text) AS n
+        |  FROM documents WHERE length(text) > 0),
+        |by AS (SELECT doc_id, n, (i*64)//n AS blk,
+        |    ord(substr(s, (i+1)::INT, 1)) AS v
+        |  FROM (SELECT doc_id, s, n, unnest(range(0, n)) AS i FROM m)),
+        |bs AS (SELECT doc_id, any_value(n) AS n, blk, sum(v)::BIGINT AS bsum,
+        |    count(*)::BIGINT AS bcnt FROM by GROUP BY doc_id, blk),
+        |tot AS (SELECT doc_id, sum(v)::BIGINT AS tsum FROM by GROUP BY doc_id),
+        |bits AS (SELECT b.doc_id, b.blk,
+        |    CASE WHEN b.bsum * b.n > t.tsum * b.bcnt THEN 1::BIGINT
+        |      ELSE 0::BIGINT END AS bit
+        |  FROM bs b JOIN tot t USING (doc_id)),
+        |sig AS (SELECT doc_id,
+        |    sum(CASE WHEN blk < 32 THEN bit << blk::INT ELSE 0 END)::BIGINT AS lo,
+        |    sum(CASE WHEN blk >= 32 THEN bit << (blk-32)::INT ELSE 0 END)::BIGINT AS hi
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  (bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)))::INT AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 12
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "c2_contamination" -> contamOracleSql,
     // c3 = c2 with a Bloom prefilter + exact verify — Bloom false positives
     // are removed by the verify join, so the expected output is IDENTICAL
@@ -858,6 +930,7 @@ object PipelineQueries {
     "c3_bloom_decontam" -> c3BloomDecontam,
     "m1_multimodal" -> m1Multimodal,
     "m2_frame_sample" -> m2FrameSample,
+    "m3_phash_neardup" -> m3PhashNearDup,
     "e2_lsh_ann" -> e2LshAnn,
     "e3_embedding_neardup" -> e3EmbeddingNearDup,
     "d17_neardup_provenance" -> d17NearDupProvenance

@@ -82,6 +82,53 @@ object Multimodal {
     df.sparkSession.createDataFrame(rdd, schema)
   }
 
+  /** 64-bit average-hash ("aHash") perceptual signature over the payload
+    * bytes, as two 32-bit halves (`ahash_hi` = blocks 32..63, `ahash_lo` =
+    * blocks 0..31) so engines without unsigned 64-bit arithmetic stay
+    * exact. The payload is cut into 64 byte blocks (byte i belongs to
+    * block i*64/len); bit b is set iff block b's mean byte value strictly
+    * exceeds the whole-payload mean, compared in INTEGERS
+    * (blockSum * len > totalSum * blockCount) so no float rounding can
+    * diverge between engines. A real pHash would DCT the decoded pixels;
+    * over the stub decode the block-mean signature exercises the same
+    * pipeline shape — narrow, partition-local, no shuffle, no driver
+    * round-trip — and feeds the same banded Hamming join downstream. */
+  def withAverageHash(df: DataFrame, binaryCol: String): DataFrame = {
+    val schema = df.schema
+      .add(StructField("ahash_hi", LongType, nullable = false))
+      .add(StructField("ahash_lo", LongType, nullable = false))
+    val binIdx = df.schema.fieldIndex(binaryCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { row =>
+        val bytes = row.getAs[Array[Byte]](binIdx)
+        var hi = 0L
+        var lo = 0L
+        if (bytes != null && bytes.length > 0) {
+          val n = bytes.length
+          val sums = new Array[Long](64)
+          val cnts = new Array[Long](64)
+          var total = 0L
+          var i = 0
+          while (i < n) {
+            val b = ((i.toLong * 64) / n).toInt
+            val v = (bytes(i) & 0xFF).toLong
+            sums(b) += v; cnts(b) += 1; total += v
+            i += 1
+          }
+          var blk = 0
+          while (blk < 64) {
+            if (sums(blk) * n > total * cnts(blk)) {
+              if (blk < 32) lo |= 1L << blk else hi |= 1L << (blk - 32)
+            }
+            blk += 1
+          }
+        }
+        Row.fromSeq(row.toSeq :+ hi :+ lo)
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
   /** Deterministic byte "resize": keep every ceil(len/target)-th byte so the
     * payload shrinks to <= target bytes (stand-in for image rescale). */
   def resizeStub(content: Column, targetBytes: Int): Column = {

@@ -48,6 +48,38 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkTestSession {
     }
   }
 
+  test("averageHash: 32-bit halves, deterministic, identical payloads collide") {
+    import spark.implicits._
+    val dup = Seq((0L, "the same payload bytes exactly"),
+      (1L, "the same payload bytes exactly"),
+      (2L, "completely different content with other letters and length")).toDF("doc_id", "text")
+    val sig = Multimodal.withAverageHash(Multimodal.synthesizeMediaTable(dup), "content")
+      .select("doc_id", "ahash_hi", "ahash_lo").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // halves stay within 32 unsigned bits (engine-portable packing)
+    sig.values.foreach { case (hi, lo) =>
+      hi should (be >= 0L and be < (1L << 32))
+      lo should (be >= 0L and be < (1L << 32))
+    }
+    sig(0L) shouldBe sig(1L) // identical bytes -> identical signature
+    sig(0L) should not be sig(2L)
+    // reference check vs an independent scalar computation of doc 0
+    val bytes = "the same payload bytes exactly".getBytes("UTF-8")
+    val n = bytes.length
+    val sums = new Array[Long](64); val cnts = new Array[Long](64); var tot = 0L
+    bytes.zipWithIndex.foreach { case (b, i) =>
+      val blk = (i.toLong * 64 / n).toInt
+      sums(blk) += (b & 0xFF); cnts(blk) += 1; tot += (b & 0xFF)
+    }
+    var hi = 0L; var lo = 0L
+    (0 until 64).foreach { blk =>
+      if (sums(blk) * n > tot * cnts(blk)) {
+        if (blk < 32) lo |= 1L << blk else hi |= 1L << (blk - 32)
+      }
+    }
+    sig(0L) shouldBe ((hi, lo))
+  }
+
   test("sampleFrames: stride-sampled frames with index") {
     val out = Multimodal.sampleFrames(media, "content", numFrames = 4, stride = 2)
     val byDoc = out.groupBy("doc_id").count().collect()
