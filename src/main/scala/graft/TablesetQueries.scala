@@ -446,6 +446,16 @@ object TablesetQueries {
     // s6 ingests the same versioned rows through the STREAMING path and
     // reads via FINAL — a reader must not be able to tell
     "s6_versioned_stream" -> versionedOracleSql,
+    // insert-time dedup ran with w still present (DISTINCT over the FULL
+    // row); the later metadata-only drop projects w away at read, so
+    // (h3index, v) pairs that differed only in w stay duplicated — the
+    // oracle reproduces that order of operations
+    "ts14_ddl_lifecycle" ->
+      s"""SELECT cell AS h3index, v FROM (
+         |  SELECT DISTINCT $synthCellSql AS cell, (l_orderkey % 50) AS v,
+         |    (l_orderkey % 31) AS w
+         |  FROM lineitem WHERE l_orderkey % 5 = 0)
+         |ORDER BY h3index, v""".stripMargin,
     // pre-evolution rows carry an explicit NULL for the added column
     "ts13_schema_evolution" ->
       s"""WITH a AS (SELECT DISTINCT $synthCellSql AS cell, (l_orderkey % 50) AS v,
@@ -660,6 +670,39 @@ object TablesetQueries {
       .select(col("h3index"), col("v"), col("w"))
       .orderBy(col("h3index"), col("v"), col("w"))
 
+  // ------------------------------------------------------------------ ts14
+
+  /** DDL lifecycle through the oracle gate: insert two columns, DROP one
+    * (metadata-only), RENAME the tableset (O(1) directory move), read under
+    * the NEW name — the dropped column must be projected away for ALL rows
+    * (including those physically carrying it), and the rename must lose
+    * nothing. The oracle re-derives the surviving projection relationally. */
+  private def ts14Store(spark: SparkSession, dir: String): CellStore = {
+    val store = CellStore(spark, rootFor(dir))
+    if (!store.listTablesets().contains("gate_renamed")) {
+      val li = lineitem(spark, dir)
+      store.insert("gate_ddl",
+        li.where(pmod(col("l_orderkey"), lit(5)) === 0)
+          .select(Queries.synthCell.as("h3index"),
+            pmod(col("l_orderkey"), lit(50)).as("v"),
+            pmod(col("l_orderkey"), lit(31)).as("w")),
+        createSchema = Some(CompactedTableSchema.builder("gate_ddl")
+          .h3BaseResolutions(Seq(9))
+          .useCompaction(false)
+          .addSimpleColumn("v", T.Int64)
+          .addSimpleColumn("w", T.Int64)
+          .build()))
+      store.dropColumn("gate_ddl", "w")
+      store.renameTableset("gate_ddl", "gate_renamed")
+    }
+    store
+  }
+
+  def ts14DdlLifecycle(spark: SparkSession, dir: String): DataFrame =
+    ts14Store(spark, dir).scanForResolution("gate_renamed", 9)
+      .select(col("h3index"), col("v"))
+      .orderBy(col("h3index"), col("v"))
+
   // ------------------------------------------------------------------- s6
 
   /** s6 gate: CDC-style VERSIONED ingest through the streaming path — both
@@ -712,6 +755,7 @@ object TablesetQueries {
     "ts10_replace_optimize" -> ts10ReplaceOptimize,
     "ts11_final_read" -> ts11FinalRead,
     "ts12_cross_tableset_join" -> ts12CrossTablesetJoin,
-    "ts13_schema_evolution" -> ts13SchemaEvolution
+    "ts13_schema_evolution" -> ts13SchemaEvolution,
+    "ts14_ddl_lifecycle" -> ts14DdlLifecycle
   )
 }

@@ -175,6 +175,20 @@ class CellStore(spark: SparkSession, rootPath: String) {
     try out.write(schema.toJson.getBytes("UTF-8")) finally out.close()
   }
 
+  /** `RENAME TABLE` analogue: one directory rename (schema name is kept in
+    * sync in the sidecar). Like the reference's ClickHouse backend this is
+    * a metadata move, not a data copy — O(1) regardless of data size. */
+  def renameTableset(from: String, to: String): Unit = {
+    val schema = getTableset(from)
+    require(!fs.exists(tablesetPath(to)), s"tableset '$to' already exists")
+    val renamed = schema.copy(name = to).validated
+    writeSchema(from, renamed)
+    if (!fs.rename(tablesetPath(from), tablesetPath(to))) {
+      writeSchema(from, schema) // roll the sidecar back; directory untouched
+      throw new IllegalStateException(s"rename of tableset '$from' to '$to' failed")
+    }
+  }
+
   /** D2: drop all data of the tableset; tolerates absence. */
   def dropTableset(name: String): Unit = {
     val p = tablesetPath(name)
@@ -687,7 +701,9 @@ class CellStore(spark: SparkSession, rootPath: String) {
 
   /** A12: full-row dedup across all accumulated inserts — the explicit
     * equivalent of `OPTIMIZE TABLE ... DEDUPLICATE` (`optimize.rs:20-113`).
-    * Rewrites the dataset via a staging directory + atomic-ish rename. */
+    * Publishes per-partition via dynamic partition overwrite (see
+    * [[deduplicateWhere]]); with the always-true predicate every partition
+    * is touched, but each is still swapped atomically at job commit. */
   def deduplicate(name: String): Unit = deduplicateWhere(name, lit(true))
 
   /** A11 + A12 partial optimization: dedup ONLY the partitions matched by

@@ -528,6 +528,24 @@ class CellStoreSpec extends AnyFunSuite with Matchers with SparkTestSession {
     an[IllegalArgumentException] should be thrownBy store.dropColumn("versioned", "version")
   }
 
+  test("renameTableset: O(1) metadata move, data readable under the new name") {
+    val store = newStore()
+    val cells = H3.toChildren(hexRes5, 7).toSeq.take(5)
+    store.insert("versioned", versionedInput(cells, 1L, _.toLong),
+      createSchema = Some(versionedSchema))
+    val before = store.scanForResolution("versioned", 7).count()
+    store.renameTableset("versioned", "renamed")
+    store.listTablesets().keySet should (contain("renamed") and not contain "versioned")
+    store.getTableset("renamed").name shouldBe "renamed"
+    store.scanForResolution("renamed", 7).count() shouldBe before
+    // source gone; occupied target refused
+    an[IllegalArgumentException] should be thrownBy store.getTableset("versioned")
+    store.insert("other", versionedInput(cells.take(1), 1L, _.toLong),
+      createSchema = Some(versionedSchema.copy(name = "other")))
+    an[IllegalArgumentException] should be thrownBy
+      store.renameTableset("other", "renamed")
+  }
+
   test("insert rejects resolutions above the tableset max") {
     val store = newStore()
     store.createTableset(sumSchema)
