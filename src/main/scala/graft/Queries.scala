@@ -867,6 +867,55 @@ object Queries {
       .orderBy(col("doc_id"), col("rnk"))
   }
 
+  /** BM25 keyword ranking (d18): top-20 documents for a fixed 3-term query
+    * — the retrieval/quality-scoring shape (same family as d10's TF-IDF,
+    * but length-normalized: the scoring a search-over-corpus or RAG
+    * curation pass uses). Shares the memoized tokenization with d10/d12.
+    *
+    * Numerics follow the d10 rule — NO logarithm: the rational idf
+    * `(N - df + 0.5) / (df + 0.5)` is a monotone transform of the usual
+    * `ln(...)` Robertson idf, so rankings are BM25's while every operation
+    * (add/mul/div) is IEEE-exact-rounded and the score is bit-identical
+    * across engines. Per-term partials pivot into FIXED columns so the
+    * 3-term sum has one deterministic float-addition order; only then is
+    * the score rounded for display. k1 = 1.2, b = 0.75 (source literals on
+    * both sides — no cross-engine constant drift).
+    *
+    * Scale shape: the terms frame aggregates once per doc (dl) and once
+    * per (doc, query-term) — the query-term filter keeps the tf frame at
+    * O(matching docs x 3); N and avgdl are 1-row aggregates planted as
+    * literals, exactly like the store's probe planning. */
+  private val Bm25Terms = Seq("hash", "vector", "window")
+  def d18Bm25Topk(spark: SparkSession, dir: String): DataFrame = {
+    val words = termsFrame(spark, dir)
+    val nDocs = t(spark, dir, "documents").count()
+    val dl = words.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val sumDl = dl.agg(sum(col("dl"))).first().getLong(0)
+    val avgdl = sumDl.toDouble / nDocs.toDouble
+    val tf = words.where(col("term").isin(Bm25Terms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val tfd = col("tf").cast("double")
+    val dfd = col("df").cast("double")
+    val dld = col("dl").cast("double")
+    val idf = (lit(nDocs.toDouble) - dfd + lit(0.5)) / (dfd + lit(0.5))
+    val partial = (idf * (tfd * lit(2.2))) /
+      (tfd + lit(1.2) * (lit(0.25) + lit(0.75) * dld / lit(avgdl)))
+    val perTerm = tf.join(dfreq, Seq("term")).join(dl, Seq("doc_id"))
+      .select(col("doc_id"), col("term"), partial.as("s"))
+    val pivoted = Bm25Terms.map { tm =>
+      coalesce(max(when(col("term") === tm, col("s"))), lit(0.0)).as(s"s_$tm")
+    }
+    val score = Bm25Terms.map(tm => col(s"s_$tm")).reduce(_ + _)
+    perTerm.groupBy(col("doc_id")).agg(pivoted.head, pivoted.tail: _*)
+      .select(col("doc_id"), score.as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+      .select(row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).as("rnk"),
+        col("doc_id"), round(col("score"), 4).as("bm25"))
+      .orderBy(col("rnk"))
+  }
+
   /** Exact duplicated-span document pairs (d11) — the substring-dedup
     * signal (Lee et al. "Deduplicating Training Data Makes Language Models
     * Better"): pairs of distinct documents sharing at least one EXACT
@@ -1239,6 +1288,32 @@ object Queries {
           |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk FROM s)
           |SELECT doc_id, rnk, term, round(score, 4) AS tfidf
           |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+      // identical association/parenthesization as the Spark side — every
+      // float op is exact-rounded, so scores are bit-identical (see d18 doc)
+      "d18_bm25_topk" ->
+        """WITH w AS (SELECT doc_id,
+          |    unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')) AS term
+          |  FROM documents),
+          |dl AS (SELECT doc_id, count(*) AS dl FROM w GROUP BY 1),
+          |n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+          |ad AS (SELECT sum(dl)::DOUBLE / (SELECT count(*)::DOUBLE FROM documents) AS avgdl
+          |  FROM dl),
+          |tf AS (SELECT doc_id, term, count(*) AS tf FROM w
+          |  WHERE term IN ('hash', 'vector', 'window') GROUP BY 1, 2),
+          |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          |p AS (SELECT doc_id, term,
+          |    (((n.n - df::DOUBLE + 0.5) / (df::DOUBLE + 0.5)) * (tf::DOUBLE * 2.2)) /
+          |      (tf::DOUBLE + 1.2 * (0.25 + 0.75 * dl::DOUBLE / ad.avgdl)) AS s
+          |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN n CROSS JOIN ad),
+          |sc AS (SELECT doc_id,
+          |    coalesce(max(CASE WHEN term = 'hash' THEN s END), 0.0)
+          |    + coalesce(max(CASE WHEN term = 'vector' THEN s END), 0.0)
+          |    + coalesce(max(CASE WHEN term = 'window' THEN s END), 0.0) AS score
+          |  FROM p GROUP BY 1),
+          |r AS (SELECT doc_id, score,
+          |    row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM sc)
+          |SELECT rnk, doc_id, round(score, 4) AS bm25 FROM r WHERE rnk <= 20
+          |ORDER BY rnk""".stripMargin,
       "d11_dup_span_pairs" ->
         s"""WITH w AS (SELECT doc_id,
           |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS ws
@@ -1473,6 +1548,7 @@ object Queries {
     "d8_stratified_sample" -> d8StratifiedSample,
     "d9_dup_ngram_frac" -> d9DupNgramFrac,
     "d10_tfidf_topk" -> d10TfidfTopk,
+    "d18_bm25_topk" -> d18Bm25Topk,
     "d11_dup_span_pairs" -> d11DupSpanPairs,
     "d12_vocab_stats" -> d12VocabStats,
     "q11_asof_join" -> q11AsofJoin,
