@@ -680,6 +680,10 @@ object TablesetQueries {
   private def ts14Store(spark: SparkSession, dir: String): CellStore = {
     val store = CellStore(spark, rootFor(dir))
     if (!store.listTablesets().contains("gate_renamed")) {
+      // the build guard checks the POST-rename name but inserts under the
+      // pre-rename one — drop any half-built leftover first so a failed
+      // earlier attempt can't double-insert or re-drop on retry
+      store.dropTableset("gate_ddl")
       val li = lineitem(spark, dir)
       store.insert("gate_ddl",
         li.where(pmod(col("l_orderkey"), lit(5)) === 0)

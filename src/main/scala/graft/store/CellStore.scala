@@ -84,7 +84,13 @@ class CellStore(spark: SparkSession, rootPath: String) {
       s"tableset '$name' already has a schema.json; recovery is lossy — " +
         "pass overwrite = true to replace it anyway")
     // mergeSchema: files written before an addColumn lack the added column;
-    // recovery must see the UNION of file schemas, not a random footer
+    // recovery must see the UNION of file schemas, not a random footer.
+    // Known hazard of that union: a dropColumn'd column whose bytes still
+    // sit in pre-drop files (the drop is metadata-only until a rewrite)
+    // comes BACK — with its stale values — because nothing in the data
+    // distinguishes "added later" from "dropped later". Run an optimize
+    // (deduplicate/replace) after a drop if the column must not survive a
+    // future recovery; recovery is documented lossy, this is part of it.
     val df = spark.read.option("mergeSchema", "true").parquet(dp.toString)
     val partCols = Set("kind", "resolution", "ph3") ++
       df.columns.filter(c => c == "pt" || c.startsWith("pt_"))
@@ -183,7 +189,15 @@ class CellStore(spark: SparkSession, rootPath: String) {
     require(!fs.exists(tablesetPath(to)), s"tableset '$to' already exists")
     val renamed = schema.copy(name = to).validated
     writeSchema(from, renamed)
-    if (!fs.rename(tablesetPath(from), tablesetPath(to))) {
+    val moved =
+      try fs.rename(tablesetPath(from), tablesetPath(to))
+      catch {
+        case e: Exception => // roll the sidecar back before propagating
+          writeSchema(from, schema)
+          throw new IllegalStateException(
+            s"rename of tableset '$from' to '$to' failed", e)
+      }
+    if (!moved) {
       writeSchema(from, schema) // roll the sidecar back; directory untouched
       throw new IllegalStateException(s"rename of tableset '$from' to '$to' failed")
     }
@@ -255,9 +269,19 @@ class CellStore(spark: SparkSession, rootPath: String) {
     val h3Col = CompactedTableSchema.ColH3Index
 
     require(input.columns.contains(h3Col), s"input is missing the '$h3Col' column")
-    // conform: project to declared columns, cast to declared Spark types
-    val conformed0 = schema.columns.toSeq.foldLeft(
-      input.select(schema.columns.keys.map(col).toIndexedSeq: _*)) {
+    // conform: project to declared columns, cast to declared Spark types.
+    // A nullable column the writer doesn't supply (it was addColumn'd after
+    // the writer was deployed) fills with typed NULL — the ALTER contract:
+    // existing ingest jobs keep working, their rows read as NULL for the
+    // new column. Missing NON-nullable columns still fail (below, in the
+    // select) — there is no value to invent for those.
+    val inputCols = input.columns.toSet
+    val projected = input.select(schema.columns.toSeq.map { case (n, cdef) =>
+      if (inputCols.contains(n)) col(n)
+      else if (cdef.nullable) lit(null).cast(cdef.dataType.sparkType).as(n)
+      else col(n) // unresolved -> AnalysisException naming the column
+    }.toIndexedSeq: _*)
+    val conformed0 = schema.columns.toSeq.foldLeft(projected) {
       case (df, (n, cdef)) => df.withColumn(n, col(n).cast(cdef.dataType.sparkType))
     }
     // P5/S3: reject invalid h3 indexes at the ingest boundary (the reference's
@@ -779,7 +803,11 @@ class CellStore(spark: SparkSession, rootPath: String) {
   def rejects(name: String): DataFrame = {
     val schema = getTableset(name)
     val rp = rejectsPath(name)
-    if (fs.exists(rp)) spark.read.parquet(rp.toString)
+    // declared-schema read, like readDeclared: rejects files written before
+    // an addColumn lack the new column (-> NULL), files predating a
+    // dropColumn carry the old one (-> projected away); a footer-inferred
+    // read would pick a random file's shape
+    if (fs.exists(rp)) spark.read.schema(schema.toStructType).parquet(rp.toString)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema.toStructType)
   }

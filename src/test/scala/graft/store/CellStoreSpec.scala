@@ -496,6 +496,12 @@ class CellStoreSpec extends AnyFunSuite with Matchers with SparkTestSession {
     // a partition-scoped rewrite must PRESERVE the added column's values
     store.deduplicate("versioned")
     wById() shouldBe w1
+    // a writer deployed BEFORE the ALTER (no 'w' in its batches) must keep
+    // working — the conform step fills the nullable added column with NULL
+    store.insert("versioned",
+      versionedInput(cells.slice(8, 10), 1L, _.toLong))
+    val w2 = wById()
+    cells.slice(8, 10).foreach { c => w2(c) shouldBe None }
     // contract violations
     an[IllegalArgumentException] should be thrownBy
       store.addColumn("versioned", "w", ColumnDef.Simple(T.Int64, nullable = true))
