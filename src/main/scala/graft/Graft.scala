@@ -16,6 +16,7 @@ object Graft {
     graft.h3.expr.H3Functions.register(spark)
     graft.ann.expr.VectorFunctions.register(spark)
     graft.geom.GeoFunctions.register(spark)
+    graft.store.TableFunctions.register(spark)
     graft.plans.H3ParentPredicateRewrite.install(spark)
   }
 }

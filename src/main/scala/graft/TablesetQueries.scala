@@ -439,6 +439,9 @@ object TablesetQueries {
 
   val oracles: Map[String, String] = Map(
     "ts1_rollup_query" -> ts1OracleSql,
+    // ts15 re-derives ts1's rollup from the res-9 base via pure SQL
+    // (graft_scan TVF + SQL h3_to_parent) — same first-principles oracle
+    "ts15_sql_tvf" -> ts1OracleSql,
     "ts10_replace_optimize" -> versionedOracleSql,
     // ts11 reads the SAME logical content through the read-time collapse
     // (no rewrite) — identical expected rows by construction
@@ -707,6 +710,24 @@ object TablesetQueries {
       .select(col("h3index"), col("v"))
       .orderBy(col("h3index"), col("v"))
 
+  // ------------------------------------------------------------------ ts15
+
+  /** Pure-SQL store access (ts15): the `graft_scan` table-valued function +
+    * SQL-registered `h3_to_parent` re-derive ts1's res-5 rollup FROM THE
+    * RES-9 BASE TABLE with no DataFrame code at all — what a SQL-only
+    * consumer (BI tool, notebook) runs. Same oracle as ts1: the engine's
+    * insert-time rollup at res 5 and SQL's own parent aggregation of the
+    * res-9 base must agree to the last bit. */
+  def ts15SqlTvf(spark: SparkSession, dir: String): DataFrame = {
+    ts1Store(spark, dir) // ensure gate_sum exists
+    Graft.register(spark)
+    spark.sql(
+      s"""SELECT h3_to_parent(h3index, 5) AS parent5,
+         |  round(sum(qty), 2) AS sum_qty
+         |FROM graft_scan('${rootFor(dir)}', 'gate_sum', 9)
+         |GROUP BY 1 ORDER BY parent5""".stripMargin)
+  }
+
   // ------------------------------------------------------------------- s6
 
   /** s6 gate: CDC-style VERSIONED ingest through the streaming path — both
@@ -760,6 +781,7 @@ object TablesetQueries {
     "ts11_final_read" -> ts11FinalRead,
     "ts12_cross_tableset_join" -> ts12CrossTablesetJoin,
     "ts13_schema_evolution" -> ts13SchemaEvolution,
-    "ts14_ddl_lifecycle" -> ts14DdlLifecycle
+    "ts14_ddl_lifecycle" -> ts14DdlLifecycle,
+    "ts15_sql_tvf" -> ts15SqlTvf
   )
 }

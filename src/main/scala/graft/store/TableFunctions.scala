@@ -1,0 +1,57 @@
+package graft.store
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * SQL table-valued functions over the cell store: `graft_scan(root,
+ * tableset, res)` exposes the D7 resolution scan (compacted partitions at
+ * res <= r plus the base partition at r) to PURE SQL — a `spark.sql` user
+ * can join/aggregate tablesets without touching the DataFrame API:
+ *
+ *   SELECT h3_to_parent(h3index, 5), sum(qty)
+ *   FROM graft_scan('/data/store', 'elephants', 9) GROUP BY 1
+ *
+ * The builder runs at ANALYSIS time on the driver: it reads the sidecar
+ * schema, builds the pruned scan plan, and splices the resolved subtree
+ * into the query — so partition pruning, the declared-schema read, and
+ * every downstream optimization (including
+ * [[graft.plans.H3ParentPredicateRewrite]]'s range inference over filters
+ * above the TVF) apply exactly as for the DataFrame path. Arguments must
+ * be literals (they parameterize plan construction, not row evaluation).
+ *
+ * Registered by [[graft.Graft.register]] alongside the scalar functions.
+ */
+object TableFunctions {
+
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_scan"),
+      new ExpressionInfo("graft.store", null, "graft_scan",
+        "graft_scan(root, tableset, res) - rows of a tableset at the given resolution", ""),
+      graftScanBuilder)
+  }
+
+  private def graftScanBuilder: Seq[Expression] => LogicalPlan = { args =>
+    if (args.length != 3)
+      throw new IllegalArgumentException(
+        s"graft_scan(root, tableset, targetRes) expects 3 arguments, got ${args.length}")
+    def str(e: Expression, what: String): String = e match {
+      case Literal(s: UTF8String, StringType) => s.toString
+      case _ => throw new IllegalArgumentException(
+        s"graft_scan: $what must be a STRING literal, got $e")
+    }
+    val res = args(2) match {
+      case Literal(i: Int, IntegerType) => i
+      case _ => throw new IllegalArgumentException(
+        s"graft_scan: targetRes must be an INTEGER literal, got ${args(2)}")
+    }
+    CellStore(SparkSession.active, str(args(0), "root"))
+      .scanForResolution(str(args(1), "tableset"), res)
+      .queryExecution.analyzed
+  }
+}

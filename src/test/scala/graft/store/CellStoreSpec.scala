@@ -552,6 +552,33 @@ class CellStoreSpec extends AnyFunSuite with Matchers with SparkTestSession {
       store.renameTableset("other", "renamed")
   }
 
+  test("graft_scan TVF: pure-SQL store access, literal-arg contract enforced") {
+    val root = Files.createTempDirectory("graft_store_").toString
+    val store = CellStore(spark, root)
+    val cells = H3.toChildren(hexRes5, 7).toSeq.take(6)
+    store.insert("versioned", versionedInput(cells, 1L, _.toLong),
+      createSchema = Some(versionedSchema))
+    graft.Graft.register(spark)
+    val n = spark.sql(
+      s"SELECT count(*) AS n FROM graft_scan('$root', 'versioned', 7)")
+      .head().getLong(0)
+    n shouldBe cells.size.toLong
+    // joins against ordinary SQL relations work (the spliced subtree is a
+    // plain resolved plan)
+    val joined = spark.sql(
+      s"""SELECT count(*) AS n FROM graft_scan('$root', 'versioned', 7) g
+         |JOIN (SELECT ${cells.head}L AS h3index) p USING (h3index)""".stripMargin)
+      .head().getLong(0)
+    joined shouldBe 1L
+    // contract: literal args only, 3 of them, existing tableset
+    an[Exception] should be thrownBy
+      spark.sql(s"SELECT * FROM graft_scan('$root', 'versioned')").collect()
+    an[Exception] should be thrownBy
+      spark.sql(s"SELECT * FROM graft_scan('$root', 'nope', 7)").collect()
+    an[Exception] should be thrownBy
+      spark.sql(s"SELECT * FROM graft_scan('$root', 'versioned', h3index)").collect()
+  }
+
   test("insert rejects resolutions above the tableset max") {
     val store = newStore()
     store.createTableset(sumSchema)
