@@ -495,6 +495,17 @@ object TablesetQueries {
          |sibs AS (SELECT ((cell & ~(7::BIGINT << 18)) | (d::BIGINT << 18)) AS h3index, v
          |  FROM base, range(0, 7) t(d))
          |SELECT DISTINCT h3index, v FROM sibs ORDER BY h3index""".stripMargin,
+    // ts16 = ts2's round trip restricted to the 1/97 modular probe subset,
+    // driven through the pure-SQL graft_cells TVF
+    "ts16_sql_cells" ->
+      s"""WITH base AS (SELECT DISTINCT $synthCellSql AS cell, (l_orderkey % 50) AS v
+         |  FROM lineitem WHERE l_orderkey % 20 = 0),
+         |sibs AS (SELECT ((cell & ~(7::BIGINT << 18)) | (d::BIGINT << 18)) AS h3index, v
+         |  FROM base, range(0, 7) t(d)),
+         |u AS (SELECT DISTINCT h3index, v FROM sibs)
+         |SELECT h3index, v FROM u
+         |WHERE (${parentSql("h3index", 9, 8)}) % 97 = 0
+         |ORDER BY h3index""".stripMargin,
     // the engine dedups FULL rows before rollup -> DISTINCT tuples first;
     // every input cell is at res 9, so RelativeToCellArea is sum/7^4 with
     // no pre-scaling, and SetNullOnConflict is plain unanimity
@@ -728,6 +739,29 @@ object TablesetQueries {
          |GROUP BY 1 ORDER BY parent5""".stripMargin)
   }
 
+  // ------------------------------------------------------------------ ts16
+
+  /** §3.1 cell query from pure SQL (ts16): `graft_cells` with a literal
+    * res-8 probe array (a deterministic 1/97 subset of ts2's parents) must
+    * uncompact back exactly the input rows under those parents — ts2's
+    * round-trip contract, driven through the SQL TVF surface with the
+    * analysis-time probe planting (ph3 pruning + OR-of-ranges predicate)
+    * of the Seq-probe API. */
+  def ts16SqlCells(spark: SparkSession, dir: String): DataFrame = {
+    ts2Store(spark, dir) // ensure gate_compact exists
+    Graft.register(spark)
+    val probes = ts2Input(spark, dir)
+      .select(h3_to_parent(col("h3index"), lit(8)).as("p")).distinct()
+      .where(pmod(col("p"), lit(97)) === 0)
+      .orderBy(col("p")).collect().map(_.getLong(0))
+    require(probes.nonEmpty, "ts16 probe subset is empty at this scale factor")
+    spark.sql(
+      s"""SELECT h3index, v
+         |FROM graft_cells('${rootFor(dir)}', 'gate_compact', 9,
+         |  array(${probes.mkString("L, ")}L))
+         |ORDER BY h3index""".stripMargin)
+  }
+
   // ------------------------------------------------------------------- s6
 
   /** s6 gate: CDC-style VERSIONED ingest through the streaming path — both
@@ -782,6 +816,7 @@ object TablesetQueries {
     "ts12_cross_tableset_join" -> ts12CrossTablesetJoin,
     "ts13_schema_evolution" -> ts13SchemaEvolution,
     "ts14_ddl_lifecycle" -> ts14DdlLifecycle,
-    "ts15_sql_tvf" -> ts15SqlTvf
+    "ts15_sql_tvf" -> ts15SqlTvf,
+    "ts16_sql_cells" -> ts16SqlCells
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
-import org.apache.spark.sql.types.{IntegerType, StringType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
@@ -34,6 +34,12 @@ object TableFunctions {
       new ExpressionInfo("graft.store", null, "graft_scan",
         "graft_scan(root, tableset, res) - rows of a tableset at the given resolution", ""),
       graftScanBuilder)
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_cells"),
+      new ExpressionInfo("graft.store", null, "graft_cells",
+        "graft_cells(root, tableset, res, array(cells...)) - §3.1 cell query: " +
+          "fetch the given cells' data at the resolution, uncompacting as needed", ""),
+      graftCellsBuilder)
   }
 
   private def graftScanBuilder: Seq[Expression] => LogicalPlan = { args =>
@@ -52,6 +58,46 @@ object TableFunctions {
     }
     CellStore(SparkSession.active, str(args(0), "root"))
       .scanForResolution(str(args(1), "tableset"), res)
+      .queryExecution.analyzed
+  }
+
+  /** `graft_cells(root, tableset, res, array(c1, c2, ...))` — the reference's
+    * headline `query_tableset_cells` (SURVEY §3.1) from pure SQL: probe
+    * cells of ANY resolution, rows materialized at `res` with restricted
+    * uncompaction. The probe array must be FOLDABLE (literals or literal
+    * arithmetic): it is evaluated at analysis time into the driver-known
+    * probe set, which plants the ph3 partition filter and the OR-of-ranges
+    * h3index scan predicate exactly like the Seq-probe DataFrame API. */
+  private def graftCellsBuilder: Seq[Expression] => LogicalPlan = { args =>
+    if (args.length != 4)
+      throw new IllegalArgumentException(
+        s"graft_cells(root, tableset, targetRes, cells) expects 4 arguments, got ${args.length}")
+    def str(e: Expression, what: String): String = e match {
+      case Literal(s: UTF8String, StringType) => s.toString
+      case _ => throw new IllegalArgumentException(
+        s"graft_cells: $what must be a STRING literal, got $e")
+    }
+    val res = args(2) match {
+      case Literal(i: Int, IntegerType) => i
+      case _ => throw new IllegalArgumentException(
+        s"graft_cells: targetRes must be an INTEGER literal, got ${args(2)}")
+    }
+    val cellsExpr = args(3)
+    if (!cellsExpr.foldable)
+      throw new IllegalArgumentException(
+        "graft_cells: the probe cell array must be foldable (literal cells)")
+    val cells = (cellsExpr.eval(), cellsExpr.dataType) match {
+      case (a: org.apache.spark.sql.catalyst.util.ArrayData,
+          org.apache.spark.sql.types.ArrayType(LongType, _)) =>
+        a.toLongArray().toSeq
+      case (a: org.apache.spark.sql.catalyst.util.ArrayData,
+          org.apache.spark.sql.types.ArrayType(IntegerType, _)) =>
+        a.toIntArray().toSeq.map(_.toLong)
+      case (_, dt) => throw new IllegalArgumentException(
+        s"graft_cells: expected ARRAY<BIGINT> probe cells, got $dt")
+    }
+    CellStore(SparkSession.active, str(args(0), "root"))
+      .queryCells(str(args(1), "tableset"), cells, res)
       .queryExecution.analyzed
   }
 }

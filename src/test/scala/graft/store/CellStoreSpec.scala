@@ -577,6 +577,15 @@ class CellStoreSpec extends AnyFunSuite with Matchers with SparkTestSession {
       spark.sql(s"SELECT * FROM graft_scan('$root', 'nope', 7)").collect()
     an[Exception] should be thrownBy
       spark.sql(s"SELECT * FROM graft_scan('$root', 'versioned', h3index)").collect()
+    // graft_cells: a coarse probe returns the probed subtree's rows at res
+    val parent = hexRes5
+    val viaCells = spark.sql(
+      s"""SELECT count(*) AS n
+         |FROM graft_cells('$root', 'versioned', 7, array(${parent}L))""".stripMargin)
+      .head().getLong(0)
+    viaCells shouldBe cells.size.toLong // all 6 stored cells sit under hexRes5
+    an[Exception] should be thrownBy
+      spark.sql(s"SELECT * FROM graft_cells('$root', 'versioned', 7, h3index)").collect()
   }
 
   test("insert rejects resolutions above the tableset max") {
