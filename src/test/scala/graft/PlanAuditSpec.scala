@@ -133,6 +133,43 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkTestSession {
       .mkString should include("h3index")
   }
 
+  test("SQL TVF queries keep pruning: partition filters + rule-inferred ranges") {
+    val dir = Files.createTempDirectory("graft_plan_tvf_").toString
+    val schema = CompactedTableSchema.builder("plan_tvf")
+      .h3BaseResolutions(Seq(7))
+      .useCompaction(false)
+      .addAggregatedColumn("density", T.Float64, Agg.Max)
+      .build()
+    val cells = H3.toChildren(hexRes5, 7)
+    val rows = cells.zipWithIndex.map { case (c, i) => Row(c, i.toDouble) }
+    val input = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 4),
+      StructType(Seq(
+        StructField("h3index", LongType, false),
+        StructField("density", DoubleType, false))))
+    CellStore(spark, dir).insert("plan_tvf", input, createSchema = Some(schema))
+    graft.Graft.register(spark)
+    // graft_scan splices a resolved scan: the D7 partition filter must
+    // survive, and a SQL h3_to_parent equality above it must gain the
+    // rule's raw-h3index range pushdown
+    val df = spark.sql(
+      s"""SELECT * FROM graft_scan('$dir', 'plan_tvf', 7)
+         |WHERE h3_to_parent(h3index, 5) = ${hexRes5}L""".stripMargin)
+    val plan = planOf(df)
+    plan.linesIterator.filter(_.contains("PartitionFilters"))
+      .mkString should include("resolution")
+    val pushed = plan.linesIterator.filter(_.contains("PushedFilters")).mkString
+    pushed should include("Or(")
+    pushed should include(s"EqualTo(h3index,$hexRes5)")
+    df.count() shouldBe cells.length.toLong
+    // graft_cells plants the driver-known ph3 partition filter like the
+    // Seq-probe DataFrame API
+    val plan2 = planOf(spark.sql(
+      s"SELECT * FROM graft_cells('$dir', 'plan_tvf', 7, array(${hexRes5}L))"))
+    plan2.linesIterator.filter(_.contains("PartitionFilters"))
+      .mkString should include("ph3")
+  }
+
   test("relational gate query pushes the date filter into the parquet scan") {
     val plan = planOf(Queries.q1PricingSummary(spark, "/root/testdata/sf0.001"))
     plan should include("PushedFilters")
