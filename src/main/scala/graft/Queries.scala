@@ -873,10 +873,13 @@ object Queries {
     * curation pass uses). Shares the memoized tokenization with d10/d12.
     *
     * Numerics follow the d10 rule — NO logarithm: the rational idf
-    * `(N - df + 0.5) / (df + 0.5)` is a monotone transform of the usual
-    * `ln(...)` Robertson idf, so rankings are BM25's while every operation
-    * (add/mul/div) is IEEE-exact-rounded and the score is bit-identical
-    * across engines. Per-term partials pivot into FIXED columns so the
+    * `(N - df + 0.5) / (df + 0.5)` replaces the usual `ln(...)` Robertson
+    * idf so every operation (add/mul/div) is IEEE-exact-rounded and the
+    * score is bit-identical across engines. This is a BM25 VARIANT, not
+    * BM25: the transform is monotone PER TERM, but summing over terms
+    * reweights rare terms more aggressively than the ln form, so multi-term
+    * rankings can differ from textbook BM25. The per-term saturation and
+    * length normalization — the parts that make BM25 BM25 — are exact. Per-term partials pivot into FIXED columns so the
     * 3-term sum has one deterministic float-addition order; only then is
     * the score rounded for display. k1 = 1.2, b = 0.75 (source literals on
     * both sides — no cross-engine constant drift).

@@ -189,18 +189,23 @@ class CellStore(spark: SparkSession, rootPath: String) {
     require(!fs.exists(tablesetPath(to)), s"tableset '$to' already exists")
     val renamed = schema.copy(name = to).validated
     writeSchema(from, renamed)
+    // rollback is BEST-EFFORT: if the filesystem is down, the rollback
+    // write fails too — suppress it so the ORIGINAL rename cause surfaces
+    def rollback(cause: Throwable): Throwable = {
+      try writeSchema(from, schema)
+      catch { case rb: Exception => cause.addSuppressed(rb) }
+      cause
+    }
     val moved =
       try fs.rename(tablesetPath(from), tablesetPath(to))
       catch {
-        case e: Exception => // roll the sidecar back before propagating
-          writeSchema(from, schema)
-          throw new IllegalStateException(
-            s"rename of tableset '$from' to '$to' failed", e)
+        case e: Exception =>
+          throw rollback(new IllegalStateException(
+            s"rename of tableset '$from' to '$to' failed", e))
       }
-    if (!moved) {
-      writeSchema(from, schema) // roll the sidecar back; directory untouched
-      throw new IllegalStateException(s"rename of tableset '$from' to '$to' failed")
-    }
+    if (!moved)
+      throw rollback(new IllegalStateException(
+        s"rename of tableset '$from' to '$to' failed"))
   }
 
   /** D2: drop all data of the tableset; tolerates absence. */
@@ -275,9 +280,16 @@ class CellStore(spark: SparkSession, rootPath: String) {
     // existing ingest jobs keep working, their rows read as NULL for the
     // new column. Missing NON-nullable columns still fail (below, in the
     // select) — there is no value to invent for those.
+    // presence check mirrors Spark's resolution semantics: case-insensitive
+    // unless spark.sql.caseSensitive — a writer supplying 'W' for declared
+    // 'w' must keep being ingested, not silently NULL-filled
+    val caseSensitive = spark.sessionState.conf.caseSensitiveAnalysis
     val inputCols = input.columns.toSet
+    def supplied(n: String): Boolean =
+      if (caseSensitive) inputCols.contains(n)
+      else inputCols.exists(_.equalsIgnoreCase(n))
     val projected = input.select(schema.columns.toSeq.map { case (n, cdef) =>
-      if (inputCols.contains(n)) col(n)
+      if (supplied(n)) col(n)
       else if (cdef.nullable) lit(null).cast(cdef.dataType.sparkType).as(n)
       else col(n) // unresolved -> AnalysisException naming the column
     }.toIndexedSeq: _*)

@@ -42,22 +42,25 @@ object TableFunctions {
       graftCellsBuilder)
   }
 
+  private def strArg(fn: String, e: Expression, what: String): String = e match {
+    case Literal(s: UTF8String, StringType) => s.toString
+    case _ => throw new IllegalArgumentException(
+      s"$fn: $what must be a STRING literal, got $e")
+  }
+
+  private def intArg(fn: String, e: Expression, what: String): Int = e match {
+    case Literal(i: Int, IntegerType) => i
+    case _ => throw new IllegalArgumentException(
+      s"$fn: $what must be an INTEGER literal, got $e")
+  }
+
   private def graftScanBuilder: Seq[Expression] => LogicalPlan = { args =>
     if (args.length != 3)
       throw new IllegalArgumentException(
         s"graft_scan(root, tableset, targetRes) expects 3 arguments, got ${args.length}")
-    def str(e: Expression, what: String): String = e match {
-      case Literal(s: UTF8String, StringType) => s.toString
-      case _ => throw new IllegalArgumentException(
-        s"graft_scan: $what must be a STRING literal, got $e")
-    }
-    val res = args(2) match {
-      case Literal(i: Int, IntegerType) => i
-      case _ => throw new IllegalArgumentException(
-        s"graft_scan: targetRes must be an INTEGER literal, got ${args(2)}")
-    }
-    CellStore(SparkSession.active, str(args(0), "root"))
-      .scanForResolution(str(args(1), "tableset"), res)
+    CellStore(SparkSession.active, strArg("graft_scan", args(0), "root"))
+      .scanForResolution(strArg("graft_scan", args(1), "tableset"),
+        intArg("graft_scan", args(2), "targetRes"))
       .queryExecution.analyzed
   }
 
@@ -72,32 +75,30 @@ object TableFunctions {
     if (args.length != 4)
       throw new IllegalArgumentException(
         s"graft_cells(root, tableset, targetRes, cells) expects 4 arguments, got ${args.length}")
-    def str(e: Expression, what: String): String = e match {
-      case Literal(s: UTF8String, StringType) => s.toString
-      case _ => throw new IllegalArgumentException(
-        s"graft_cells: $what must be a STRING literal, got $e")
-    }
-    val res = args(2) match {
-      case Literal(i: Int, IntegerType) => i
-      case _ => throw new IllegalArgumentException(
-        s"graft_cells: targetRes must be an INTEGER literal, got ${args(2)}")
-    }
     val cellsExpr = args(3)
     if (!cellsExpr.foldable)
       throw new IllegalArgumentException(
         "graft_cells: the probe cell array must be foldable (literal cells)")
+    def elems(a: org.apache.spark.sql.catalyst.util.ArrayData,
+        get: Int => Long): Seq[Long] =
+      (0 until a.numElements()).map { i =>
+        if (a.isNullAt(i)) throw new IllegalArgumentException(
+          s"graft_cells: probe cell array contains NULL at position $i")
+        get(i)
+      }
     val cells = (cellsExpr.eval(), cellsExpr.dataType) match {
       case (a: org.apache.spark.sql.catalyst.util.ArrayData,
           org.apache.spark.sql.types.ArrayType(LongType, _)) =>
-        a.toLongArray().toSeq
+        elems(a, a.getLong)
       case (a: org.apache.spark.sql.catalyst.util.ArrayData,
           org.apache.spark.sql.types.ArrayType(IntegerType, _)) =>
-        a.toIntArray().toSeq.map(_.toLong)
+        elems(a, i => a.getInt(i).toLong)
       case (_, dt) => throw new IllegalArgumentException(
         s"graft_cells: expected ARRAY<BIGINT> probe cells, got $dt")
     }
-    CellStore(SparkSession.active, str(args(0), "root"))
-      .queryCells(str(args(1), "tableset"), cells, res)
+    CellStore(SparkSession.active, strArg("graft_cells", args(0), "root"))
+      .queryCells(strArg("graft_cells", args(1), "tableset"), cells,
+        intArg("graft_cells", args(2), "targetRes"))
       .queryExecution.analyzed
   }
 }
