@@ -31,6 +31,18 @@ object GeoFunctions {
   /** G4 k-ring as a Column (compose with explode for neighborhood joins). */
   def h3_grid_disk(cell: Column, k: Column): Column = gridDiskUdf(cell, k)
 
+  private val gridRingUdf = udf((c: Long, k: Int) => Grid.gridRing(c, k))
+
+  /** Hollow ring at exactly distance k (gridDisk minus its interior). */
+  def h3_grid_ring(cell: Column, k: Column): Column = gridRingUdf(cell, k)
+
+  private val gridDistanceUdf =
+    udf((a: Long, b: Long) => Grid.gridDistance(a, b)) // None -> SQL NULL
+
+  /** Grid-steps distance between two same-resolution cells; NULL when no
+    * path exists (different resolutions / pentagon-blocked). */
+  def h3_grid_distance(a: Column, b: Column): Column = gridDistanceUdf(a, b)
+
   /** Make the geo functions SQL-visible (usable inside query templates),
     * the analogue of ClickHouse's built-in geoToH3 surface the reference
     * relies on (test_connection.py:38-46). Registers the SAME UDF values as
@@ -40,5 +52,7 @@ object GeoFunctions {
     spark.udf.register("cell_to_lat", cellToLatUdf)
     spark.udf.register("cell_to_lng", cellToLngUdf)
     spark.udf.register("h3_grid_disk", gridDiskUdf)
+    spark.udf.register("h3_grid_ring", gridRingUdf)
+    spark.udf.register("h3_grid_distance", gridDistanceUdf)
   }
 }

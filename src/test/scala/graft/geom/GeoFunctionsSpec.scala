@@ -41,6 +41,25 @@ class GeoFunctionsSpec extends AnyFunSuite with Matchers with SparkTestSession {
     viaSql shouldBe viaColumn
   }
 
+  test("h3_grid_ring / h3_grid_distance: Column + SQL match Grid, NULL on no path") {
+    import spark.implicits._
+    graft.Graft.register(spark)
+    val origin = graft.h3.H3.fromParts(20, 5, Seq(2, 3, 4, 5, 6))
+    val ring2 = Grid.gridRing(origin, 2)
+    val gotRing = Seq(origin).toDF("c")
+      .select(GeoFunctions.h3_grid_ring(col("c"), lit(2)).as("r"))
+      .head().getSeq[Long](0)
+    gotRing should contain theSameElementsAs ring2
+    val neighbor = ring2.head
+    val viaSql = spark.sql(
+      s"SELECT h3_grid_distance(${origin}L, ${neighbor}L) AS d").head()
+    viaSql.getInt(0) shouldBe Grid.gridDistance(origin, neighbor).get
+    // cells at different resolutions: no grid path -> SQL NULL
+    val parent = graft.h3.H3.toParent(origin, 3)
+    spark.sql(s"SELECT h3_grid_distance(${origin}L, ${parent}L) AS d")
+      .head().isNullAt(0) shouldBe true
+  }
+
   test("SQL surface: latlng_to_cell(52.26, 8.05, 5) arrayJoin-style anchor") {
     GeoFunctions.register(spark)
     val cell = spark.sql("SELECT latlng_to_cell(52.26, 8.05, 5) AS c")

@@ -586,6 +586,10 @@ class CellStoreSpec extends AnyFunSuite with Matchers with SparkTestSession {
     viaCells shouldBe cells.size.toLong // all 6 stored cells sit under hexRes5
     an[Exception] should be thrownBy
       spark.sql(s"SELECT * FROM graft_cells('$root', 'versioned', 7, h3index)").collect()
+    an[Exception] should be thrownBy
+      spark.sql(
+        s"SELECT * FROM graft_cells('$root', 'versioned', 7, array(${parent}L, NULL))")
+        .collect()
   }
 
   test("insert rejects resolutions above the tableset max") {
