@@ -919,6 +919,32 @@ object Queries {
       .orderBy(col("rnk"))
   }
 
+  /** Overlapping document chunking (d19): split each document into
+    * fixed-size character chunks with overlap — the context-length
+    * splitting every pretraining/RAG pipeline runs before tokenization.
+    * Chunk starts stride by (size - overlap); the final partial chunk is
+    * kept iff it adds content beyond the previous chunk's end (start <
+    * len). Narrow shape: sequence + posexplode generates chunk bounds
+    * per row (no shuffle until the output sort); chunk text never leaves
+    * the row — the gate emits lengths + sha256 only. */
+  private val D19ChunkSize = 500
+  private val D19Overlap = 100
+  def d19Chunking(spark: SparkSession, dir: String): DataFrame = {
+    val stride = D19ChunkSize - D19Overlap
+    val len = length(col("text"))
+    val starts = sequence(lit(0), greatest(len - lit(1), lit(0)), lit(stride))
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        posexplode(starts).as(Seq("chunk_idx", "start")))
+      .where(col("start") < len) // drop a phantom chunk at start == len
+      .select(col("doc_id"), col("chunk_idx"),
+        col("text").substr(col("start") + 1, lit(D19ChunkSize)).as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        length(col("chunk")).cast("long").as("chunk_len"),
+        sha2(col("chunk"), 256).as("chunk_sha"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   /** Exact duplicated-span document pairs (d11) — the substring-dedup
     * signal (Lee et al. "Deduplicating Training Data Makes Language Models
     * Better"): pairs of distinct documents sharing at least one EXACT
@@ -1317,6 +1343,14 @@ object Queries {
           |    row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM sc)
           |SELECT rnk, doc_id, round(score, 4) AS bm25 FROM r WHERE rnk <= 20
           |ORDER BY rnk""".stripMargin,
+      "d19_chunking" ->
+        """WITH c AS (SELECT doc_id, text, length(text) AS n FROM documents),
+          |ch AS (SELECT doc_id, (i // 400)::INT AS chunk_idx,
+          |    substr(text, (i + 1)::INT, 500) AS chunk
+          |  FROM (SELECT doc_id, text, n, unnest(range(0, n, 400)) AS i FROM c))
+          |SELECT doc_id, chunk_idx, length(chunk)::BIGINT AS chunk_len,
+          |  sha256(chunk) AS chunk_sha
+          |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
       "d11_dup_span_pairs" ->
         s"""WITH w AS (SELECT doc_id,
           |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS ws
@@ -1552,6 +1586,7 @@ object Queries {
     "d9_dup_ngram_frac" -> d9DupNgramFrac,
     "d10_tfidf_topk" -> d10TfidfTopk,
     "d18_bm25_topk" -> d18Bm25Topk,
+    "d19_chunking" -> d19Chunking,
     "d11_dup_span_pairs" -> d11DupSpanPairs,
     "d12_vocab_stats" -> d12VocabStats,
     "q11_asof_join" -> q11AsofJoin,
