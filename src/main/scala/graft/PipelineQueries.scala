@@ -544,6 +544,29 @@ object PipelineQueries {
       v.where(col("id") < IvfNumQueries), IvfK, IvfNprobe))
   }
 
+  /** PQ-ADC ANN (e7): product-quantization search over the embeddings —
+    * [[Ann.knnPqAdc]] with 8 subspaces x 8 dims, 16 deterministic codewords
+    * per subspace (subvectors of ids < 16; swap for per-subspace k-means
+    * without touching the search path), IVF-shared queries/k. The gate
+    * pins the ENTIRE quantize-encode-ADC pipeline bit-for-bit against
+    * DuckDB: codebook slicing, L2 argmin encoding (tie to lowest code),
+    * LUT build, and the fixed-order ADC sum. This is the compressed-domain
+    * ANN shape: the corpus scan reads 8 one-byte codes per vector instead
+    * of 64 floats (64x less IO); [[Ann.knnPq]] adds the exact re-rank on
+    * the shortlist (spec-gated on recall — approximate by nature, so the
+    * oracle gates the ADC ranking itself, which IS deterministic). */
+  private val PqNumSub = 8
+  private val PqSubDim = 8
+  private val PqKsub = 16
+  def e7PqAdc(spark: SparkSession, dir: String): DataFrame = {
+    val v = ivfCorpus(spark, dir)
+    Ann.knnPqAdc(v.where(col("id") < IvfNumQueries), v, IvfK,
+        PqNumSub, PqSubDim, PqKsub)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        round(col("adc"), 4).as("adc_score"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** Dedup clustering (t8): the t2 near-duplicate pairs become connected
     * components; every document gets (cluster_id = min doc_id in its
     * component, cluster_size, is_survivor). This is the terminal step of
@@ -705,6 +728,44 @@ object PipelineQueries {
        |    row_number() OVER (PARTITION BY query_id
        |      ORDER BY ${cosSql("q.v", "n.v")} DESC, neighbor_id) AS rnk
        |  FROM cand JOIN v q ON q.vec_id = query_id JOIN v n ON n.vec_id = neighbor_id)
+       |WHERE rnk <= $IvfK ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** e7's oracle mirrors the PQ pipeline exactly: same codebook sample,
+    * same 2*dot - |c|^2 argmin (ties to lowest code), same per-subspace
+    * LUT, and the SAME left-associated addition order for the ADC sum —
+    * `l0 + l1 + ... + l7` parses left-assoc in SQL, matching Spark's
+    * `reduce(_ + _)` fold, so the doubles agree bit-for-bit. */
+  private val pqOracleSql: String = {
+    val dims = PqNumSub * PqSubDim
+    def sub(v: String) =
+      s"list_slice($v, cb.m*$PqSubDim+1, cb.m*$PqSubDim+$PqSubDim)"
+    val adcSum = (0 until PqNumSub)
+      .map(m => s"max(CASE WHEN l.m = $m THEN l.l END)").mkString(" + ")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |           WHERE len(embedding) = $dims),
+       |cb AS (SELECT t.m, vec_id AS code,
+       |         list_slice(v, t.m*$PqSubDim+1, t.m*$PqSubDim+$PqSubDim) AS cw
+       |       FROM v CROSS JOIN (SELECT unnest(range($PqNumSub)) AS m) t
+       |       WHERE vec_id < $PqKsub),
+       |codes AS (SELECT vec_id AS neighbor_id, m, code FROM (
+       |    SELECT x.vec_id, cb.m, cb.code,
+       |      row_number() OVER (PARTITION BY x.vec_id, cb.m
+       |        ORDER BY 2*list_dot_product(${sub("x.v")}, cb.cw)
+       |               - list_dot_product(cb.cw, cb.cw) DESC, cb.code) AS rn
+       |    FROM v x CROSS JOIN cb) WHERE rn = 1),
+       |lut AS (SELECT q.vec_id AS query_id, cb.m, cb.code,
+       |    list_dot_product(${sub("q.v")}, cb.cw) AS l
+       |  FROM v q CROSS JOIN cb WHERE q.vec_id < $IvfNumQueries),
+       |adc AS (SELECT l.query_id, c.neighbor_id, $adcSum AS adc
+       |  FROM lut l JOIN codes c ON l.m = c.m AND l.code = c.code
+       |  WHERE l.query_id != c.neighbor_id
+       |  GROUP BY l.query_id, c.neighbor_id)
+       |SELECT query_id, rnk, neighbor_id, round(adc, 4) AS adc_score FROM (
+       |  SELECT query_id, neighbor_id, adc,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc DESC, neighbor_id) AS rnk
+       |  FROM adc)
        |WHERE rnk <= $IvfK ORDER BY query_id, rnk""".stripMargin
   }
 
@@ -871,6 +932,7 @@ object PipelineQueries {
     // e5 searches the PERSISTED cid-partitioned index with identical
     // quantizer/probe/k parameters — same expected output as e4
     "e5_ivf_index" -> ivfOracleSql,
+    "e7_pq_adc" -> pqOracleSql,
     "t8_dedup_clusters" ->
       s"""WITH RECURSIVE $clusterCtesSql
          |SELECT c.doc_id, c.cluster_id, cnt.n AS cluster_size,
@@ -925,6 +987,7 @@ object PipelineQueries {
     "e4_ivf_ann" -> e4IvfAnn,
     "e5_ivf_index" -> e5IvfIndex,
     "e6_ivf_append" -> e6IvfAppend,
+    "e7_pq_adc" -> e7PqAdc,
     "c1_curation" -> c1Curation,
     "c2_contamination" -> c2Contamination,
     "c3_bloom_decontam" -> c3BloomDecontam,

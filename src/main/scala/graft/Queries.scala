@@ -232,6 +232,32 @@ object Queries {
       .orderBy(col("user_id"))
   }
 
+  /** Time-RANGE frame window gate (q23): per-user trailing-10-minute event
+    * count and value sum — the VALUE-based sliding frame (`RANGE BETWEEN
+    * 600000 PRECEDING AND CURRENT ROW` over an epoch-millis order key),
+    * complementing q15's row-counted ROWS frame. The frame is defined by
+    * the ORDER-KEY DISTANCE, not a row count, so gaps and bursts in the
+    * event stream change the frame population — the shape behind rate
+    * limiting, trailing-window features and rolling SLO counters.
+    * One shuffle on user_id; Spark evaluates the frame with a sliding
+    * two-pointer pass over each sorted partition (no per-row rescan).
+    * The order key is integer epoch millis (`unix_millis`, floor of the
+    * microsecond timestamp — DuckDB's `epoch_ms` floors identically), so
+    * frame membership is integer-exact across engines; RANGE peers (equal
+    * key) enter together on both. The trailing sum rounds to 2 decimals
+    * like every cross-engine double sum (q13 precedent). */
+  def q23RangeWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
+      .rangeBetween(-600000L, 0L)
+    events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ts_ms"),
+        col("value"))
+      .withColumn("n_10m", count(lit(1)).over(w))
+      .withColumn("sum_10m", round(sum(col("value")).over(w), 2))
+      .drop("value")
+      .orderBy(col("user_id"), col("ts_ms"), col("event_id"))
+  }
+
   /** Per-language quality-decile curation (c4): rank every document inside
     * its language stratum by the d3 quality score, bucket into NTILE(10)
     * deciles, and keep the top two bands — the "take the best 20% of each
@@ -1434,6 +1460,14 @@ object Queries {
           |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
           |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
           |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+      "q23_range_window" ->
+        """SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+          |  count(*) OVER w AS n_10m,
+          |  round(sum(value) OVER w, 2) AS sum_10m
+          |FROM events
+          |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+          |             RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW)
+          |ORDER BY user_id, ts_ms, event_id""".stripMargin,
       "c4_quality_ntile" ->
         """WITH q AS (
           |  SELECT doc_id, lang,
@@ -1610,6 +1644,7 @@ object Queries {
     "d4_lang_distribution" -> d4LangDistribution,
     "e1_knn_brute_force" -> e1KnnBruteForce,
     "q22_keep_latest" -> q22KeepLatest,
+    "q23_range_window" -> q23RangeWindow,
     "c4_quality_ntile" -> c4QualityNtile,
     "c5_hash_split" -> c5HashSplit
   )

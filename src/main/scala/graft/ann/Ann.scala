@@ -282,6 +282,114 @@ object Ann {
     rerank(cand, queries, corpus, k)
   }
 
+  // -------------------------------------------------------------------- PQ
+
+  /** Product-quantization codebooks: the vector space is split into
+    * `numSub` contiguous subspaces of `subDim` dims; each subspace gets a
+    * `ksub`-codeword codebook. Codewords here are a deterministic corpus
+    * sample (subvectors of ids < ksub — the same swap-in-trained-centroids
+    * contract as [[ivfAssign]]: production trains each codebook with
+    * k-means ([[kmeansCentroids]] per subspace) without touching the
+    * search path, and the DuckDB oracle stays in lockstep by construction).
+    * Output: (m, code, cw: array<double>, cwn2 = dot(cw, cw)) —
+    * numSub*ksub rows, broadcast-sized by design.
+    *
+    * Rows whose vector is not exactly numSub*subDim wide are excluded
+    * (a PQ code is undefined for them) — same explicit-exclusion contract
+    * as [[knnIvf]]'s empty-vector rule. */
+  def pqCodebooks(corpus: DataFrame, numSub: Int, subDim: Int,
+      ksub: Int): DataFrame = {
+    val subs = (0 until numSub).map { m =>
+      struct(lit(m).as("m"), slice(col("vec"), m * subDim + 1, subDim).as("cw"))
+    }
+    corpus.select(col("id").as("code"), col("vec").cast("array<double>").as("vec"))
+      .where(col("code") < ksub && size(col("vec")) === numSub * subDim)
+      .select(col("code"), explode(array(subs: _*)).as("s"))
+      .select(col("s.m").as("m"), col("code"), col("s.cw").as("cw"),
+        vec_dot(col("s.cw"), col("s.cw")).as("cwn2"))
+  }
+
+  /** PQ encoding: each vector -> `numSub` one-byte-sized codes, one per
+    * subspace, by exact L2 argmin against that subspace's codebook.
+    * argmin ||x_m - c||^2 == argmax (2*dot(x_m, c) - ||c||^2) — the ||x_m||^2
+    * term is constant per (id, m), so the assignment needs only codegen'd
+    * [[graft.ann.expr.VecDot]] loops (no subtraction expression). One
+    * broadcast join + one map-side-combined `max(struct)` argmax, ties to
+    * the lowest code id. Output: (id, m, code).
+    *
+    * This is the 100 TB story: the encoded corpus is numSub bytes per
+    * vector (64x smaller than 64 float dims) and is what a scan touches —
+    * full-precision vectors stay in cold storage until re-rank. */
+  def pqAssign(data: DataFrame, codebooks: DataFrame,
+      numSub: Int, subDim: Int): DataFrame =
+    data.select(col("id"), col("vec").cast("array<double>").as("dv"))
+      .where(size(col("dv")) === numSub * subDim)
+      .crossJoin(broadcast(codebooks))
+      .select(col("id"), col("m"), col("code"),
+        (lit(2.0) * vec_dot(slice(col("dv"), col("m") * subDim + 1, lit(subDim)),
+          col("cw")) - col("cwn2")).as("score"))
+      .groupBy(col("id"), col("m"))
+      .agg(max(struct(col("score"), (-col("code")).as("nc"))).as("best"))
+      .select(col("id"), col("m"), (-col("best.nc")).as("code"))
+
+  /** Per-query ADC lookup table: lut(q, m, code) = dot(q_m, codebook[m][code])
+    * — numSub*ksub doubles per query, computed once and reused against every
+    * encoded corpus vector (the FAISS ADC shape). */
+  private def adcTable(queries: DataFrame, codebooks: DataFrame,
+      numSub: Int, subDim: Int): DataFrame =
+    queries.select(col("id").as("query_id"), col("vec").cast("array<double>").as("qv"))
+      .where(size(col("qv")) === numSub * subDim)
+      .crossJoin(broadcast(codebooks))
+      .select(col("query_id"), col("m"), col("code"),
+        vec_dot(slice(col("qv"), col("m") * subDim + 1, lit(subDim)), col("cw")).as("l"))
+
+  /** PQ-ADC approximate top-k: rank corpus vectors by the quantized inner
+    * product adc(q, x) = sum_m lut(q, m, code(x, m)) and keep the top k per
+    * query (adc desc, neighbor_id asc). The scan never touches a corpus
+    * vector — only its codes — so the per-candidate cost is numSub LUT
+    * probes instead of a dim-wide float loop, and the candidate frame
+    * carries (query_id, neighbor_id, m, l) narrow rows only.
+    *
+    * DETERMINISM: the per-pair ADC sum is pivoted into per-subspace columns
+    * (`max(when(m = i))` — exactly one row per (q, x, m)) and added in fixed
+    * left-to-right subspace order, so the double result is bit-identical to
+    * the oracle's identically-associated sum (the d18 fixed-order-sum
+    * pattern); a bare `sum()` would add in partition order.
+    *
+    * Output: (query_id, rnk, neighbor_id, adc). */
+  def knnPqAdc(queries: DataFrame, corpus: DataFrame, k: Int,
+      numSub: Int, subDim: Int, ksub: Int): DataFrame = {
+    val cb = pqCodebooks(corpus, numSub, subDim, ksub)
+    val codes = pqAssign(corpus, cb, numSub, subDim)
+      .withColumnRenamed("id", "neighbor_id")
+    val perSub = (0 until numSub).map(m =>
+      max(when(col("m") === m, col("l"))).as(s"l$m"))
+    val adc = (0 until numSub).map(m => col(s"l$m")).reduce(_ + _)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("neighbor_id"))
+    adcTable(queries, cb, numSub, subDim)
+      .join(codes, Seq("m", "code"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(perSub.head, perSub.tail: _*)
+      .select(col("query_id"), col("neighbor_id"), adc.as("adc"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("adc"))
+  }
+
+  /** Production PQ search: ADC shortlist of `rerankFactor * k` candidates
+    * per query, then exact-cosine re-rank over full-precision vectors —
+    * [[rerank]]'s shared tie-breaking, like [[knnLsh]]/[[knnIvf]]. Vectors
+    * are fetched for shortlist ids only: at 100 TB the ADC pass reads the
+    * codes table (numSub B/vector) and the re-rank reads
+    * O(queries * rerankFactor * k) full vectors, not the corpus. */
+  def knnPq(queries: DataFrame, corpus: DataFrame, k: Int,
+      numSub: Int, subDim: Int, ksub: Int, rerankFactor: Int = 4): DataFrame = {
+    val cand = knnPqAdc(queries, corpus, k * rerankFactor, numSub, subDim, ksub)
+      .select(col("query_id"), col("neighbor_id"))
+    rerank(cand, queries, corpus, k)
+  }
+
   /** Embedding-cosine near-duplicate PAIRS: every (id_a < id_b) pair that
     * shares at least one LSH band bucket and has cosine >= `threshold`.
     * The corpus-scale shape of embedding dedup: linear banded candidate
