@@ -437,6 +437,22 @@ object TablesetQueries {
        |    ORDER BY version DESC, val DESC) AS rn FROM allr)
        |WHERE rn = 1 ORDER BY h3index""".stripMargin
 
+  // both rollups re-derived from first principles, joined on the cell
+  private val ts12OracleSql: String =
+    s"""WITH cells AS (SELECT DISTINCT $synthCellSql AS cell, l_quantity AS qty FROM lineitem),
+       |sums AS (SELECT ${parentSql("cell", 9, 5)} AS p5, sum(qty) AS s
+       |         FROM cells GROUP BY 1),
+       |rows_ AS (SELECT DISTINCT $synthCellSql AS cell,
+       |    l_quantity AS q, l_extendedprice AS a_, (l_partkey % 3) AS cat
+       |  FROM lineitem),
+       |mixed AS (SELECT ${parentSql("cell", 9, 5)} AS p5, avg(q) AS a,
+       |    (CASE WHEN count(DISTINCT cat) = 1 THEN min(cat) END)::SMALLINT AS cat
+       |  FROM rows_ GROUP BY 1)
+       |SELECT sums.p5 AS parent5, round(s, 2) AS sum_qty,
+       |  round(a, 4) AS avg_qty, cat
+       |FROM sums JOIN mixed ON sums.p5 = mixed.p5
+       |ORDER BY parent5""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "ts1_rollup_query" -> ts1OracleSql,
     // ts15 re-derives ts1's rollup from the res-9 base via pure SQL
@@ -469,20 +485,10 @@ object TablesetQueries {
          |FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
          |ORDER BY h3index, v, w""".stripMargin,
     // both rollups re-derived from first principles, joined on the cell
-    "ts12_cross_tableset_join" ->
-      s"""WITH cells AS (SELECT DISTINCT $synthCellSql AS cell, l_quantity AS qty FROM lineitem),
-         |sums AS (SELECT ${parentSql("cell", 9, 5)} AS p5, sum(qty) AS s
-         |         FROM cells GROUP BY 1),
-         |rows_ AS (SELECT DISTINCT $synthCellSql AS cell,
-         |    l_quantity AS q, l_extendedprice AS a_, (l_partkey % 3) AS cat
-         |  FROM lineitem),
-         |mixed AS (SELECT ${parentSql("cell", 9, 5)} AS p5, avg(q) AS a,
-         |    (CASE WHEN count(DISTINCT cat) = 1 THEN min(cat) END)::SMALLINT AS cat
-         |  FROM rows_ GROUP BY 1)
-         |SELECT sums.p5 AS parent5, round(s, 2) AS sum_qty,
-         |  round(a, 4) AS avg_qty, cat
-         |FROM sums JOIN mixed ON sums.p5 = mixed.p5
-         |ORDER BY parent5""".stripMargin,
+    "ts12_cross_tableset_join" -> ts12OracleSql,
+    // ts17 runs the SAME join through hash-bucketed parquet mirrors — the
+    // storage layer must be result-invisible, so the oracle is ts12's
+    "ts17_bucketed_join" -> ts12OracleSql,
     // ts9 re-derives the schema from the physical layout after sidecar
     // loss; the stored data is untouched, so ts1's expected rows apply
     "ts9_recover_query" -> ts1OracleSql,
@@ -762,6 +768,42 @@ object TablesetQueries {
          |ORDER BY h3index""".stripMargin)
   }
 
+  // ------------------------------------------------------------------ ts17
+
+  /** Bucketed-mirror co-located join (ts17): persist the two res-5 rollups
+    * of ts12 ONCE as hash-bucketed, per-bucket-sorted parquet mirrors, then
+    * run the same cross-tableset join through [[graft.store.Bucketing]] —
+    * the shuffle-free storage layout a 100 TB deployment uses when a
+    * cell-keyed table is joined repeatedly. Same oracle as ts12: the mirror
+    * layer must be result-indistinguishable from the direct join (the
+    * no-Exchange/no-Sort plan shape itself is pinned by BucketingSpec). */
+  private val mirrorsBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def ts17BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    // catalog table names are session-global — suffix per sfDir so gates at
+    // different scale factors in one JVM cannot read each other's mirrors
+    val tag = mirrorsBuilt.computeIfAbsent(dir, { d =>
+      val t = java.lang.Integer.toHexString(d.hashCode)
+      val sums = ts1Store(spark, d).scanForResolution("gate_sum", 5)
+        .select(col("h3index"), col("qty"))
+      val mixed = ts3Store(spark, d).scanForResolution("gate_mixed", 5)
+        .select(col("h3index"), col("q_avg"), col("cat"))
+      val root = rootFor(d)
+      graft.store.Bucketing.writeMirror(spark, sums,
+        s"gate_mirror_sums_$t", s"$root/mirror_sums", numBuckets = 8)
+      graft.store.Bucketing.writeMirror(spark, mixed,
+        s"gate_mirror_mixed_$t", s"$root/mirror_mixed", numBuckets = 8)
+      t
+    })
+    graft.store.Bucketing.colocatedJoin(spark,
+        s"gate_mirror_sums_$tag", s"gate_mirror_mixed_$tag")
+      .select(col("h3index").as("parent5"),
+        round(col("qty"), 2).as("sum_qty"),
+        round(col("q_avg"), 4).as("avg_qty"),
+        col("cat"))
+      .orderBy(col("parent5"))
+  }
+
   // ------------------------------------------------------------------- s6
 
   /** s6 gate: CDC-style VERSIONED ingest through the streaming path — both
@@ -817,6 +859,7 @@ object TablesetQueries {
     "ts13_schema_evolution" -> ts13SchemaEvolution,
     "ts14_ddl_lifecycle" -> ts14DdlLifecycle,
     "ts15_sql_tvf" -> ts15SqlTvf,
-    "ts16_sql_cells" -> ts16SqlCells
+    "ts16_sql_cells" -> ts16SqlCells,
+    "ts17_bucketed_join" -> ts17BucketedJoin
   )
 }
