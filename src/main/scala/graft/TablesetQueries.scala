@@ -437,6 +437,13 @@ object TablesetQueries {
        |    ORDER BY version DESC, val DESC) AS rn FROM allr)
        |WHERE rn = 1 ORDER BY h3index""".stripMargin
 
+  private val ts2OracleSql: String =
+    s"""WITH base AS (SELECT DISTINCT $synthCellSql AS cell, (l_orderkey % 50) AS v
+       |  FROM lineitem WHERE l_orderkey % 20 = 0),
+       |sibs AS (SELECT ((cell & ~(7::BIGINT << 18)) | (d::BIGINT << 18)) AS h3index, v
+       |  FROM base, range(0, 7) t(d))
+       |SELECT DISTINCT h3index, v FROM sibs ORDER BY h3index""".stripMargin
+
   // both rollups re-derived from first principles, joined on the cell
   private val ts12OracleSql: String =
     s"""WITH cells AS (SELECT DISTINCT $synthCellSql AS cell, l_quantity AS qty FROM lineitem),
@@ -495,12 +502,10 @@ object TablesetQueries {
     // s5 ingests the ts1 dataset through the streaming path; a reader must
     // not be able to tell — identical expected rows
     "s5_stream_ingest" -> ts1OracleSql,
-    "ts2_compact_roundtrip" ->
-      s"""WITH base AS (SELECT DISTINCT $synthCellSql AS cell, (l_orderkey % 50) AS v
-         |  FROM lineitem WHERE l_orderkey % 20 = 0),
-         |sibs AS (SELECT ((cell & ~(7::BIGINT << 18)) | (d::BIGINT << 18)) AS h3index, v
-         |  FROM base, range(0, 7) t(d))
-         |SELECT DISTINCT h3index, v FROM sibs ORDER BY h3index""".stripMargin,
+    "ts2_compact_roundtrip" -> ts2OracleSql,
+    // ts18 is ts2's round trip with driver-known probes THROUGH THE FILE
+    // MANIFEST — the data-skipping layer must be result-invisible
+    "ts18_manifest_query" -> ts2OracleSql,
     // ts16 = ts2's round trip restricted to the 1/97 modular probe subset,
     // driven through the pure-SQL graft_cells TVF
     "ts16_sql_cells" ->
@@ -768,6 +773,24 @@ object TablesetQueries {
          |ORDER BY h3index""".stripMargin)
   }
 
+  // ------------------------------------------------------------------ ts18
+
+  /** File-manifest probe query (ts18): build the file-level min/max manifest
+    * on ts2's compacted tableset, then run the SAME round trip with
+    * driver-known probes — the manifest prunes the file list before Spark
+    * plans a single task, and the result must still hash-match ts2's
+    * first-principles oracle. */
+  def ts18ManifestQuery(spark: SparkSession, dir: String): DataFrame = {
+    val store = ts2Store(spark, dir)
+    if (!store.hasManifest("gate_compact")) store.buildManifest("gate_compact")
+    val probes = ts2Input(spark, dir)
+      .select(h3_to_parent(col("h3index"), lit(8)).as("p")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    store.queryCells("gate_compact", probes, 9, doUncompact = true, template = None)
+      .select(col("h3index"), col("v"))
+      .orderBy(col("h3index"))
+  }
+
   // ------------------------------------------------------------------ ts17
 
   /** Bucketed-mirror co-located join (ts17): persist the two res-5 rollups
@@ -860,6 +883,7 @@ object TablesetQueries {
     "ts14_ddl_lifecycle" -> ts14DdlLifecycle,
     "ts15_sql_tvf" -> ts15SqlTvf,
     "ts16_sql_cells" -> ts16SqlCells,
-    "ts17_bucketed_join" -> ts17BucketedJoin
+    "ts17_bucketed_join" -> ts17BucketedJoin,
+    "ts18_manifest_query" -> ts18ManifestQuery
   )
 }

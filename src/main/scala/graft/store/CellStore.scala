@@ -452,11 +452,16 @@ class CellStore(spark: SparkSession, rootPath: String) {
   /** Unified pruned scan for a query at `targetRes` — D7: all compacted
     * partitions at res <= target plus the base partition at target.
     * The filter lands on Hive partition columns -> partition pruning. */
-  def scanForResolution(name: String, targetRes: Int): DataFrame = {
-    val df = readDeclared(name)
-    df.where((col("kind") === "compacted" && col("resolution") <= targetRes) ||
-      (col("kind") === "base" && col("resolution") === targetRes))
-  }
+  def scanForResolution(name: String, targetRes: Int): DataFrame =
+    readDeclared(name).where(resolutionFilter(targetRes))
+
+  /** D7 partition predicate: all compacted partitions at res <= target plus
+    * the base partition at target — evaluated on Hive partition columns
+    * (planning-time pruning) and re-derivable driver-side from a manifest
+    * row's partition values. */
+  private def resolutionFilter(targetRes: Int): org.apache.spark.sql.Column =
+    (col("kind") === "compacted" && col("resolution") <= targetRes) ||
+      (col("kind") === "base" && col("resolution") === targetRes)
 
   /** Data read under the DECLARED schema (partition columns are inferred
     * from the layout and appended): a column added by [[addColumn]] is
@@ -527,6 +532,17 @@ class CellStore(spark: SparkSession, rootPath: String) {
   private def probeRangeFilter(cells: Seq[Long],
       physRes: Seq[Int]): org.apache.spark.sql.Column = {
     val h3Col = CompactedTableSchema.ColH3Index
+    probeEnvelopes(cells, physRes)
+      .map { case (lo, hi) => col(h3Col).between(lo, hi) }
+      .reduce(_ || _)
+  }
+
+  /** The [min, max] h3index envelopes (one per (physical resolution, probe
+    * base-cell group)) that bound every stored row matching some probe —
+    * shared by the pushed row-group filter ([[probeRangeFilter]]) and the
+    * manifest's file-level pruning, so both prune from the SAME bounds. */
+  private def probeEnvelopes(cells: Seq[Long],
+      physRes: Seq[Int]): Seq[(Long, Long)] = {
     val groups: Seq[Seq[Long]] = {
       val byBc = cells.groupBy(H3.getBaseCell).values.toSeq
       if (byBc.size * physRes.size <= 256) byBc else Seq(cells)
@@ -537,9 +553,9 @@ class CellStore(spark: SparkSession, rootPath: String) {
           if (H3.getResolution(c) >= r) { val v = H3.toParentUnsafe(c, r); (v, v) }
           else H3.descendantRange(c, r)
         }
-        col(h3Col).between(bounds.map(_._1).min, bounds.map(_._2).max)
+        (bounds.map(_._1).min, bounds.map(_._2).max)
       }
-    }.reduce(_ || _)
+    }
   }
 
   private def queryCellsImpl(name: String, cells: DataFrame, targetRes: Int,
@@ -577,7 +593,19 @@ class CellStore(spark: SparkSession, rootPath: String) {
             case H3Partitioning.LowerResolution(_) =>
               h3_get_base_cell(col("ph3")).cast("long").isin(bcs: _*)
           }
-          scanForResolution(name, targetRes).where(pruned)
+          // file-level manifest pruning (never under a template — file
+          // envelopes are a row-range restriction in disguise, and the
+          // template contract exposes the UNRESTRICTED pruned scan); all
+          // row-level filters still apply on top, so manifest staleness can
+          // only cost IO, never rows
+          val fileSel =
+            if (template.isEmpty) selectFilesForProbes(name, targetRes, knownCells.get)
+            else None
+          fileSel match {
+            case Some(sel) =>
+              manifestScan(name, sel).where(resolutionFilter(targetRes)).where(pruned)
+            case None => scanForResolution(name, targetRes).where(pruned)
+          }
         case _ => scanForResolution(name, targetRes)
       }
       (knownCells, template) match {
@@ -733,6 +761,103 @@ class CellStore(spark: SparkSession, rootPath: String) {
       "num_cells_stored_compacted", "num_cells")
   }
 
+  // --------------------------------------------------------------- manifest
+
+  private def manifestPath(name: String) = new Path(tablesetPath(name), "manifest")
+
+  /** Whether [[buildManifest]] has published file statistics for `name`. */
+  def hasManifest(name: String): Boolean =
+    fs.exists(new Path(manifestPath(name), "_SUCCESS"))
+
+  /** Build the FILE-LEVEL data-skipping index: one row per data file with
+    * its partition values and the h3index min/max + row count — the
+    * Iceberg-manifest idea applied to this layout. With millions of files at
+    * 100 TB, partition pruning alone still leaves every file of a surviving
+    * directory to be listed, footer-read, and task-scheduled; the manifest
+    * lets the DRIVER intersect a probe query's h3index envelopes with each
+    * file's [min, max] and hand Spark only the files that can match —
+    * typically one or two per touched partition, because
+    * [[rangedForWrite]]/[[sortedForWrite]] give files DISJOINT h3index
+    * ranges within a directory.
+    *
+    * An explicit maintenance op (like [[deduplicate]]): one parallel scan of
+    * the data, one tiny parquet overwrite. Queries stay CORRECT without
+    * rebuilding after writes — [[selectFilesForProbes]] unions files the
+    * manifest doesn't cover (post-build appends) and drops entries whose
+    * file vanished (post-build rewrites); rebuild to restore full pruning. */
+  def buildManifest(name: String): Unit = {
+    val h3Col = CompactedTableSchema.ColH3Index
+    readDeclared(name)
+      .groupBy(input_file_name().as("path"), col("kind"),
+        col("resolution").cast("int").as("resolution"),
+        col("ph3").cast("long").as("ph3"))
+      .agg(min(col(h3Col)).as("min_h3"), max(col(h3Col)).as("max_h3"),
+        count(lit(1)).as("rows"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(manifestPath(name).toString)
+  }
+
+  /** All current data files of `name`, as normalized filesystem paths. */
+  private def listDataFiles(name: String): Seq[String] = {
+    val it = fs.listFiles(dataPath(name), true)
+    val out = mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.endsWith(".parquet") && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".")) out += f.toUri.getPath
+    }
+    out.toSeq
+  }
+
+  /** Driver-side file selection for a probe query: manifest rows that
+    * survive the SAME three predicates the scan would apply — kind/resolution
+    * (D7), probe base cells (ph3), and h3index envelope intersection — plus
+    * every current file the manifest does not cover (appended since the
+    * build; no stats -> must be read). Entries whose file no longer exists
+    * (rewritten partitions) are dropped against the live listing. None when
+    * no manifest exists. */
+  private[graft] def selectFilesForProbes(name: String, targetRes: Int,
+      cells: Seq[Long]): Option[ManifestSelection] = {
+    if (cells.isEmpty || !hasManifest(name)) return None
+    val schema = getTableset(name)
+    val envs = probeEnvelopes(cells, (0 to targetRes).toSeq)
+    val bcs = cells.map(H3.getBaseCell(_).toLong).toSet
+    val rows = spark.read.parquet(manifestPath(name).toString)
+      .select("path", "kind", "resolution", "ph3", "min_h3", "max_h3").collect()
+    val current = listDataFiles(name)
+    val covered = rows.map(r => new Path(r.getString(0)).toUri.getPath).toSet
+    val selected = rows.iterator.filter { r =>
+      val kind = r.getString(1); val res = r.getInt(2); val ph3 = r.getLong(3)
+      val kindOk = (kind == "compacted" && res <= targetRes) ||
+        (kind == "base" && res == targetRes)
+      val bcOk = schema.h3Partitioning match {
+        case H3Partitioning.BaseCell => bcs.contains(ph3)
+        case H3Partitioning.LowerResolution(_) => bcs.contains(H3.getBaseCell(ph3).toLong)
+      }
+      val lo = r.getLong(4); val hi = r.getLong(5)
+      kindOk && bcOk && envs.exists { case (elo, ehi) => lo <= ehi && hi >= elo }
+    }.map(r => new Path(r.getString(0)).toUri.getPath).toSeq
+    val uncovered = current.filterNot(covered)
+    Some(ManifestSelection(
+      (selected.filter(current.contains) ++ uncovered).distinct,
+      manifestFiles = rows.length, currentFiles = current.size,
+      uncoveredFiles = uncovered.size))
+  }
+
+  /** Read exactly the manifest-selected files, with the full partition-aware
+    * schema (basePath keeps the Hive partition columns; the explicit schema
+    * pins their types independently of which subset of directories
+    * survived). An empty selection is an empty frame, not a scan. */
+  private def manifestScan(name: String, sel: ManifestSelection): DataFrame = {
+    val proto = readDeclared(name)
+    if (sel.paths.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], proto.schema)
+    else spark.read.schema(proto.schema)
+      .option("basePath", dataPath(name).toString)
+      .parquet(sel.paths: _*)
+  }
+
   // --------------------------------------------------------------- optimize
 
   /** A12: full-row dedup across all accumulated inserts — the explicit
@@ -878,6 +1003,11 @@ class CellStore(spark: SparkSession, rootPath: String) {
 
 object CellStore {
   def apply(spark: SparkSession, rootPath: String): CellStore = new CellStore(spark, rootPath)
+
+  /** Result of the manifest's driver-side file pruning (counts exposed so
+    * specs/ops can assert the pruning actually pruned). */
+  private[graft] case class ManifestSelection(paths: Seq[String],
+      manifestFiles: Int, currentFiles: Int, uncoveredFiles: Int)
 
   /** What to do with rows whose h3index fails validation at the ingest
     * boundary (P5, reference utils.rs:9-20 rejects the whole frame).

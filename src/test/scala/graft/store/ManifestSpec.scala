@@ -1,0 +1,107 @@
+package graft.store
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestSession
+import graft.h3.H3
+import graft.schema.{AggregationMethod => Agg, GraftDataType => T, _}
+
+/** File-level manifest pruning: the selection must (a) never change query
+  * results — with a fresh manifest, after appends it doesn't cover, and
+  * after rewrites that killed its files — and (b) actually shrink the file
+  * list for a narrow probe. */
+class ManifestSpec extends AnyFunSuite with Matchers with SparkTestSession {
+
+  private val name = "manifest_ts"
+  private val bcA = 20
+  private val bcB = 25 // a second base cell -> a second ph3 partition
+
+  private def cellsOf(bc: Int): Seq[Long] =
+    H3.toChildren(H3.fromParts(bc, 5, Seq(0, 0, 0, 0, 0)), 7).toSeq
+
+  private def frame(cells: Seq[Long], offset: Int) = {
+    val rows = cells.zipWithIndex.map { case (c, i) => Row(c, (offset + i).toLong) }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 4),
+      StructType(Seq(
+        StructField("h3index", LongType, false),
+        StructField("v", LongType, false))))
+  }
+
+  private lazy val store: CellStore = {
+    val dir = Files.createTempDirectory("graft_manifest_").toString
+    val s = CellStore(spark, dir)
+    s.insert(name, frame(cellsOf(bcA) ++ cellsOf(bcB), 0),
+      createSchema = Some(CompactedTableSchema.builder(name)
+        .h3BaseResolutions(Seq(7))
+        .useCompaction(false)
+        .addAggregatedColumn("v", T.Int64, Agg.Max)
+        .build()))
+    s
+  }
+
+  private def query(probes: Seq[Long]): Seq[(Long, Long)] =
+    store.queryCells(name, probes, 7, doUncompact = true, template = None)
+      .select("h3index", "v").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(identity).toSeq
+
+  private val probe = cellsOf(bcA)(30)
+
+  test("manifest-pruned probe query returns exactly the pre-manifest result") {
+    val before = query(Seq(probe))
+    before should have size 1
+    store.buildManifest(name)
+    store.hasManifest(name) shouldBe true
+    query(Seq(probe)) shouldBe before
+  }
+
+  test("the selection actually prunes files (and respects base cells)") {
+    store.buildManifest(name)
+    val sel = store.selectFilesForProbes(name, 7, Seq(probe)).get
+    sel.uncoveredFiles shouldBe 0
+    sel.manifestFiles shouldBe sel.currentFiles
+    sel.paths.size should be < sel.currentFiles
+    // a probe in base cell 20 must never select base cell 25's directory
+    all(sel.paths) should include("ph3=" + bcA)
+  }
+
+  test("appends after the build stay visible (uncovered-file union)") {
+    store.buildManifest(name)
+    val extraCell = cellsOf(bcA).head
+    store.insert(name, frame(Seq(extraCell), 900000))
+    val sel = store.selectFilesForProbes(name, 7, Seq(extraCell)).get
+    sel.uncoveredFiles should be > 0
+    // the store is append-only (no summing merge across inserts): BOTH the
+    // original row (v=0) and the appended one must surface
+    query(Seq(extraCell)) shouldBe Seq((extraCell, 0L), (extraCell, 900000L))
+    // ...and a probe untouched by the append still answers from pruned files
+    query(Seq(probe)) should have size 1
+  }
+
+  test("rewrites after the build drop dead manifest entries, results intact") {
+    store.buildManifest(name)
+    val before = query(Seq(probe))
+    store.deduplicate(name) // dynamic overwrite -> new file names everywhere
+    val sel = store.selectFilesForProbes(name, 7, Seq(probe)).get
+    sel.uncoveredFiles shouldBe sel.currentFiles // nothing covered anymore
+    query(Seq(probe)) shouldBe before
+    store.buildManifest(name) // rebuild restores pruning
+    val sel2 = store.selectFilesForProbes(name, 7, Seq(probe)).get
+    sel2.uncoveredFiles shouldBe 0
+    sel2.paths.size should be < sel2.currentFiles
+  }
+
+  test("a probe with no matching data selects nothing and returns nothing") {
+    store.buildManifest(name)
+    val foreign = H3.fromParts(30, 7, Seq(0, 0, 0, 0, 0, 0, 0))
+    val sel = store.selectFilesForProbes(name, 7, Seq(foreign)).get
+    sel.paths shouldBe empty
+    query(Seq(foreign)) shouldBe empty
+  }
+}
