@@ -945,6 +945,25 @@ object Queries {
       .orderBy(col("rnk"))
   }
 
+  /** Keyword search through the PERSISTENT inverted index (d20): build the
+    * term-bucket-partitioned posting lists once per corpus, answer d18's
+    * exact query through [[graft.text.InvertedIndex.search]] — query terms
+    * prune `tb=` partition directories at planning, and the ranking must
+    * stay bit-identical to the ad-hoc d18 path (same oracle). */
+  private val invIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def d20InvertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    val path = invIndexCache.computeIfAbsent(dir, _ => {
+      val p = graft.util.TempDirs.create("graft_inv_index_")
+      graft.text.InvertedIndex.build(spark,
+        t(spark, dir, "documents").select(col("doc_id"), col("text")), p)
+      p
+    })
+    graft.text.InvertedIndex.search(spark, path, Bm25Terms, 20)
+      .select(col("rnk"), col("doc_id"), round(col("score"), 4).as("bm25"))
+      .orderBy(col("rnk"))
+  }
+
   /** Overlapping document chunking (d19): split each document into
     * fixed-size character chunks with overlap — the context-length
     * splitting every pretraining/RAG pipeline runs before tokenization.
@@ -1098,6 +1117,31 @@ object Queries {
   // ---------------------------------------------------------------- oracles
 
   /** DuckDB SQL equivalents. Same column names, same ORDER BY. */
+  private val d18OracleSql: String =
+    """WITH w AS (SELECT doc_id,
+      |    unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')) AS term
+      |  FROM documents),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM w GROUP BY 1),
+      |n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+      |ad AS (SELECT sum(dl)::DOUBLE / (SELECT count(*)::DOUBLE FROM documents) AS avgdl
+      |  FROM dl),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM w
+      |  WHERE term IN ('hash', 'vector', 'window') GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |p AS (SELECT doc_id, term,
+      |    (((n.n - df::DOUBLE + 0.5) / (df::DOUBLE + 0.5)) * (tf::DOUBLE * 2.2)) /
+      |      (tf::DOUBLE + 1.2 * (0.25 + 0.75 * dl::DOUBLE / ad.avgdl)) AS s
+      |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN n CROSS JOIN ad),
+      |sc AS (SELECT doc_id,
+      |    coalesce(max(CASE WHEN term = 'hash' THEN s END), 0.0)
+      |    + coalesce(max(CASE WHEN term = 'vector' THEN s END), 0.0)
+      |    + coalesce(max(CASE WHEN term = 'window' THEN s END), 0.0) AS score
+      |  FROM p GROUP BY 1),
+      |r AS (SELECT doc_id, score,
+      |    row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM sc)
+      |SELECT rnk, doc_id, round(score, 4) AS bm25 FROM r WHERE rnk <= 20
+      |ORDER BY rnk""".stripMargin
+
   val oracles: Map[String, String] = {
     val synthCellSql =
       """((1::BIGINT << 59) | (9::BIGINT << 52)
@@ -1345,30 +1389,10 @@ object Queries {
           |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
       // identical association/parenthesization as the Spark side — every
       // float op is exact-rounded, so scores are bit-identical (see d18 doc)
-      "d18_bm25_topk" ->
-        """WITH w AS (SELECT doc_id,
-          |    unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')) AS term
-          |  FROM documents),
-          |dl AS (SELECT doc_id, count(*) AS dl FROM w GROUP BY 1),
-          |n AS (SELECT count(*)::DOUBLE AS n FROM documents),
-          |ad AS (SELECT sum(dl)::DOUBLE / (SELECT count(*)::DOUBLE FROM documents) AS avgdl
-          |  FROM dl),
-          |tf AS (SELECT doc_id, term, count(*) AS tf FROM w
-          |  WHERE term IN ('hash', 'vector', 'window') GROUP BY 1, 2),
-          |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-          |p AS (SELECT doc_id, term,
-          |    (((n.n - df::DOUBLE + 0.5) / (df::DOUBLE + 0.5)) * (tf::DOUBLE * 2.2)) /
-          |      (tf::DOUBLE + 1.2 * (0.25 + 0.75 * dl::DOUBLE / ad.avgdl)) AS s
-          |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN n CROSS JOIN ad),
-          |sc AS (SELECT doc_id,
-          |    coalesce(max(CASE WHEN term = 'hash' THEN s END), 0.0)
-          |    + coalesce(max(CASE WHEN term = 'vector' THEN s END), 0.0)
-          |    + coalesce(max(CASE WHEN term = 'window' THEN s END), 0.0) AS score
-          |  FROM p GROUP BY 1),
-          |r AS (SELECT doc_id, score,
-          |    row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM sc)
-          |SELECT rnk, doc_id, round(score, 4) AS bm25 FROM r WHERE rnk <= 20
-          |ORDER BY rnk""".stripMargin,
+      "d18_bm25_topk" -> d18OracleSql,
+      // d20 answers the SAME query through the persistent inverted index —
+      // the index layer must be ranking-invisible, so the oracle is d18's
+      "d20_inverted_index" -> d18OracleSql,
       "d19_chunking" ->
         """WITH c AS (SELECT doc_id, text, length(text) AS n FROM documents),
           |ch AS (SELECT doc_id, (i // 400)::INT AS chunk_idx,
@@ -1621,6 +1645,7 @@ object Queries {
     "d10_tfidf_topk" -> d10TfidfTopk,
     "d18_bm25_topk" -> d18Bm25Topk,
     "d19_chunking" -> d19Chunking,
+    "d20_inverted_index" -> d20InvertedIndex,
     "d11_dup_span_pairs" -> d11DupSpanPairs,
     "d12_vocab_stats" -> d12VocabStats,
     "q11_asof_join" -> q11AsofJoin,
