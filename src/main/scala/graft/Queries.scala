@@ -506,6 +506,35 @@ object Queries {
     spark.table(sink).orderBy(col("window_start"), col("event_type"))
   }
 
+  /** Stream-static enrichment join (s7): the canonical streaming-ingest
+    * shape — an unbounded event stream joined against a BROADCAST static
+    * dimension (customer -> nation), aggregated per nation. Stream-static
+    * joins are stateless on the stream side (each micro-batch joins the
+    * current dim snapshot; no watermark, no join state store), so the only
+    * state is the running aggregate — the 100 TB-friendly enrichment path.
+    * Hash-matched against the batch DuckDB oracle: a finite stream through
+    * the streaming machinery must equal the batch join exactly. */
+  def s7StreamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val src = spark.readStream.schema(raw.schema).parquet(s"$dir/events.*")
+    val dim = broadcast(
+      t(spark, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+        .join(t(spark, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name")))
+    val agg = src.join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+    val sink = "s7_stream_sink"
+    spark.catalog.dropTempView(sink) // idempotent across bench passes
+    val q = agg.writeStream.format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink).orderBy(col("n_name"))
+  }
+
   /** PII-redaction gate (d13): scrub emails / IPv4s / phone numbers from
     * document text via [[graft.text.TextOps.redactPii]]. The corpus text
     * carries no PII, so each doc is suffixed with deterministic synthetic
@@ -1522,6 +1551,12 @@ object Queries {
           | event_type, count(*) AS num_events, round(sum(value), 2) AS total_value
           |FROM events GROUP BY 1, 2, 3
           |ORDER BY window_start, event_type""".stripMargin,
+      "s7_stream_static_join" ->
+        """SELECT n_name, count(*) AS n_events, round(sum(value), 2) AS sum_value
+          |FROM events e
+          |JOIN customer c ON e.user_id = c.c_custkey
+          |JOIN nation n ON c.c_nationkey = n.n_nationkey
+          |GROUP BY 1 ORDER BY n_name""".stripMargin,
       "d13_pii_redact" ->
         """WITH s AS (
           |  SELECT doc_id,
@@ -1660,6 +1695,7 @@ object Queries {
     "q20_bag_set_ops" -> q20BagSetOps,
     "q21_lateral_join" -> q21LateralJoin,
     "s3_stream_windowed" -> s3StreamWindowed,
+    "s7_stream_static_join" -> s7StreamStaticJoin,
     "s4_stream_dedup" -> s4StreamDedup,
     "d13_pii_redact" -> d13PiiRedact,
     "d14_shard_packing" -> d14ShardPacking,
