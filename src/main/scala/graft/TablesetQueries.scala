@@ -230,6 +230,36 @@ object TablesetQueries {
       .select(col("h3index"), col("v"))
       .orderBy(col("h3index"), col("v"))
 
+  // ------------------------------------------------------------------ ts19
+
+  /** Small-file compaction gate (ts19): two overlapping inserts, then
+    * [[CellStore.compactFiles]] — the merged layout must preserve rows
+    * EXACTLY, including the duplicates that exist ACROSS the two inserts
+    * (the op that must NOT dedup, where ts6 gates the op that must). The
+    * oracle is each batch's within-batch-distinct rows, UNION ALL. */
+  private def ts19Store(spark: SparkSession, dir: String): CellStore = {
+    val store = CellStore(spark, rootFor(dir))
+    if (!store.listTablesets().contains("gate_filecompact")) {
+      def batch(mod: Int) = lineitem(spark, dir)
+        .where(pmod(col("l_orderkey"), lit(mod)) === 0)
+        .select(Queries.synthCell.as("h3index"), pmod(col("l_orderkey"), lit(50)).as("v"))
+      store.insert("gate_filecompact", batch(4),
+        createSchema = Some(CompactedTableSchema.builder("gate_filecompact")
+          .h3BaseResolutions(Seq(9))
+          .useCompaction(false)
+          .addAggregatedColumn("v", T.Int64, Agg.Max)
+          .build()))
+      store.insert("gate_filecompact", batch(2))
+      store.compactFiles("gate_filecompact")
+    }
+    store
+  }
+
+  def ts19FileCompaction(spark: SparkSession, dir: String): DataFrame =
+    ts19Store(spark, dir).scanForResolution("gate_filecompact", 9)
+      .select(col("h3index"), col("v"))
+      .orderBy(col("h3index"), col("v"))
+
   // ------------------------------------------------------------------- ts8
 
   /** F7 through the oracle gate: temporal partition bucketing. The tableset
@@ -548,6 +578,17 @@ object TablesetQueries {
          |  round(qty, 2) AS qty
          |FROM cells JOIN keep ON ${parentSql("cell", 9, 5)} = keep.p5
          |ORDER BY h3index""".stripMargin,
+    // compactFiles preserves rows exactly: each batch distinct WITHIN
+    // itself (insert-time dedup), cross-batch duplicates kept (mod-4 rows
+    // are a subset of mod-2 rows -> appear twice)
+    "ts19_file_compaction" ->
+      s"""WITH a AS (SELECT DISTINCT $synthCellSql AS cell, (l_orderkey % 50) AS v
+         |  FROM lineitem WHERE l_orderkey % 4 = 0),
+         |b AS (SELECT DISTINCT $synthCellSql AS cell, (l_orderkey % 50) AS v
+         |  FROM lineitem WHERE l_orderkey % 2 = 0)
+         |SELECT cell AS h3index, v
+         |FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+         |ORDER BY h3index, v""".stripMargin,
     // a's rows (mod 4) are a subset of b's (mod 2) -> they appear twice in
     // storage; the scoped optimize distinct-s only the ph3 < 61 partitions
     "ts6_dedup_optimize" ->
@@ -884,6 +925,7 @@ object TablesetQueries {
     "ts15_sql_tvf" -> ts15SqlTvf,
     "ts16_sql_cells" -> ts16SqlCells,
     "ts17_bucketed_join" -> ts17BucketedJoin,
-    "ts18_manifest_query" -> ts18ManifestQuery
+    "ts18_manifest_query" -> ts18ManifestQuery,
+    "ts19_file_compaction" -> ts19FileCompaction
   )
 }

@@ -916,6 +916,24 @@ class CellStore(spark: SparkSession, rootPath: String) {
 
   def replace(name: String): Unit = replaceWhere(name, lit(true))
 
+  /** Small-file compaction (OPTIMIZE without semantics): every insert
+    * appends its own file set, so a continuously-ingested partition
+    * accumulates one small file per insert — and every later scan pays a
+    * footer read and a task per file, while the per-file h3index ranges
+    * OVERLAP across inserts, so min/max skipping degrades toward useless.
+    * This rewrite merges the touched partitions' files back to the
+    * write-path layout (range-partitioned, h3index-sorted, disjoint file
+    * ranges) while preserving rows EXACTLY — duplicates across inserts
+    * included ([[deduplicateWhere]] is the op that collapses those; keeping
+    * the two separate mirrors ClickHouse's merge vs OPTIMIZE DEDUPLICATE
+    * distinction). Same partition-scoped dynamic-overwrite publication as
+    * the other optimize ops: untouched directories are never read or
+    * rewritten. Rebuild the manifest afterwards to restore file pruning. */
+  def compactFilesWhere(name: String, touched: org.apache.spark.sql.Column): Unit =
+    optimizePartitions(name, touched, (all, _) => all)
+
+  def compactFiles(name: String): Unit = compactFilesWhere(name, lit(true))
+
   /** Keep-latest collapse of a frame holding tableset rows (+ partition
     * columns): group by (partition cols ++ replaceKey), survivor = the
     * lexicographic max of (version, remaining payload) — one shuffle with
