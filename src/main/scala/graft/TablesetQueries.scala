@@ -230,6 +230,62 @@ object TablesetQueries {
       .select(col("h3index"), col("v"))
       .orderBy(col("h3index"), col("v"))
 
+  // ------------------------------------------------------------------ ts20
+
+  /** Resolution backfill gate (ts20): create the ts1 dataset with ONLY the
+    * res-9 base table, then `addBaseResolution(5)` — the backfilled rollup
+    * must be exactly what declaring res 5 up front would have produced, so
+    * the gate shares ts1's first-principles oracle. */
+  private def ts20Store(spark: SparkSession, dir: String): CellStore = {
+    val store = CellStore(spark, rootFor(dir))
+    if (!store.listTablesets().contains("gate_backfill")) {
+      val input = lineitem(spark, dir)
+        .select(Queries.synthCell.as("h3index"), col("l_quantity").as("qty"))
+      store.insert("gate_backfill", input,
+        createSchema = Some(CompactedTableSchema.builder("gate_backfill")
+          .h3BaseResolutions(Seq(9))
+          .addAggregatedColumn("qty", T.Float64, Agg.Sum)
+          .build()))
+      store.addBaseResolution("gate_backfill", 5)
+    }
+    store
+  }
+
+  def ts20BackfillResolution(spark: SparkSession, dir: String): DataFrame =
+    ts20Store(spark, dir).scanForResolution("gate_backfill", 5)
+      .select(col("h3index").as("parent5"), round(col("qty"), 2).as("sum_qty"))
+      .orderBy(col("parent5"))
+
+  // ------------------------------------------------------------------ ts21
+
+  /** Snapshot time travel (ts21): two inserts, then read AS OF the first
+    * snapshot — the second insert's rows must be invisible. The oracle is
+    * batch a alone (within-batch distinct), re-derived relationally. */
+  private def ts21Store(spark: SparkSession, dir: String): CellStore = {
+    val store = CellStore(spark, rootFor(dir))
+    if (!store.listTablesets().contains("gate_travel")) {
+      def batch(mod: Int) = lineitem(spark, dir)
+        .where(pmod(col("l_orderkey"), lit(mod)) === 0)
+        .select(Queries.synthCell.as("h3index"), pmod(col("l_orderkey"), lit(50)).as("v"))
+      store.insert("gate_travel", batch(4),
+        createSchema = Some(CompactedTableSchema.builder("gate_travel")
+          .h3BaseResolutions(Seq(9))
+          .useCompaction(false)
+          .addAggregatedColumn("v", T.Int64, Agg.Max)
+          .build()))
+      store.insert("gate_travel", batch(2))
+    }
+    store
+  }
+
+  def ts21TimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val store = ts21Store(spark, dir)
+    val first = store.snapshotIds("gate_travel").head
+    store.scanForResolutionAsOf("gate_travel", 9, first)
+      .select(col("h3index"), col("v"))
+      .orderBy(col("h3index"), col("v"))
+  }
+
   // ------------------------------------------------------------------ ts19
 
   /** Small-file compaction gate (ts19): two overlapping inserts, then
@@ -495,6 +551,9 @@ object TablesetQueries {
     // ts15 re-derives ts1's rollup from the res-9 base via pure SQL
     // (graft_scan TVF + SQL h3_to_parent) — same first-principles oracle
     "ts15_sql_tvf" -> ts1OracleSql,
+    // ts20 backfills res 5 AFTER the fact (addBaseResolution) — must equal
+    // the declared-up-front rollup, i.e. ts1's oracle
+    "ts20_backfill_resolution" -> ts1OracleSql,
     "ts10_replace_optimize" -> versionedOracleSql,
     // ts11 reads the SAME logical content through the read-time collapse
     // (no rewrite) — identical expected rows by construction
@@ -578,6 +637,12 @@ object TablesetQueries {
          |  round(qty, 2) AS qty
          |FROM cells JOIN keep ON ${parentSql("cell", 9, 5)} = keep.p5
          |ORDER BY h3index""".stripMargin,
+    // as-of the first snapshot only batch a (within-batch distinct) exists
+    "ts21_time_travel" ->
+      s"""SELECT cell AS h3index, v FROM (
+         |  SELECT DISTINCT $synthCellSql AS cell, (l_orderkey % 50) AS v
+         |  FROM lineitem WHERE l_orderkey % 4 = 0)
+         |ORDER BY h3index, v""".stripMargin,
     // compactFiles preserves rows exactly: each batch distinct WITHIN
     // itself (insert-time dedup), cross-batch duplicates kept (mod-4 rows
     // are a subset of mod-2 rows -> appear twice)
@@ -926,6 +991,8 @@ object TablesetQueries {
     "ts16_sql_cells" -> ts16SqlCells,
     "ts17_bucketed_join" -> ts17BucketedJoin,
     "ts18_manifest_query" -> ts18ManifestQuery,
-    "ts19_file_compaction" -> ts19FileCompaction
+    "ts19_file_compaction" -> ts19FileCompaction,
+    "ts20_backfill_resolution" -> ts20BackfillResolution,
+    "ts21_time_travel" -> ts21TimeTravel
   )
 }

@@ -176,6 +176,51 @@ class CellStore(spark: SparkSession, rootPath: String) {
     writeSchema(name, narrowed)
   }
 
+  /** Schema evolution WITH backfill: add a new (coarser) base resolution to
+    * an existing tableset and materialize its rollup table from the stored
+    * data — the "add a materialized view after the fact" op. Unlike
+    * [[addColumn]]/[[dropColumn]] this is not metadata-only: one rollup
+    * pass over the nearest finer base table (plus the compacted cells in
+    * between, the same source window [[insert]] uses) derives the new
+    * partitions; existing partitions are never touched.
+    *
+    * Parity contract: for a tableset whose stored base rows equal one
+    * deduplicated batch (a single insert, or any history after
+    * [[deduplicate]]), the backfilled table is exactly what inserting with
+    * the resolution declared up front would have produced (pinned by the
+    * ts20 gate against ts1's oracle). A multi-insert history carries one
+    * rollup row PER INSERT per cell, which a single backfill pass cannot
+    * reproduce — run [[deduplicate]] first for exact parity. */
+  def addBaseResolution(name: String, newRes: Int): Unit = {
+    val schema = getTableset(name)
+    require(!schema.baseResolutions.contains(newRes),
+      s"tableset '$name' already has base resolution $newRes")
+    require(newRes >= 0 && newRes < schema.maxBaseResolution,
+      s"backfill derives COARSER resolutions from the finest base: " +
+        s"$newRes must be in [0, ${schema.maxBaseResolution})")
+    val updated = schema.copy(
+      baseResolutions = (schema.baseResolutions :+ newRes).distinct.sorted).validated
+    val srcRes = schema.baseResolutions.filter(_ > newRes).min
+    val cols = schema.columns.keys.map(col).toIndexedSeq
+    val stored = readDeclared(name)
+    val base = stored
+      .where(col("kind") === "base" && col("resolution") === srcRes)
+      .select(cols: _*)
+    val interCompacted = stored
+      .where(col("kind") === "compacted" &&
+        col("resolution") > newRes && col("resolution") <= srcRes)
+      .select(cols: _*)
+    val target = Rollup.rollupStep(base.unionByName(interCompacted),
+      updated, srcRes, newRes)
+      .withColumn("resolution", lit(newRes))
+      .withColumn("kind", lit("base"))
+    val preexisting =
+      if (fs.exists(dataPath(name))) listDataFiles(name).toSet else Set.empty[String]
+    writePartitioned(target, updated, name)
+    recordSnapshot(name, preexisting) // the backfill is its own commit
+    writeSchema(name, updated)
+  }
+
   private def writeSchema(name: String, schema: CompactedTableSchema): Unit = {
     val out = fs.create(schemaPath(name), true) // overwrite the sidecar
     try out.write(schema.toJson.getBytes("UTF-8")) finally out.close()
@@ -359,7 +404,10 @@ class CellStore(spark: SparkSession, rootPath: String) {
       }
 
       val all = frames.reduce(_ unionByName _)
+      val preexisting =
+        if (fs.exists(dataPath(name))) listDataFiles(name).toSet else Set.empty[String]
       writePartitioned(all, schema, name)
+      recordSnapshot(name, preexisting)
     } finally {
       compacted.unpersist()
     }
@@ -760,6 +808,71 @@ class CellStore(spark: SparkSession, rootPath: String) {
     rows.toDF("resolution", "num_cells_stored_at_resolution",
       "num_cells_stored_compacted", "num_cells")
   }
+
+  // --------------------------------------------------------------- manifest
+
+  // -------------------------------------------------------------- snapshots
+
+  private def snapshotsPath(name: String) = new Path(tablesetPath(name), "_snapshots")
+
+  /** Record the file set an insert just added as snapshot N+1 (paths
+    * RELATIVE to the data dir, so a tableset rename keeps history valid).
+    * Local listing diff; a distributed commit protocol would report the
+    * written files directly — same contract, cheaper capture. */
+  private def recordSnapshot(name: String, before: Set[String]): Unit = {
+    val added = listDataFiles(name).filterNot(before).map(relToData(name, _)).sorted
+    if (added.isEmpty) return
+    val id = snapshotIds(name).lastOption.getOrElse(0L) + 1
+    val out = fs.create(new Path(snapshotsPath(name), s"$id.list"), true)
+    try out.write(added.mkString("\n").getBytes("UTF-8")) finally out.close()
+  }
+
+  private def relToData(name: String, abs: String): String = {
+    val base = dataPath(name).toUri.getPath.stripSuffix("/") + "/"
+    if (abs.startsWith(base)) abs.stripPrefix(base) else abs
+  }
+
+  /** Snapshot ids in commit order (empty if the tableset predates snapshot
+    * support or was never inserted into). */
+  def snapshotIds(name: String): Seq[Long] = {
+    val p = snapshotsPath(name)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".list")).map(_.stripSuffix(".list").toLong).sorted
+  }
+
+  /** Time travel: the tableset's rows as of snapshot `snapshotId` (that
+    * insert and every earlier one). Append-only history reads exactly; an
+    * optimize/compaction REWRITES files, which invalidates earlier
+    * snapshots — that surfaces as a loud error here, not silently-wrong
+    * rows (rewrites preserve current content, not history; a store that
+    * must keep history vacuums instead of rewriting). */
+  def scanAsOf(name: String, snapshotId: Long): DataFrame = {
+    val ids = snapshotIds(name)
+    require(ids.contains(snapshotId), s"tableset '$name' has no snapshot $snapshotId (have: ${ids.mkString(", ")})")
+    val base = dataPath(name).toUri.getPath.stripSuffix("/")
+    val files = ids.filter(_ <= snapshotId).flatMap { id =>
+      val in = fs.open(new Path(snapshotsPath(name), s"$id.list"))
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      text.split("\n").toSeq.filter(_.nonEmpty)
+    }.map(rel => s"$base/$rel")
+    val current = listDataFiles(name).toSet
+    val missing = files.filterNot(current)
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"snapshot $snapshotId of '$name' was invalidated by a rewrite " +
+        s"(deduplicate/replace/compactFiles): ${missing.size} file(s) no longer exist")
+    val proto = readDeclared(name)
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], proto.schema)
+    else spark.read.schema(proto.schema)
+      .option("basePath", dataPath(name).toString)
+      .parquet(files: _*)
+  }
+
+  /** [[scanForResolution]] against a snapshot. */
+  def scanForResolutionAsOf(name: String, targetRes: Int, snapshotId: Long): DataFrame =
+    scanAsOf(name, snapshotId).where(resolutionFilter(targetRes))
 
   // --------------------------------------------------------------- manifest
 
