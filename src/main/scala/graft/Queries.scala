@@ -258,6 +258,35 @@ object Queries {
       .orderBy(col("user_id"), col("ts_ms"), col("event_id"))
   }
 
+  /** Column profiler (q24): per-column non-null/null counts, min/max/avg
+    * and exact distinct counts for the numeric measures — the data-quality
+    * snapshot a pipeline runs before committing a new source. ONE scan:
+    * all 18 aggregates (incl. three COUNT DISTINCTs via Expand) evaluate in
+    * a single pass with map-side partials, then the 1-row result explodes
+    * to long format — no per-column re-scan, which is what makes profiling
+    * affordable at 100 TB. */
+  private val ProfileCols = Seq("l_quantity", "l_extendedprice", "l_discount")
+  def q24Profile(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val aggs = ProfileCols.flatMap { c => Seq(
+      count(col(c)).as(s"n_$c"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long").as(s"nulls_$c"),
+      round(min(col(c)), 4).as(s"min_$c"),
+      round(max(col(c)), 4).as(s"max_$c"),
+      round(avg(col(c)), 4).as(s"avg_$c"),
+      countDistinct(col(c)).as(s"dist_$c"))
+    }
+    val one = li.agg(aggs.head, aggs.tail: _*)
+    val structs = ProfileCols.map { c =>
+      struct(lit(c).as("col_name"), col(s"n_$c").as("n"),
+        col(s"nulls_$c").as("n_null"), col(s"min_$c").as("min_v"),
+        col(s"max_$c").as("max_v"), col(s"avg_$c").as("avg_v"),
+        col(s"dist_$c").as("n_distinct"))
+    }
+    one.select(explode(array(structs: _*)).as("p")).select(col("p.*"))
+      .orderBy(col("col_name"))
+  }
+
   /** Per-language quality-decile curation (c4): rank every document inside
     * its language stratum by the d3 quality score, bucket into NTILE(10)
     * deciles, and keep the top two bands — the "take the best 20% of each
@@ -1521,6 +1550,17 @@ object Queries {
           |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
           |             RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW)
           |ORDER BY user_id, ts_ms, event_id""".stripMargin,
+      "q24_profile" -> {
+        def one(c: String) =
+          s"""SELECT '$c' AS col_name, count($c) AS n,
+             |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+             |  round(min($c), 4) AS min_v, round(max($c), 4) AS max_v,
+             |  round(avg($c), 4) AS avg_v,
+             |  count(DISTINCT $c) AS n_distinct
+             |FROM lineitem""".stripMargin
+        Seq("l_quantity", "l_extendedprice", "l_discount").map(one)
+          .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+      },
       "c4_quality_ntile" ->
         """WITH q AS (
           |  SELECT doc_id, lang,
@@ -1706,6 +1746,7 @@ object Queries {
     "e1_knn_brute_force" -> e1KnnBruteForce,
     "q22_keep_latest" -> q22KeepLatest,
     "q23_range_window" -> q23RangeWindow,
+    "q24_profile" -> q24Profile,
     "c4_quality_ntile" -> c4QualityNtile,
     "c5_hash_split" -> c5HashSplit
   )

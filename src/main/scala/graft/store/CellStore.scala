@@ -851,12 +851,8 @@ class CellStore(spark: SparkSession, rootPath: String) {
     val ids = snapshotIds(name)
     require(ids.contains(snapshotId), s"tableset '$name' has no snapshot $snapshotId (have: ${ids.mkString(", ")})")
     val base = dataPath(name).toUri.getPath.stripSuffix("/")
-    val files = ids.filter(_ <= snapshotId).flatMap { id =>
-      val in = fs.open(new Path(snapshotsPath(name), s"$id.list"))
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-      text.split("\n").toSeq.filter(_.nonEmpty)
-    }.map(rel => s"$base/$rel")
+    val files = ids.filter(_ <= snapshotId)
+      .flatMap(readSnapshotList(name, _)).map(rel => s"$base/$rel")
     val current = listDataFiles(name).toSet
     val missing = files.filterNot(current)
     if (missing.nonEmpty) throw new IllegalStateException(
@@ -873,6 +869,35 @@ class CellStore(spark: SparkSession, rootPath: String) {
   /** [[scanForResolution]] against a snapshot. */
   def scanForResolutionAsOf(name: String, targetRes: Int, snapshotId: Long): DataFrame =
     scanAsOf(name, snapshotId).where(resolutionFilter(targetRes))
+
+  /** Snapshot retention: keep the last `keepLast` snapshots time-travelable
+    * and fold everything older into ONE cumulative checkpoint list (the
+    * oldest kept id) — as-of states are cumulative, so early lists can only
+    * be dropped by merging them forward, never by deleting alone (that
+    * would silently lose files from later states). Vacuumed ids then fail
+    * [[scanAsOf]]'s existence check — "history starts at the checkpoint",
+    * the same contract as lakehouse snapshot expiry. Metadata-only: no data
+    * file is touched. */
+  def vacuumSnapshots(name: String, keepLast: Int): Unit = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val ids = snapshotIds(name)
+    if (ids.size <= keepLast) return
+    val cutoff = ids(ids.size - keepLast) // oldest id that stays readable
+    val merged = ids.filter(_ <= cutoff).flatMap(readSnapshotList(name, _))
+      .distinct.sorted
+    val out = fs.create(new Path(snapshotsPath(name), s"$cutoff.list"), true)
+    try out.write(merged.mkString("\n").getBytes("UTF-8")) finally out.close()
+    ids.filter(_ < cutoff).foreach { id =>
+      fs.delete(new Path(snapshotsPath(name), s"$id.list"), false)
+    }
+  }
+
+  private def readSnapshotList(name: String, id: Long): Seq[String] = {
+    val in = fs.open(new Path(snapshotsPath(name), s"$id.list"))
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    text.split("\n").toSeq.filter(_.nonEmpty)
+  }
 
   // --------------------------------------------------------------- manifest
 

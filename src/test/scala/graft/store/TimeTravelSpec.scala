@@ -66,6 +66,24 @@ class TimeTravelSpec extends AnyFunSuite with Matchers with SparkTestSession {
     s.dropTableset("travel_renamed")
   }
 
+  test("vacuum folds old snapshots into a checkpoint; kept ids still exact") {
+    val s = freshStore()
+    val cells = H3.toChildren(H3.fromParts(20, 5, Seq(0, 0, 0, 0, 0)), 7).toSeq
+    s.insert(name, frame(cells.take(5), 3)) // snapshot 3
+    val asOf2 = s.scanForResolutionAsOf(name, 7, 2L).count()
+    val asOf3 = s.scanForResolutionAsOf(name, 7, 3L).count()
+    s.vacuumSnapshots(name, keepLast = 2)
+    s.snapshotIds(name) shouldBe Seq(2L, 3L)
+    // id 2 is now the cumulative checkpoint: same rows as before the vacuum
+    s.scanForResolutionAsOf(name, 7, 2L).count() shouldBe asOf2
+    s.scanForResolutionAsOf(name, 7, 3L).count() shouldBe asOf3
+    // vacuumed history is gone loudly
+    an[IllegalArgumentException] should be thrownBy s.scanAsOf(name, 1L)
+    // vacuum with nothing to fold is a no-op
+    s.vacuumSnapshots(name, keepLast = 5)
+    s.snapshotIds(name) shouldBe Seq(2L, 3L)
+  }
+
   test("a backfilled resolution is its own snapshot commit") {
     val s = freshStore()
     s.addBaseResolution(name, 6)
