@@ -151,6 +151,15 @@ object TablesetQueries {
     store.tablesetStats("gate_mixed").orderBy(col("resolution"))
   }
 
+  /** ts22: the same A9/A10 stats from pure SQL via the `graft_stats` TVF —
+    * shares ts4's oracle. */
+  def ts22SqlStats(spark: SparkSession, dir: String): DataFrame = {
+    ts3Store(spark, dir) // ensure gate_mixed exists
+    Graft.register(spark)
+    spark.sql(
+      s"SELECT * FROM graft_stats('${rootFor(dir)}', 'gate_mixed') ORDER BY resolution")
+  }
+
   // ------------------------------------------------------------------- ts5
 
   /** T1-T4 through the oracle gate: bulk-traverse an AOI (the stored res-5
@@ -685,18 +694,22 @@ object TablesetQueries {
          |FROM b WHERE pt BETWEEN $Ts8PtLo AND $Ts8PtHi
          |GROUP BY pt ORDER BY pt""".stripMargin
     },
-    "ts4_stats" ->
-      s"""WITH rows_ AS (SELECT DISTINCT $synthCellSql AS cell,
-         |    l_quantity AS q, l_extendedprice AS a, (l_partkey % 3) AS cat
-         |  FROM lineitem),
-         |r9 AS (SELECT count(*) AS n FROM rows_),
-         |r5 AS (SELECT count(DISTINCT ${parentSql("cell", 9, 5)}) AS n FROM rows_)
-         |SELECT 5 AS resolution, n AS num_cells_stored_at_resolution,
-         |  0::BIGINT AS num_cells_stored_compacted, n AS num_cells FROM r5
-         |UNION ALL
-         |SELECT 9, n, 0::BIGINT, n FROM r9
-         |ORDER BY resolution""".stripMargin
+    "ts4_stats" -> ts4StatsOracleSql,
+    // ts22 reads the SAME stats through the graft_stats SQL TVF
+    "ts22_sql_stats" -> ts4StatsOracleSql
   )
+
+  private lazy val ts4StatsOracleSql: String =
+    s"""WITH rows_ AS (SELECT DISTINCT $synthCellSql AS cell,
+       |    l_quantity AS q, l_extendedprice AS a, (l_partkey % 3) AS cat
+       |  FROM lineitem),
+       |r9 AS (SELECT count(*) AS n FROM rows_),
+       |r5 AS (SELECT count(DISTINCT ${parentSql("cell", 9, 5)}) AS n FROM rows_)
+       |SELECT 5 AS resolution, n AS num_cells_stored_at_resolution,
+       |  0::BIGINT AS num_cells_stored_compacted, n AS num_cells FROM r5
+       |UNION ALL
+       |SELECT 9, n, 0::BIGINT, n FROM r9
+       |ORDER BY resolution""".stripMargin
 
   // ------------------------------------------------------------------- s5
 
@@ -993,6 +1006,7 @@ object TablesetQueries {
     "ts18_manifest_query" -> ts18ManifestQuery,
     "ts19_file_compaction" -> ts19FileCompaction,
     "ts20_backfill_resolution" -> ts20BackfillResolution,
-    "ts21_time_travel" -> ts21TimeTravel
+    "ts21_time_travel" -> ts21TimeTravel,
+    "ts22_sql_stats" -> ts22SqlStats
   )
 }

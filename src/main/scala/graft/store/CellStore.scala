@@ -923,16 +923,41 @@ class CellStore(spark: SparkSession, rootPath: String) {
     * rebuilding after writes — [[selectFilesForProbes]] unions files the
     * manifest doesn't cover (post-build appends) and drops entries whose
     * file vanished (post-build rewrites); rebuild to restore full pruning. */
-  def buildManifest(name: String): Unit = {
+  def buildManifest(name: String): Unit =
+    manifestStats(readDeclared(name))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(manifestPath(name).toString)
+
+  /** Incremental manifest maintenance: stat ONLY the files the manifest
+    * does not cover (inserts since the last build/refresh) and append their
+    * rows — one scan of the new files, never the table. Entries whose file
+    * a rewrite deleted stay behind harmlessly (selection intersects the
+    * live listing); a full [[buildManifest]] clears them. */
+  def refreshManifest(name: String): Unit = {
+    require(hasManifest(name),
+      s"tableset '$name' has no manifest to refresh — run buildManifest first")
+    val covered = spark.read.parquet(manifestPath(name).toString)
+      .select("path").collect()
+      .map(r => new Path(r.getString(0)).toUri.getPath).toSet
+    val uncovered = listDataFiles(name).filterNot(covered)
+    if (uncovered.isEmpty) return
+    val proto = readDeclared(name)
+    manifestStats(
+      spark.read.schema(proto.schema)
+        .option("basePath", dataPath(name).toString)
+        .parquet(uncovered: _*))
+      .coalesce(1)
+      .write.mode(SaveMode.Append).parquet(manifestPath(name).toString)
+  }
+
+  private def manifestStats(data: DataFrame): DataFrame = {
     val h3Col = CompactedTableSchema.ColH3Index
-    readDeclared(name)
+    data
       .groupBy(input_file_name().as("path"), col("kind"),
         col("resolution").cast("int").as("resolution"),
         col("ph3").cast("long").as("ph3"))
       .agg(min(col(h3Col)).as("min_h3"), max(col(h3Col)).as("max_h3"),
         count(lit(1)).as("rows"))
-      .coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(manifestPath(name).toString)
   }
 
   /** All current data files of `name`, as normalized filesystem paths. */

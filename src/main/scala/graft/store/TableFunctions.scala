@@ -35,6 +35,11 @@ object TableFunctions {
         "graft_scan(root, tableset, res) - rows of a tableset at the given resolution", ""),
       graftScanBuilder)
     spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_stats"),
+      new ExpressionInfo("graft.store", null, "graft_stats",
+        "graft_stats(root, tableset) - per-resolution stored/derived cell counts (A9/A10)", ""),
+      graftStatsBuilder)
+    spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier("graft_cells"),
       new ExpressionInfo("graft.store", null, "graft_cells",
         "graft_cells(root, tableset, res, array(cells...)) - §3.1 cell query: " +
@@ -61,6 +66,19 @@ object TableFunctions {
     CellStore(SparkSession.active, strArg("graft_scan", args(0), "root"))
       .scanForResolution(strArg("graft_scan", args(1), "tableset"),
         intArg("graft_scan", args(2), "targetRes"))
+      .queryExecution.analyzed
+  }
+
+  /** `graft_stats(root, tableset)` — A9/A10 per-resolution counts from pure
+    * SQL. The stats computation runs at analysis time (it is itself a small
+    * Spark job over the partition-column groupBy); the spliced subtree is
+    * the materialized local result. */
+  private def graftStatsBuilder: Seq[Expression] => LogicalPlan = { args =>
+    if (args.length != 2)
+      throw new IllegalArgumentException(
+        s"graft_stats(root, tableset) expects 2 arguments, got ${args.length}")
+    CellStore(SparkSession.active, strArg("graft_stats", args(0), "root"))
+      .tablesetStats(strArg("graft_stats", args(1), "tableset"))
       .queryExecution.analyzed
   }
 

@@ -84,6 +84,20 @@ class ManifestSpec extends AnyFunSuite with Matchers with SparkTestSession {
     query(Seq(probe)) should have size 1
   }
 
+  test("refreshManifest covers appended files without a full rebuild") {
+    store.buildManifest(name)
+    store.insert(name, frame(Seq(cellsOf(bcB).last), 777000))
+    store.selectFilesForProbes(name, 7, Seq(probe)).get.uncoveredFiles should be > 0
+    store.refreshManifest(name)
+    val sel = store.selectFilesForProbes(name, 7, Seq(probe)).get
+    sel.uncoveredFiles shouldBe 0
+    sel.paths.size should be < sel.currentFiles
+    query(Seq(cellsOf(bcB).last)) should contain((cellsOf(bcB).last, 777000L))
+    // refresh with nothing new is a no-op
+    store.refreshManifest(name)
+    store.selectFilesForProbes(name, 7, Seq(probe)).get.uncoveredFiles shouldBe 0
+  }
+
   test("rewrites after the build drop dead manifest entries, results intact") {
     store.buildManifest(name)
     val before = query(Seq(probe))
