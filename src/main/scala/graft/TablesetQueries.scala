@@ -265,6 +265,35 @@ object TablesetQueries {
       .select(col("h3index").as("parent5"), round(col("qty"), 2).as("sum_qty"))
       .orderBy(col("parent5"))
 
+  // ------------------------------------------------------------------ ts23
+
+  /** Partitioning evolution (ts23): insert under the default BaseCell
+    * layout, ALTER to LowerResolution(8) — a staged full rewrite into a
+    * DIFFERENT directory structure (ph3 becomes the res-1 ancestor index,
+    * ~600 directories; a small d on res-9 data would mean one directory
+    * per near-distinct parent, which is the degenerate layout the scheme
+    * exists to avoid) — then read the res-5 rollup. Results must be
+    * layout-invisible: ts1's first-principles oracle again. */
+  private def ts23Store(spark: SparkSession, dir: String): CellStore = {
+    val store = CellStore(spark, rootFor(dir))
+    if (!store.listTablesets().contains("gate_repart")) {
+      val input = lineitem(spark, dir)
+        .select(Queries.synthCell.as("h3index"), col("l_quantity").as("qty"))
+      store.insert("gate_repart", input,
+        createSchema = Some(CompactedTableSchema.builder("gate_repart")
+          .h3BaseResolutions(Seq(5, 9))
+          .addAggregatedColumn("qty", T.Float64, Agg.Sum)
+          .build()))
+      store.alterPartitioning("gate_repart", H3Partitioning.LowerResolution(8))
+    }
+    store
+  }
+
+  def ts23AlterPartitioning(spark: SparkSession, dir: String): DataFrame =
+    ts23Store(spark, dir).scanForResolution("gate_repart", 5)
+      .select(col("h3index").as("parent5"), round(col("qty"), 2).as("sum_qty"))
+      .orderBy(col("parent5"))
+
   // ------------------------------------------------------------------ ts21
 
   /** Snapshot time travel (ts21): two inserts, then read AS OF the first
@@ -563,6 +592,9 @@ object TablesetQueries {
     // ts20 backfills res 5 AFTER the fact (addBaseResolution) — must equal
     // the declared-up-front rollup, i.e. ts1's oracle
     "ts20_backfill_resolution" -> ts1OracleSql,
+    // ts23 rewrites the same data under a DIFFERENT partitioning layout —
+    // results must be layout-invisible (ts1's oracle)
+    "ts23_alter_partitioning" -> ts1OracleSql,
     "ts10_replace_optimize" -> versionedOracleSql,
     // ts11 reads the SAME logical content through the read-time collapse
     // (no rewrite) — identical expected rows by construction
@@ -1007,6 +1039,7 @@ object TablesetQueries {
     "ts19_file_compaction" -> ts19FileCompaction,
     "ts20_backfill_resolution" -> ts20BackfillResolution,
     "ts21_time_travel" -> ts21TimeTravel,
-    "ts22_sql_stats" -> ts22SqlStats
+    "ts22_sql_stats" -> ts22SqlStats,
+    "ts23_alter_partitioning" -> ts23AlterPartitioning
   )
 }

@@ -414,7 +414,11 @@ class CellStore(spark: SparkSession, rootPath: String) {
   }
 
   private def writePartitioned(framesWithKindRes: DataFrame,
-      schema: CompactedTableSchema, name: String): Unit = {
+      schema: CompactedTableSchema, name: String): Unit =
+    writePartitionedTo(framesWithKindRes, schema, dataPath(name))
+
+  private def writePartitionedTo(framesWithKindRes: DataFrame,
+      schema: CompactedTableSchema, target: Path): Unit = {
     val h3Col = CompactedTableSchema.ColH3Index
     val withPh3 = framesWithKindRes.withColumn("ph3", schema.h3Partitioning match {
       case H3Partitioning.BaseCell => h3_get_base_cell(col(h3Col))
@@ -426,7 +430,39 @@ class CellStore(spark: SparkSession, rootPath: String) {
     sortedForWrite(rangedForWrite(withParts, schema, allPartCols), schema, allPartCols).write
       .mode(SaveMode.Append)
       .partitionBy(allPartCols: _*)
-      .parquet(dataPath(name).toString)
+      .parquet(target.toString)
+  }
+
+  /** `ALTER TABLE ... PARTITION BY` analogue: change the spatial
+    * partitioning scheme (BaseCell <-> LowerResolution(d)) — the one layout
+    * change dynamic partition overwrite cannot express, because the
+    * DIRECTORY STRUCTURE itself changes. Full rewrite, staged then swapped:
+    * the new layout is written completely to a staging dir (failure there
+    * deletes the staging and leaves the live data untouched), then two
+    * renames publish it. A crash between the renames leaves a
+    * `data_old_*` dir to restore by hand — the narrow window is documented
+    * rather than hidden; a transactional commit log is the lakehouse-grade
+    * upgrade path. Rewritten paths invalidate the manifest (dropped here;
+    * rebuild at will) and snapshot history (fails loudly at [[scanAsOf]]). */
+  def alterPartitioning(name: String, newPartitioning: H3Partitioning): Unit = {
+    val schema = getTableset(name)
+    if (schema.h3Partitioning == newPartitioning) return
+    val updated = schema.copy(h3Partitioning = newPartitioning).validated
+    val keep = (schema.columns.keys.toSeq :+ "kind" :+ "resolution").map(col)
+    val all = readDeclared(name).select(keep: _*)
+    val staging = new Path(tablesetPath(name), s"data_stage_${System.nanoTime()}")
+    try writePartitionedTo(all, updated, staging)
+    catch { case t: Throwable => fs.delete(staging, true); throw t }
+    val old = new Path(tablesetPath(name), s"data_old_${System.nanoTime()}")
+    if (!fs.rename(dataPath(name), old))
+      throw new IllegalStateException(s"alterPartitioning: cannot move live data of '$name'")
+    if (!fs.rename(staging, dataPath(name))) {
+      fs.rename(old, dataPath(name)) // restore; staging left for inspection
+      throw new IllegalStateException(s"alterPartitioning: publish failed for '$name'")
+    }
+    fs.delete(old, true)
+    fs.delete(manifestPath(name), true)
+    writeSchema(name, updated)
   }
 
   /** Range-repartition on (partition cols ++ ORDER BY key) before a
