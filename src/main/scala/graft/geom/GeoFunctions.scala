@@ -43,6 +43,13 @@ object GeoFunctions {
     * path exists (different resolutions / pentagon-blocked). */
   def h3_grid_distance(a: Column, b: Column): Column = gridDistanceUdf(a, b)
 
+  private val gridPathUdf =
+    udf((a: Long, b: Long) => Grid.gridPathCells(a, b)) // None -> SQL NULL
+
+  /** Minimal grid line a..b inclusive (canonical cube-lerp rounding);
+    * NULL when the endpoints span base cells. */
+  def h3_grid_path(a: Column, b: Column): Column = gridPathUdf(a, b)
+
   /** Make the geo functions SQL-visible (usable inside query templates),
     * the analogue of ClickHouse's built-in geoToH3 surface the reference
     * relies on (test_connection.py:38-46). Registers the SAME UDF values as
@@ -54,5 +61,6 @@ object GeoFunctions {
     spark.udf.register("h3_grid_disk", gridDiskUdf)
     spark.udf.register("h3_grid_ring", gridRingUdf)
     spark.udf.register("h3_grid_distance", gridDistanceUdf)
+    spark.udf.register("h3_grid_path", gridPathUdf)
   }
 }

@@ -76,4 +76,46 @@ object Grid {
     if (H3.getBaseCell(a) != H3.getBaseCell(b)) return None
     Some(hexDistance(cellToLocalIjk(a), cellToLocalIjk(b)))
   }
+
+  /** Minimal grid line from `a` to `b` inclusive — canonical
+    * `gridPathCells` cube-space lerp + round (h3 core localij.c): convert
+    * both local IJK coords to cube axes (`ijkToCube`: i' = -i + k,
+    * j' = j - k, k' = -i' - j'), lerp in 1/d steps, round to the nearest
+    * cube triple (fixing the axis with the largest rounding error so the
+    * x+y+z=0 invariant holds), map back (`cubeToIjk`: i = -x, j = y,
+    * normalize). Same-res same-base-cell contract as [[gridDistance]];
+    * None otherwise. Length is always gridDistance+1. */
+  def gridPathCells(a: Long, b: Long): Option[Seq[Long]] = {
+    if (H3.getResolution(a) != H3.getResolution(b)) return None
+    if (H3.getBaseCell(a) != H3.getBaseCell(b)) return None
+    val res = H3.getResolution(a)
+    val bc = H3.getBaseCell(a)
+    val ca = cellToLocalIjk(a)
+    val cb = cellToLocalIjk(b)
+    val d = hexDistance(ca, cb)
+    def cube(c: CoordIJK): (Double, Double, Double) = {
+      val x = -c.i + c.k; val y = c.j - c.k
+      (x.toDouble, y.toDouble, (-x - y).toDouble)
+    }
+    val (ax, ay, az) = cube(ca)
+    val (bx, by, bz) = cube(cb)
+    val out = Vector.newBuilder[Long]
+    var n = 0
+    while (n <= d) {
+      val t = if (d == 0) 0.0 else n.toDouble / d
+      val x = ax + (bx - ax) * t; val y = ay + (by - ay) * t; val z = az + (bz - az) * t
+      var ri = math.round(x).toInt; var rj = math.round(y).toInt; var rk = math.round(z).toInt
+      val di = math.abs(ri - x); val dj = math.abs(rj - y); val dk = math.abs(rk - z)
+      if (di > dj && di > dk) ri = -rj - rk
+      else if (dj > dk) rj = -ri - rk
+      else rk = -ri - rj
+      val ijk = CoordIJK(-ri, rj, 0).normalized
+      localIjkToCell(bc, res, ijk) match {
+        case Some(cell) => out += cell
+        case None => return None // lerp strayed outside the base cell's span
+      }
+      n += 1
+    }
+    Some(out.result())
+  }
 }

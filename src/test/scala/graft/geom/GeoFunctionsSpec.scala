@@ -60,6 +60,20 @@ class GeoFunctionsSpec extends AnyFunSuite with Matchers with SparkTestSession {
       .head().isNullAt(0) shouldBe true
   }
 
+  test("SQL surface: h3_grid_path matches Grid.gridPathCells, NULL cross-base") {
+    graft.Graft.register(spark)
+    val origin = graft.h3.H3.fromParts(20, 5, Seq(2, 3, 4, 5, 6))
+    val target = Grid.gridRing(origin, 3)
+      .filter(c => graft.h3.H3.getBaseCell(c) == 20).head
+    val got = spark.sql(s"SELECT h3_grid_path(${origin}L, ${target}L) AS p")
+      .head().getSeq[Long](0)
+    got shouldBe Grid.gridPathCells(origin, target).get
+    got.length shouldBe 4 // distance 3 -> 4 cells
+    val otherBase = graft.h3.H3.fromParts(25, 5, Seq(0, 0, 0, 0, 0))
+    spark.sql(s"SELECT h3_grid_path(${origin}L, ${otherBase}L) AS p")
+      .head().isNullAt(0) shouldBe true
+  }
+
   test("SQL surface: latlng_to_cell(52.26, 8.05, 5) arrayJoin-style anchor") {
     GeoFunctions.register(spark)
     val cell = spark.sql("SELECT latlng_to_cell(52.26, 8.05, 5) AS c")

@@ -33,6 +33,33 @@ class GeomSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("gridPathCells: length = distance + 1, consecutive cells adjacent, endpoints exact") {
+    val rnd = new scala.util.Random(11)
+    val origin = H3.centerChild(H3.fromParts(hexBase, 0, Nil), 6)
+    val disk = Grid.gridDisk(origin, 8).filter(c => H3.getBaseCell(c) == hexBase)
+    (1 to 60).foreach { _ =>
+      val a = disk(rnd.nextInt(disk.length))
+      val b = disk(rnd.nextInt(disk.length))
+      val path = Grid.gridPathCells(a, b).get
+      path.head shouldBe a
+      path.last shouldBe b
+      path.length shouldBe Grid.gridDistance(a, b).get + 1
+      path.distinct.length shouldBe path.length
+      path.sliding(2).filter(_.length == 2).foreach { case Seq(x, y) =>
+        Grid.gridDistance(x, y).get shouldBe 1
+      }
+    }
+  }
+
+  test("gridPathCells: degenerate and cross-base contracts") {
+    val origin = H3.centerChild(H3.fromParts(hexBase, 0, Nil), 6)
+    Grid.gridPathCells(origin, origin) shouldBe Some(Seq(origin))
+    val otherBase = H3.centerChild(H3.fromParts(25, 0, Nil), 6)
+    Grid.gridPathCells(origin, otherBase) shouldBe None
+    val coarser = H3.centerChild(H3.fromParts(hexBase, 0, Nil), 5)
+    Grid.gridPathCells(origin, coarser) shouldBe None
+  }
+
   test("gridDisk: interior disk has 3k^2+3k+1 cells, ring sizes 6k") {
     // center-child chain at res 6 is deep inside the base cell span
     val origin = H3.centerChild(H3.fromParts(hexBase, 0, Nil), 6)
