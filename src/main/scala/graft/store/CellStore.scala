@@ -47,6 +47,9 @@ class CellStore(spark: SparkSession, rootPath: String) {
   private def tablesetPath(name: String) = new Path(rootPath, name)
   private def schemaPath(name: String) = new Path(tablesetPath(name), "schema.json")
   private def dataPath(name: String) = new Path(tablesetPath(name), "data")
+  /** The tableset's data directory (for file-stream consumers — see
+    * [[graft.streaming.StreamOps.tailTableset]]). */
+  def dataDir(name: String): String = dataPath(name).toString
   private def rejectsPath(name: String) = new Path(tablesetPath(name), "rejects")
 
   // ---------------------------------------------------------------- catalog

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -126,6 +126,30 @@ object StreamOps {
         store.insert(name, batch, invalidPolicy = invalidPolicy)
       }
       .start()
+  }
+
+  /** Subscribe to a tableset: a stream of rows as they are INSERTED — the
+    * CDC-tail of the store. The store's layout is already a valid file
+    * stream source (every insert appends immutable parquet files; the
+    * checkpoint tracks which files a consumer has seen), so tailing costs
+    * nothing at write time and each consumer resumes exactly where it left
+    * off. `targetRes` filters to the D7 partitions of one resolution —
+    * pushed as a partition-column filter, so a consumer of the coarse
+    * rollup never lists, reads, or schedules the fine base data's files.
+    *
+    * Rewrites (deduplicate/compactFiles/alterPartitioning) re-append their
+    * partitions' content as "new" files to a tail consumer — the same
+    * at-least-once contract as any file-stream over a compacted table;
+    * downstream dedup (e.g. [[dedupStream]]) restores exactly-once. */
+  def tailTableset(store: graft.store.CellStore, name: String,
+      targetRes: Int): DataFrame = {
+    val schema = store.getTableset(name).toStructType
+    val spark = SparkSession.active
+    spark.readStream.schema(schema)
+      .parquet(store.dataDir(name))
+      .where((col("kind") === "compacted" && col("resolution") <= targetRes) ||
+        (col("kind") === "base" && col("resolution") === targetRes))
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
   }
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
