@@ -160,6 +160,28 @@ object TablesetQueries {
       s"SELECT * FROM graft_stats('${rootFor(dir)}', 'gate_mixed') ORDER BY resolution")
   }
 
+  // ------------------------------------------------------------------ ts24
+
+  /** §3.3 bulk traversal from pure SQL (ts24): ts5's AOI restricted to a
+    * deterministic 1/13 subset (literal-array size, ts16 precedent), driven
+    * through the `graft_traverse` TVF. Same first-principles oracle family
+    * as ts5 with the matching subset predicate. */
+  def ts24SqlTraverse(spark: SparkSession, dir: String): DataFrame = {
+    val store = ts1Store(spark, dir)
+    Graft.register(spark)
+    val aoi = store.scanForResolution("gate_sum", 5)
+      .where(col("ph3").between(10, 19))
+      .where(pmod(col("h3index"), lit(13)) === 0)
+      .select(col("h3index")).orderBy(col("h3index"))
+      .collect().map(_.getLong(0))
+    require(aoi.nonEmpty, "ts24 AOI subset is empty at this scale factor")
+    spark.sql(
+      s"""SELECT traversal_cell, h3index, round(qty, 2) AS qty
+         |FROM graft_traverse('${rootFor(dir)}', 'gate_sum', 9,
+         |  array(${aoi.mkString("L, ")}L), 2401)
+         |ORDER BY h3index""".stripMargin)
+  }
+
   // ------------------------------------------------------------------- ts5
 
   /** T1-T4 through the oracle gate: bulk-traverse an AOI (the stored res-5
@@ -668,6 +690,14 @@ object TablesetQueries {
          |  round(qty, 2) AS qty
          |FROM cells WHERE ((cell >> 45) & 127) BETWEEN 10 AND 19
          |ORDER BY h3index""".stripMargin,
+    // ts5's AOI restricted to the 1/13 subset, via the graft_traverse TVF
+    "ts24_sql_traverse" ->
+      s"""WITH cells AS (SELECT DISTINCT $synthCellSql AS cell, l_quantity AS qty FROM lineitem)
+         |SELECT ${parentSql("cell", 9, 5)} AS traversal_cell, cell AS h3index,
+         |  round(qty, 2) AS qty
+         |FROM cells WHERE ((cell >> 45) & 127) BETWEEN 10 AND 19
+         |  AND (${parentSql("cell", 9, 5)}) % 13 = 0
+         |ORDER BY h3index""".stripMargin,
     "ts7_prefilter_traversal" ->
       s"""WITH cells AS (SELECT DISTINCT $synthCellSql AS cell, l_quantity AS qty FROM lineitem),
          |r5 AS (SELECT ${parentSql("cell", 9, 5)} AS p5, sum(qty) AS s
@@ -1040,6 +1070,7 @@ object TablesetQueries {
     "ts20_backfill_resolution" -> ts20BackfillResolution,
     "ts21_time_travel" -> ts21TimeTravel,
     "ts22_sql_stats" -> ts22SqlStats,
-    "ts23_alter_partitioning" -> ts23AlterPartitioning
+    "ts23_alter_partitioning" -> ts23AlterPartitioning,
+    "ts24_sql_traverse" -> ts24SqlTraverse
   )
 }

@@ -35,6 +35,12 @@ object TableFunctions {
         "graft_scan(root, tableset, res) - rows of a tableset at the given resolution", ""),
       graftScanBuilder)
     spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_traverse"),
+      new ExpressionInfo("graft.store", null, "graft_traverse",
+        "graft_traverse(root, tableset, res, array(aoiCells...), maxFetchCount) - " +
+          "§3.3 bulk AOI traversal: rows at res tagged with their traversal cell", ""),
+      graftTraverseBuilder)
+    spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier("graft_stats"),
       new ExpressionInfo("graft.store", null, "graft_stats",
         "graft_stats(root, tableset) - per-resolution stored/derived cell counts (A9/A10)", ""),
@@ -69,6 +75,26 @@ object TableFunctions {
       .queryExecution.analyzed
   }
 
+  /** `graft_traverse(root, tableset, res, array(...), maxFetchCount)` — the
+    * reference's bulk AOI traversal (SURVEY §3.3) from pure SQL: T1 picks
+    * the traversal resolution from maxFetchCount, the store query runs once
+    * for the whole AOI, every row tagged with its `traversal_cell`. The AOI
+    * array must be foldable, same contract as `graft_cells`. */
+  private def graftTraverseBuilder: Seq[Expression] => LogicalPlan = { args =>
+    if (args.length != 5)
+      throw new IllegalArgumentException(
+        s"graft_traverse(root, tableset, targetRes, aoiCells, maxFetchCount) " +
+          s"expects 5 arguments, got ${args.length}")
+    val aoi = foldableCells("graft_traverse", args(3))
+    graft.traverse.Traversal.traverseBulk(
+      CellStore(SparkSession.active, strArg("graft_traverse", args(0), "root")),
+      strArg("graft_traverse", args(1), "tableset"), aoi,
+      intArg("graft_traverse", args(2), "targetRes"),
+      graft.traverse.Traversal.TraversalOptions(
+        maxFetchCount = intArg("graft_traverse", args(4), "maxFetchCount")))
+      .queryExecution.analyzed
+  }
+
   /** `graft_stats(root, tableset)` — A9/A10 per-resolution counts from pure
     * SQL. The stats computation runs at analysis time (it is itself a small
     * Spark job over the partition-column groupBy); the spliced subtree is
@@ -89,22 +115,20 @@ object TableFunctions {
     * arithmetic): it is evaluated at analysis time into the driver-known
     * probe set, which plants the ph3 partition filter and the OR-of-ranges
     * h3index scan predicate exactly like the Seq-probe DataFrame API. */
-  private def graftCellsBuilder: Seq[Expression] => LogicalPlan = { args =>
-    if (args.length != 4)
-      throw new IllegalArgumentException(
-        s"graft_cells(root, tableset, targetRes, cells) expects 4 arguments, got ${args.length}")
-    val cellsExpr = args(3)
+  /** Evaluate a foldable ARRAY<BIGINT|INT> argument into driver-side cells
+    * (shared by graft_cells and graft_traverse). */
+  private def foldableCells(fn: String, cellsExpr: Expression): Seq[Long] = {
     if (!cellsExpr.foldable)
       throw new IllegalArgumentException(
-        "graft_cells: the probe cell array must be foldable (literal cells)")
+        s"$fn: the cell array must be foldable (literal cells)")
     def elems(a: org.apache.spark.sql.catalyst.util.ArrayData,
         get: Int => Long): Seq[Long] =
       (0 until a.numElements()).map { i =>
         if (a.isNullAt(i)) throw new IllegalArgumentException(
-          s"graft_cells: probe cell array contains NULL at position $i")
+          s"$fn: cell array contains NULL at position $i")
         get(i)
       }
-    val cells = (cellsExpr.eval(), cellsExpr.dataType) match {
+    (cellsExpr.eval(), cellsExpr.dataType) match {
       case (a: org.apache.spark.sql.catalyst.util.ArrayData,
           org.apache.spark.sql.types.ArrayType(LongType, _)) =>
         elems(a, a.getLong)
@@ -112,8 +136,15 @@ object TableFunctions {
           org.apache.spark.sql.types.ArrayType(IntegerType, _)) =>
         elems(a, i => a.getInt(i).toLong)
       case (_, dt) => throw new IllegalArgumentException(
-        s"graft_cells: expected ARRAY<BIGINT> probe cells, got $dt")
+        s"$fn: expected ARRAY<BIGINT> cells, got $dt")
     }
+  }
+
+  private def graftCellsBuilder: Seq[Expression] => LogicalPlan = { args =>
+    if (args.length != 4)
+      throw new IllegalArgumentException(
+        s"graft_cells(root, tableset, targetRes, cells) expects 4 arguments, got ${args.length}")
+    val cells = foldableCells("graft_cells", args(3))
     CellStore(SparkSession.active, strArg("graft_cells", args(0), "root"))
       .queryCells(strArg("graft_cells", args(1), "tableset"), cells,
         intArg("graft_cells", args(2), "targetRes"))
