@@ -567,6 +567,48 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Embedding outlier detection (e8): cosine of every vector to its
+    * cluster's MEAN vector, bottom-k = the vectors least like their
+    * neighborhood — the "drop corrupted/mislabeled embeddings" curation
+    * pass. Deterministic clusters (vec_id % 7) keep the oracle relational.
+    * Exploded formulation on BOTH sides: centroid = one (cluster, pos)
+    * shuffle with map-side partials; the dot products join the small
+    * centroid frame (broadcast) and aggregate per vector — never an
+    * all-pairs anything. */
+  private val E8Clusters = 7
+  def e8CentroidOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val v = emb(spark, dir).select(col("vec_id").as("id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+    val ex = v.select(col("id"), pmod(col("id"), lit(E8Clusters)).as("cl"),
+      posexplode(col("v")))
+    val cent = ex.groupBy(col("cl"), col("pos"))
+      .agg((sum(col("col")) / count(lit(1))).as("c"))
+    val dots = ex.join(broadcast(cent), Seq("cl", "pos"))
+      .groupBy(col("id"))
+      .agg(sum(col("col") * col("c")).as("vc"),
+        sum(col("col") * col("col")).as("vv"),
+        sum(col("c") * col("c")).as("cc"))
+    val scored = dots.select(col("id").as("vec_id"),
+      (col("vc") / (sqrt(col("vv")) * sqrt(col("cc")))).as("cos"))
+    scored.orderBy(col("cos"), col("vec_id")).limit(20)
+      .select(row_number().over(Window.orderBy(col("cos"), col("vec_id"))).as("rnk"),
+        col("vec_id"), round(col("cos"), 4).as("cos_centroid"))
+      .orderBy(col("rnk"))
+  }
+
+  private val e8OracleSql: String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |ex AS (SELECT vec_id, vec_id % $E8Clusters AS cl,
+       |    generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM v),
+       |cent AS (SELECT cl, pos, sum(val) / count(*) AS c FROM ex GROUP BY 1, 2),
+       |dots AS (SELECT e.vec_id, sum(e.val * c.c) AS vc,
+       |    sum(e.val * e.val) AS vv, sum(c.c * c.c) AS cc
+       |  FROM ex e JOIN cent c ON c.cl = e.cl AND c.pos = e.pos GROUP BY 1),
+       |s AS (SELECT vec_id, vc / (sqrt(vv) * sqrt(cc)) AS cos FROM dots)
+       |SELECT rnk, vec_id, round(cos, 4) AS cos_centroid FROM (
+       |  SELECT vec_id, cos, row_number() OVER (ORDER BY cos, vec_id) AS rnk FROM s)
+       |WHERE rnk <= 20 ORDER BY rnk""".stripMargin
+
   /** Dedup clustering (t8): the t2 near-duplicate pairs become connected
     * components; every document gets (cluster_id = min doc_id in its
     * component, cluster_size, is_survivor). This is the terminal step of
@@ -933,6 +975,7 @@ object PipelineQueries {
     // quantizer/probe/k parameters — same expected output as e4
     "e5_ivf_index" -> ivfOracleSql,
     "e7_pq_adc" -> pqOracleSql,
+    "e8_centroid_outliers" -> e8OracleSql,
     "t8_dedup_clusters" ->
       s"""WITH RECURSIVE $clusterCtesSql
          |SELECT c.doc_id, c.cluster_id, cnt.n AS cluster_size,
@@ -988,6 +1031,7 @@ object PipelineQueries {
     "e5_ivf_index" -> e5IvfIndex,
     "e6_ivf_append" -> e6IvfAppend,
     "e7_pq_adc" -> e7PqAdc,
+    "e8_centroid_outliers" -> e8CentroidOutliers,
     "c1_curation" -> c1Curation,
     "c2_contamination" -> c2Contamination,
     "c3_bloom_decontam" -> c3BloomDecontam,

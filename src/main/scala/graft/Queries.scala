@@ -258,6 +258,31 @@ object Queries {
       .orderBy(col("user_id"), col("ts_ms"), col("event_id"))
   }
 
+  /** Closed-form distributed regression (q25): fit y = a + b*x and Pearson
+    * r per group FROM RAW MOMENT SUMS (n, Σx, Σy, Σxx, Σyy, Σxy) — the
+    * numerically transparent formulation both engines compute identically,
+    * unlike streaming covariance updates (Welford), whose merge order
+    * differs per engine. One narrow scan, map-side partials, k-row state:
+    * the same shape at 100 TB. */
+  def q25LinReg(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val x = col("l_quantity").cast("double")
+    val y = col("l_extendedprice").cast("double")
+    val m = li.groupBy(pmod(col("l_partkey"), lit(3)).as("grp"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+    val covn = col("sxy") - col("sx") * col("sy") / col("n")
+    val varxn = col("sxx") - col("sx") * col("sx") / col("n")
+    val varyn = col("syy") - col("sy") * col("sy") / col("n")
+    val b = covn / varxn
+    m.select(col("grp"), col("n").cast("long").as("n_rows"),
+        round(b, 6).as("slope"),
+        round((col("sy") - b * col("sx")) / col("n"), 4).as("intercept"),
+        round(covn / sqrt(varxn * varyn), 6).as("pearson_r"))
+      .orderBy(col("grp"))
+  }
+
   /** Column profiler (q24): per-column non-null/null counts, min/max/avg
     * and exact distinct counts for the numeric measures — the data-quality
     * snapshot a pipeline runs before committing a new source. ONE scan:
@@ -1550,6 +1575,19 @@ object Queries {
           |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
           |             RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW)
           |ORDER BY user_id, ts_ms, event_id""".stripMargin,
+      "q25_linreg" ->
+        """WITH m AS (
+          |  SELECT l_partkey % 3 AS grp, count(*)::DOUBLE AS n,
+          |    sum(l_quantity::DOUBLE) AS sx, sum(l_extendedprice::DOUBLE) AS sy,
+          |    sum(l_quantity::DOUBLE * l_quantity::DOUBLE) AS sxx,
+          |    sum(l_extendedprice::DOUBLE * l_extendedprice::DOUBLE) AS syy,
+          |    sum(l_quantity::DOUBLE * l_extendedprice::DOUBLE) AS sxy
+          |  FROM lineitem GROUP BY 1)
+          |SELECT grp, n::BIGINT AS n_rows,
+          |  round((sxy - sx*sy/n) / (sxx - sx*sx/n), 6) AS slope,
+          |  round((sy - ((sxy - sx*sy/n) / (sxx - sx*sx/n)) * sx) / n, 4) AS intercept,
+          |  round((sxy - sx*sy/n) / sqrt((sxx - sx*sx/n) * (syy - sy*sy/n)), 6) AS pearson_r
+          |FROM m ORDER BY grp""".stripMargin,
       "q24_profile" -> {
         def one(c: String) =
           s"""SELECT '$c' AS col_name, count($c) AS n,
@@ -1747,6 +1785,7 @@ object Queries {
     "q22_keep_latest" -> q22KeepLatest,
     "q23_range_window" -> q23RangeWindow,
     "q24_profile" -> q24Profile,
+    "q25_linreg" -> q25LinReg,
     "c4_quality_ntile" -> c4QualityNtile,
     "c5_hash_split" -> c5HashSplit
   )
