@@ -432,9 +432,23 @@ class CellStore(spark: SparkSession, rootPath: String) {
     val allPartCols = "kind" +: "resolution" +: "ph3" +: partCols
     sortedForWrite(rangedForWrite(withParts, schema, allPartCols), schema, allPartCols).write
       .mode(SaveMode.Append)
+      .option("compression", parquetCodec(schema))
       .partitionBy(allPartCols: _*)
       .parquet(target.toString)
   }
+
+  /** The schema's declared codec applied at TABLE level (parquet has no
+    * per-column codecs — the documented intentional loss, SURVEY §1.4).
+    * The reference's default ZSTD(6) maps to parquet zstd (level is a
+    * parquet-mr conf, not a write option — not plumbed); ClickHouse
+    * specialty codecs (Delta/Gorilla/T64/DoubleDelta) have no parquet
+    * equivalent and fall back to snappy. */
+  private def parquetCodec(schema: CompactedTableSchema): String =
+    schema.defaultCodec match {
+      case ColumnCodec.ZSTD(_) => "zstd"
+      case ColumnCodec.LZ4HC(_) => "lz4"
+      case _ => "snappy"
+    }
 
   /** `ALTER TABLE ... PARTITION BY` analogue: change the spatial
     * partitioning scheme (BaseCell <-> LowerResolution(d)) — the one layout
@@ -1215,6 +1229,7 @@ class CellStore(spark: SparkSession, rootPath: String) {
       .write
       .mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
+      .option("compression", parquetCodec(schema))
       .partitionBy(allPartCols: _*)
       .parquet(dp.toString)
   }
