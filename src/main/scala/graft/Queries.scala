@@ -258,6 +258,29 @@ object Queries {
       .orderBy(col("user_id"), col("ts_ms"), col("event_id"))
   }
 
+  /** Funnel attribution (q26): per user, every purchase is attributed to
+    * the most recent click within the preceding 10 minutes — the classic
+    * conversion window, computed with ONE pass per user (a time-RANGE
+    * window carrying the last click timestamp), never an event self-join.
+    * RANGE frames include current-row peers, so a click in the same
+    * millisecond converts — identical in both engines by SQL semantics.
+    * Delay sums are integer-exact cross-engine. */
+  def q26Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ts_ms"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
+      .rangeBetween(-600000L, 0L)
+    val p = e.withColumn("last_click",
+        max(when(col("event_type") === "click", col("ts_ms"))).over(w))
+      .where(col("event_type") === "purchase")
+    p.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(when(col("last_click").isNotNull, 1L).otherwise(0L)).as("n_converted"),
+        round(avg(col("ts_ms") - col("last_click")), 1).as("avg_delay_ms"))
+      .orderBy(col("user_id"))
+  }
+
   /** Closed-form distributed regression (q25): fit y = a + b*x and Pearson
     * r per group FROM RAW MOMENT SUMS (n, Σx, Σy, Σxx, Σyy, Σxy) — the
     * numerically transparent formulation both engines compute identically,
@@ -1575,6 +1598,19 @@ object Queries {
           |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
           |             RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW)
           |ORDER BY user_id, ts_ms, event_id""".stripMargin,
+      "q26_funnel" ->
+        """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms
+          |  FROM events WHERE event_type IN ('click', 'purchase')),
+          |m AS (SELECT user_id, event_type, ts_ms,
+          |    max(CASE WHEN event_type = 'click' THEN ts_ms END) OVER (
+          |      PARTITION BY user_id ORDER BY ts_ms
+          |      RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW) AS last_click
+          |  FROM e)
+          |SELECT user_id, count(*) AS n_purchases,
+          |  sum(CASE WHEN last_click IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_converted,
+          |  round(avg(ts_ms - last_click), 1) AS avg_delay_ms
+          |FROM m WHERE event_type = 'purchase'
+          |GROUP BY 1 ORDER BY user_id""".stripMargin,
       "q25_linreg" ->
         """WITH m AS (
           |  SELECT l_partkey % 3 AS grp, count(*)::DOUBLE AS n,
@@ -1786,6 +1822,7 @@ object Queries {
     "q23_range_window" -> q23RangeWindow,
     "q24_profile" -> q24Profile,
     "q25_linreg" -> q25LinReg,
+    "q26_funnel" -> q26Funnel,
     "c4_quality_ntile" -> c4QualityNtile,
     "c5_hash_split" -> c5HashSplit
   )
