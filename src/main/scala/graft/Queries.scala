@@ -1070,6 +1070,26 @@ object Queries {
       .orderBy(col("rnk"))
   }
 
+  /** Incrementally-grown inverted index (d21): build from the even half of
+    * the corpus, [[graft.text.InvertedIndex.append]] the odd half, search
+    * with d18's query — the grown index must rank EXACTLY like a
+    * single-pass build (d18's oracle), because search derives df from the
+    * postings at query time and the stats fold forward. */
+  def d21IndexAppend(spark: SparkSession, dir: String): DataFrame = {
+    val path = invIndexCache.computeIfAbsent(s"append:$dir", _ => {
+      val p = graft.util.TempDirs.create("graft_inv_append_")
+      val d = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+      graft.text.InvertedIndex.build(spark,
+        d.where(pmod(col("doc_id"), lit(2)) === 0), p)
+      graft.text.InvertedIndex.append(spark,
+        d.where(pmod(col("doc_id"), lit(2)) === 1), p)
+      p
+    })
+    graft.text.InvertedIndex.search(spark, path, Bm25Terms, 20)
+      .select(col("rnk"), col("doc_id"), round(col("score"), 4).as("bm25"))
+      .orderBy(col("rnk"))
+  }
+
   /** Overlapping document chunking (d19): split each document into
     * fixed-size character chunks with overlap — the context-length
     * splitting every pretraining/RAG pipeline runs before tokenization.
@@ -1499,6 +1519,9 @@ object Queries {
       // d20 answers the SAME query through the persistent inverted index —
       // the index layer must be ranking-invisible, so the oracle is d18's
       "d20_inverted_index" -> d18OracleSql,
+      // d21 grows the index incrementally (build even half, append odd) —
+      // must rank exactly like the single-pass build
+      "d21_index_append" -> d18OracleSql,
       "d19_chunking" ->
         """WITH c AS (SELECT doc_id, text, length(text) AS n FROM documents),
           |ch AS (SELECT doc_id, (i // 400)::INT AS chunk_idx,
@@ -1795,6 +1818,7 @@ object Queries {
     "d18_bm25_topk" -> d18Bm25Topk,
     "d19_chunking" -> d19Chunking,
     "d20_inverted_index" -> d20InvertedIndex,
+    "d21_index_append" -> d21IndexAppend,
     "d11_dup_span_pairs" -> d11DupSpanPairs,
     "d12_vocab_stats" -> d12VocabStats,
     "q11_asof_join" -> q11AsofJoin,

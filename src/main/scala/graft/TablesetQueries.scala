@@ -617,6 +617,9 @@ object TablesetQueries {
     // ts23 rewrites the same data under a DIFFERENT partitioning layout —
     // results must be layout-invisible (ts1's oracle)
     "ts23_alter_partitioning" -> ts1OracleSql,
+    // s8's downstream tableset is maintained FROM the CDC tail of gate_sum;
+    // its rollup must equal the source's (ts1's oracle)
+    "s8_derived_tableset" -> ts1OracleSql,
     "ts10_replace_optimize" -> versionedOracleSql,
     // ts11 reads the SAME logical content through the read-time collapse
     // (no rewrite) — identical expected rows by construction
@@ -1008,6 +1011,36 @@ object TablesetQueries {
       .orderBy(col("parent5"))
   }
 
+  // ------------------------------------------------------------------- s8
+
+  /** Derived tableset from the CDC tail (s8): subscribe to gate_sum's res-9
+    * base rows with [[graft.streaming.StreamOps.tailTableset]] and feed
+    * them through [[graft.streaming.StreamOps.insertStream]] into a SECOND
+    * tableset — the incremental materialized-view pipeline (downstream
+    * stores maintain themselves from upstream commits, no batch re-read).
+    * The downstream res-5 rollup must equal the source's: ts1's oracle. */
+  private def s8Store(spark: SparkSession, dir: String): CellStore = {
+    val store = ts1Store(spark, dir)
+    if (!store.listTablesets().contains("gate_downstream")) {
+      val src = graft.streaming.StreamOps.tailTableset(store, "gate_sum", 9)
+      val ckpt = graft.util.TempDirs.create("graft_s8_ckpt_")
+      val q = graft.streaming.StreamOps.insertStream(
+        src, store, "gate_downstream", ckpt,
+        createSchema = Some(CompactedTableSchema.builder("gate_downstream")
+          .h3BaseResolutions(Seq(5, 9))
+          .addAggregatedColumn("qty", T.Float64, Agg.Sum)
+          .build()),
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+    store
+  }
+
+  def s8DerivedTableset(spark: SparkSession, dir: String): DataFrame =
+    s8Store(spark, dir).scanForResolution("gate_downstream", 5)
+      .select(col("h3index").as("parent5"), round(col("qty"), 2).as("sum_qty"))
+      .orderBy(col("parent5"))
+
   // ------------------------------------------------------------------- s6
 
   /** s6 gate: CDC-style VERSIONED ingest through the streaming path — both
@@ -1071,6 +1104,7 @@ object TablesetQueries {
     "ts21_time_travel" -> ts21TimeTravel,
     "ts22_sql_stats" -> ts22SqlStats,
     "ts23_alter_partitioning" -> ts23AlterPartitioning,
-    "ts24_sql_traverse" -> ts24SqlTraverse
+    "ts24_sql_traverse" -> ts24SqlTraverse,
+    "s8_derived_tableset" -> s8DerivedTableset
   )
 }

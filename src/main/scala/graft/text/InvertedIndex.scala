@@ -76,6 +76,36 @@ object InvertedIndex {
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/stats")
   }
 
+  /** Incremental growth (the [[graft.ann.IvfIndex.append]] of the text
+    * side): tokenize ONLY the new docs, append their postings into the same
+    * `tb=` partitions, append their doc lengths, and fold the corpus stats
+    * forward. Existing posting files are never touched; document
+    * frequencies need no maintenance because [[search]] derives df from the
+    * pruned postings at query time — a grown index answers exactly like a
+    * single-pass build (d21 gate). New docs must be NEW doc_ids: appending
+    * an existing id would split its postings across files and double-count
+    * its dl. */
+  def append(spark: SparkSession, docs: DataFrame, path: String): Unit = {
+    val st = spark.read.parquet(s"$path/stats").first()
+    val numBuckets = st.getInt(st.fieldIndex("num_buckets"))
+    val words = tokenize(docs).localCheckpoint()
+    words
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .withColumn("tb", pmod(crc32(encode(col("term"), "UTF-8")), lit(numBuckets.toLong)))
+      .repartition(col("tb"))
+      .sortWithinPartitions(col("tb"), col("term"), col("doc_id"))
+      .write.mode(SaveMode.Append).partitionBy("tb")
+      .parquet(s"$path/postings")
+    val dl = words.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    dl.write.mode(SaveMode.Append).parquet(s"$path/doclen")
+    import spark.implicits._
+    val sumDlDelta = dl.agg(coalesce(sum(col("dl")), lit(0L))).first().getLong(0)
+    Seq((st.getLong(st.fieldIndex("n_docs")) + docs.count(),
+        st.getLong(st.fieldIndex("sum_dl")) + sumDlDelta, numBuckets))
+      .toDF("n_docs", "sum_dl", "num_buckets")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/stats")
+  }
+
   /** Top-k BM25-variant search. `terms` order is part of the contract: the
     * per-term partials are summed in exactly this order (float addition is
     * not associative; the fixed order is what keeps rankings bit-identical

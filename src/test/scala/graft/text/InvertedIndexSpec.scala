@@ -67,6 +67,18 @@ class InvertedIndexSpec extends AnyFunSuite with Matchers with SparkTestSession 
     st.getLong(st.fieldIndex("sum_dl")) shouldBe 15L // 4+3+4+4+0 tokens
   }
 
+  test("append equals a single-pass build (search-identical)") {
+    val p2 = Files.createTempDirectory("graft_inv_app_").toString
+    InvertedIndex.build(spark, docs.where(col("doc_id") % 2 === 0), p2, numBuckets = 8)
+    InvertedIndex.append(spark, docs.where(col("doc_id") % 2 =!= 0), p2)
+    val st = spark.read.parquet(s"$p2/stats").first()
+    st.getLong(st.fieldIndex("n_docs")) shouldBe 5L
+    st.getLong(st.fieldIndex("sum_dl")) shouldBe 15L
+    val full = InvertedIndex.search(spark, path, Seq("alpha", "beta"), 10).collect()
+    val grown = InvertedIndex.search(spark, p2, Seq("alpha", "beta"), 10).collect()
+    grown shouldBe full
+  }
+
   test("rebuild is idempotent (overwrite)") {
     InvertedIndex.build(spark, docs, path, numBuckets = 8)
     spark.read.parquet(s"$path/doclen").count() shouldBe 4 // docs with tokens
