@@ -819,6 +819,27 @@ object Queries {
       .select(col("canonical_id"), col("dup_count"))
       .orderBy(col("canonical_id"))
 
+  /** Normalized dedup (d22): dedup AFTER canonicalizing the text —
+    * lowercase, strip punctuation, collapse whitespace — the robust-dedup
+    * pass that catches trivially-mutated copies exact dedup (d1) misses.
+    * Same scale shape as d1: the shuffle key is the 32-byte sha256 of the
+    * NORMALIZED text, never the document. Reports only groups that an
+    * exact-dedup would NOT have merged identically (normalization matters),
+    * plus the totals. */
+  def d22NormalizedDedup(spark: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9\\s]", ""), "\\s+", " "))
+    t(spark, dir, "documents")
+      .select(col("doc_id"), sha2(col("text"), 256).as("raw_h"),
+        sha2(norm, 256).as("norm_h"))
+      .groupBy(col("norm_h"))
+      .agg(min(col("doc_id")).as("canonical_id"),
+        count(lit(1)).as("dup_count"),
+        countDistinct(col("raw_h")).as("distinct_raws"))
+      .select(col("canonical_id"), col("dup_count"), col("distinct_raws"))
+      .orderBy(col("canonical_id"))
+  }
+
   /** Token / character statistics per document (whitespace tokenization). */
   def d2TokenStats(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
@@ -1068,6 +1089,45 @@ object Queries {
     graft.text.InvertedIndex.search(spark, path, Bm25Terms, 20)
       .select(col("rnk"), col("doc_id"), round(col("score"), 4).as("bm25"))
       .orderBy(col("rnk"))
+  }
+
+  /** Heavy hitters (d23): exact top-10 terms via Misra-Gries per partition
+    * + exact recount of the candidates — the sketch-then-verify shape (c3's
+    * Bloom pattern for frequency). Per partition, an evicted term loses at
+    * most |partition|/(k+1) count, so the union loses at most N/(k+1): if
+    * the 10th candidate's EXACT count exceeds N/(k+1), no non-candidate can
+    * beat it and the top-10 is provably exact — asserted at runtime, so the
+    * gate fails loudly rather than silently approximating. State per task
+    * is k entries regardless of vocabulary size; only candidate terms are
+    * ever exact-counted. */
+  private val D23Sketch = 2000
+  def d23HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val words = termsFrame(spark, dir)
+    val cands = words.select(col("term")).as[String].mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        if (m.contains(t)) m(t) += 1L
+        else if (m.size < D23Sketch) m(t) = 1L
+        else {
+          m.mapValuesInPlace((_, v) => v - 1L)
+          m.filterInPlace((_, v) => v > 0L)
+        }
+      }
+      m.keysIterator
+    }.toDF("term").distinct()
+    val total = words.count()
+    val top = words.join(broadcast(cands), "term")
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(10)
+      .select(row_number().over(Window.orderBy(col("cnt").desc, col("term"))).as("rnk"),
+        col("term"), col("cnt"))
+      .orderBy(col("rnk"))
+    val rows = top.collect()
+    require(rows.length == 10 && rows.last.getLong(2) > total / (D23Sketch + 1),
+      s"d23: Misra-Gries completeness bound not met (10th count ${rows.lastOption
+        .map(_.getLong(2))}, bound ${total / (D23Sketch + 1)}) — raise D23Sketch")
+    top
   }
 
   /** Incrementally-grown inverted index (d21): build from the even half of
@@ -1390,6 +1450,14 @@ object Queries {
       "d1_exact_dedup" ->
         """SELECT min(doc_id) AS canonical_id, count(*) AS dup_count
           |FROM documents GROUP BY sha256(text) ORDER BY canonical_id""".stripMargin,
+      "d22_normalized_dedup" ->
+        """WITH n AS (SELECT doc_id, sha256(text) AS raw_h,
+          |    sha256(trim(regexp_replace(regexp_replace(lower(text),
+          |      '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS norm_h
+          |  FROM documents)
+          |SELECT min(doc_id) AS canonical_id, count(*) AS dup_count,
+          |  count(DISTINCT raw_h) AS distinct_raws
+          |FROM n GROUP BY norm_h ORDER BY canonical_id""".stripMargin,
       "d2_token_stats" ->
         """SELECT doc_id, length(text) AS text_len,
           | length(string_split_regex(trim(text), '\s+')) AS num_tokens,
@@ -1522,6 +1590,14 @@ object Queries {
       // d21 grows the index incrementally (build even half, append odd) —
       // must rank exactly like the single-pass build
       "d21_index_append" -> d18OracleSql,
+      // d23's sketch+verify must equal the plain exact top-10
+      "d23_heavy_hitters" ->
+        """WITH w AS (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+          |    x -> x != '')) AS term FROM documents),
+          |c AS (SELECT term, count(*) AS cnt FROM w GROUP BY 1)
+          |SELECT rnk, term, cnt FROM (
+          |  SELECT term, cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rnk FROM c)
+          |WHERE rnk <= 10 ORDER BY rnk""".stripMargin,
       "d19_chunking" ->
         """WITH c AS (SELECT doc_id, text, length(text) AS n FROM documents),
           |ch AS (SELECT doc_id, (i // 400)::INT AS chunk_idx,
@@ -1808,6 +1884,7 @@ object Queries {
     "s1_sessionize" -> s1Sessionize,
     "s2_windowed_stats" -> s2WindowedStats,
     "d1_exact_dedup" -> d1ExactDedup,
+    "d22_normalized_dedup" -> d22NormalizedDedup,
     "d2_token_stats" -> d2TokenStats,
     "d5_token_regex" -> d5TokenRegex,
     "d6_stopword_ratio" -> d6StopwordRatio,
@@ -1819,6 +1896,7 @@ object Queries {
     "d19_chunking" -> d19Chunking,
     "d20_inverted_index" -> d20InvertedIndex,
     "d21_index_append" -> d21IndexAppend,
+    "d23_heavy_hitters" -> d23HeavyHitters,
     "d11_dup_span_pairs" -> d11DupSpanPairs,
     "d12_vocab_stats" -> d12VocabStats,
     "q11_asof_join" -> q11AsofJoin,
