@@ -104,7 +104,11 @@ object Grid {
     while (n <= d) {
       val t = if (d == 0) 0.0 else n.toDouble / d
       val x = ax + (bx - ax) * t; val y = ay + (by - ay) * t; val z = az + (bz - az) * t
-      var ri = math.round(x).toInt; var rj = math.round(y).toInt; var rk = math.round(z).toInt
+      // C round (half-AWAY-FROM-ZERO, what h3 core's cubeRound compiles to),
+      // not Java's half-up: they differ on negative .5 ties (-0.5 -> -1 vs 0)
+      def cround(v: Double): Int =
+        (if (v < 0) -math.round(-v) else math.round(v)).toInt
+      var ri = cround(x); var rj = cround(y); var rk = cround(z)
       val di = math.abs(ri - x); val dj = math.abs(rj - y); val dk = math.abs(rk - z)
       if (di > dj && di > dk) ri = -rj - rk
       else if (dj > dk) rj = -ri - rk

@@ -64,9 +64,20 @@ object Bucketing {
       key: String = "h3index"): DataFrame = {
     // Since 3.0 Spark does not report a bucketed scan's sort order unless
     // this (SQL-runtime) flag is on — it is only safe when every bucket is
-    // one file, which writeMirror's pre-repartition guarantees. With it off
-    // the join would still skip the Exchange but re-sort both sides.
-    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-    spark.table(tableA).hint("merge").join(spark.table(tableB), key)
+    // one file, which writeMirror's pre-repartition guarantees for ITS
+    // tables. Scope the flag to this plan's construction (the executed
+    // plan is fixed at DataFrame creation) instead of leaking it to every
+    // later bucketed scan in the session.
+    val conf = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    val prior = spark.conf.getOption(conf)
+    spark.conf.set(conf, "true")
+    try {
+      val df = spark.table(tableA).hint("merge").join(spark.table(tableB), key)
+      df.queryExecution.executedPlan // force planning under the flag
+      df
+    } finally prior match {
+      case Some(v) => spark.conf.set(conf, v)
+      case None => spark.conf.unset(conf)
+    }
   }
 }

@@ -217,6 +217,12 @@ class CellStore(spark: SparkSession, rootPath: String) {
       updated, srcRes, newRes)
       .withColumn("resolution", lit(newRes))
       .withColumn("kind", lit("base"))
+    // retry safety: a previous attempt that died mid-write left partial
+    // kind=base/resolution=newRes files WITHOUT the schema update (it is
+    // written last) — since the schema says newRes does not exist, any such
+    // directory is garbage from a failed run; drop it so the retry cannot
+    // double-append
+    fs.delete(new Path(dataPath(name), s"kind=base/resolution=$newRes"), true)
     val preexisting =
       if (fs.exists(dataPath(name))) listDataFiles(name).toSet else Set.empty[String]
     writePartitioned(target, updated, name)
@@ -560,7 +566,7 @@ class CellStore(spark: SparkSession, rootPath: String) {
     * the base partition at target — evaluated on Hive partition columns
     * (planning-time pruning) and re-derivable driver-side from a manifest
     * row's partition values. */
-  private def resolutionFilter(targetRes: Int): org.apache.spark.sql.Column =
+  private[graft] def resolutionFilter(targetRes: Int): org.apache.spark.sql.Column =
     (col("kind") === "compacted" && col("resolution") <= targetRes) ||
       (col("kind") === "base" && col("resolution") === targetRes)
 
@@ -876,8 +882,21 @@ class CellStore(spark: SparkSession, rootPath: String) {
     val added = listDataFiles(name).filterNot(before).map(relToData(name, _)).sorted
     if (added.isEmpty) return
     val id = snapshotIds(name).lastOption.getOrElse(0L) + 1
-    val out = fs.create(new Path(snapshotsPath(name), s"$id.list"), true)
-    try out.write(added.mkString("\n").getBytes("UTF-8")) finally out.close()
+    writeSnapshotList(name, id, added)
+  }
+
+  /** Write a .list via temp + rename: an in-place overwrite truncates first,
+    * so a crash mid-write would leave a silently SHORT list — scanAsOf
+    * would then return fewer rows than the historical state with no error
+    * (the files still exist, so the invalidation check can't catch it). */
+  private def writeSnapshotList(name: String, id: Long, rels: Seq[String]): Unit = {
+    val tmp = new Path(snapshotsPath(name), s".$id.list.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(rels.mkString("\n").getBytes("UTF-8")) finally out.close()
+    val dst = new Path(snapshotsPath(name), s"$id.list")
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new IllegalStateException(s"snapshot $id of '$name': publish rename failed")
   }
 
   private def relToData(name: String, abs: String): String = {
@@ -938,8 +957,7 @@ class CellStore(spark: SparkSession, rootPath: String) {
     val cutoff = ids(ids.size - keepLast) // oldest id that stays readable
     val merged = ids.filter(_ <= cutoff).flatMap(readSnapshotList(name, _))
       .distinct.sorted
-    val out = fs.create(new Path(snapshotsPath(name), s"$cutoff.list"), true)
-    try out.write(merged.mkString("\n").getBytes("UTF-8")) finally out.close()
+    writeSnapshotList(name, cutoff, merged) // temp+rename, never truncate-in-place
     ids.filter(_ < cutoff).foreach { id =>
       fs.delete(new Path(snapshotsPath(name), s"$id.list"), false)
     }
@@ -1053,9 +1071,10 @@ class CellStore(spark: SparkSession, rootPath: String) {
       val lo = r.getLong(4); val hi = r.getLong(5)
       kindOk && bcOk && envs.exists { case (elo, ehi) => lo <= ehi && hi >= elo }
     }.map(r => new Path(r.getString(0)).toUri.getPath).toSeq
+    val currentSet = current.toSet
     val uncovered = current.filterNot(covered)
     Some(ManifestSelection(
-      (selected.filter(current.contains) ++ uncovered).distinct,
+      (selected.filter(currentSet.contains) ++ uncovered).distinct,
       manifestFiles = rows.length, currentFiles = current.size,
       uncoveredFiles = uncovered.size))
   }

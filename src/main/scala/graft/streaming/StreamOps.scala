@@ -147,8 +147,7 @@ object StreamOps {
     val spark = SparkSession.active
     spark.readStream.schema(schema)
       .parquet(store.dataDir(name))
-      .where((col("kind") === "compacted" && col("resolution") <= targetRes) ||
-        (col("kind") === "base" && col("resolution") === targetRes))
+      .where(store.resolutionFilter(targetRes)) // the ONE D7 predicate
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
   }
 

@@ -110,8 +110,12 @@ object InvertedIndex {
     * per-term partials are summed in exactly this order (float addition is
     * not associative; the fixed order is what keeps rankings bit-identical
     * across engines). Returns (rnk, doc_id, score). */
-  def search(spark: SparkSession, path: String, terms: Seq[String],
+  def search(spark: SparkSession, path: String, terms0: Seq[String],
       k: Int): DataFrame = {
+    // dedupe (first occurrence keeps its position): a repeated term would
+    // otherwise produce two identically-named pivot columns (ambiguous
+    // reference) — and scoring a term twice is never meant
+    val terms = terms0.distinct
     val st = spark.read.parquet(s"$path/stats").first()
     val nDocs = st.getLong(st.fieldIndex("n_docs"))
     val avgdl = st.getLong(st.fieldIndex("sum_dl")).toDouble / nDocs.toDouble
@@ -132,10 +136,12 @@ object InvertedIndex {
       (tfd + lit(1.2) * (lit(0.25) + lit(0.75) * dld / lit(avgdl)))
     val perTerm = tf.join(dfreq, Seq("term")).join(dl, Seq("doc_id"))
       .select(col("doc_id"), col("term"), partial.as("s"))
-    val pivoted = terms.map { tm =>
-      coalesce(max(when(col("term") === tm, col("s"))), lit(0.0)).as(s"s_$tm")
+    // positional aliases (s_0, s_1, ...): a term containing '.' or '`'
+    // would make col("s_" + term) parse as a nested-field path
+    val pivoted = terms.zipWithIndex.map { case (tm, i) =>
+      coalesce(max(when(col("term") === tm, col("s"))), lit(0.0)).as(s"s_$i")
     }
-    val score = terms.map(tm => col(s"s_$tm")).reduce(_ + _)
+    val score = terms.indices.map(i => col(s"s_$i")).reduce(_ + _)
     perTerm.groupBy(col("doc_id")).agg(pivoted.head, pivoted.tail: _*)
       .select(col("doc_id"), score.as("score"))
       .orderBy(col("score").desc, col("doc_id"))
