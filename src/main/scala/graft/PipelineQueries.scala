@@ -663,6 +663,28 @@ object PipelineQueries {
       .orderBy(col("lang"))
   }
 
+  /** Cluster-survivor selection (d24): inside every near-dup cluster with
+    * more than one member, KEEP the highest-quality document (tie: lowest
+    * doc_id) — the decision d-step every dedup pipeline ends with (t8's
+    * min-label survivor is an id accident; this one is policy). Rounded
+    * quality on BOTH sides so the argmax ties identically cross-engine;
+    * the argmax is one max(struct) aggregation — no window, no self-join. */
+  def d24ClusterSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val quality = round(
+      least(col("n_chars").cast("double") / 1000.0, lit(1.0)) * 0.5 +
+        when(col("lang") === "en", 0.3).otherwise(0.1) +
+        when(col("n_chars") > 100, 0.2).otherwise(0.0), 4)
+    val q = docs(spark, dir).select(col("doc_id"), quality.as("q"))
+    clusterLabels(spark, dir).join(q, col("id") === col("doc_id"))
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("q").as("q"), (-col("doc_id")).as("nid"))).as("best"))
+      .where(col("n_members") > 1)
+      .select(col("cluster_id"), col("n_members"),
+        (-col("best.nid")).as("survivor_id"), col("best.q").as("quality"))
+      .orderBy(col("cluster_id"))
+  }
+
   // ------------------------------------------------------------ oracle SQL
 
   private val codesSql =
@@ -983,6 +1005,23 @@ object PipelineQueries {
          |FROM cl c JOIN (SELECT cluster_id, count(*) AS n FROM cl GROUP BY 1) cnt
          |  USING (cluster_id)
          |ORDER BY doc_id""".stripMargin,
+    // d24: per multi-member cluster, argmax (rounded quality, then lowest
+    // doc_id) — the same recursive-CTE cluster derivation as t8
+    "d24_cluster_survivors" ->
+      s"""WITH RECURSIVE $clusterCtesSql,
+         |q AS (SELECT doc_id,
+         |    round(least(n_chars / 1000.0, 1.0) * 0.5 +
+         |      CASE WHEN lang = 'en' THEN 0.3 ELSE 0.1 END +
+         |      CASE WHEN n_chars > 100 THEN 0.2 ELSE 0.0 END, 4) AS qv
+         |  FROM documents),
+         |m AS (SELECT c.cluster_id, c.doc_id, q.qv FROM cl c JOIN q USING (doc_id)),
+         |r AS (SELECT cluster_id, doc_id, qv,
+         |    count(*) OVER (PARTITION BY cluster_id) AS n_members,
+         |    row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY qv DESC, doc_id) AS rn
+         |  FROM m)
+         |SELECT cluster_id, n_members, doc_id AS survivor_id, qv AS quality
+         |FROM r WHERE rn = 1 AND n_members > 1 ORDER BY cluster_id""".stripMargin,
     "c1_curation" ->
       s"""WITH RECURSIVE $clusterCtesSql,
          |surv AS (SELECT doc_id FROM cl WHERE doc_id = cluster_id),
@@ -1027,6 +1066,7 @@ object PipelineQueries {
     "t6_ngram_jaccard_topk" -> t6NgramJaccardTopk,
     "t7_simhash_neardup" -> t7SimhashNearDup,
     "t8_dedup_clusters" -> t8DedupClusters,
+    "d24_cluster_survivors" -> d24ClusterSurvivors,
     "e4_ivf_ann" -> e4IvfAnn,
     "e5_ivf_index" -> e5IvfIndex,
     "e6_ivf_append" -> e6IvfAppend,
