@@ -365,11 +365,16 @@ object Queries {
   /** Deterministic valid H3 cell at res 9 from lineitem keys — identical
     * arithmetic on the DuckDB side. First digit in 2..6 keeps cells off the
     * pentagon K-axis (always valid, never a pentagon-center chain). */
-  private[graft] def synthCell: Column = {
-    val bc = pmod(col("l_orderkey") * 7 + col("l_partkey"), lit(122))
-    val d1 = (pmod(col("l_partkey") + col("l_orderkey"), lit(5)) + 2)
+  private[graft] def synthCell: Column =
+    synthCellFrom(col("l_orderkey"), col("l_partkey"))
+
+  /** The same synthetic cell from explicit key columns (for callers whose
+    * frame carries the keys under other names, e.g. ts25's repair path). */
+  private[graft] def synthCellFrom(okey: Column, pkey: Column): Column = {
+    val bc = pmod(okey * 7 + pkey, lit(122))
+    val d1 = (pmod(pkey + okey, lit(5)) + 2)
     val digits = (2 to 9).map { i =>
-      shiftleft(pmod(col("l_partkey") + lit(i) * col("l_orderkey"), lit(7)).cast("long"),
+      shiftleft(pmod(pkey + lit(i) * okey, lit(7)).cast("long"),
         3 * (15 - i))
     }
     val base = shiftleft(lit(1L), 59)

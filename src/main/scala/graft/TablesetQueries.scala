@@ -1011,6 +1011,50 @@ object TablesetQueries {
       .orderBy(col("parent5"))
   }
 
+  // ------------------------------------------------------------------ ts25
+
+  /** Quarantine repair flow (ts25): ingest a batch where every 5th row
+    * carries a GARBAGE h3index under InvalidPolicy.Quarantine — the valid
+    * remainder inserts, the garbage dead-letters to rejects/ — then repair
+    * the rejected rows (recompute the cell from their carried keys) and
+    * reinsert them. The final read must equal the all-valid derivation:
+    * the quarantine loop loses nothing and invents nothing. */
+  private def ts25Store(spark: SparkSession, dir: String): CellStore = {
+    val store = CellStore(spark, rootFor(dir))
+    if (!store.listTablesets().contains("gate_quarantine")) {
+      val li = lineitem(spark, dir)
+      val base = li.select(
+        Queries.synthCell.as("good_cell"),
+        col("l_orderkey").as("okey"), col("l_partkey").as("pkey"),
+        pmod(col("l_orderkey"), lit(50)).as("v"))
+      // garbage = the raw orderkey (mode bits 0 -> h3_is_valid false)
+      val poisoned = base.select(
+        when(pmod(col("okey"), lit(5)) === 0, col("okey"))
+          .otherwise(col("good_cell")).as("h3index"),
+        col("okey"), col("pkey"), col("v"))
+      store.insert("gate_quarantine", poisoned,
+        createSchema = Some(CompactedTableSchema.builder("gate_quarantine")
+          .h3BaseResolutions(Seq(9))
+          .useCompaction(false)
+          .addSimpleColumn("okey", T.Int64)
+          .addSimpleColumn("pkey", T.Int64)
+          .addAggregatedColumn("v", T.Int64, Agg.Max)
+          .build()),
+        invalidPolicy = CellStore.InvalidPolicy.Quarantine)
+      // repair: the rejects carry the original keys -> recompute the cell
+      val repaired = store.rejects("gate_quarantine")
+        .select(Queries.synthCellFrom(col("okey"), col("pkey")).as("h3index"),
+          col("okey"), col("pkey"), col("v"))
+      store.insert("gate_quarantine", repaired)
+    }
+    store
+  }
+
+  def ts25QuarantineRepair(spark: SparkSession, dir: String): DataFrame =
+    ts25Store(spark, dir).scanForResolution("gate_quarantine", 9)
+      .select(col("h3index"), col("okey"), col("pkey"), col("v"))
+      .orderBy(col("h3index"), col("okey"), col("pkey"))
+
   // ------------------------------------------------------------------- s8
 
   /** Derived tableset from the CDC tail (s8): subscribe to gate_sum's res-9
