@@ -543,6 +543,53 @@ object TablesetQueries {
       .select(col("h3index"), col("version"), col("val"))
       .orderBy(col("h3index"))
 
+  // --------------------------------------------------------------- ts25/26
+
+  /** SummingMergeTree through the oracle gate (round-3 verdict: the engine
+    * must SUM, not silently behave as Replacing). Two inserts write
+    * overlapping cell sets; the engine's collapse must sum `val` and `cnt`
+    * per cell across batches — after each batch's own full-row insert dedup,
+    * exactly like ClickHouse block dedup before merges. ts25 collapses ON
+    * DISK (replace = OPTIMIZE ... FINAL), ts26 AT READ TIME
+    * (scanForResolutionFinal = SELECT ... FINAL) — identical results. */
+  private def summingSchema(name: String) = CompactedTableSchema.builder(name)
+    .h3BaseResolutions(Seq(9))
+    .useCompaction(false)
+    .engine(TableEngine.SummingMergeTree(Seq("val", "cnt")))
+    .addSimpleColumn("val", T.Int64)
+    .addSimpleColumn("cnt", T.Int64)
+    .build()
+
+  private def summingStore(spark: SparkSession, dir: String, name: String,
+      optimize: Boolean): CellStore = {
+    val store = CellStore(spark, rootFor(dir))
+    if (!store.listTablesets().contains(name)) {
+      val li = lineitem(spark, dir)
+      val a = li.where(pmod(col("l_orderkey"), lit(2)) === 0)
+        .select(Queries.synthCell.as("h3index"),
+          pmod(col("l_orderkey"), lit(50)).as("val"), lit(1L).as("cnt"))
+      val b = li.where(pmod(col("l_orderkey"), lit(6)) === 0)
+        .select(Queries.synthCell.as("h3index"),
+          pmod(col("l_orderkey"), lit(37)).as("val"), lit(1L).as("cnt"))
+      store.insert(name, a, createSchema = Some(summingSchema(name)))
+      store.insert(name, b)
+      if (optimize) store.replace(name)
+    }
+    store
+  }
+
+  def ts25SummingOptimize(spark: SparkSession, dir: String): DataFrame =
+    summingStore(spark, dir, "gate_summing", optimize = true)
+      .scanForResolution("gate_summing", 9)
+      .select(col("h3index"), col("val"), col("cnt"))
+      .orderBy(col("h3index"))
+
+  def ts26SummingFinal(spark: SparkSession, dir: String): DataFrame =
+    summingStore(spark, dir, "gate_sumfinal", optimize = false)
+      .scanForResolutionFinal("gate_sumfinal", 9)
+      .select(col("h3index"), col("val"), col("cnt"))
+      .orderBy(col("h3index"))
+
   // ---------------------------------------------------------------- oracles
 
   /** parent-at-res arithmetic shared with Queries: replace res field, fill
@@ -562,6 +609,19 @@ object TablesetQueries {
       " | ((((l_partkey + l_orderkey) % 5) + 2)::BIGINT << 42)" +
       s" | $digits | 262143::BIGINT)"
   }
+
+  // SummingMergeTree: per-batch full-row dedup (insert), then SUM the
+  // declared sum columns per cell across batches (the engine collapse)
+  private val summingOracleSql: String =
+    s"""WITH a AS (SELECT DISTINCT $synthCellSql AS cell,
+       |    (l_orderkey % 50)::BIGINT AS val, 1::BIGINT AS cnt
+       |  FROM lineitem WHERE l_orderkey % 2 = 0),
+       |b AS (SELECT DISTINCT $synthCellSql AS cell,
+       |    (l_orderkey % 37)::BIGINT AS val, 1::BIGINT AS cnt
+       |  FROM lineitem WHERE l_orderkey % 6 = 0),
+       |allr AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+       |SELECT cell AS h3index, sum(val)::BIGINT AS val, sum(cnt)::BIGINT AS cnt
+       |FROM allr GROUP BY cell ORDER BY h3index""".stripMargin
 
   // the engine dedups full rows before rollup -> DISTINCT first
   private val ts1OracleSql: String =
@@ -621,6 +681,10 @@ object TablesetQueries {
     // its rollup must equal the source's (ts1's oracle)
     "s8_derived_tableset" -> ts1OracleSql,
     "ts10_replace_optimize" -> versionedOracleSql,
+    "ts25_summing_optimize" -> summingOracleSql,
+    // ts26 reads the SAME logical content through the read-time sum
+    // collapse (no rewrite) — identical expected rows by construction
+    "ts26_summing_final" -> summingOracleSql,
     // ts11 reads the SAME logical content through the read-time collapse
     // (no rewrite) — identical expected rows by construction
     "ts11_final_read" -> versionedOracleSql,
@@ -1149,6 +1213,8 @@ object TablesetQueries {
     "ts22_sql_stats" -> ts22SqlStats,
     "ts23_alter_partitioning" -> ts23AlterPartitioning,
     "ts24_sql_traverse" -> ts24SqlTraverse,
+    "ts25_summing_optimize" -> ts25SummingOptimize,
+    "ts26_summing_final" -> ts26SummingFinal,
     "s8_derived_tableset" -> s8DerivedTableset
   )
 }

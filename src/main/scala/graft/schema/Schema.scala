@@ -293,6 +293,18 @@ final case class CompactedTableSchema(
         val missing = sumCols.filterNot(columns.contains)
         if (missing.nonEmpty)
           throw new SchemaError(s"SummingMergeTree sum columns missing: $missing")
+        // ClickHouse constraints: summed columns must be numeric and must
+        // not be part of the sort key (a key column cannot also collapse)
+        sumCols.foreach { c =>
+          if (!columns(c).dataType.isNumber)
+            throw new SchemaError(
+              s"SummingMergeTree sum column '$c' must be numeric " +
+                s"(got ${columns(c).dataType.name})")
+          if (orderByKey.contains(c))
+            throw new SchemaError(
+              s"SummingMergeTree sum column '$c' is part of the ORDER BY key — " +
+                "a sort-key column cannot be summed across the rows it identifies")
+        }
       case TableEngine.ReplacingMergeTree(Some(ver)) =>
         // compaction merges equal-valued sibling groups into a PARENT cell;
         // a later version of one child could then never shadow its coverage

@@ -195,6 +195,13 @@ class CellStore(spark: SparkSession, rootPath: String) {
       s"cannot drop partition column '$colName'")
     require(!schema.versionColumn.contains(colName),
       s"cannot drop ReplacingMergeTree version column '$colName'")
+    // ClickHouse refuses to drop key columns for the same reason: removing
+    // an ORDER BY key column silently NARROWS the sort/replace key, so a
+    // later replaceWhere/FINAL collapses rows that were distinct keys
+    // (ADVICE r3)
+    require(!schema.orderByKey.contains(colName),
+      s"cannot drop ORDER BY key column '$colName' — dropping it would " +
+        "narrow the sort key and collapse previously-distinct rows")
     val narrowed = schema.copy(columns = schema.columns - colName).validated
     writeSchema(name, narrowed)
   }
@@ -307,10 +314,50 @@ class CellStore(spark: SparkSession, rootPath: String) {
       .toMap
   }
 
-  /** D4: get one tableset's schema, error if absent. */
+  /** D4: get one tableset's schema, error if absent. Reconciles the sidecar
+    * against the data dir's layout marker ([[alterPartitioning]]'s crash
+    * window): the marker travels with the data through the publish renames,
+    * so a sidecar that still declares the OLD h3Partitioning is healed here
+    * instead of silently mispruning ph3 (ADVICE r3, medium). */
   def getTableset(name: String): CompactedTableSchema =
-    listTablesets().getOrElse(name,
-      throw new IllegalArgumentException(s"tableset '$name' does not exist under $rootPath"))
+    reconcileLayout(name, listTablesets().getOrElse(name,
+      throw new IllegalArgumentException(s"tableset '$name' does not exist under $rootPath")))
+
+  private def layoutMarkerPath(name: String) = new Path(dataPath(name), "_layout.json")
+
+  private def layoutTag(p: H3Partitioning): String = p match {
+    case H3Partitioning.BaseCell => "basecell"
+    case H3Partitioning.LowerResolution(d) => s"lower:$d"
+  }
+
+  private def parseLayoutTag(s: String): H3Partitioning = s.trim match {
+    case "basecell" => H3Partitioning.BaseCell
+    case t if t.startsWith("lower:") =>
+      H3Partitioning.LowerResolution(t.stripPrefix("lower:").toInt)
+    case other => throw new IllegalStateException(
+      s"unrecognized h3-partitioning layout marker: '$other'")
+  }
+
+  /** If the data dir carries a layout marker that disagrees with the
+    * sidecar's declared h3Partitioning, the sidecar is STALE (a crash
+    * between [[alterPartitioning]]'s data publish and its schema write) —
+    * trust the marker (it is atomic with the directory layout it describes)
+    * and heal the sidecar. No marker (tableset never re-partitioned) is a
+    * clean pass-through. */
+  private def reconcileLayout(name: String,
+      schema: CompactedTableSchema): CompactedTableSchema = {
+    val mp = layoutMarkerPath(name)
+    if (!fs.exists(mp)) return schema
+    val in = fs.open(mp)
+    val tag = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val actual = parseLayoutTag(tag)
+    if (actual == schema.h3Partitioning) schema
+    else {
+      val healed = schema.copy(h3Partitioning = actual).validated
+      writeSchema(name, healed)
+      healed
+    }
+  }
 
   /** The h3index column wrapped in an inline validity assertion: invalid
     * cells fail the evaluating job (codegen'd, no extra scan). */
@@ -383,10 +430,18 @@ class CellStore(spark: SparkSession, rootPath: String) {
     val conformed = invalidPolicy match {
       case InvalidPolicy.Fail => conformed0.withColumn(h3Col, validatedH3Column)
       case InvalidPolicy.Quarantine =>
-        val invalid = conformed0.where(!h3_is_valid(col(h3Col)))
+        // ONE materialization feeds both sides: a non-deterministic input
+        // frame re-evaluated per job could otherwise route a row to both or
+        // neither side (ADVICE r3). Retry caveat, documented: rejects/ is
+        // append-only, so an insert that failed AFTER the rejects append and
+        // was retried appends its invalid rows twice — dedupe on read if a
+        // pipeline retries ([[rejects]] returns full rows; dropDuplicates
+        // restores exactly-once).
+        val mat = conformed0.localCheckpoint()
+        val invalid = mat.where(!h3_is_valid(col(h3Col)))
         if (!invalid.isEmpty)
           invalid.write.mode(SaveMode.Append).parquet(rejectsPath(name).toString)
-        conformed0.where(h3_is_valid(col(h3Col)))
+        mat.where(h3_is_valid(col(h3Col)))
     }
 
     if (conformed.isEmpty) return
@@ -488,8 +543,13 @@ class CellStore(spark: SparkSession, rootPath: String) {
     * renames publish it. A crash between the renames leaves a
     * `data_old_*` dir to restore by hand — the narrow window is documented
     * rather than hidden; a transactional commit log is the lakehouse-grade
-    * upgrade path. Rewritten paths invalidate the manifest (dropped here;
-    * rebuild at will) and snapshot history (fails loudly at [[scanAsOf]]). */
+    * upgrade path. The staged data carries a `_layout.json` marker naming
+    * its h3Partitioning, so schema and layout publish ATOMICALLY: a crash
+    * after the publish renames but before the sidecar write is healed by
+    * [[reconcileLayout]] on the next read instead of silently mispruning
+    * (ADVICE r3, medium). Rewritten paths invalidate the manifest (dropped
+    * here; rebuild at will) and snapshot history (fails loudly at
+    * [[scanAsOf]]). */
   def alterPartitioning(name: String, newPartitioning: H3Partitioning): Unit = {
     val schema = getTableset(name)
     if (schema.h3Partitioning == newPartitioning) return
@@ -497,8 +557,11 @@ class CellStore(spark: SparkSession, rootPath: String) {
     val keep = (schema.columns.keys.toSeq :+ "kind" :+ "resolution").map(col)
     val all = readDeclared(name).select(keep: _*)
     val staging = new Path(tablesetPath(name), s"data_stage_${System.nanoTime()}")
-    try writePartitionedTo(all, updated, staging)
-    catch { case t: Throwable => fs.delete(staging, true); throw t }
+    try {
+      writePartitionedTo(all, updated, staging)
+      val mk = fs.create(new Path(staging, "_layout.json"), true)
+      try mk.write(layoutTag(updated.h3Partitioning).getBytes("UTF-8")) finally mk.close()
+    } catch { case t: Throwable => fs.delete(staging, true); throw t }
     val old = new Path(tablesetPath(name), s"data_old_${System.nanoTime()}")
     if (!fs.rename(dataPath(name), old))
       throw new IllegalStateException(s"alterPartitioning: cannot move live data of '$name'")
@@ -1236,20 +1299,26 @@ class CellStore(spark: SparkSession, rootPath: String) {
   def deduplicateWhere(name: String, touched: org.apache.spark.sql.Column): Unit =
     optimizePartitions(name, touched, (all, _) => all.dropDuplicates())
 
-  /** ClickHouse `OPTIMIZE ... FINAL` for a versioned ReplacingMergeTree:
-    * collapse each sort key (the ORDER BY key minus the version column) to
-    * the row with the LARGEST version, within the touched partitions only.
-    * Requires the tableset's engine to declare a version column. Exact-
-    * version ties break deterministically on the remaining payload columns
-    * (greatest wins) — ClickHouse keeps an arbitrary row of the tied set;
-    * a distributed engine must not.
+  /** ClickHouse `OPTIMIZE ... FINAL`: collapse each sort key within the
+    * touched partitions, with the ENGINE deciding what "collapse" means
+    * (`schema/other.rs:11-15` declares the engines; here their merge
+    * semantics are realized explicitly instead of inherited from ClickHouse
+    * merges):
+    *  - ReplacingMergeTree(version): keep the row with the LARGEST version
+    *    per sort key. Exact-version ties break deterministically on the
+    *    remaining payload columns (greatest wins) — ClickHouse keeps an
+    *    arbitrary row of the tied set; a distributed engine must not.
+    *  - SummingMergeTree(cols): SUM the declared columns across the rows of
+    *    each sort key ([[sumCollapse]]).
+    *  - AggregatingMergeTree: collapse each aggregated column with its
+    *    declared method ([[aggCollapse]]).
     *
-    * Like ClickHouse merges, the collapse is per PARTITION: two versions of
-    * a sort key that land in different partition directories (e.g. a
-    * temporal partition column that changed between versions) are both
-    * kept — the same contract as ClickHouse's partition-local merges. */
+    * Like ClickHouse merges, the collapse is per PARTITION: two rows of one
+    * sort key that land in different partition directories (e.g. a temporal
+    * partition column that changed between versions) are both kept — the
+    * same contract as ClickHouse's partition-local merges. */
   def replaceWhere(name: String, touched: org.apache.spark.sql.Column): Unit =
-    optimizePartitions(name, touched, (all, schema) => keepLatest(all, schema))
+    optimizePartitions(name, touched, (all, schema) => mergeCollapse(all, schema))
 
   def replace(name: String): Unit = replaceWhere(name, lit(true))
 
@@ -1271,6 +1340,24 @@ class CellStore(spark: SparkSession, rootPath: String) {
 
   def compactFiles(name: String): Unit = compactFilesWhere(name, lit(true))
 
+  /** Engine dispatch for the FINAL/optimize collapse — every engine's merge
+    * semantics are real, none fall back silently to another's (round-3
+    * verdict: a declared SummingMergeTree must sum, not keep-latest). */
+  private def mergeCollapse(df: DataFrame, schema: CompactedTableSchema): DataFrame =
+    schema.engine match {
+      case TableEngine.ReplacingMergeTree(_) => keepLatest(df, schema)
+      case TableEngine.SummingMergeTree(sumCols) => sumCollapse(df, schema, sumCols)
+      case TableEngine.AggregatingMergeTree => aggCollapse(df, schema)
+    }
+
+  /** The sort key a collapse groups on: the physical partition columns (a
+    * ClickHouse merge is partition-local) plus the schema's replace key. */
+  private def collapseKey(df: DataFrame, schema: CompactedTableSchema): Seq[String] = {
+    val partCols = df.columns.filter(c =>
+      c == "kind" || c == "resolution" || c == "ph3" || c == "pt" || c.startsWith("pt_"))
+    (partCols ++ schema.replaceKey.filter(df.columns.contains)).distinct
+  }
+
   /** Keep-latest collapse of a frame holding tableset rows (+ partition
     * columns): group by (partition cols ++ replaceKey), survivor = the
     * lexicographic max of (version, remaining payload) — one shuffle with
@@ -1278,14 +1365,85 @@ class CellStore(spark: SparkSession, rootPath: String) {
   private def keepLatest(df: DataFrame, schema: CompactedTableSchema): DataFrame = {
     val ver = schema.versionColumn.getOrElse(throw new IllegalArgumentException(
       s"tableset '${schema.name}' declares no ReplacingMergeTree version column"))
-    val partCols = df.columns.filter(c =>
-      c == "kind" || c == "resolution" || c == "ph3" || c == "pt" || c.startsWith("pt_"))
-    val keyCols = (partCols ++ schema.replaceKey.filter(df.columns.contains)).distinct
+    val keyCols = collapseKey(df, schema)
     val payload = ver +: df.columns.filterNot(c => keyCols.contains(c) || c == ver)
     df.groupBy(keyCols.map(col).toIndexedSeq: _*)
       .agg(max(struct(payload.map(col).toIndexedSeq: _*)).as("_latest"))
       .select(df.columns.map(c =>
         (if (keyCols.contains(c)) col(c) else col(s"_latest.$c")).as(c)).toIndexedSeq: _*)
+  }
+
+  /** SummingMergeTree collapse (`schema/other.rs:11-15`; ClickHouse sums
+    * rows sharing a sort key at merge): SUM the declared sum columns per
+    * sort key; an EMPTY declaration sums every numeric non-key column
+    * (ClickHouse's default). Non-summed payload columns take their values
+    * from ONE surviving row — the lexicographic max, so the choice is
+    * deterministic where ClickHouse's "any row of the set" is not. Sums are
+    * cast back to the declared column type. Divergence, documented:
+    * ClickHouse DELETES a row whose summed columns are all zero after the
+    * merge; here zero is an ordinary value — dropping data on a numeric
+    * coincidence has no place in a lakehouse store. One shuffle, map-side
+    * partial aggregation. */
+  private def sumCollapse(df: DataFrame, schema: CompactedTableSchema,
+      sumCols: Seq[String]): DataFrame = {
+    val keyCols = collapseKey(df, schema)
+    val summed =
+      if (sumCols.nonEmpty) sumCols.filter(df.columns.contains)
+      else schema.columns.collect {
+        case (n, c) if !keyCols.contains(n) && c.dataType.isNumber &&
+          df.columns.contains(n) => n
+      }.toSeq
+    val rest = df.columns.filterNot(c => keyCols.contains(c) || summed.contains(c))
+    val aggs = summed.map(c =>
+      sum(col(c)).cast(schema.columns(c).dataType.sparkType).as(c)) ++
+      (if (rest.nonEmpty) Seq(max(struct(rest.map(col).toIndexedSeq: _*)).as("_rest")) else Nil)
+    df.groupBy(keyCols.map(col).toIndexedSeq: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(df.columns.map(c =>
+        (if (keyCols.contains(c) || summed.contains(c)) col(c)
+         else col(s"_rest.$c")).as(c)).toIndexedSeq: _*)
+  }
+
+  /** AggregatingMergeTree collapse: each aggregated column merges duplicate
+    * sort keys with its DECLARED method — the engine's promise is that the
+    * rollup's aggregation discipline also governs merges. Sum/Min/Max are
+    * merge-associative and collapse directly; SetNullOnConflict keeps the
+    * unanimous value or nulls. Average and RelativeToCellArea are NOT
+    * re-mergeable from their finalized values (an average of averages is
+    * wrong without counts; ClickHouse stores aggregate STATES for exactly
+    * this reason) — collapsing them here must refuse loudly rather than
+    * return silently-wrong numbers. Simple non-key payload columns take the
+    * deterministic max-struct survivor, as in [[sumCollapse]]. */
+  private def aggCollapse(df: DataFrame, schema: CompactedTableSchema): DataFrame = {
+    val keyCols = collapseKey(df, schema)
+    val aggCols = schema.aggregatedColumns.filter(c => df.columns.contains(c._1))
+    val bad = aggCols.collect {
+      case (n, _, AggregationMethod.Average) => s"$n (average)"
+      case (n, _, AggregationMethod.RelativeToCellArea) => s"$n (relativetocellarea)"
+    }
+    require(bad.isEmpty,
+      s"AggregatingMergeTree collapse of '${schema.name}' is undefined for " +
+        s"non-re-mergeable aggregations: ${bad.mkString(", ")} — an average of " +
+        "finalized averages is wrong without counts. Use ReplacingMergeTree, or " +
+        "store the sum and count as separate Sum columns")
+    val aggNames = aggCols.map(_._1)
+    val rest = df.columns.filterNot(c => keyCols.contains(c) || aggNames.contains(c))
+    val aggs = aggCols.map { case (n, dt, agg) =>
+      (agg match {
+        case AggregationMethod.Sum => sum(col(n))
+        case AggregationMethod.Min => min(col(n))
+        case AggregationMethod.Max => max(col(n))
+        case AggregationMethod.SetNullOnConflict =>
+          when(size(collect_set(col(n))) === 1, first(col(n), ignoreNulls = true))
+            .otherwise(lit(null))
+        case other => throw new IllegalStateException(s"unreachable: $other")
+      }).cast(dt.sparkType).as(n)
+    } ++ (if (rest.nonEmpty) Seq(max(struct(rest.map(col).toIndexedSeq: _*)).as("_rest")) else Nil)
+    df.groupBy(keyCols.map(col).toIndexedSeq: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(df.columns.map(c =>
+        (if (keyCols.contains(c) || aggNames.contains(c)) col(c)
+         else col(s"_rest.$c")).as(c)).toIndexedSeq: _*)
   }
 
   /** Rows quarantined by [[InvalidPolicy.Quarantine]] inserts, in the
@@ -1304,13 +1462,14 @@ class CellStore(spark: SparkSession, rootPath: String) {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema.toStructType)
   }
 
-  /** `SELECT ... FINAL`: the resolution scan with the versioned keep-latest
-    * collapse applied AT READ TIME — no rewrite, stale versions stay on
-    * disk until [[replaceWhere]] merges them away. Partition pruning is
-    * unaffected (the collapse groups on the partition columns, above any
-    * pushed filters). */
+  /** `SELECT ... FINAL`: the resolution scan with the ENGINE's collapse
+    * applied AT READ TIME ([[mergeCollapse]]: keep-latest for versioned
+    * Replacing, sum for Summing, declared-method for Aggregating) — no
+    * rewrite, stale rows stay on disk until [[replaceWhere]] merges them
+    * away. Partition pruning is unaffected (the collapse groups on the
+    * partition columns, above any pushed filters). */
   def scanForResolutionFinal(name: String, targetRes: Int): DataFrame =
-    keepLatest(scanForResolution(name, targetRes), getTableset(name))
+    mergeCollapse(scanForResolution(name, targetRes), getTableset(name))
 
   private def optimizePartitions(name: String, touched: org.apache.spark.sql.Column,
       collapse: (DataFrame, CompactedTableSchema) => DataFrame): Unit = {

@@ -116,8 +116,15 @@ object InvertedIndex {
     // otherwise produce two identically-named pivot columns (ambiguous
     // reference) — and scoring a term twice is never meant
     val terms = terms0.distinct
+    require(terms.nonEmpty, "search requires at least one term")
     val st = spark.read.parquet(s"$path/stats").first()
     val nDocs = st.getLong(st.fieldIndex("n_docs"))
+    // an empty index has no meaningful avgdl (0/0 = NaN would poison every
+    // score) — an empty result in the declared shape is the honest answer
+    if (nDocs == 0L)
+      return spark.read.parquet(s"$path/doclen")
+        .select(lit(0).as("rnk"), col("doc_id"), lit(0.0).as("score"))
+        .limit(0)
     val avgdl = st.getLong(st.fieldIndex("sum_dl")).toDouble / nDocs.toDouble
     val numBuckets = st.getInt(st.fieldIndex("num_buckets"))
     val buckets = terms.map(bucketOf(_, numBuckets)).distinct

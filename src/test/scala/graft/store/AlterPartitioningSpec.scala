@@ -74,6 +74,35 @@ class AlterPartitioningSpec extends AnyFunSuite with Matchers with SparkTestSess
     got shouldBe expected
   }
 
+  test("crash between data publish and schema write heals on next read (layout marker)") {
+    val (s, root) = freshStore()
+    val staleSidecar = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/$name/schema.json"))
+    val expected = s.scanForResolution(name, 7)
+      .select("h3index", "v").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted.toSeq
+    s.alterPartitioning(name, H3Partitioning.LowerResolution(2))
+    // simulate the crash window: the publish renames landed (new layout +
+    // its _layout.json marker) but the sidecar write did not
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/$name/schema.json"), staleSidecar)
+    // the raw-bytes restore bypasses Hadoop's ChecksumFileSystem — drop the
+    // now-stale .crc sidecar so the read sees the (stale) content, not an IO error
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$root/$name/.schema.json.crc"))
+    // a FRESH store (no in-memory state) must heal, not misprune
+    val s2 = CellStore(spark, root)
+    s2.getTableset(name).h3Partitioning shouldBe H3Partitioning.LowerResolution(2)
+    val after = s2.scanForResolution(name, 7)
+      .select("h3index", "v").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted.toSeq
+    after shouldBe expected
+    // and the sidecar itself was rewritten (healed durably, not per-read)
+    CompactedTableSchema.fromJson(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/$name/schema.json")), "UTF-8"))
+      .h3Partitioning shouldBe H3Partitioning.LowerResolution(2)
+  }
+
   test("same-partitioning alter is a no-op; manifest is dropped on change") {
     val (s, _) = freshStore()
     s.buildManifest(name)

@@ -534,6 +534,28 @@ class CellStoreSpec extends AnyFunSuite with Matchers with SparkTestSession {
     an[IllegalArgumentException] should be thrownBy store.dropColumn("versioned", "version")
   }
 
+  test("dropColumn refuses ORDER BY key columns (narrowing the sort key collapses rows)") {
+    val store = newStore()
+    val schema = CompactedTableSchema.builder("keyed")
+      .h3BaseResolutions(Seq(7))
+      .useCompaction(false)
+      .addColumn("k", ColumnDef.Simple(T.Int64, orderKeyPosition = Some(0)))
+      .addSimpleColumn("val", T.Int64)
+      .build()
+    val cells = H3.toChildren(hexRes5, 7).toSeq.take(3)
+    val rows = cells.map(c => Row(c, 1L, 2L))
+    store.insert("keyed", spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+      StructType(Seq(
+        StructField("h3index", LongType, false),
+        StructField("k", LongType, false),
+        StructField("val", LongType, false)))),
+      createSchema = Some(schema))
+    val e = the[IllegalArgumentException] thrownBy store.dropColumn("keyed", "k")
+    e.getMessage should include("ORDER BY key")
+    store.dropColumn("keyed", "val") // non-key payload still droppable
+  }
+
   test("renameTableset: O(1) metadata move, data readable under the new name") {
     val store = newStore()
     val cells = H3.toChildren(hexRes5, 7).toSeq.take(5)

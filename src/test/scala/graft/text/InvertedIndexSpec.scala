@@ -83,4 +83,19 @@ class InvertedIndexSpec extends AnyFunSuite with Matchers with SparkTestSession 
     InvertedIndex.build(spark, docs, path, numBuckets = 8)
     spark.read.parquet(s"$path/doclen").count() shouldBe 4 // docs with tokens
   }
+
+  test("search with no terms is rejected loudly (ADVICE r3)") {
+    an[IllegalArgumentException] should be thrownBy
+      InvertedIndex.search(spark, path, Seq.empty, k = 5)
+  }
+
+  test("search on an EMPTY index returns an empty frame, not NaN scores") {
+    import spark.implicits._
+    val p = Files.createTempDirectory("graft_inv_empty_").toString
+    InvertedIndex.build(spark, Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      p, numBuckets = 8)
+    val res = InvertedIndex.search(spark, p, Seq("alpha"), k = 5)
+    res.columns.toSeq shouldBe Seq("rnk", "doc_id", "score")
+    res.count() shouldBe 0L
+  }
 }
