@@ -111,6 +111,61 @@ class ManifestSpec extends AnyFunSuite with Matchers with SparkTestSession {
     sel2.paths.size should be < sel2.currentFiles
   }
 
+  test("manifest read is itself pruned: bc partition filter + pushed h3 envelope") {
+    store.buildManifest(name)
+    val df = store.manifestCandidates(name, 7, Seq(probe))
+    df.collect()
+    val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.getOrElse(fail("no file scan in the manifest-candidates plan"))
+    // the probed base cells prune the manifest's OWN partition directories
+    scan.metadata("PartitionFilters") should include("bc")
+    // ...and the h3index envelope disjunction reaches the parquet reader
+    val pushed = scan.metadata("PushedFilters")
+    pushed should include("min_h3")
+    pushed should include("max_h3")
+  }
+
+  test("50k-file manifest: selection reads one bc partition, not the manifest") {
+    // synthetic manifest at the documented layout (parquet partitioned by
+    // bc): 250 base cells x 200 files = 50,000 entries, one parquet file
+    // per bc directory. Selection cost must be O(probed bc), flat in the
+    // total file count — the round-3 verdict's scale criterion.
+    val dir = Files.createTempDirectory("graft_manifest_big_").toString
+    val s = CellStore(spark, dir)
+    s.insert(name, frame(cellsOf(bcA).take(8), 0),
+      createSchema = Some(CompactedTableSchema.builder(name)
+        .h3BaseResolutions(Seq(7))
+        .useCompaction(false)
+        .addAggregatedColumn("v", T.Int64, Agg.Max)
+        .build()))
+    val cs = cellsOf(bcA)
+    import spark.implicits._
+    val entries = spark.range(250L * 200).select(
+      (col("id") / 200).cast("long").as("bc"),
+      (col("id") % 200).as("i"))
+      .select(
+        concat(lit("kind=base/resolution=7/ph3="), col("bc"),
+          lit("/part-"), col("i"), lit(".parquet")).as("path"),
+        lit("base").as("kind"), lit(7).as("resolution"), col("bc").as("ph3"),
+        // ~half the entries of any bc straddle real cell values (selected),
+        // the rest sit far outside every envelope (row-group skipped)
+        when(col("i") % 2 === 0, lit(cs.head)).otherwise(lit(Long.MaxValue - 10)).as("min_h3"),
+        when(col("i") % 2 === 0, lit(cs.last)).otherwise(lit(Long.MaxValue - 1)).as("max_h3"),
+        lit(100L).as("rows"), col("bc"))
+    entries.repartition(col("bc")).write.mode("overwrite")
+      .partitionBy("bc").parquet(s"$dir/$name/manifest")
+    val df = s.manifestCandidates(name, 7, Seq(cs(30)))
+    val selected = df.collect().map(_.getString(0))
+    selected should have size 100 // the straddling half of bc 20's entries
+    all(selected) should include("ph3=20/")
+    val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+    }.getOrElse(fail("no file scan in the manifest-candidates plan"))
+    // 250 bc directories on disk; planning touched exactly one
+    scan.metrics("numFiles").value shouldBe 1L
+  }
+
   test("a probe with no matching data selects nothing and returns nothing") {
     store.buildManifest(name)
     val foreign = H3.fromParts(30, 7, Seq(0, 0, 0, 0, 0, 0, 0))
