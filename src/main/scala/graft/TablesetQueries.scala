@@ -590,6 +590,69 @@ object TablesetQueries {
       .select(col("h3index"), col("val"), col("cnt"))
       .orderBy(col("h3index"))
 
+  // --------------------------------------------------------------- ts27/28
+
+  /** Shared fixture for the F10/S6 gates: one uncompacted res-9 base table
+    * of distinct (cell, v) rows — the physical content is exactly
+    * `SELECT DISTINCT synthCell, l_orderkey % 50`, so templates over the
+    * raw scan stay oracle-derivable. */
+  private val randStoreName = "gate_rand"
+  private def randStore(spark: SparkSession, dir: String): CellStore = {
+    val store = CellStore(spark, rootFor(dir))
+    if (!store.listTablesets().contains(randStoreName)) {
+      store.insert(randStoreName, lineitem(spark, dir)
+        .select(Queries.synthCell.as("h3index"),
+          pmod(col("l_orderkey"), lit(50)).as("v")),
+        createSchema = Some(CompactedTableSchema.builder(randStoreName)
+          .h3BaseResolutions(Seq(9))
+          .useCompaction(false)
+          .addSimpleColumn("v", T.Int64)
+          .build()))
+    }
+    store
+  }
+
+  /** F10 through the oracle gate: the reference's templated rand() sampling
+    * (`test_schema.py:69-73` — `where (rand() % 2) = 0 and h3index in
+    * <[h3indexes]>`, asserting sampled < total with identical columns). A
+    * PRNG draw can never hash-match across engines, so the gate pins the
+    * exact invariants instead: the probed row count is EXACT, and the
+    * seeded sample must land within ±15% of half — a broken or degenerate
+    * rand() (all-true, all-false, skewed) fails the gate. The row-level
+    * reference-shaped assertions (strictly fewer rows, same columns,
+    * same seed -> same sample) live in RandTemplateSpec. */
+  def ts27RandTemplate(spark: SparkSession, dir: String): DataFrame = {
+    val store = randStore(spark, dir)
+    val probes = store.scanForResolution(randStoreName, 9)
+      .where(col("ph3").between(40, 49)).select("h3index")
+      .distinct().collect().map(_.getLong(0)).toSeq
+    // doUncompact=false: the template's output is an AGGREGATE, not cell
+    // rows — there is no h3index column left to uncompact (and the base
+    // table is uncompacted anyway)
+    store.queryCells(randStoreName, probes, 9, doUncompact = false,
+      template = Some(
+        // the draw happens below the aggregation (Spark refuses
+        // nondeterministic expressions inside aggregate arguments)
+        """SELECT count(*) AS n_rows,
+          |  CAST(sum(s) BETWEEN count(*) * 0.35 AND count(*) * 0.65 AS INT)
+          |    AS sample_in_bounds
+          |FROM (SELECT CASE WHEN rand(42) < 0.5 THEN 1 ELSE 0 END AS s
+          |      FROM <[table]> WHERE h3index IN <[h3indexes]>)""".stripMargin))
+  }
+
+  /** S6 through the oracle gate: a valid probe that provably matches no
+    * stored row (digit-1 = 0 is outside synthCell's generated 2..6 range)
+    * must return an EMPTY frame in the declared column shape — the
+    * reference types empty results from the schema rather than erroring
+    * (`frame.rs` empty-result contract). The driver's schema_match on the
+    * 0-row parquet is the dtype assertion. */
+  def ts28EmptyProbe(spark: SparkSession, dir: String): DataFrame = {
+    val store = randStore(spark, dir)
+    val probe = graft.h3.H3.fromParts(50, 9, Seq(0, 0, 0, 0, 0, 0, 0, 0, 0))
+    store.queryCells(randStoreName, Seq(probe), 9)
+      .select(col("h3index"), col("v"))
+  }
+
   // ---------------------------------------------------------------- oracles
 
   /** parent-at-res arithmetic shared with Queries: replace res field, fill
@@ -681,6 +744,17 @@ object TablesetQueries {
     // its rollup must equal the source's (ts1's oracle)
     "s8_derived_tableset" -> ts1OracleSql,
     "ts10_replace_optimize" -> versionedOracleSql,
+    // the exact count of the probed rows + the rand(42) sample's bounds
+    // check folded to a constant — see ts27RandTemplate's scaladoc for why
+    // a PRNG gate pins invariants, not draws
+    "ts27_rand_template" ->
+      s"""WITH cells AS (SELECT DISTINCT $synthCellSql AS cell, (l_orderkey % 50) AS v
+         |  FROM lineitem)
+         |SELECT count(*) AS n_rows, 1 AS sample_in_bounds
+         |FROM cells WHERE ((cell >> 45) & 127) BETWEEN 40 AND 49""".stripMargin,
+    // S6: empty result in the declared shape — 0 rows, exact dtypes
+    "ts28_empty_probe" ->
+      "SELECT cell AS h3index, v FROM (SELECT NULL::BIGINT AS cell, NULL::BIGINT AS v) WHERE false",
     "ts25_summing_optimize" -> summingOracleSql,
     // ts26 reads the SAME logical content through the read-time sum
     // collapse (no rewrite) — identical expected rows by construction
@@ -1215,6 +1289,8 @@ object TablesetQueries {
     "ts24_sql_traverse" -> ts24SqlTraverse,
     "ts25_summing_optimize" -> ts25SummingOptimize,
     "ts26_summing_final" -> ts26SummingFinal,
+    "ts27_rand_template" -> ts27RandTemplate,
+    "ts28_empty_probe" -> ts28EmptyProbe,
     "s8_derived_tableset" -> s8DerivedTableset
   )
 }

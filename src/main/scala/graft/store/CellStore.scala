@@ -858,8 +858,22 @@ class CellStore(spark: SparkSession, rootPath: String) {
         scan.join(probeSide, scan(h3Col) === expandedProbes("cell"), "left_semi")
     }
 
-    val projected = filtered.select(schema.columns.keys.map(col).toIndexedSeq: _*)
-    if (!doUncompact) projected
+    // P1 auto-projection applies to the engine's own cell-row shape; a
+    // TEMPLATE's output is whatever its SQL selects (reference select.rs —
+    // the template owns the projection), so only the internal partition
+    // columns are stripped from it (a `SELECT *` template would leak
+    // kind/resolution/ph3 otherwise)
+    val projected = template match {
+      case Some(_) =>
+        val internal = Set("kind", "resolution", "ph3", "pt")
+        val keep = filtered.columns.filterNot(c =>
+          internal.contains(c) || c.startsWith("pt_"))
+        filtered.select(keep.map(col).toIndexedSeq: _*)
+      case None => filtered.select(schema.columns.keys.map(col).toIndexedSeq: _*)
+    }
+    // a template that aggregated away the h3index column has no cells left
+    // to uncompact — pass its result through untouched
+    if (!doUncompact || !projected.columns.contains(h3Col)) projected
     else {
       // A7: rows already AT targetRes pass through untouched (the semi-join
       // proved probe coverage); only COARSER (compacted) rows take the
