@@ -1121,18 +1121,29 @@ object Queries {
       }
       m.keysIterator
     }.toDF("term").distinct()
-    val total = words.count()
-    val top = words.join(broadcast(cands), "term")
-      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("term")).limit(10)
-      .select(row_number().over(Window.orderBy(col("cnt").desc, col("term"))).as("rnk"),
-        col("term"), col("cnt"))
+    // ONE corpus pass for both the candidate counts and the total: a LEFT
+    // join against the broadcast candidate set collapses every
+    // non-candidate row into a null group at map-side partial aggregation
+    // (numTasks rows to one reducer, never the rows themselves), so the
+    // separate words.count() job is gone (round-3 advice); the total is a
+    // window sum over the tiny grouped frame
+    val grouped = words
+      .join(broadcast(cands.withColumn("_cand", lit(1))), Seq("term"), "left_outer")
+      .groupBy(when(col("_cand") === 1, col("term")).as("gterm"))
+      .agg(count(lit(1)).as("cnt"))
+    val everything = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val top = grouped
+      .withColumn("total", sum(col("cnt")).over(everything))
+      .where(col("gterm").isNotNull)
+      .orderBy(col("cnt").desc, col("gterm")).limit(10)
+      .select(row_number().over(Window.orderBy(col("cnt").desc, col("gterm"))).as("rnk"),
+        col("gterm").as("term"), col("cnt"), col("total"))
       .orderBy(col("rnk"))
     val rows = top.collect()
-    require(rows.length == 10 && rows.last.getLong(2) > total / (D23Sketch + 1),
+    require(rows.length == 10 && rows.last.getLong(2) > rows.last.getLong(3) / (D23Sketch + 1),
       s"d23: Misra-Gries completeness bound not met (10th count ${rows.lastOption
-        .map(_.getLong(2))}, bound ${total / (D23Sketch + 1)}) — raise D23Sketch")
-    top
+        .map(_.getLong(2))}, bound ${rows.lastOption.map(_.getLong(3) / (D23Sketch + 1))}) — raise D23Sketch")
+    top.select(col("rnk"), col("term"), col("cnt"))
   }
 
   /** Incrementally-grown inverted index (d21): build from the even half of

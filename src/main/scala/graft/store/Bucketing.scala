@@ -65,19 +65,15 @@ object Bucketing {
     // Since 3.0 Spark does not report a bucketed scan's sort order unless
     // this (SQL-runtime) flag is on — it is only safe when every bucket is
     // one file, which writeMirror's pre-repartition guarantees for ITS
-    // tables. Scope the flag to this plan's construction (the executed
-    // plan is fixed at DataFrame creation) instead of leaking it to every
-    // later bucketed scan in the session.
-    val conf = "spark.sql.legacy.bucketedTableScan.outputOrdering"
-    val prior = spark.conf.getOption(conf)
-    spark.conf.set(conf, "true")
-    try {
-      val df = spark.table(tableA).hint("merge").join(spark.table(tableB), key)
-      df.queryExecution.executedPlan // force planning under the flag
-      df
-    } finally prior match {
-      case Some(v) => spark.conf.set(conf, v)
-      case None => spark.conf.unset(conf)
-    }
+    // tables. Plan under a CLONED session (isolated SQLConf, shared
+    // SparkContext + catalog, so the persistent mirrors resolve) instead of
+    // set/unset on the caller's conf: two threads planning concurrently
+    // never see each other's flag, and nothing leaks to later bucketed
+    // scans in the caller's session (round-3 advice).
+    val planning = spark.newSession()
+    planning.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    val df = planning.table(tableA).hint("merge").join(planning.table(tableB), key)
+    df.queryExecution.executedPlan // force planning while the clone's flag is on
+    df
   }
 }

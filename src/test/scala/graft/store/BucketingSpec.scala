@@ -43,6 +43,25 @@ class BucketingSpec extends AnyFunSuite with Matchers with SparkTestSession {
     plan should not include "Sort ["
   }
 
+  test("concurrent planning: two colocated joins in parallel, both no-Exchange") {
+    mirrors
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val plans = Await.result(Future.sequence((1 to 4).map { _ =>
+      Future(Bucketing.colocatedJoin(spark, "spec_mirror_a", "spec_mirror_b")
+        .queryExecution.executedPlan.toString)
+    }), 2.minutes)
+    plans.foreach { plan =>
+      plan should include("SortMergeJoin")
+      plan should not include "Exchange"
+      plan should not include "Sort ["
+    }
+    // ...and the caller's session never saw the planning flag
+    spark.conf.getOption("spark.sql.legacy.bucketedTableScan.outputOrdering")
+      .foreach(_ shouldBe "false")
+  }
+
   test("control: the same join without mirrors shuffles both sides") {
     val plan = sideA.hint("merge").join(sideB, "h3index")
       .queryExecution.executedPlan.toString
