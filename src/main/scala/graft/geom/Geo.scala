@@ -23,9 +23,10 @@ import Ijk._
  * traversal and compaction are canonical; only absolute lat/lng placement is
  * frame-shifted vs libh3. All round-trip properties hold (geoToCell inverts
  * cellToLatLng; polyfill covers exactly the cells whose centers lie inside)
- * and are gate-checked (GeoQueries g1/g2). Swapping this object's base-cell
- * centers + plane orientation for the canonical tables is the single
- * drop-in point if the data ever becomes available.
+ * and are gate-checked (GeoQueries g1/g2). Placement is consumed ONLY
+ * through [[BaseCellLayout]] ([[FibonacciLayout]] default) — installing
+ * canonical tables via [[setLayout]] is the single drop-in point if the
+ * data ever becomes available; no algebra changes.
  */
 object Geo {
   private val factory = new GeometryFactory()
@@ -33,18 +34,33 @@ object Geo {
   /** Spacing (radians of arc) between adjacent res-0 cell centers. */
   val Res0Unit: Double = 0.32
   private val Sqrt7 = math.sqrt(7.0)
-  private val GoldenAngle = math.Pi * (3.0 - math.sqrt(5.0))
 
-  /** Deterministic base-cell centers: Fibonacci sphere lattice, 122 points.
-    * Returns (latRad, lngRad). */
-  val baseCellCenters: Array[(Double, Double)] = Array.tabulate(H3.NumBaseCells) { b =>
-    val z = 1.0 - 2.0 * (b + 0.5) / H3.NumBaseCells
-    val lat = math.asin(z)
-    val lng = {
-      val l = (b * GoldenAngle) % (2 * math.Pi)
-      if (l > math.Pi) l - 2 * math.Pi else l
-    }
-    (lat, lng)
+  @volatile private var layoutRef: BaseCellLayout = FibonacciLayout
+
+  /** The active base-cell placement. */
+  def layout: BaseCellLayout = layoutRef
+
+  /** Install a placement (e.g. validated canonical tables). Process-wide;
+    * intended for startup/test wiring, not per-query switching — cells
+    * indexed under one layout place differently under another. */
+  def setLayout(l: BaseCellLayout): Unit = layoutRef = l
+
+  /** Plane coords of `bc`'s lattice -> (latRad, lngRad): undo the layout's
+    * lattice rotation, then the azimuthal-equidistant inverse. */
+  private[geom] def planeToGeo(bc: Int, x: Double, y: Double): (Double, Double) = {
+    val a = layout.azimuth(bc)
+    val (rx, ry) =
+      if (a == 0.0) (x, y)
+      else (x * math.cos(a) - y * math.sin(a), x * math.sin(a) + y * math.cos(a))
+    azeqInverse(layout.center(bc), rx, ry)
+  }
+
+  /** (latRad, lngRad) -> plane coords in `bc`'s lattice frame. */
+  private[geom] def geoToPlane(bc: Int, lat: Double, lng: Double): (Double, Double) = {
+    val (x, y) = azeqForward(layout.center(bc), lat, lng)
+    val a = layout.azimuth(bc)
+    if (a == 0.0) (x, y)
+    else (x * math.cos(-a) - y * math.sin(-a), x * math.sin(-a) + y * math.cos(-a))
   }
 
   /** Grid-step length (radians) at a resolution. */
@@ -108,7 +124,7 @@ object Geo {
     val bc = H3.getBaseCell(cell)
     val (hx, hy) = ijkToHex2d(cellToLocalIjk(cell))
     val u = unitAt(res)
-    val (lat, lng) = azeqInverse(baseCellCenters(bc), hx * u, hy * u)
+    val (lat, lng) = planeToGeo(bc, hx * u, hy * u)
     (math.toDegrees(lat), math.toDegrees(lng))
   }
 
@@ -119,8 +135,8 @@ object Geo {
     require(res >= 0 && res <= H3.MaxRes)
     val lat = math.toRadians(latDeg)
     val lng = math.toRadians(lngDeg)
-    val nearest = baseCellCenters.zipWithIndex
-      .map { case ((f, l), b) =>
+    val nearest = Array.tabulate(H3.NumBaseCells) { b =>
+        val (f, l) = layout.center(b)
         val d = math.sin(f) * math.sin(lat) + math.cos(f) * math.cos(lat) * math.cos(lng - l)
         (b, -d) // descending cos distance
       }
@@ -132,7 +148,7 @@ object Geo {
     // cellToLatLng round-trip for cells whose own base center is not the
     // globally nearest one.
     val candidates = nearest.take(12).flatMap { bc =>
-      val (x, y) = azeqForward(baseCellCenters(bc), lat, lng)
+      val (x, y) = geoToPlane(bc, lat, lng)
       val ijk = hex2dToIjk(x / u, y / u)
       localIjkToCell(bc, res, ijk)
     }

@@ -48,7 +48,7 @@ object Grid {
         if (dist <= k) {
           val cell = localIjkToCell(bc, res, ijk).getOrElse {
             val (hx, hy) = Geo.ijkToHex2d(ijk)
-            val (lat, lng) = Geo.azeqInverse(Geo.baseCellCenters(bc), hx * u, hy * u)
+            val (lat, lng) = Geo.planeToGeo(bc, hx * u, hy * u)
             Geo.latLngToCell(math.toDegrees(lat), math.toDegrees(lng), res)
           }
           if (best.get(cell).forall(_ > dist)) best(cell) = dist
