@@ -755,6 +755,14 @@ object TablesetQueries {
     // S6: empty result in the declared shape — 0 rows, exact dtypes
     "ts28_empty_probe" ->
       "SELECT cell AS h3index, v FROM (SELECT NULL::BIGINT AS cell, NULL::BIGINT AS v) WHERE false",
+    // quarantine + repair loses nothing and invents nothing: the final
+    // content equals the all-valid derivation (valid and repaired batches
+    // are disjoint by the okey % 5 split, so batch-wise dedup = global)
+    "ts29_quarantine_repair" ->
+      s"""WITH all_rows AS (SELECT DISTINCT $synthCellSql AS cell, l_orderkey AS okey,
+         |    l_partkey AS pkey, (l_orderkey % 50) AS v FROM lineitem)
+         |SELECT cell AS h3index, okey, pkey, v FROM all_rows
+         |ORDER BY h3index, okey, pkey""".stripMargin,
     "ts25_summing_optimize" -> summingOracleSql,
     // ts26 reads the SAME logical content through the read-time sum
     // collapse (no rewrite) — identical expected rows by construction
@@ -1149,15 +1157,15 @@ object TablesetQueries {
       .orderBy(col("parent5"))
   }
 
-  // ------------------------------------------------------------------ ts25
+  // ------------------------------------------------------------------ ts29
 
-  /** Quarantine repair flow (ts25): ingest a batch where every 5th row
+  /** Quarantine repair flow (ts29): ingest a batch where every 5th row
     * carries a GARBAGE h3index under InvalidPolicy.Quarantine — the valid
     * remainder inserts, the garbage dead-letters to rejects/ — then repair
     * the rejected rows (recompute the cell from their carried keys) and
     * reinsert them. The final read must equal the all-valid derivation:
     * the quarantine loop loses nothing and invents nothing. */
-  private def ts25Store(spark: SparkSession, dir: String): CellStore = {
+  private def ts29Store(spark: SparkSession, dir: String): CellStore = {
     val store = CellStore(spark, rootFor(dir))
     if (!store.listTablesets().contains("gate_quarantine")) {
       val li = lineitem(spark, dir)
@@ -1188,8 +1196,8 @@ object TablesetQueries {
     store
   }
 
-  def ts25QuarantineRepair(spark: SparkSession, dir: String): DataFrame =
-    ts25Store(spark, dir).scanForResolution("gate_quarantine", 9)
+  def ts29QuarantineRepair(spark: SparkSession, dir: String): DataFrame =
+    ts29Store(spark, dir).scanForResolution("gate_quarantine", 9)
       .select(col("h3index"), col("okey"), col("pkey"), col("v"))
       .orderBy(col("h3index"), col("okey"), col("pkey"))
 
@@ -1291,6 +1299,7 @@ object TablesetQueries {
     "ts26_summing_final" -> ts26SummingFinal,
     "ts27_rand_template" -> ts27RandTemplate,
     "ts28_empty_probe" -> ts28EmptyProbe,
+    "ts29_quarantine_repair" -> ts29QuarantineRepair,
     "s8_derived_tableset" -> s8DerivedTableset
   )
 }
