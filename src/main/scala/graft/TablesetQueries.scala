@@ -653,6 +653,33 @@ object TablesetQueries {
       .select(col("h3index"), col("v"))
   }
 
+  // ------------------------------------------------------------------ ts30
+
+  /** Bucketed mirrors behind the SQL TVF (ts30): build mirrors of the two
+    * ts12 rollups once, then run ts12's cross-tableset join from PURE SQL —
+    * `graft_scan` serves the bucketed relations while they are fresh, so
+    * the join plans with zero Exchange (plan pinned in MirrorTvfSpec); the
+    * mirror layer must be result-invisible, hence ts12's oracle. */
+  private val ts30Mirrors = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  def ts30SqlMirrorJoin(spark: SparkSession, dir: String): DataFrame = {
+    val store = ts1Store(spark, dir)
+    ts3Store(spark, dir)
+    Graft.register(spark)
+    ts30Mirrors.computeIfAbsent(dir, { _ =>
+      store.buildMirror("gate_sum", 5, numBuckets = 8)
+      store.buildMirror("gate_mixed", 5, numBuckets = 8)
+      java.lang.Boolean.TRUE
+    })
+    spark.sql(
+      s"""SELECT a.h3index AS parent5, round(a.qty, 2) AS sum_qty,
+         |  round(b.q_avg, 4) AS avg_qty, b.cat
+         |FROM graft_scan('${rootFor(dir)}', 'gate_sum', 5) a
+         |JOIN graft_scan('${rootFor(dir)}', 'gate_mixed', 5) b
+         |  ON a.h3index = b.h3index
+         |ORDER BY parent5""".stripMargin)
+  }
+
   // ---------------------------------------------------------------- oracles
 
   /** parent-at-res arithmetic shared with Queries: replace res field, fill
@@ -797,6 +824,9 @@ object TablesetQueries {
     // ts17 runs the SAME join through hash-bucketed parquet mirrors — the
     // storage layer must be result-invisible, so the oracle is ts12's
     "ts17_bucketed_join" -> ts12OracleSql,
+    // ts30 drives the SAME join from pure SQL through mirror-backed
+    // graft_scan TVFs — plans change, results must not
+    "ts30_sql_mirror_join" -> ts12OracleSql,
     // ts9 re-derives the schema from the physical layout after sidecar
     // loss; the stored data is untouched, so ts1's expected rows apply
     "ts9_recover_query" -> ts1OracleSql,
@@ -1300,6 +1330,7 @@ object TablesetQueries {
     "ts27_rand_template" -> ts27RandTemplate,
     "ts28_empty_probe" -> ts28EmptyProbe,
     "ts29_quarantine_repair" -> ts29QuarantineRepair,
+    "ts30_sql_mirror_join" -> ts30SqlMirrorJoin,
     "s8_derived_tableset" -> s8DerivedTableset
   )
 }

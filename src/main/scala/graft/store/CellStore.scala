@@ -968,7 +968,72 @@ class CellStore(spark: SparkSession, rootPath: String) {
       "num_cells_stored_compacted", "num_cells")
   }
 
-  // --------------------------------------------------------------- manifest
+  // ----------------------------------------------------------------- mirror
+
+  private def mirrorDir(name: String, targetRes: Int) =
+    new Path(tablesetPath(name), s"mirror_r$targetRes")
+  private def mirrorMarker(name: String, targetRes: Int) =
+    new Path(mirrorDir(name, targetRes), "_mirror.meta")
+
+  /** Freshness token of a mirror: sha-256 over the sorted relative data-file
+    * listing — any insert/optimize/compaction changes it, so a stale mirror
+    * can never answer a query. */
+  private def listingToken(name: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    listDataFilesCached(name).map(relToData(name, _)).sorted
+      .foreach(p => md.update(p.getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Catalog identity of a mirror — unique per (store root, tableset, res),
+    * so stores at different roots sharing one session never collide. */
+  private def mirrorTableName(name: String, targetRes: Int): String =
+    s"graft_mirror_${Integer.toHexString(rootPath.hashCode)}_${name}_r$targetRes"
+
+  /** Persist the D7 resolution scan of `name` as a hash-BUCKETED,
+    * per-bucket-sorted mirror ([[Bucketing.writeMirror]]) registered in the
+    * session catalog, and record a freshness marker. While the marker's
+    * listing token matches the live table, [[mirrorFor]] — and through it
+    * the `graft_scan` SQL TVF — serves the bucketed relation instead of the
+    * raw scan, so repeated cell-keyed joins (the 100 TB overlay workload)
+    * plan with ZERO Exchange from pure SQL. Any write to the tableset
+    * invalidates the mirror (queries silently fall back to the live scan);
+    * rebuild at will — the mirror is derived data, like the manifest.
+    * Returns the catalog table name. */
+  def buildMirror(name: String, targetRes: Int, numBuckets: Int): String = {
+    val key = CompactedTableSchema.ColH3Index
+    val df = scanForResolution(name, targetRes)
+    val table = mirrorTableName(name, targetRes)
+    Bucketing.writeMirror(spark, df, table,
+      fs.makeQualified(mirrorDir(name, targetRes)).toString, numBuckets, key)
+    // 4 lines: buckets / key / freshness token / schema DDL (no newlines
+    // in toDDL) — same hand-rolled style as the layout marker
+    val meta = Seq(numBuckets.toString, key, listingToken(name),
+      spark.table(table).schema.toDDL).mkString("\n")
+    val out = fs.create(mirrorMarker(name, targetRes), true)
+    try out.write(meta.getBytes("UTF-8")) finally out.close()
+    table
+  }
+
+  /** The registered FRESH mirror table for (name, targetRes): None when no
+    * mirror was built or the tableset changed since (freshness token
+    * mismatch — the caller must fall back to the live scan). A fresh JVM
+    * that did not run [[buildMirror]] re-registers the external bucketed
+    * table from the marker, so mirrors survive session restarts. */
+  def mirrorFor(name: String, targetRes: Int): Option[String] = {
+    val mp = mirrorMarker(name, targetRes)
+    if (!fs.exists(mp)) return None
+    val in = fs.open(mp)
+    val meta = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val Array(buckets, key, token, ddl) = meta.split("\n", 4)
+    if (token != listingToken(name)) return None
+    val table = mirrorTableName(name, targetRes)
+    if (!spark.catalog.tableExists(table))
+      spark.sql(s"CREATE TABLE `$table` ($ddl) USING parquet " +
+        s"CLUSTERED BY (`$key`) SORTED BY (`$key`) INTO $buckets BUCKETS " +
+        s"LOCATION '${fs.makeQualified(mirrorDir(name, targetRes))}'")
+    Some(table)
+  }
 
   // -------------------------------------------------------------- snapshots
 

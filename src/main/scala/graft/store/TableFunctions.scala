@@ -69,10 +69,19 @@ object TableFunctions {
     if (args.length != 3)
       throw new IllegalArgumentException(
         s"graft_scan(root, tableset, targetRes) expects 3 arguments, got ${args.length}")
-    CellStore(SparkSession.active, strArg("graft_scan", args(0), "root"))
-      .scanForResolution(strArg("graft_scan", args(1), "tableset"),
-        intArg("graft_scan", args(2), "targetRes"))
-      .queryExecution.analyzed
+    val spark = SparkSession.active
+    val store = CellStore(spark, strArg("graft_scan", args(0), "root"))
+    val name = strArg("graft_scan", args(1), "tableset")
+    val res = intArg("graft_scan", args(2), "targetRes")
+    // a FRESH bucketed mirror (CellStore.buildMirror) backs the TVF when one
+    // exists: pure-SQL joins of two mirrored scans plan with zero Exchange,
+    // exactly like the DataFrame-side Bucketing path; any write to the
+    // tableset flips the freshness token and the TVF falls back to the live
+    // scan — the mirror can change PLANS, never results
+    store.mirrorFor(name, res) match {
+      case Some(table) => spark.table(table).queryExecution.analyzed
+      case None => store.scanForResolution(name, res).queryExecution.analyzed
+    }
   }
 
   /** `graft_traverse(root, tableset, res, array(...), maxFetchCount)` — the
