@@ -22,16 +22,23 @@ object Queries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is TIMESTAMP(NANOS), which Spark's parquet reader rejects
-    * unless nanos are read as long; this is the ONE conversion back to a
-    * microsecond timestamp, shared by the batch reader, the streaming gates
-    * and the specs. Integer division: `/` is DOUBLE division, and
-    * epoch-nanos (~1.7e18) exceed double's 53-bit mantissa — the round-trip
-    * would silently shift timestamps by up to a few microseconds. */
+  /** Normalize `events.ts` to a session-TZ TIMESTAMP whatever the parquet
+    * file declares — the ONE conversion shared by the batch reader, the
+    * streaming gates and the specs:
+    *  - TIMESTAMP(NANOS) (rejected by Spark unless read as long via
+    *    nanosAsLong): integer-divide back to micros — `/` is DOUBLE
+    *    division, and epoch-nanos (~1.7e18) exceed double's 53-bit
+    *    mantissa, which would silently shift timestamps by microseconds;
+    *  - TIMESTAMP_NTZ (Spark 4 infers it for non-UTC-adjusted parquet
+    *    micros): cast to TIMESTAMP — wall-clock is interpreted in the
+    *    session zone (pinned UTC), matching the oracle's naive reading.
+    *    Watermarks and unix_millis require TimestampType. */
   private[graft] def convertEventTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
 
