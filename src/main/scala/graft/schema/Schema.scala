@@ -290,6 +290,15 @@ final case class CompactedTableSchema(
     ColumnCodec.validate(defaultCodec)
     engine match {
       case TableEngine.SummingMergeTree(sumCols) =>
+        // same mutual exclusion as the versioned Replacing engine below:
+        // compaction moves 7 equal children's coverage to a PARENT cell
+        // (different sort key), so a later child row could never sum into
+        // that coverage — the collapse would silently under-merge
+        if (useCompaction)
+          throw new SchemaError(
+            "SummingMergeTree requires useCompaction(false): a compacted parent " +
+              "cell stands for its children's values, and a sum collapse cannot " +
+              "merge a later child row into that coverage")
         val missing = sumCols.filterNot(columns.contains)
         if (missing.nonEmpty)
           throw new SchemaError(s"SummingMergeTree sum columns missing: $missing")

@@ -185,6 +185,7 @@ class SchemaSpec extends AnyFunSuite with Matchers {
 
   test("JSON round-trip (test_schema.py:19-32)") {
     val s = elephantBuilder.engine(TableEngine.SummingMergeTree(Seq("elephant_density")))
+      .useCompaction(false) // Summing + compaction is refused (MergeEngineSpec)
       .h3Partitioning(H3Partitioning.LowerResolution(7))
       .build()
     val json = s.toJson

@@ -173,6 +173,17 @@ class MergeEngineSpec extends AnyFunSuite with Matchers with SparkTestSession {
       store.scanForResolutionFinal("avged", 7).collect()
   }
 
+  test("SummingMergeTree refuses compaction (parent coverage cannot absorb later children)") {
+    a[SchemaError] should be thrownBy {
+      CompactedTableSchema.builder("badsum")
+        .h3BaseResolutions(Seq(7))
+        .useCompaction(true)
+        .engine(TableEngine.SummingMergeTree(Seq("val")))
+        .addSimpleColumn("val", T.Int64)
+        .build()
+    }
+  }
+
   test("SummingMergeTree schema: sum column must be numeric and off the sort key") {
     a[SchemaError] should be thrownBy {
       CompactedTableSchema.builder("bad")
