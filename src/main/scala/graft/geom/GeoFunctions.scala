@@ -36,12 +36,14 @@ object GeoFunctions {
   /** Hollow ring at exactly distance k (gridDisk minus its interior). */
   def h3_grid_ring(cell: Column, k: Column): Column = gridRingUdf(cell, k)
 
-  private val gridDistanceUdf =
-    udf((a: Long, b: Long) => Grid.gridDistance(a, b)) // None -> SQL NULL
-
   /** Grid-steps distance between two same-resolution cells; NULL when no
-    * path exists (different resolutions / pentagon-blocked). */
-  def h3_grid_distance(a: Column, b: Column): Column = gridDistanceUdf(a, b)
+    * path exists (different resolutions / cross-base). A native codegen'd
+    * expression ([[H3GridDistance]]) — integer lattice math with no UDF
+    * encode/decode per row. */
+  def h3_grid_distance(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.shims.{column, expression}
+    column(H3GridDistance(expression(a), expression(b)))
+  }
 
   private val gridPathUdf =
     udf((a: Long, b: Long) => Grid.gridPathCells(a, b)) // None -> SQL NULL
@@ -60,7 +62,16 @@ object GeoFunctions {
     spark.udf.register("cell_to_lng", cellToLngUdf)
     spark.udf.register("h3_grid_disk", gridDiskUdf)
     spark.udf.register("h3_grid_ring", gridRingUdf)
-    spark.udf.register("h3_grid_distance", gridDistanceUdf)
+    spark.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("h3_grid_distance"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        "graft.geom", null, "h3_grid_distance",
+        "h3_grid_distance(a, b) - grid-steps distance; NULL when no path", ""),
+      { args =>
+        if (args.length != 2) throw new IllegalArgumentException(
+          s"h3_grid_distance expects 2 arguments, got ${args.length}")
+        H3GridDistance(args(0), args(1))
+      })
     spark.udf.register("h3_grid_path", gridPathUdf)
   }
 }
