@@ -590,6 +590,46 @@ object TablesetQueries {
       .select(col("h3index"), col("val"), col("cnt"))
       .orderBy(col("h3index"))
 
+  // ------------------------------------------------------------------ ts31
+
+  /** AggregatingMergeTree OPTIMIZE through the oracle gate: two overlapping
+    * batches leave multiple rows per cell; `replace` must collapse each
+    * cell with every column's DECLARED method (Min/Max/Sum/unanimity-null —
+    * the engine's promise that the rollup discipline also governs merges).
+    * Completes the merge-engine triple: Replacing ts10/ts11, Summing
+    * ts25/ts26, Aggregating here. */
+  private def aggingSchema = CompactedTableSchema.builder("gate_agging")
+    .h3BaseResolutions(Seq(9))
+    .useCompaction(false)
+    .engine(TableEngine.AggregatingMergeTree)
+    .addAggregatedColumn("lo", T.Int64, Agg.Min)
+    .addAggregatedColumn("hi", T.Int64, Agg.Max)
+    .addAggregatedColumn("total", T.Int64, Agg.Sum)
+    .addAggregatedColumn("cat", T.Int64, Agg.SetNullOnConflict, nullable = true)
+    .build()
+
+  private def aggingStore(spark: SparkSession, dir: String): CellStore = {
+    val store = CellStore(spark, rootFor(dir))
+    if (!store.listTablesets().contains("gate_agging")) {
+      def batch(m: Int) = lineitem(spark, dir)
+        .where(pmod(col("l_orderkey"), lit(m)) === 0)
+        .select(Queries.synthCell.as("h3index"),
+          pmod(col("l_orderkey"), lit(70)).as("lo"),
+          pmod(col("l_orderkey"), lit(90)).as("hi"),
+          lit(1L).as("total"),
+          pmod(col("l_partkey"), lit(2)).as("cat"))
+      store.insert("gate_agging", batch(3), createSchema = Some(aggingSchema))
+      store.insert("gate_agging", batch(5))
+      store.replace("gate_agging")
+    }
+    store
+  }
+
+  def ts31AggOptimize(spark: SparkSession, dir: String): DataFrame =
+    aggingStore(spark, dir).scanForResolution("gate_agging", 9)
+      .select(col("h3index"), col("lo"), col("hi"), col("total"), col("cat"))
+      .orderBy(col("h3index"))
+
   // --------------------------------------------------------------- ts27/28
 
   /** Shared fixture for the F10/S6 gates: one uncompacted res-9 base table
@@ -790,6 +830,23 @@ object TablesetQueries {
          |    l_partkey AS pkey, (l_orderkey % 50) AS v FROM lineitem)
          |SELECT cell AS h3index, okey, pkey, v FROM all_rows
          |ORDER BY h3index, okey, pkey""".stripMargin,
+    // per-batch full-row dedup (insert), then each column's DECLARED
+    // aggregation across batches — cross-batch duplicate rows (the m=15
+    // overlap) legitimately count twice in the Sum, hence UNION ALL
+    "ts31_agg_optimize" ->
+      s"""WITH a AS (SELECT DISTINCT $synthCellSql AS cell, (l_orderkey % 70)::BIGINT AS lo,
+         |    (l_orderkey % 90)::BIGINT AS hi, 1::BIGINT AS total,
+         |    (l_partkey % 2)::BIGINT AS cat
+         |  FROM lineitem WHERE l_orderkey % 3 = 0),
+         |b AS (SELECT DISTINCT $synthCellSql AS cell, (l_orderkey % 70)::BIGINT AS lo,
+         |    (l_orderkey % 90)::BIGINT AS hi, 1::BIGINT AS total,
+         |    (l_partkey % 2)::BIGINT AS cat
+         |  FROM lineitem WHERE l_orderkey % 5 = 0),
+         |allr AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+         |SELECT cell AS h3index, min(lo)::BIGINT AS lo, max(hi)::BIGINT AS hi,
+         |  sum(total)::BIGINT AS total,
+         |  (CASE WHEN count(DISTINCT cat) = 1 THEN min(cat) END)::BIGINT AS cat
+         |FROM allr GROUP BY cell ORDER BY h3index""".stripMargin,
     "ts25_summing_optimize" -> summingOracleSql,
     // ts26 reads the SAME logical content through the read-time sum
     // collapse (no rewrite) — identical expected rows by construction
@@ -1331,6 +1388,7 @@ object TablesetQueries {
     "ts28_empty_probe" -> ts28EmptyProbe,
     "ts29_quarantine_repair" -> ts29QuarantineRepair,
     "ts30_sql_mirror_join" -> ts30SqlMirrorJoin,
+    "ts31_agg_optimize" -> ts31AggOptimize,
     "s8_derived_tableset" -> s8DerivedTableset
   )
 }
