@@ -3,6 +3,7 @@ package graft.store
 import java.nio.file.Files
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
@@ -171,6 +172,24 @@ class MergeEngineSpec extends AnyFunSuite with Matchers with SparkTestSession {
     e.getMessage should include("average")
     an[IllegalArgumentException] should be thrownBy
       store.scanForResolutionFinal("avged", 7).collect()
+  }
+
+  test("replaceWhere is partition-scoped for Summing too (untouched ph3 keeps duplicates)") {
+    val (_, store) = newStore()
+    val csA = cells(4)
+    val csB = H3.toChildren(H3.fromParts(25, 5, Seq(0, 0, 0, 0, 0)), 7).take(4).toSeq
+    store.insert("summed", summingInput(csA ++ csB, _ => 3L, tag = 1),
+      createSchema = Some(summingSchema))
+    store.insert("summed", summingInput(csA ++ csB, _ => 4L, tag = 1))
+    store.replaceWhere("summed", col("ph3") === 20)
+    val rows = store.scanForResolution("summed", 7)
+      .groupBy("h3index").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    csA.foreach(c => rows(c) shouldBe 1L) // touched: summed to one row
+    csB.foreach(c => rows(c) shouldBe 2L) // untouched: both rows intact
+    val summed = store.scanForResolution("summed", 7)
+      .where(col("ph3") === 20).select("val").collect().map(_.getLong(0))
+    all(summed) shouldBe 7L
   }
 
   test("SummingMergeTree refuses compaction (parent coverage cannot absorb later children)") {
