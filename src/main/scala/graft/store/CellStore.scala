@@ -55,20 +55,27 @@ class CellStore(spark: SparkSession, rootPath: String) {
   /** Per-tableset caches of the live data-file listing and the manifest's
     * coverage diff — both are O(files) to recompute, which made the old
     * per-query recomputation the store's one driver-side scale bottleneck
-    * (round-3 verdict). Entries are invalidated by every mutating op on THIS
-    * store instance; a writer going through a different CellStore instance
-    * (or raw filesystem access) must call [[invalidateFileCaches]] — the
-    * same single-writer contract the snapshot/rename machinery already
-    * assumes. */
-  private val listingCache = scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
-  private val coverageCache = scala.collection.concurrent.TrieMap.empty[String, (Long, Seq[String])]
+    * (round-3 verdict). JVM-WIDE, keyed by (root, tableset), NOT
+    * per-instance: the SQL TVFs construct a fresh CellStore per
+    * `graft_scan`/`graft_cells` call, and instance-local caches would
+    * re-list the whole data dir on every SQL query — O(all files) per
+    * query at 100 TB, the exact bottleneck the caches exist to remove.
+    * Sharing also makes invalidation consistent: a mutation through ANY
+    * same-JVM instance invalidates the key every other instance reads.
+    * Out-of-band writers (another JVM, raw file surgery) still require
+    * [[invalidateFileCaches]] — the same single-writer contract the
+    * snapshot/rename machinery already assumes. */
+  private def cacheKey(name: String): String = rootPath + "\u0000" + name
+  private def listingCache = CellStore.listingCache
+  private def coverageCache = CellStore.coverageCache
 
   /** Drop cached file listings / manifest coverage for `name` — required
-    * after out-of-band writes (a second CellStore instance, manual file
-    * surgery). All mutators of this instance call it automatically. */
+    * after out-of-band writes (another JVM, manual file surgery). All
+    * same-JVM mutators call it automatically, whichever instance they go
+    * through. */
   def invalidateFileCaches(name: String): Unit = {
-    listingCache.remove(name)
-    coverageCache.remove(name)
+    listingCache.remove(cacheKey(name))
+    coverageCache.remove(cacheKey(name))
     ()
   }
 
@@ -288,6 +295,10 @@ class CellStore(spark: SparkSession, rootPath: String) {
     if (!moved)
       throw rollback(new IllegalStateException(
         s"rename of tableset '$from' to '$to' failed"))
+    // both names: the old key must not serve the moved listing, and a
+    // previously-cached target (from a dropped namesake) must not resurface
+    invalidateFileCaches(from)
+    invalidateFileCaches(to)
   }
 
   /** D2: drop all data of the tableset; tolerates absence. */
@@ -1168,7 +1179,7 @@ class CellStore(spark: SparkSession, rootPath: String) {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("bc")
       .parquet(manifestPath(name).toString)
-    coverageCache.remove(name)
+    coverageCache.remove(cacheKey(name))
     ()
   }
 
@@ -1192,7 +1203,7 @@ class CellStore(spark: SparkSession, rootPath: String) {
       .write.mode(SaveMode.Append)
       .partitionBy("bc")
       .parquet(manifestPath(name).toString)
-    coverageCache.remove(name)
+    coverageCache.remove(cacheKey(name))
     ()
   }
 
@@ -1229,7 +1240,7 @@ class CellStore(spark: SparkSession, rootPath: String) {
     * millions of rows) and cached until the next write or manifest build
     * invalidates it; per probe query this is a map lookup. */
   private def manifestCoverage(name: String): (Long, Seq[String]) =
-    coverageCache.getOrElse(name, {
+    coverageCache.getOrElse(cacheKey(name), {
       val m = spark.read.parquet(manifestPath(name).toString).select("path")
       val currentRel = listDataFilesCached(name).map(relToData(name, _))
       val uncovered =
@@ -1239,7 +1250,7 @@ class CellStore(spark: SparkSession, rootPath: String) {
           .join(m, Seq("path"), "left_anti")
           .collect().map(_.getString(0)).toSeq
       val result = (m.count(), uncovered)
-      coverageCache.put(name, result)
+      coverageCache.put(cacheKey(name), result)
       result
     })
 
@@ -1261,7 +1272,7 @@ class CellStore(spark: SparkSession, rootPath: String) {
   /** [[listDataFiles]] behind the per-tableset cache — query paths use this;
     * mutation-side before/after diffs use the raw listing. */
   private def listDataFilesCached(name: String): Seq[String] =
-    listingCache.getOrElseUpdate(name, listDataFiles(name))
+    listingCache.getOrElseUpdate(cacheKey(name), listDataFiles(name))
 
   /** The data dir as a fully-qualified URI string (no trailing slash) —
     * the base every relative file path resolves against for reading. */
@@ -1598,6 +1609,11 @@ class CellStore(spark: SparkSession, rootPath: String) {
 
 object CellStore {
   def apply(spark: SparkSession, rootPath: String): CellStore = new CellStore(spark, rootPath)
+
+  // JVM-wide (root, tableset)-keyed caches shared by every instance — see
+  // the instance-side scaladoc at CellStore#cacheKey
+  private val listingCache = scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
+  private val coverageCache = scala.collection.concurrent.TrieMap.empty[String, (Long, Seq[String])]
 
   /** Result of the manifest's driver-side file pruning (counts exposed so
     * specs/ops can assert the pruning actually pruned). */
