@@ -145,7 +145,31 @@ object GeoQueries {
       595243924189085695L, 595243932779020287L, 595243941368954879L,
       595243949958889471L, 595243967138758655L))
 
+  /** G4 gridDisk gated against the PUBLIC libh3 k-ring vector
+    * (kRing('8928308280fffff', 1) from the h3 documentation) — unlike
+    * g1-g3's self-derived anchors this oracle is INDEPENDENT of the
+    * implementation, so it pins the in-base aperture parity end to end
+    * through the SQL surface (h3_grid_disk UDF + the codegen'd
+    * h3_grid_distance expression). */
+  private val g4Origin = java.lang.Long.parseLong("8928308280fffff", 16)
+  private val g4Members = Seq(
+    "8928308280fffff", "8928308280bffff", "89283082807ffff",
+    "89283082877ffff", "89283082803ffff", "89283082873ffff",
+    "8928308283bffff").map(java.lang.Long.parseLong(_, 16))
+
+  def g4GridDisk(spark: SparkSession, dir: String): DataFrame =
+    spark.range(1)
+      .select(explode(GeoFunctions.h3_grid_disk(lit(g4Origin), lit(1))).as("cell"))
+      .select(col("cell"),
+        GeoFunctions.h3_grid_distance(lit(g4Origin), col("cell")).as("dist"))
+      .orderBy(col("cell"))
+
   val oracles: Map[String, String] = Map(
+    "g4_grid_disk" -> {
+      val rows = g4Members
+        .map(c => s"($c::BIGINT, ${if (c == g4Origin) 0 else 1})").mkString(", ")
+      s"SELECT cell, dist FROM (VALUES $rows) t(cell, dist) ORDER BY cell"
+    },
     "g1_geo_roundtrip" -> {
       val rows = g1Expected.map { case (i, c) => s"($i::BIGINT, $c::BIGINT, TRUE)" }.mkString(", ")
       s"SELECT i, cell, rt_ok FROM (VALUES $rows) t(i, cell, rt_ok) ORDER BY i"
@@ -163,6 +187,7 @@ object GeoQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g1_geo_roundtrip" -> g1GeoRoundtrip,
+    "g4_grid_disk" -> g4GridDisk,
     "g2_polyfill" -> g2Polyfill,
     "g3_border_cells" -> g3BorderCells
   )
