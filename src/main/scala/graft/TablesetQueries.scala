@@ -590,6 +590,22 @@ object TablesetQueries {
       .select(col("h3index"), col("val"), col("cnt"))
       .orderBy(col("h3index"))
 
+  // ------------------------------------------------------------------ ts32
+
+  /** D5/D3 catalog predicates through the oracle gate (the last spec-only
+    * inventory row): database_exists on a real and a missing root,
+    * tableset discovery on a real and a missing name — computed by the
+    * engine, pinned as a constant-row oracle (`cellstore.rs:95-110`). */
+  def ts32Catalog(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val store = ts1Store(spark, dir)
+    Seq((store.databaseExists,
+      store.listTablesets().contains("gate_sum"),
+      CellStore(spark, rootFor(dir) + "_absent").databaseExists,
+      store.listTablesets().contains("gate_absent")))
+      .toDF("db_exists", "ts_exists", "missing_db_exists", "missing_ts_exists")
+  }
+
   // ------------------------------------------------------------------ ts31
 
   /** AggregatingMergeTree OPTIMIZE through the oracle gate: two overlapping
@@ -833,6 +849,9 @@ object TablesetQueries {
     // per-batch full-row dedup (insert), then each column's DECLARED
     // aggregation across batches — cross-batch duplicate rows (the m=15
     // overlap) legitimately count twice in the Sum, hence UNION ALL
+    "ts32_catalog" ->
+      ("SELECT TRUE AS db_exists, TRUE AS ts_exists, " +
+        "FALSE AS missing_db_exists, FALSE AS missing_ts_exists"),
     "ts31_agg_optimize" ->
       s"""WITH a AS (SELECT DISTINCT $synthCellSql AS cell, (l_orderkey % 70)::BIGINT AS lo,
          |    (l_orderkey % 90)::BIGINT AS hi, 1::BIGINT AS total,
@@ -1389,6 +1408,7 @@ object TablesetQueries {
     "ts29_quarantine_repair" -> ts29QuarantineRepair,
     "ts30_sql_mirror_join" -> ts30SqlMirrorJoin,
     "ts31_agg_optimize" -> ts31AggOptimize,
+    "ts32_catalog" -> ts32Catalog,
     "s8_derived_tableset" -> s8DerivedTableset
   )
 }
