@@ -166,6 +166,27 @@ class ManifestSpec extends AnyFunSuite with Matchers with SparkTestSession {
     scan.metrics("numFiles").value shouldBe 1L
   }
 
+  test("property: manifest pruning never changes results (seeded random probes)") {
+    store.buildManifest(name)
+    val rng = new scala.util.Random(42)
+    val universe = cellsOf(bcA) ++ cellsOf(bcB)
+    (1 to 5).foreach { _ =>
+      val probes = Seq.fill(1 + rng.nextInt(8))(universe(rng.nextInt(universe.size))).distinct
+      val pruned = query(probes)
+      // same probes with the manifest bypassed: drop it, query, rebuild
+      val sel = store.selectFilesForProbes(name, 7, probes)
+      sel should not be empty // the pruned path actually engaged
+      pruned shouldBe pruned.sorted
+      // the full-scan answer from first principles: every stored row whose
+      // cell is probed (the fixture stores each cell exactly once per
+      // insert batch — content as maintained by the earlier tests)
+      val full = store.scanForResolution(name, 7)
+        .select("h3index", "v").collect().map(r => (r.getLong(0), r.getLong(1)))
+        .filter { case (c, _) => probes.contains(c) }.sorted.toSeq
+      pruned shouldBe full
+    }
+  }
+
   test("a probe with no matching data selects nothing and returns nothing") {
     store.buildManifest(name)
     val foreign = H3.fromParts(30, 7, Seq(0, 0, 0, 0, 0, 0, 0))
