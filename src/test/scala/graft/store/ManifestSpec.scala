@@ -34,7 +34,7 @@ class ManifestSpec extends AnyFunSuite with Matchers with SparkTestSession {
         StructField("v", LongType, false))))
   }
 
-  private lazy val store: CellStore = {
+  private lazy val (storeRoot, store): (String, CellStore) = {
     val dir = Files.createTempDirectory("graft_manifest_").toString
     val s = CellStore(spark, dir)
     s.insert(name, frame(cellsOf(bcA) ++ cellsOf(bcB), 0),
@@ -43,7 +43,7 @@ class ManifestSpec extends AnyFunSuite with Matchers with SparkTestSession {
         .useCompaction(false)
         .addAggregatedColumn("v", T.Int64, Agg.Max)
         .build()))
-    s
+    (dir, s)
   }
 
   private def query(probes: Seq[Long]): Seq[(Long, Long)] =
@@ -164,6 +164,37 @@ class ManifestSpec extends AnyFunSuite with Matchers with SparkTestSession {
     }.getOrElse(fail("no file scan in the manifest-candidates plan"))
     // 250 bc directories on disk; planning touched exactly one
     scan.metrics("numFiles").value shouldBe 1L
+  }
+
+  test("the SQL graft_cells TVF engages the manifest (file-pruned scan from pure SQL)") {
+    graft.Graft.register(spark)
+    store.buildManifest(name)
+    val root = storeRoot
+    val df = spark.sql(
+      s"SELECT h3index, v FROM graft_cells('$root', '$name', 7, array(${probe}L))")
+    val rows = df.collect()
+    rows should have length 1
+    // unwrap AQE: the semi-join plan is adaptive, and the file scans live
+    // in the FINAL physical plan, not the wrapper's initial leaves
+    def leaves(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        leaves(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => leaves(q.plan)
+      case other => other.collectLeaves().flatMap {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => leaves(a)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => leaves(q.plan)
+        case l => Seq(l)
+      }
+    }
+    val scans = leaves(df.queryExecution.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.metadata.get("Location").exists(_.contains("/data")) => s
+    }
+    scans should not be empty
+    // the data scan read only the manifest-selected files, not every file
+    val filesRead = scans.map(_.metrics("numFiles").value).sum
+    filesRead should be < store.selectFilesForProbes(name, 7, Seq(probe)).get.currentFiles.toLong
   }
 
   test("property: manifest pruning never changes results (seeded random probes)") {

@@ -59,6 +59,18 @@ class MirrorTvfSpec extends AnyFunSuite with Matchers with SparkTestSession {
     df.orderBy("h3index").collect() should contain theSameElementsInOrderAs live
   }
 
+  test("renameTableset carries the mirror: marker token stays fresh at the new name") {
+    Graft.register(spark)
+    val (s, root) = mkStore("mir_a", "mir_b")
+    s.buildMirror("mir_a", 7, numBuckets = 4)
+    s.renameTableset("mir_a", "mir_rn")
+    // relative-path freshness token survives the move; the mirror re-registers
+    // under the NEW name's catalog identity at the moved location
+    s.mirrorFor("mir_rn", 7) should not be empty
+    spark.sql(s"SELECT count(*) AS n FROM graft_scan('$root', 'mir_rn', 7)")
+      .collect().head.getLong(0) shouldBe 49L // 7^2 res-7 children of the res-5 seed
+  }
+
   test("a write invalidates the mirror: TVF falls back to the live scan") {
     Graft.register(spark)
     val (s, root) = mkStore("mir_a", "mir_b")
