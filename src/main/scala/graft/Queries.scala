@@ -700,6 +700,26 @@ object Queries {
 
   private[graft] val D14ShardBudget = 50000L
 
+  /** Temperature-scaled mixture weights (d25): the multilingual
+    * data-mixing step every pretraining run computes — per-stratum
+    * sampling weight proportional to n^alpha (alpha = 0.5 upsamples
+    * low-resource languages; alpha = 1 is proportional sampling), plus the
+    * per-epoch document budget each stratum receives at the corpus size.
+    * One tiny groupBy; the normalizing sums are windows over the
+    * |langs|-row GROUPED frame, never the corpus. */
+  def d25MixtureWeights(spark: SparkSession, dir: String): DataFrame = {
+    val everything = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(spark, dir, "documents").groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", sqrt(col("n_docs")))
+      .withColumn("weight", round(col("w") / sum(col("w")).over(everything), 6))
+      .withColumn("target_docs",
+        round(col("w") / sum(col("w")).over(everything)
+          * sum(col("n_docs")).over(everything), 0).cast("long"))
+      .select(col("lang"), col("n_docs"), col("weight"), col("target_docs"))
+      .orderBy(col("lang"))
+  }
+
   /** Gopher-style quality rule bundle (d16) — the published heuristic
     * filters of Rae et al. 2021 that survive contact with a whitespace
     * tokenizer: mean word length in [3, 10], fraction of words containing
@@ -1613,6 +1633,14 @@ object Queries {
       // d21 grows the index incrementally (build even half, append odd) —
       // must rank exactly like the single-pass build
       "d21_index_append" -> d18OracleSql,
+      // same formula, independently derived (sqrt on both sides; the
+      // normalizing window runs over the |langs|-row grouped frame)
+      "d25_mixture_weights" ->
+        """SELECT lang, count(*) AS n_docs,
+          |  round(sqrt(count(*)::DOUBLE) / sum(sqrt(count(*)::DOUBLE)) OVER (), 6) AS weight,
+          |  round(sqrt(count(*)::DOUBLE) / sum(sqrt(count(*)::DOUBLE)) OVER ()
+          |    * sum(count(*)) OVER ())::BIGINT AS target_docs
+          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
       // d23's sketch+verify must equal the plain exact top-10
       "d23_heavy_hitters" ->
         """WITH w AS (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
@@ -1942,6 +1970,7 @@ object Queries {
     "d16_gopher_rules" -> d16GopherRules,
     "d3_quality_score" -> d3QualityScore,
     "d4_lang_distribution" -> d4LangDistribution,
+    "d25_mixture_weights" -> d25MixtureWeights,
     "e1_knn_brute_force" -> e1KnnBruteForce,
     "q22_keep_latest" -> q22KeepLatest,
     "q23_range_window" -> q23RangeWindow,
