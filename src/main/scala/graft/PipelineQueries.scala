@@ -685,6 +685,136 @@ object PipelineQueries {
       .orderBy(col("cluster_id"))
   }
 
+  // ------------------------------------------------- round-4 additions
+
+  /** SemDeDup semantic deduplication (e9) — Abbas et al. 2023
+    * (arXiv:2303.09540): cluster the embedding space, find intra-cluster
+    * cosine near-duplicate pairs, and DROP the pair member that sits CLOSER
+    * to its cluster centroid (the paper's policy: redundant points near the
+    * cluster core go, informative outliers stay). Deterministic clusters
+    * (vec_id % K, e8's device) keep the DuckDB oracle relational — a real
+    * deployment plugs [[graft.ann.Ann.kmeansCentroids]] in as the cluster
+    * column and everything downstream is unchanged. Scale shape: the
+    * pairwise step is CLUSTER-SCOPED (the published algorithm's bound — k
+    * grows with n so clusters stay small); join keys are (cl, pos) on
+    * exploded vectors with map-side partial sums, never a global product.
+    * Centroid-similarity comparisons use round-6 cosines with id
+    * tie-breaks so exact-duplicate vectors (sum-order float noise) decide
+    * identically cross-engine. */
+  private val E9Clusters = 7
+  private val E9Tau = 0.4
+  def e9SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val v = emb(spark, dir).select(col("vec_id").as("id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+    val ex = v.select(col("id"), pmod(col("id"), lit(E9Clusters)).as("cl"),
+      posexplode(col("v")))
+    val cent = ex.groupBy(col("cl"), col("pos"))
+      .agg((sum(col("col")) / count(lit(1))).as("c"))
+    val norms = ex.groupBy(col("id"), col("cl"))
+      .agg(sum(col("col") * col("col")).as("nn"))
+    val centCos = ex.join(broadcast(cent), Seq("cl", "pos"))
+      .groupBy(col("id"))
+      .agg(sum(col("col") * col("c")).as("vc"), sum(col("c") * col("c")).as("cc"))
+      .join(norms, "id")
+      .select(col("id"), col("cl"),
+        round(col("vc") / (sqrt(col("nn")) * sqrt(col("cc"))), 6).as("cos_cent"))
+    val lhs = ex.select(col("cl"), col("pos"), col("id").as("id_a"), col("col").as("va"))
+    val rhs = ex.select(col("cl").as("cl2"), col("pos").as("pos2"),
+      col("id").as("id_b"), col("col").as("vb"))
+    val dots = lhs.join(rhs,
+        col("cl") === col("cl2") && col("pos") === col("pos2") &&
+          col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("va") * col("vb")).as("ab"))
+    val na = norms.select(col("id").as("id_a"), col("nn").as("na"))
+    val nb = norms.select(col("id").as("id_b"), col("nn").as("nb"))
+    val pairs = dots.join(na, "id_a").join(nb, "id_b")
+      .where(col("ab") / (sqrt(col("na")) * sqrt(col("nb"))) >= E9Tau)
+    val ca = centCos.select(col("id").as("id_a"), col("cos_cent").as("ca"))
+    val cb = centCos.select(col("id").as("id_b"), col("cos_cent").as("cb"))
+    val losers = pairs.join(ca, "id_a").join(cb, "id_b")
+      .select(when(col("ca") > col("cb") ||
+          (col("ca") === col("cb") && col("id_a") > col("id_b")), col("id_a"))
+        .otherwise(col("id_b")).as("id"))
+      .distinct()
+    centCos.join(losers.withColumn("dropped", lit(true)), Seq("id"), "left")
+      .select(col("id").as("vec_id"), col("cl").cast("int").as("cluster"),
+        col("cos_cent").as("cos_centroid"),
+        coalesce(col("dropped"), lit(false)).as("is_dropped"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** DSIR importance weights (d26) — Xie et al. 2023 (arXiv:2302.03169):
+    * score every raw document by how much its hashed-n-gram feature profile
+    * looks like a TARGET distribution vs the RAW pool; weight = mean over
+    * the document's grams of log p_target(bucket) − log p_raw(bucket),
+    * add-1 smoothed. Target = the English slice (the curated-corpus
+    * stand-in); features = char-3-gram codes hashed into 256 buckets — the
+    * paper's hashed n-gram estimator, in pure integer arithmetic shared by
+    * the DuckDB oracle. Scale shape: the bucket tables are B-row broadcast
+    * frames; per-doc weights are one groupBy over the exploded gram stream
+    * with map-side partials; top-k is sort-limit, not a global window. */
+  private val DsirB = 256
+  def d26DsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val g = shingleCodesExploded(spark, dir).where(col("code").isNotNull)
+      .select(col("doc_id"), pmod(col("code"), lit(DsirB.toLong)).as("b"))
+    val isTarget = docs(spark, dir).where(col("lang") === "en")
+      .select(col("doc_id"))
+    val rawCnt = g.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val tgtCnt = g.join(isTarget, "doc_id").groupBy(col("b"))
+      .agg(count(lit(1)).as("ct"))
+    val buckets = rawCnt.join(tgtCnt, Seq("b"), "left")
+      .select(col("b"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
+    val totals = buckets.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+    val lam = buckets.crossJoin(broadcast(totals))
+      .select(col("b"),
+        (log(col("ct") + 1) - log(col("nt") + DsirB) -
+          log(col("cr") + 1) + log(col("nr") + DsirB)).as("lam"))
+    val scored = g.join(broadcast(lam), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), round(avg(col("lam")), 4).as("dsir_weight"))
+    scored.orderBy(col("dsir_weight").desc, col("doc_id")).limit(20)
+      .select(row_number().over(
+          Window.orderBy(col("dsir_weight").desc, col("doc_id"))).as("rnk"),
+        col("doc_id"), col("n_grams"), col("dsir_weight"))
+      .orderBy(col("rnk"))
+  }
+
+  /** Content-defined chunking dedup (d27) — the LBFS/FastCDC shape
+    * (Muthitacharoen et al., SOSP '01): chunk boundaries wherever the
+    * rolling 3-gram code satisfies code % 32 == 7 (expected chunk ≈ 32
+    * grams — small enough that the synthetic corpus's repeated spans
+    * surface as duplicate chunks), a position-weighted
+    * polynomial fingerprint per chunk (t5's arithmetic), then chunk-level
+    * exact dedup — sub-document dedup for long documents and storage.
+    * Output: the top-10 most-replicated chunk fingerprints. Scale shape:
+    * boundary scan and fingerprints are per-document windows (partitionBy
+    * doc_id — no global sort); the dedup is one groupBy(fp) with map-side
+    * partials; top-k is sort-limit. */
+  def d27CdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    val w = (0 until 8).map(k => (0 until k).foldLeft(1L)((acc, _) => acc * 31 % P))
+    val g = shingleCodesExploded(spark, dir).where(col("code").isNotNull)
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val chunked = g.withColumn("chunk_no",
+      sum(when(pmod(col("code"), lit(32L)) === 7, 1L).otherwise(0L)).over(wd))
+    val wc = Window.partitionBy(col("doc_id"), col("chunk_no")).orderBy(col("pos"))
+    val fps = chunked.withColumn("rn", row_number().over(wc))
+      .select(col("doc_id"), col("chunk_no"),
+        (pmod(col("code"), lit(P)) *
+          element_at(array(w.map(lit): _*),
+            (pmod(col("rn") - 1, lit(8)) + 1).cast("int")) % P).as("wcode"))
+      .groupBy(col("doc_id"), col("chunk_no"))
+      .agg(pmod(sum(col("wcode")), lit(P)).as("fp"))
+    fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_copies"), countDistinct(col("doc_id")).as("n_docs"))
+      .where(col("n_copies") > 1)
+      .orderBy(col("n_copies").desc, col("fp")).limit(10)
+      .select(row_number().over(
+          Window.orderBy(col("n_copies").desc, col("fp"))).as("rnk"),
+        col("fp"), col("n_copies"), col("n_docs"))
+      .orderBy(col("rnk"))
+  }
+
   // ------------------------------------------------------------ oracle SQL
 
   private val codesSql =
@@ -873,6 +1003,47 @@ object PipelineQueries {
          |  THEN substr(greatest($langScoredSql), 11, 2) ELSE 'und' END AS lang_pred
          |FROM p ORDER BY doc_id""".stripMargin
     },
+    // d26: sum(count) totals are HUGEINT in DuckDB — harmless inside ln();
+    // n_grams stays a plain count (BIGINT)
+    "d26_dsir_weights" ->
+      s"""WITH c AS (SELECT doc_id, $codesSql AS codes FROM documents),
+         |g AS (SELECT doc_id, unnest(codes) % $DsirB AS b FROM c),
+         |raw AS (SELECT b, count(*) AS cr FROM g GROUP BY 1),
+         |tgt AS (SELECT b, count(*) AS ct FROM g JOIN documents USING (doc_id)
+         |  WHERE lang = 'en' GROUP BY 1),
+         |bk AS (SELECT raw.b, cr, coalesce(ct, 0) AS ct
+         |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b),
+         |tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM bk),
+         |lam AS (SELECT b, ln(ct + 1) - ln(nt + $DsirB) - ln(cr + 1) + ln(nr + $DsirB) AS lam
+         |  FROM bk, tot),
+         |sc AS (SELECT doc_id, count(*) AS n_grams, round(avg(lam), 4) AS dsir_weight
+         |  FROM g JOIN lam USING (b) GROUP BY 1)
+         |SELECT row_number() OVER (ORDER BY dsir_weight DESC, doc_id) AS rnk,
+         |  doc_id, n_grams, dsir_weight
+         |FROM (SELECT * FROM sc ORDER BY dsir_weight DESC, doc_id LIMIT 20)
+         |ORDER BY rnk""".stripMargin,
+    "d27_cdc_chunks" -> {
+      val w = (0 until 8).map(k => (0 until k).foldLeft(1L)((acc, _) => acc * 31 % P))
+      val wList = w.mkString("[", ",", "]")
+      s"""WITH c AS (SELECT doc_id, $codesSql AS codes FROM documents),
+         |g AS (SELECT doc_id, generate_subscripts(codes, 1) AS pos,
+         |    unnest(codes) AS code FROM c),
+         |ch AS (SELECT doc_id, pos, code,
+         |    sum(CASE WHEN code % 32 = 7 THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_no FROM g),
+         |rn AS (SELECT doc_id, chunk_no, code,
+         |    row_number() OVER (PARTITION BY doc_id, chunk_no ORDER BY pos) AS rn
+         |  FROM ch),
+         |fps AS (SELECT doc_id, chunk_no,
+         |    (sum((code % $P) * ($wList)[((rn - 1) % 8) + 1] % $P) % $P)::BIGINT AS fp
+         |  FROM rn GROUP BY 1, 2),
+         |dup AS (SELECT fp, count(*) AS n_copies, count(DISTINCT doc_id) AS n_docs
+         |  FROM fps GROUP BY 1 HAVING count(*) > 1)
+         |SELECT row_number() OVER (ORDER BY n_copies DESC, fp) AS rnk,
+         |  fp, n_copies, n_docs
+         |FROM (SELECT * FROM dup ORDER BY n_copies DESC, fp LIMIT 10)
+         |ORDER BY rnk""".stripMargin
+    },
     "t5_fingerprint" -> {
       val w = (0 until 8).map(k => (0 until k).foldLeft(1L)((acc, _) => acc * 31 % P))
       val wList = w.mkString("[", ",", "]")
@@ -998,6 +1169,35 @@ object PipelineQueries {
     "e5_ivf_index" -> ivfOracleSql,
     "e7_pq_adc" -> pqOracleSql,
     "e8_centroid_outliers" -> e8OracleSql,
+    // e9: same deterministic clusters + round-6 centroid-cosine tie-break
+    // as the Spark side, re-derived through DuckDB's unnest/window engine
+    "e9_semantic_dedup" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |ex AS (SELECT vec_id, vec_id % $E9Clusters AS cl,
+         |    generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM v),
+         |cent AS (SELECT cl, pos, sum(val) / count(*) AS c FROM ex GROUP BY 1, 2),
+         |norms AS (SELECT vec_id, any_value(cl) AS cl, sum(val * val) AS nn
+         |  FROM ex GROUP BY 1),
+         |cc AS (SELECT e.vec_id, sum(e.val * c.c) AS vc, sum(c.c * c.c) AS ccc
+         |  FROM ex e JOIN cent c ON c.cl = e.cl AND c.pos = e.pos GROUP BY 1),
+         |centcos AS (SELECT n.vec_id, n.cl,
+         |    round(vc / (sqrt(nn) * sqrt(ccc)), 6) AS cos_cent
+         |  FROM cc JOIN norms n USING (vec_id)),
+         |dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.val * b.val) AS ab
+         |  FROM ex a JOIN ex b ON a.cl = b.cl AND a.pos = b.pos
+         |    AND a.vec_id < b.vec_id GROUP BY 1, 2),
+         |pairs AS (SELECT id_a, id_b FROM dots
+         |  JOIN norms na ON na.vec_id = id_a JOIN norms nb ON nb.vec_id = id_b
+         |  WHERE ab / (sqrt(na.nn) * sqrt(nb.nn)) >= $E9Tau),
+         |losers AS (SELECT DISTINCT CASE WHEN ca.cos_cent > cb.cos_cent
+         |      OR (ca.cos_cent = cb.cos_cent AND id_a > id_b)
+         |    THEN id_a ELSE id_b END AS vec_id
+         |  FROM pairs JOIN centcos ca ON ca.vec_id = id_a
+         |    JOIN centcos cb ON cb.vec_id = id_b)
+         |SELECT c.vec_id, c.cl::INT AS cluster, c.cos_cent AS cos_centroid,
+         |  (l.vec_id IS NOT NULL) AS is_dropped
+         |FROM centcos c LEFT JOIN losers l ON l.vec_id = c.vec_id
+         |ORDER BY c.vec_id""".stripMargin,
     "t8_dedup_clusters" ->
       s"""WITH RECURSIVE $clusterCtesSql
          |SELECT c.doc_id, c.cluster_id, cnt.n AS cluster_size,
@@ -1072,6 +1272,9 @@ object PipelineQueries {
     "e6_ivf_append" -> e6IvfAppend,
     "e7_pq_adc" -> e7PqAdc,
     "e8_centroid_outliers" -> e8CentroidOutliers,
+    "e9_semantic_dedup" -> e9SemanticDedup,
+    "d26_dsir_weights" -> d26DsirWeights,
+    "d27_cdc_chunks" -> d27CdcChunks,
     "c1_curation" -> c1Curation,
     "c2_contamination" -> c2Contamination,
     "c3_bloom_decontam" -> c3BloomDecontam,
