@@ -376,6 +376,38 @@ object TablesetQueries {
       .select(col("h3index"), col("v"))
       .orderBy(col("h3index"), col("v"))
 
+  // ------------------------------------------------------------------ ts33
+
+  /** Z-order range-scan gate (ts33): declare a secondary ORDER BY column,
+    * [[CellStore.zorderFiles]] the layout, rebuild the manifest (now with
+    * per-file k2 stats), then run a secondary-key range query through
+    * [[CellStore.scanForValueRange]]'s file-level manifest pruning. The
+    * oracle is the plain relational filter — the entire Z-curve/manifest
+    * machinery must be result-invisible (ZorderSpec pins that the pruning
+    * actually pruned). */
+  private def ts33Store(spark: SparkSession, dir: String): CellStore = {
+    val store = CellStore(spark, rootFor(dir))
+    if (!store.listTablesets().contains("gate_zorder")) {
+      val input = lineitem(spark, dir)
+        .select(Queries.synthCell.as("h3index"),
+          pmod(col("l_orderkey"), lit(1000)).as("v"))
+      store.insert("gate_zorder", input,
+        createSchema = Some(CompactedTableSchema.builder("gate_zorder")
+          .h3BaseResolutions(Seq(9))
+          .useCompaction(false)
+          .addColumn("v", ColumnDef.Simple(T.Int64, orderKeyPosition = Some(1)))
+          .build()))
+      store.zorderFiles("gate_zorder")
+      store.buildManifest("gate_zorder")
+    }
+    store
+  }
+
+  def ts33ZorderRange(spark: SparkSession, dir: String): DataFrame =
+    ts33Store(spark, dir).scanForValueRange("gate_zorder", 9, 100L, 199L)
+      .select(col("h3index"), col("v"))
+      .orderBy(col("h3index"), col("v"))
+
   // ------------------------------------------------------------------- ts8
 
   /** F7 through the oracle gate: temporal partition bucketing. The tableset
@@ -852,6 +884,15 @@ object TablesetQueries {
     "ts32_catalog" ->
       ("SELECT TRUE AS db_exists, TRUE AS ts_exists, " +
         "FALSE AS missing_db_exists, FALSE AS missing_ts_exists"),
+    // ts33: the Z-order rewrite + manifest k2 pruning must be result-
+    // invisible — the oracle is the naked relational range filter over the
+    // within-batch-distinct insert
+    "ts33_zorder_range" ->
+      s"""WITH a AS (SELECT DISTINCT $synthCellSql AS cell,
+         |    (l_orderkey % 1000) AS v FROM lineitem)
+         |SELECT cell AS h3index, v FROM a
+         |WHERE v BETWEEN 100 AND 199
+         |ORDER BY h3index, v""".stripMargin,
     "ts31_agg_optimize" ->
       s"""WITH a AS (SELECT DISTINCT $synthCellSql AS cell, (l_orderkey % 70)::BIGINT AS lo,
          |    (l_orderkey % 90)::BIGINT AS hi, 1::BIGINT AS total,
@@ -1409,6 +1450,7 @@ object TablesetQueries {
     "ts30_sql_mirror_join" -> ts30SqlMirrorJoin,
     "ts31_agg_optimize" -> ts31AggOptimize,
     "ts32_catalog" -> ts32Catalog,
+    "ts33_zorder_range" -> ts33ZorderRange,
     "s8_derived_tableset" -> s8DerivedTableset
   )
 }

@@ -1219,19 +1219,33 @@ class CellStore(spark: SparkSession, rootPath: String) {
     // (file:/// vs file:/) differs from Path normalization — relativize on
     // the scheme-less data-dir marker, which is identical in every spelling
     val marker = dataPath(name).toUri.getPath.stripSuffix("/") + "/"
-    val bc = getTableset(name).h3Partitioning match {
+    val schema = getTableset(name)
+    val bc = schema.h3Partitioning match {
       case H3Partitioning.BaseCell => col("ph3")
       case H3Partitioning.LowerResolution(_) => h3_get_base_cell(col("ph3")).cast("long")
     }
+    // secondary-key file stats: when the ORDER BY declares a column after
+    // h3index, record its per-file min/max too — after [[zorderFiles]] these
+    // ranges are tight, so [[scanForValueRange]] prunes at FILE level (the
+    // Z-ORDER + manifest-stats combination, per Delta/Iceberg practice).
+    // Older manifests lack the columns; every reader guards on presence.
+    val k2Aggs = secondaryOrderKey(schema).toSeq.flatMap(k2 =>
+      Seq(min(col(k2)).as("k2_min"), max(col(k2)).as("k2_max")))
     data
       .groupBy(substring_index(input_file_name(), marker, -1).as("path"),
         col("kind"),
         col("resolution").cast("int").as("resolution"),
         col("ph3").cast("long").as("ph3"))
-      .agg(min(col(h3Col)).as("min_h3"), max(col(h3Col)).as("max_h3"),
-        count(lit(1)).as("rows"))
+      .agg(min(col(h3Col)).as("min_h3"),
+        (max(col(h3Col)).as("max_h3") +: count(lit(1)).as("rows") +: k2Aggs): _*)
       .withColumn("bc", bc)
   }
+
+  /** The first ORDER BY column after h3index, if the schema declares one —
+    * the key [[zorderFiles]] co-clusters with h3index and whose per-file
+    * min/max the manifest records for [[scanForValueRange]] pruning. */
+  private def secondaryOrderKey(schema: CompactedTableSchema): Option[String] =
+    schema.orderByKey.filterNot(_ == CompactedTableSchema.ColH3Index).headOption
 
   /** (manifest entry count, current files the manifest does NOT cover) —
     * the coverage diff [[selectFilesForProbes]] needs to union post-build
@@ -1334,6 +1348,52 @@ class CellStore(spark: SparkSession, rootPath: String) {
       uncoveredFiles = uncovered.size))
   }
 
+  /** Driver-side file selection for a secondary-key range query: manifest
+    * entries whose [k2_min, k2_max] interval intersects [lo, hi] at the
+    * target resolution, plus uncovered (post-build) files — the same
+    * contract as [[selectFilesForProbes]] but pruning on the VALUE
+    * dimension. Only effective after [[zorderFiles]] has co-clustered the
+    * secondary key (unclustered files span the whole value domain and
+    * nothing prunes — correct either way, the row filter still applies).
+    * None when no manifest exists or the manifest predates k2 stats. */
+  private[graft] def selectFilesForValueRange(name: String, targetRes: Int,
+      lo: Any, hi: Any): Option[ManifestSelection] = {
+    if (!hasManifest(name)) return None
+    val m = spark.read.parquet(manifestPath(name).toString)
+    if (!m.columns.contains("k2_min")) return None
+    val base = qualifiedDataDir(name)
+    val selected = m
+      .where(resolutionFilter(targetRes))
+      .where(col("k2_max") >= lit(lo) && col("k2_min") <= lit(hi))
+      .select("path")
+      .collect().map(r => s"$base/${r.getString(0)}").toSeq
+    val currentSet = listDataFilesCached(name).toSet
+    val (manifestEntries, uncoveredRel) = manifestCoverage(name)
+    val uncovered = uncoveredRel.map(rel => s"$base/$rel")
+    Some(ManifestSelection(
+      (selected.filter(currentSet.contains) ++ uncovered).distinct,
+      manifestFiles = manifestEntries.toInt, currentFiles = currentSet.size,
+      uncoveredFiles = uncovered.size))
+  }
+
+  /** Secondary-key range scan at `targetRes`: rows whose declared secondary
+    * ORDER BY column lands in [lo, hi], with file-level manifest pruning
+    * when available ([[selectFilesForValueRange]]) and the row filter always
+    * applied on top — manifest staleness can only cost extra reads, never
+    * wrong rows. The scan that makes [[zorderFiles]] pay off. */
+  def scanForValueRange(name: String, targetRes: Int, lo: Any, hi: Any): DataFrame = {
+    val schema = getTableset(name)
+    val k2 = secondaryOrderKey(schema).getOrElse(throw new IllegalArgumentException(
+      s"tableset '$name' declares no ORDER BY column after h3index — " +
+        "scanForValueRange needs a secondary sort key"))
+    val base = selectFilesForValueRange(name, targetRes, lo, hi) match {
+      case Some(sel) => manifestScan(name, sel)
+      case None => readDeclared(name)
+    }
+    base.where(resolutionFilter(targetRes))
+      .where(col(k2) >= lit(lo) && col(k2) <= lit(hi))
+  }
+
   /** Read exactly the manifest-selected files, with the full partition-aware
     * schema (basePath keeps the Hive partition columns; the explicit schema
     * pins their types independently of which subset of directories
@@ -1429,6 +1489,52 @@ class CellStore(spark: SparkSession, rootPath: String) {
     optimizePartitions(name, touched, (all, _) => all)
 
   def compactFiles(name: String): Unit = compactFilesWhere(name, lit(true))
+
+  /** Z-ORDER rewrite: re-cluster the touched partitions' files on the
+    * interleaved bits of (h3index, secondary ORDER BY key) instead of the
+    * plain h3index-first sort — after it, files within a directory carry
+    * ranges that are tight on BOTH dimensions, so h3 probes keep their
+    * row-group skipping AND secondary-key range queries prune at file level
+    * through the manifest's k2 stats ([[scanForValueRange]]). The
+    * multi-dimensional clustering Delta's OPTIMIZE ZORDER / Iceberg's
+    * sort-order rewrite apply to the same problem; linearization follows
+    * the classic Z-curve (Morton order).
+    *
+    * Semantics-preserving like [[compactFiles]]: rows are moved, never
+    * merged or dropped. Scale shape: per-column min/max is one aggregate
+    * (a single driver row); the Z-value is pure codegen'd bit arithmetic;
+    * clustering is one repartitionByRange on (partition cols, zval) — the
+    * same shuffle budget as any optimize rewrite. Rebuild the manifest
+    * afterwards to refresh file stats. */
+  def zorderFiles(name: String): Unit = zorderFilesWhere(name, lit(true))
+
+  def zorderFilesWhere(name: String, touched: org.apache.spark.sql.Column): Unit = {
+    val schema = getTableset(name)
+    val k2 = secondaryOrderKey(schema).getOrElse(throw new IllegalArgumentException(
+      s"tableset '$name' declares no ORDER BY column after h3index — " +
+        "zorderFiles needs a second dimension to interleave"))
+    optimizePartitionsClustered(name, touched, (all, _) => all,
+      df => {
+        val h3Col = CompactedTableSchema.ColH3Index
+        // one tiny aggregate per rewrite: the normalization bounds
+        val b = df.agg(
+          min(col(h3Col).cast("double")), max(col(h3Col).cast("double")),
+          min(col(k2).cast("double")), max(col(k2).cast("double"))).collect()(0)
+        def bucket16(c: org.apache.spark.sql.Column, mn: Double, mx: Double) = {
+          val range = if (mx > mn) mx - mn else 1.0
+          least(greatest(
+            floor((c.cast("double") - mn) / range * 65535.0), lit(0.0)),
+            lit(65535.0)).cast("long")
+        }
+        val bh = bucket16(col(h3Col), b.getDouble(0), b.getDouble(1))
+        val bv = bucket16(col(k2), b.getDouble(2), b.getDouble(3))
+        (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
+          acc
+            .bitwiseOR(shiftleft(shiftright(bh, i).bitwiseAND(lit(1L)), 2 * i + 1))
+            .bitwiseOR(shiftleft(shiftright(bv, i).bitwiseAND(lit(1L)), 2 * i))
+        }
+      })
+  }
 
   /** Engine dispatch for the FINAL/optimize collapse — every engine's merge
     * semantics are real, none fall back silently to another's (round-3
@@ -1562,7 +1668,19 @@ class CellStore(spark: SparkSession, rootPath: String) {
     mergeCollapse(scanForResolution(name, targetRes), getTableset(name))
 
   private def optimizePartitions(name: String, touched: org.apache.spark.sql.Column,
-      collapse: (DataFrame, CompactedTableSchema) => DataFrame): Unit = {
+      collapse: (DataFrame, CompactedTableSchema) => DataFrame): Unit =
+    optimizePartitionsClustered(name, touched, collapse, clusterKey = null)
+
+  /** [[optimizePartitions]] with a pluggable cluster key: when `clusterKey`
+    * is non-null it is evaluated against the STAGED (checkpointed) frame
+    * and replaces the default (partition cols ++ ORDER BY) range/sort key —
+    * the hook [[zorderFilesWhere]] uses to linearize on the Z-curve. The
+    * key is an expression over row columns, so nothing extra lands in the
+    * written files. */
+  private def optimizePartitionsClustered(name: String,
+      touched: org.apache.spark.sql.Column,
+      collapse: (DataFrame, CompactedTableSchema) => DataFrame,
+      clusterKey: DataFrame => org.apache.spark.sql.Column): Unit = {
     val schema = getTableset(name)
     val dp = dataPath(name)
     if (!fs.exists(dp)) return
@@ -1595,7 +1713,17 @@ class CellStore(spark: SparkSession, rootPath: String) {
     // is needed anyway to break the read-the-overwrite-target lineage)
     val (withParts, _) = partitionColumns(deduped, schema)
     val staged = withParts.localCheckpoint()
-    sortedForWrite(rangedForWrite(staged, schema, allPartCols), schema, allPartCols)
+    val clustered =
+      if (clusterKey == null)
+        sortedForWrite(rangedForWrite(staged, schema, allPartCols), schema, allPartCols)
+      else {
+        val z = clusterKey(staged)
+        val key = allPartCols.map(col) :+ z
+        staged
+          .repartitionByRange(spark.sessionState.conf.numShufflePartitions, key: _*)
+          .sortWithinPartitions(key: _*)
+      }
+    clustered
       .write
       .mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
