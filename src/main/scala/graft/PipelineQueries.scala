@@ -706,8 +706,13 @@ object PipelineQueries {
   def e9SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
     val v = emb(spark, dir).select(col("vec_id").as("id"),
       transform(col("embedding"), _.cast("double")).as("v"))
-    val ex = v.select(col("id"), pmod(col("id"), lit(E9Clusters)).as("cl"),
-      posexplode(col("v")))
+    // the exploded frame feeds centroids, norms, centroid-cosines AND both
+    // sides of the pair join — memoize it once (n·dim rows; at corpus
+    // scale a written intermediate, like the shingle frame)
+    val ex = memo(spark, s"e9ex:$dir") {
+      v.select(col("id"), pmod(col("id"), lit(E9Clusters)).as("cl"),
+        posexplode(col("v")))
+    }
     val cent = ex.groupBy(col("cl"), col("pos"))
       .agg((sum(col("col")) / count(lit(1))).as("c"))
     val norms = ex.groupBy(col("id"), col("cl"))
