@@ -698,19 +698,26 @@ object PipelineQueries {
     * pairwise step is CLUSTER-SCOPED (the published algorithm's bound — k
     * grows with n so clusters stay small); join keys are (cl, pos) on
     * exploded vectors with map-side partial sums, never a global product.
+    * The cluster COUNT scales with corpus size (n/250 vectors per cluster,
+    * min 7 clusters) — the paper's regime, and what keeps the per-cluster
+    * pair space CONSTANT-sized as the corpus grows (fixed k would be
+    * quadratic: the 10x smoke measured 62x before this). The oracle derives
+    * the identical count from the same data via a scalar subquery.
     * Centroid-similarity comparisons use round-6 cosines with id
     * tie-breaks so exact-duplicate vectors (sum-order float noise) decide
     * identically cross-engine. */
-  private val E9Clusters = 7
+  private val E9ClusterSize = 250
   private val E9Tau = 0.4
   def e9SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
     val v = emb(spark, dir).select(col("vec_id").as("id"),
       transform(col("embedding"), _.cast("double")).as("v"))
+    val k = math.max(7L, math.ceil(
+      emb(spark, dir).count().toDouble / E9ClusterSize).toLong)
     // the exploded frame feeds centroids, norms, centroid-cosines AND both
     // sides of the pair join — memoize it once (n·dim rows; at corpus
     // scale a written intermediate, like the shingle frame)
     val ex = memo(spark, s"e9ex:$dir") {
-      v.select(col("id"), pmod(col("id"), lit(E9Clusters)).as("cl"),
+      v.select(col("id"), pmod(col("id"), lit(k)).as("cl"),
         posexplode(col("v")))
     }
     val cent = ex.groupBy(col("cl"), col("pos"))
@@ -1178,8 +1185,10 @@ object PipelineQueries {
     // as the Spark side, re-derived through DuckDB's unnest/window engine
     "e9_semantic_dedup" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |ex AS (SELECT vec_id, vec_id % $E9Clusters AS cl,
-         |    generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM v),
+         |kk AS (SELECT greatest(7, CAST(ceil(count(*) / $E9ClusterSize.0) AS BIGINT)) AS k
+         |  FROM embeddings),
+         |ex AS (SELECT vec_id, vec_id % kk.k AS cl,
+         |    generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM v, kk),
          |cent AS (SELECT cl, pos, sum(val) / count(*) AS c FROM ex GROUP BY 1, 2),
          |norms AS (SELECT vec_id, any_value(cl) AS cl, sum(val * val) AS nn
          |  FROM ex GROUP BY 1),
