@@ -827,6 +827,50 @@ object PipelineQueries {
       .orderBy(col("rnk"))
   }
 
+  /** Streaming near-duplicate detection (s9): documents arrive as a FILE
+    * STREAM; each micro-batch computes t2's MinHash LSH band buckets
+    * per-row (TextOps Column API), and a streaming aggregation maintains
+    * min(doc_id) per (band, bucket) across batches. min is associative, so
+    * the maintained state — and therefore the verdicts — are independent
+    * of how the stream happens to be micro-batched. The static tail flags
+    * every document that shares a bucket with a smaller doc_id: "first
+    * wins" near-dup suppression with deterministic id-ordered
+    * survivorship. Scale shape: streaming state is ONE ROW PER OCCUPIED
+    * BUCKET (not per document, not per pair); the corpus-sized work is the
+    * stateless per-batch signature projection. Documents shorter than a
+    * shingle have NULL buckets and match nothing in either engine. */
+  def s9StreamNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val raw = docs(spark, dir)
+    // per-row codegen'd band hash (LshBandHash): a micro-batch projection
+    // cannot amortize through the memoized exploded shingle frame, and the
+    // interpreted Column formulation costs 8 lambda walks per document
+    def bandsOf(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), explode(array(
+        struct(lit(0).as("band"), TextOps.lshBandHash(col("text"), 0).as("bh")),
+        struct(lit(1).as("band"), TextOps.lshBandHash(col("text"), 1).as("bh")))).as("b"))
+        .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    val src = spark.readStream.schema(raw.schema).parquet(s"$dir/documents.*")
+    val minPerBucket = bandsOf(src).groupBy(col("band"), col("bh"))
+      .agg(min(col("doc_id")).as("min_id"))
+    val sink = "s9_stream_sink"
+    spark.catalog.dropTempView(sink) // idempotent across bench passes
+    val q = minPerBucket.writeStream.format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val state = spark.table(sink)
+    // static tail reuses the memoized exploded/codegen'd band frame — the
+    // interpreted Column-API formulation exists only where streaming needs
+    // a per-row expression (one pass over each arriving batch)
+    val flags = bandsFrame(spark, dir).join(state, Seq("band", "bh"))
+      .groupBy(col("doc_id"))
+      .agg(max((col("min_id") < col("doc_id")).cast("int")).as("f"))
+    raw.select(col("doc_id")).join(flags, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("f") === 1, lit(false)).as("is_near_dup"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------ oracle SQL
 
   private val codesSql =
@@ -980,6 +1024,25 @@ object PipelineQueries {
       val mh = (0 until 8).map(j => s"${mhSql(j)} AS mh$j").mkString(", ")
       s"""WITH c AS (SELECT doc_id, $codesSql AS codes FROM documents)
          |SELECT doc_id, $mh FROM c ORDER BY doc_id""".stripMargin
+    },
+    // s9: the micro-batched min-per-bucket state equals the batch GROUP BY
+    // min by associativity — the oracle re-derives exactly that
+    "s9_stream_neardup" -> {
+      val mh = (0 until 8).map(j => s"${mhSql(j)} AS mh$j").mkString(", ")
+      val b0 = bandSql(Seq("mh0", "mh1", "mh2", "mh3"))
+      val b1 = bandSql(Seq("mh4", "mh5", "mh6", "mh7"))
+      s"""WITH c AS (SELECT doc_id, $codesSql AS codes FROM documents),
+         |s AS (SELECT doc_id, $mh FROM c),
+         |bands AS (SELECT doc_id, 0 AS band, $b0 AS bh FROM s
+         |          UNION ALL SELECT doc_id, 1, $b1 FROM s),
+         |mb AS (SELECT band, bh, min(doc_id) AS min_id FROM bands GROUP BY 1, 2),
+         |fl AS (SELECT b.doc_id,
+         |    max(CASE WHEN mb.min_id < b.doc_id THEN 1 ELSE 0 END) AS f
+         |  FROM bands b JOIN mb ON mb.band = b.band AND mb.bh = b.bh
+         |  GROUP BY 1)
+         |SELECT d.doc_id, coalesce(fl.f, 0) = 1 AS is_near_dup
+         |FROM documents d LEFT JOIN fl USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
     },
     "t2_minhash_lsh_pairs" -> {
       val mh = (0 until 8).map(j => s"${mhSql(j)} AS mh$j").mkString(", ")
@@ -1289,6 +1352,7 @@ object PipelineQueries {
     "e9_semantic_dedup" -> e9SemanticDedup,
     "d26_dsir_weights" -> d26DsirWeights,
     "d27_cdc_chunks" -> d27CdcChunks,
+    "s9_stream_neardup" -> s9StreamNearDup,
     "c1_curation" -> c1Curation,
     "c2_contamination" -> c2Contamination,
     "c3_bloom_decontam" -> c3BloomDecontam,

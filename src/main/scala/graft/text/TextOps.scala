@@ -72,6 +72,15 @@ object TextOps {
     pmod(aggregate(slice(sig, band * rowsPerBand + 1, rowsPerBand),
       lit(0L), (acc, x) => (acc * 31L + x) % P), lit(P))
 
+  /** t2's 2x4 band bucket straight from text — the codegen'd
+    * [[LshBandHash]] expression (one compiled pass per row; see its
+    * scaladoc for the parity contract with minhashSignature+bandHash). */
+  def lshBandHash(text: Column, band: Int): Column = {
+    import org.apache.spark.sql.graft.shims.{column, expression}
+    column(LshBandHash(expression(text),
+      org.apache.spark.sql.catalyst.expressions.Literal(band)))
+  }
+
   /** 31-bit SimHash from the h_0 hash of each shingle: bit b is 1 iff the
     * +1/-1 votes of all shingle hashes at bit b sum positive. */
   def simhash31(text: Column): Column = {
