@@ -408,6 +408,19 @@ object TablesetQueries {
       .select(col("h3index"), col("v"))
       .orderBy(col("h3index"), col("v"))
 
+  /** The same z-order range read from PURE SQL (ts34): `graft_range`
+    * splices [[CellStore.scanForValueRange]]'s manifest-pruned scan at
+    * analysis time — same oracle as ts33; SQL users get the file pruning
+    * without a line of DataFrame code. */
+  def ts34SqlRange(spark: SparkSession, dir: String): DataFrame = {
+    ts33Store(spark, dir) // ensure gate_zorder exists, z-ordered + manifested
+    Graft.register(spark)
+    spark.sql(
+      s"""SELECT h3index, v
+         |FROM graft_range('${rootFor(dir)}', 'gate_zorder', 9, 100L, 199L)
+         |ORDER BY h3index, v""".stripMargin)
+  }
+
   // ------------------------------------------------------------------- ts8
 
   /** F7 through the oracle gate: temporal partition bucketing. The tableset
@@ -829,6 +842,16 @@ object TablesetQueries {
        |SELECT DISTINCT h3index, v FROM sibs ORDER BY h3index""".stripMargin
 
   // both rollups re-derived from first principles, joined on the cell
+  // ts33/ts34: the z-order rewrite + manifest k2 pruning must be result-
+  // invisible — the oracle is the naked relational range filter over the
+  // within-batch-distinct insert
+  private val ts33OracleSql: String =
+    s"""WITH a AS (SELECT DISTINCT $synthCellSql AS cell,
+       |    (l_orderkey % 1000) AS v FROM lineitem)
+       |SELECT cell AS h3index, v FROM a
+       |WHERE v BETWEEN 100 AND 199
+       |ORDER BY h3index, v""".stripMargin
+
   private val ts12OracleSql: String =
     s"""WITH cells AS (SELECT DISTINCT $synthCellSql AS cell, l_quantity AS qty FROM lineitem),
        |sums AS (SELECT ${parentSql("cell", 9, 5)} AS p5, sum(qty) AS s
@@ -884,15 +907,9 @@ object TablesetQueries {
     "ts32_catalog" ->
       ("SELECT TRUE AS db_exists, TRUE AS ts_exists, " +
         "FALSE AS missing_db_exists, FALSE AS missing_ts_exists"),
-    // ts33: the Z-order rewrite + manifest k2 pruning must be result-
-    // invisible — the oracle is the naked relational range filter over the
-    // within-batch-distinct insert
-    "ts33_zorder_range" ->
-      s"""WITH a AS (SELECT DISTINCT $synthCellSql AS cell,
-         |    (l_orderkey % 1000) AS v FROM lineitem)
-         |SELECT cell AS h3index, v FROM a
-         |WHERE v BETWEEN 100 AND 199
-         |ORDER BY h3index, v""".stripMargin,
+    "ts33_zorder_range" -> ts33OracleSql,
+    // ts34 = ts33 through the graft_range SQL TVF — identical expected rows
+    "ts34_sql_range" -> ts33OracleSql,
     "ts31_agg_optimize" ->
       s"""WITH a AS (SELECT DISTINCT $synthCellSql AS cell, (l_orderkey % 70)::BIGINT AS lo,
          |    (l_orderkey % 90)::BIGINT AS hi, 1::BIGINT AS total,
@@ -1451,6 +1468,7 @@ object TablesetQueries {
     "ts31_agg_optimize" -> ts31AggOptimize,
     "ts32_catalog" -> ts32Catalog,
     "ts33_zorder_range" -> ts33ZorderRange,
+    "ts34_sql_range" -> ts34SqlRange,
     "s8_derived_tableset" -> s8DerivedTableset
   )
 }

@@ -46,6 +46,13 @@ object TableFunctions {
         "graft_stats(root, tableset) - per-resolution stored/derived cell counts (A9/A10)", ""),
       graftStatsBuilder)
     spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_range"),
+      new ExpressionInfo("graft.store", null, "graft_range",
+        "graft_range(root, tableset, res, lo, hi) - rows at the resolution whose " +
+          "secondary ORDER BY column lands in [lo, hi], manifest-file-pruned " +
+          "(effective after zorderFiles)", ""),
+      graftRangeBuilder)
+    spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier("graft_cells"),
       new ExpressionInfo("graft.store", null, "graft_cells",
         "graft_cells(root, tableset, res, array(cells...)) - §3.1 cell query: " +
@@ -101,6 +108,29 @@ object TableFunctions {
       intArg("graft_traverse", args(2), "targetRes"),
       graft.traverse.Traversal.TraversalOptions(
         maxFetchCount = intArg("graft_traverse", args(4), "maxFetchCount")))
+      .queryExecution.analyzed
+  }
+
+  /** `graft_range(root, tableset, res, lo, hi)` — [[CellStore.scanForValueRange]]
+    * from pure SQL: the secondary-key range scan with manifest file pruning
+    * (the z-order read path). Bounds are LONG (or INT) literals — they
+    * drive driver-side file selection at analysis time, like graft_cells'
+    * probe array. */
+  private def graftRangeBuilder: Seq[Expression] => LogicalPlan = { args =>
+    if (args.length != 5)
+      throw new IllegalArgumentException(
+        s"graft_range(root, tableset, res, lo, hi) expects 5 arguments, got ${args.length}")
+    def boundArg(e: Expression, what: String): Long = e match {
+      case Literal(l: Long, LongType) => l
+      case Literal(i: Int, IntegerType) => i.toLong
+      case _ => throw new IllegalArgumentException(
+        s"graft_range: $what must be an integer literal, got $e")
+    }
+    val store = CellStore(SparkSession.active, strArg("graft_range", args(0), "root"))
+    store.scanForValueRange(
+      strArg("graft_range", args(1), "tableset"),
+      intArg("graft_range", args(2), "targetRes"),
+      boundArg(args(3), "lo"), boundArg(args(4), "hi"))
       .queryExecution.analyzed
   }
 
