@@ -624,6 +624,40 @@ object Queries {
     spark.table(sink).orderBy(col("n_name"))
   }
 
+  /** Stream-stream interval-join gate (s10): view -> purchase attribution
+    * run as an ACTUAL streaming query — ONE file-stream source over the
+    * events parquet split into two sides (a genuine stream-stream
+    * self-join), [[graft.streaming.StreamOps.intervalJoin]] matching each
+    * view to the same user's purchases within 30 minutes, watermarked on
+    * both sides, `Trigger.AvailableNow`, memory sink (stream-stream inner
+    * joins emit in append mode only). The time-range predicate is what
+    * BOUNDS both join-state buffers: watermark + horizon let the engine
+    * expire state, the property that makes the join runnable on an
+    * unbounded stream (StreamOps scale note). Hash-matched against the
+    * batch DuckDB interval join. */
+  def s10StreamAttribution(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val src = convertEventTs(
+      spark.readStream.schema(raw.schema).parquet(s"$dir/events.*"))
+    val views = src.where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+    val purchases = src.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+    val joined = graft.streaming.StreamOps.intervalJoin(
+        views, purchases, "user_id", "view_ts", "purchase_ts",
+        horizon = "30 minutes", watermarkDelay = "1 hour")
+      .select(col("view_id"), col("purchase_id"), col("user_id"))
+    val sink = "s10_stream_sink"
+    spark.catalog.dropTempView(sink) // idempotent across bench passes
+    val q = joined.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink).orderBy(col("view_id"), col("purchase_id"))
+  }
+
   /** PII-redaction gate (d13): scrub emails / IPv4s / phone numbers from
     * document text via [[graft.text.TextOps.redactPii]]. The corpus text
     * carries no PII, so each doc is suffixed with deterministic synthetic
@@ -1257,6 +1291,59 @@ object Queries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Duplicated-span REMOVAL accounting (d28) — the step Lee et al.'s
+    * substring dedup actually performs after d11's pair detection: every
+    * exact [[D11SpanWords]]-word window occurring >= 2 times in the corpus
+    * (across OR within documents) marks its word-position interval
+    * duplicated; overlapping intervals merge into maximal islands per
+    * document, and the gate reports per-doc duplicated-word counts — what
+    * a removal pass would cut, and the per-doc duplication fraction data
+    * curation thresholds on.
+    *
+    * Scale shape: windows shuffle once as 32-byte sha2 keys to count
+    * occurrences (no pair self-join at all — removal needs the duplicated
+    * SET, not the pair graph, so d11's df-cap hazard never arises); the
+    * interval merge is a per-document window (partitionBy doc_id — state
+    * is one running max per doc, no global sort); the word arrays never
+    * leave their rows. */
+  def d28DupSpanRemoval(spark: SparkSession, dir: String): DataFrame = {
+    val k = D11SpanWords
+    val words = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        filter(split(col("text"), "\\s+"), x => x =!= "").as("ws"))
+    // per-POSITION windows (d11's frame is per-doc-distinct — wrong here:
+    // removal needs every occurrence's interval, including repeats)
+    val grams = words
+      .select(col("doc_id"), explode(
+        when(size(col("ws")) >= k, sequence(lit(1), size(col("ws")) - (k - 1)))
+          .otherwise(array().cast("array<int>"))).as("i"),
+        col("ws"))
+      .select(col("doc_id"), col("i").cast("long").as("s"),
+        sha2(array_join(slice(col("ws"), col("i"), lit(k)), " "), 256).as("h"))
+    val dup = grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("n")).where(col("n") >= 2).select(col("h"))
+    val iv = grams.join(dup, Seq("h"))
+      .select(col("doc_id"), col("s"), (col("s") + (k - 1)).as("e"))
+    // island merge: an interval starts a new island iff it begins past the
+    // running max end of everything before it (per-position starts are
+    // unique per doc, so the ordering is total and the islands determinate)
+    val ord = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    val prevMax = max(col("e")).over(ord.rowsBetween(Window.unboundedPreceding, -1))
+    val perDoc = iv
+      .withColumn("brk", when(col("s") > coalesce(prevMax, lit(-1L)), 1L).otherwise(0L))
+      .withColumn("isl", sum(col("brk")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg((max(col("e")) - min(col("s")) + 1).as("span_words"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_islands"), sum(col("span_words")).as("dup_words"))
+    words.select(col("doc_id"), size(col("ws")).cast("long").as("n_words"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("dup_words"), lit(0L)).as("dup_words"),
+        coalesce(col("n_islands"), lit(0L)).as("n_islands"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Quality score: simple length/punctuation heuristic, deterministic
     * integer arithmetic (training-data quality filter shape). */
   def d3QualityScore(spark: SparkSession, dir: String): DataFrame =
@@ -1673,6 +1760,38 @@ object Queries {
           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
           |FROM gg a JOIN gg b ON a.g = b.g AND a.doc_id < b.doc_id
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      "d28_dup_span_removal" ->
+        s"""WITH w AS (SELECT doc_id,
+          |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS ws
+          |  FROM documents),
+          |p AS (SELECT doc_id, ws,
+          |    unnest(range(1, greatest(length(ws) - ${D11SpanWords - 2}, 1))) AS i
+          |  FROM w),
+          |g AS (SELECT doc_id, i,
+          |    array_to_string(list_slice(ws, i, i + ${D11SpanWords - 1}), ' ') AS g
+          |  FROM p),
+          |dup AS (SELECT g FROM (SELECT g, count(*) AS n FROM g GROUP BY 1)
+          |        WHERE n >= 2),
+          |iv AS (SELECT doc_id, i::BIGINT AS s, (i + ${D11SpanWords - 1})::BIGINT AS e
+          |       FROM g JOIN dup USING (g)),
+          |m AS (SELECT doc_id, s, e,
+          |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+          |    THEN 1 ELSE 0 END AS brk
+          |  FROM iv),
+          |isl AS (SELECT doc_id, s, e,
+          |    sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+          |  FROM m),
+          |spans AS (SELECT doc_id, island, max(e) - min(s) + 1 AS span_words
+          |          FROM isl GROUP BY 1, 2),
+          |per AS (SELECT doc_id, count(*)::BIGINT AS n_islands,
+          |               sum(span_words)::BIGINT AS dup_words
+          |        FROM spans GROUP BY 1)
+          |SELECT w.doc_id, length(ws)::BIGINT AS n_words,
+          |  coalesce(per.dup_words, 0)::BIGINT AS dup_words,
+          |  coalesce(per.n_islands, 0)::BIGINT AS n_islands
+          |FROM w LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin,
       "d3_quality_score" ->
         """SELECT doc_id,
           | round(least(n_chars / 1000.0, 1.0) * 0.5 +
@@ -1815,6 +1934,12 @@ object Queries {
           | event_type, count(*) AS num_events, round(sum(value), 2) AS total_value
           |FROM events GROUP BY 1, 2, 3
           |ORDER BY window_start, event_type""".stripMargin,
+      "s10_stream_attribution" ->
+        """SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id
+          |FROM events v JOIN events p ON v.user_id = p.user_id
+          | AND v.event_type = 'view' AND p.event_type = 'purchase'
+          | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+          |ORDER BY view_id, purchase_id""".stripMargin,
       "s7_stream_static_join" ->
         """SELECT n_name, count(*) AS n_events, round(sum(value), 2) AS sum_value
           |FROM events e
@@ -1949,6 +2074,7 @@ object Queries {
     "d21_index_append" -> d21IndexAppend,
     "d23_heavy_hitters" -> d23HeavyHitters,
     "d11_dup_span_pairs" -> d11DupSpanPairs,
+    "d28_dup_span_removal" -> d28DupSpanRemoval,
     "d12_vocab_stats" -> d12VocabStats,
     "q11_asof_join" -> q11AsofJoin,
     "q12_range_join" -> q12RangeJoin,
@@ -1962,6 +2088,7 @@ object Queries {
     "q20_bag_set_ops" -> q20BagSetOps,
     "q21_lateral_join" -> q21LateralJoin,
     "s3_stream_windowed" -> s3StreamWindowed,
+    "s10_stream_attribution" -> s10StreamAttribution,
     "s7_stream_static_join" -> s7StreamStaticJoin,
     "s4_stream_dedup" -> s4StreamDedup,
     "d13_pii_redact" -> d13PiiRedact,
