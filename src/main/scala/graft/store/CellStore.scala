@@ -1057,8 +1057,37 @@ class CellStore(spark: SparkSession, rootPath: String) {
   private def recordSnapshot(name: String, before: Set[String]): Unit = {
     val added = listDataFiles(name).filterNot(before).map(relToData(name, _)).sorted
     if (added.isEmpty) return
-    val id = snapshotIds(name).lastOption.getOrElse(0L) + 1
-    writeSnapshotList(name, id, added)
+    writeSnapshotList(name, claimSnapshotId(name), added)
+  }
+
+  /** Atomically claim the next snapshot id via exclusive create of a hidden
+    * `.N.claim` marker. Two concurrent inserts would otherwise both compute
+    * last+1 and the second `.list` publish would silently REPLACE the first
+    * writer's history entry (rename overwrites on POSIX). `create(path,
+    * overwrite = false)` is the one Hadoop primitive that refuses an
+    * existing path (atomic on HDFS; best-effort exists-check on local FS —
+    * the loser of the rare local race bumps and retries on the next
+    * conflict). Claims are never deleted: a crash between claim and publish
+    * just leaves a skipped id (readers iterate actual `.list` files, so id
+    * gaps cost nothing), and a few empty marker files per tableset lifetime
+    * is noise next to the data. Concurrent appends may still each LIST the
+    * other's freshly-committed files into their own snapshot — [[scanAsOf]]
+    * reads the union distinct, so overlap affects bytes listed, never rows. */
+  private def claimSnapshotId(name: String): Long = {
+    val dir = snapshotsPath(name)
+    fs.mkdirs(dir)
+    val claimed = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith(".") && n.endsWith(".claim") =>
+        n.stripPrefix(".").stripSuffix(".claim").toLong }
+    var id = (snapshotIds(name) ++ claimed).foldLeft(0L)(math.max) + 1
+    var out = -1L
+    while (out < 0) {
+      try {
+        fs.create(new Path(dir, s".$id.claim"), false).close()
+        out = id
+      } catch { case _: java.io.IOException => id += 1 }
+    }
+    out
   }
 
   /** Write a .list via temp + rename: an in-place overwrite truncates first,
@@ -1102,8 +1131,11 @@ class CellStore(spark: SparkSession, rootPath: String) {
     val ids = snapshotIds(name)
     require(ids.contains(snapshotId), s"tableset '$name' has no snapshot $snapshotId (have: ${ids.mkString(", ")})")
     val base = qualifiedDataDir(name)
+    // distinct: concurrent appends can each list the other's files into
+    // their own snapshot (see claimSnapshotId) — reading a file once per
+    // appearance would duplicate its rows
     val files = ids.filter(_ <= snapshotId)
-      .flatMap(readSnapshotList(name, _)).map(rel => s"$base/$rel")
+      .flatMap(readSnapshotList(name, _)).distinct.map(rel => s"$base/$rel")
     val current = listDataFilesCached(name).toSet
     val missing = files.filterNot(current)
     if (missing.nonEmpty) throw new IllegalStateException(
@@ -1273,12 +1305,27 @@ class CellStore(spark: SparkSession, rootPath: String) {
     * spark.read resolve against the DEFAULT filesystem, which breaks
     * rootPaths on s3a:// or a non-default HDFS namenode). */
   private def listDataFiles(name: String): Seq[String] = {
-    val it = fs.listFiles(dataPath(name), true)
+    // manual walk, NOT fs.listFiles(recursive): a concurrent writer's
+    // transient `_temporary` subtree must be (a) skipped — its in-flight
+    // part files end in .parquet and would otherwise enter listings and
+    // snapshot lists, then vanish at that writer's commit — and (b)
+    // tolerated when it vanishes between list and stat (the recursive
+    // iterator throws instead)
     val out = mutable.ArrayBuffer.empty[String]
-    while (it.hasNext) {
-      val f = it.next().getPath
-      if (f.getName.endsWith(".parquet") && !f.getName.startsWith("_") &&
-        !f.getName.startsWith(".")) out += fs.makeQualified(f).toString
+    val stack = mutable.Stack[Path](dataPath(name))
+    while (stack.nonEmpty) {
+      val dir = stack.pop()
+      val entries =
+        try fs.listStatus(dir)
+        catch { case _: java.io.FileNotFoundException =>
+          Array.empty[org.apache.hadoop.fs.FileStatus] }
+      entries.foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory) {
+          if (!n.startsWith("_") && !n.startsWith(".")) stack.push(st.getPath)
+        } else if (n.endsWith(".parquet") && !n.startsWith("_") &&
+          !n.startsWith(".")) out += fs.makeQualified(st.getPath).toString
+      }
     }
     out.toSeq
   }
