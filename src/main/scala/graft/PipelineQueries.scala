@@ -567,6 +567,23 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** IVF-PQ ADC search (e10): the COMPOSED index — e4's coarse cells plus
+    * e7's product quantization, encoding RESIDUALS against each vector's
+    * assigned centroid ([[Ann.knnIvfPq]] scale notes). Shares e4's
+    * quantizer/probe parameters and e7's PQ geometry so all three gates
+    * triangulate: e10's candidate SET is e4's (same cells probed), its
+    * scoring machinery is e7's (ADC over codes), and the oracle pins the
+    * full assign -> residual -> encode -> probe -> ADC pipeline
+    * bit-for-bit against DuckDB. */
+  def e10IvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val v = ivfCorpus(spark, dir)
+    Ann.knnIvfPq(v.where(col("id") < IvfNumQueries), v, ivfCentroids(v),
+        IvfK, IvfNprobe, PqNumSub, PqSubDim, PqKsub)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        round(col("adc"), 4).as("adc_score"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** Embedding outlier detection (e8): cosine of every vector to its
     * cluster's MEAN vector, bottom-k = the vectors least like their
     * neighborhood — the "drop corrupted/mislabeled embeddings" curation
@@ -1019,6 +1036,67 @@ object PipelineQueries {
        |WHERE rnk <= $IvfK ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** e10: the ivfOracleSql assign/probe CTEs + pqOracleSql's encode/LUT
+    * CTEs, composed over residuals. Aliases are disambiguated (vv for the
+    * vector table inside lambdas) because DuckDB resolves `v.v[i]` against
+    * the nearest scope. */
+  private val ivfPqOracleSql: String = {
+    val dims = PqNumSub * PqSubDim
+    val cosSql = (a: String, b: String) =>
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    val adcSum = (0 until PqNumSub)
+      .map(m => s"max(CASE WHEN l.m = $m THEN l.l END)").mkString(" + ")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |           WHERE len(embedding) = $dims),
+       |cent AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id % $IvfCentroidStride = 0),
+       |assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT v.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${cosSql("v.v", "c.cv")} DESC, c.cid) AS rn
+       |    FROM v CROSS JOIN cent c) WHERE rn = 1),
+       |resid AS (SELECT a.vec_id, a.cid,
+       |    list_transform(range(1, ${dims + 1}), i -> vv.v[i] - c.cv[i]) AS rv
+       |  FROM assign a JOIN v vv ON vv.vec_id = a.vec_id
+       |    JOIN cent c ON c.cid = a.cid),
+       |cb AS (SELECT t.m, vec_id AS code,
+       |         list_slice(rv, t.m*$PqSubDim+1, t.m*$PqSubDim+$PqSubDim) AS cw
+       |       FROM resid CROSS JOIN (SELECT unnest(range($PqNumSub)) AS m) t
+       |       WHERE vec_id < $PqKsub),
+       |codes AS (SELECT vec_id AS neighbor_id, cid, m, code FROM (
+       |    SELECT r.vec_id, r.cid, cb.m, cb.code,
+       |      row_number() OVER (PARTITION BY r.vec_id, cb.m
+       |        ORDER BY 2*list_dot_product(
+       |            list_slice(r.rv, cb.m*$PqSubDim+1, cb.m*$PqSubDim+$PqSubDim), cb.cw)
+       |          - list_dot_product(cb.cw, cb.cw) DESC, cb.code) AS rn
+       |    FROM resid r CROSS JOIN cb) WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid FROM (
+       |    SELECT v.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${cosSql("v.v", "c.cv")} DESC, c.cid) AS rn
+       |    FROM v CROSS JOIN cent c WHERE v.vec_id < $IvfNumQueries)
+       |  WHERE rn <= $IvfNprobe),
+       |qc AS (SELECT p.query_id, p.cid, list_dot_product(q.v, c.cv) AS qc
+       |  FROM probes p JOIN v q ON q.vec_id = p.query_id
+       |    JOIN cent c ON c.cid = p.cid),
+       |lut AS (SELECT q.vec_id AS query_id, cb.m, cb.code,
+       |    list_dot_product(
+       |      list_slice(q.v, cb.m*$PqSubDim+1, cb.m*$PqSubDim+$PqSubDim), cb.cw) AS l
+       |  FROM v q CROSS JOIN cb WHERE q.vec_id < $IvfNumQueries),
+       |adc AS (SELECT qc.query_id, c.neighbor_id, qc.qc + $adcSum AS adc
+       |  FROM qc JOIN codes c ON c.cid = qc.cid
+       |    JOIN lut l ON l.query_id = qc.query_id AND l.m = c.m AND l.code = c.code
+       |  WHERE qc.query_id != c.neighbor_id
+       |  GROUP BY qc.query_id, c.neighbor_id, qc.qc)
+       |SELECT query_id, rnk, neighbor_id, round(adc, 4) AS adc_score FROM (
+       |  SELECT query_id, neighbor_id, adc,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc DESC, neighbor_id) AS rnk
+       |  FROM adc)
+       |WHERE rnk <= $IvfK ORDER BY query_id, rnk""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "t1_minhash_signatures" -> {
       val mh = (0 until 8).map(j => s"${mhSql(j)} AS mh$j").mkString(", ")
@@ -1243,6 +1321,7 @@ object PipelineQueries {
     // quantizer/probe/k parameters — same expected output as e4
     "e5_ivf_index" -> ivfOracleSql,
     "e7_pq_adc" -> pqOracleSql,
+    "e10_ivf_pq" -> ivfPqOracleSql,
     "e8_centroid_outliers" -> e8OracleSql,
     // e9: same deterministic clusters + round-6 centroid-cosine tie-break
     // as the Spark side, re-derived through DuckDB's unnest/window engine
@@ -1348,6 +1427,7 @@ object PipelineQueries {
     "e5_ivf_index" -> e5IvfIndex,
     "e6_ivf_append" -> e6IvfAppend,
     "e7_pq_adc" -> e7PqAdc,
+    "e10_ivf_pq" -> e10IvfPq,
     "e8_centroid_outliers" -> e8CentroidOutliers,
     "e9_semantic_dedup" -> e9SemanticDedup,
     "d26_dsir_weights" -> d26DsirWeights,

@@ -377,6 +377,78 @@ object Ann {
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("adc"))
   }
 
+  /** IVF-PQ ADC search — the composed index shape (FAISS IVFPQ; Jégou et
+    * al., "Product Quantization for Nearest Neighbor Search", IEEE TPAMI
+    * 2011 §IV): corpus vectors are assigned to coarse cells, their
+    * RESIDUALS against the assigned centroid are PQ-encoded, and a query
+    * scores candidates in its `nprobe` probed cells as
+    * `dot(q, centroid) + sum_m lut(q, m, code_m)` — the coarse term plus
+    * the quantized-residual inner product. Residual encoding is what makes
+    * PQ codes sharp inside a cell (vectors in one cell share the centroid,
+    * so the residual space is centered), and the probe restriction is what
+    * a cid-partitioned code layout prunes at planning.
+    *
+    * Codebooks are the deterministic corpus sample (residual subvectors of
+    * ids < ksub — same swap-in-trained-centroids contract as [[pqAssign]]);
+    * cell probing and tie-breaking mirror [[knnIvf]]; the ADC sum uses
+    * [[knnPqAdc]]'s fixed-order pivot so the double result is bit-identical
+    * cross-engine (coarse term first, then subspaces 0..numSub-1).
+    *
+    * The 100 TB story compounds both parents': a query reads numSub bytes
+    * per candidate (not dim floats) and only from nprobe/C of the corpus
+    * (not all cells). Output: (query_id, rnk, neighbor_id, adc). */
+  def knnIvfPq(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      k: Int, nprobe: Int, numSub: Int, subDim: Int, ksub: Int): DataFrame = {
+    val dims = numSub * subDim
+    val corp = corpus.where(size(col("vec")) === dims)
+    val cent = centroids.select(col("cid"), col("vec").cast("array<double>").as("cv"))
+    val resid = corp.select(col("id"), col("vec").cast("array<double>").as("dv"))
+      .join(ivfAssign(corp, centroids), "id")
+      .join(broadcast(cent), "cid")
+      .select(col("id"), col("cid"),
+        zip_with(col("dv"), col("cv"), (a, b) => a - b).as("rv"))
+    val subs = (0 until numSub).map(m =>
+      struct(lit(m).as("m"), slice(col("rv"), m * subDim + 1, subDim).as("cw")))
+    val cb = resid.where(col("id") < ksub)
+      .select(col("id").as("code"), explode(array(subs: _*)).as("s"))
+      .select(col("s.m").as("m"), col("code"), col("s.cw").as("cw"),
+        vec_dot(col("s.cw"), col("s.cw")).as("cwn2"))
+    val codes = resid
+      .crossJoin(broadcast(cb))
+      .select(col("id"), col("cid"), col("m"), col("code"),
+        (lit(2.0) * vec_dot(slice(col("rv"), col("m") * subDim + 1, lit(subDim)),
+          col("cw")) - col("cwn2")).as("score"))
+      .groupBy(col("id"), col("cid"), col("m"))
+      .agg(max(struct(col("score"), (-col("code")).as("nc"))).as("best"))
+      .select(col("id").as("neighbor_id"), col("cid"), col("m"),
+        (-col("best.nc")).as("code"))
+    val q = queries.where(size(col("vec")) === dims)
+      .select(col("id").as("query_id"), col("vec").cast("array<double>").as("qv"))
+    val wp = Window.partitionBy(col("id")).orderBy(col("cos").desc, col("cid"))
+    val probes = centroidCosines(queries.where(size(col("vec")) === dims), centroids)
+      .withColumn("rn", row_number().over(wp))
+      .where(col("rn") <= nprobe)
+      .select(col("id").as("query_id"), col("cid"))
+    val qc = probes.join(q, "query_id").join(broadcast(cent), "cid")
+      .select(col("query_id"), col("cid"), vec_dot(col("qv"), col("cv")).as("qc"))
+    val lut = q.crossJoin(broadcast(cb))
+      .select(col("query_id"), col("m"), col("code"),
+        vec_dot(slice(col("qv"), col("m") * subDim + 1, lit(subDim)), col("cw")).as("l"))
+    val perSub = (0 until numSub).map(m =>
+      max(when(col("m") === m, col("l"))).as(s"l$m"))
+    val adc = (0 until numSub).map(m => col(s"l$m")).foldLeft(col("qc"))(_ + _)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("neighbor_id"))
+    qc.join(codes, "cid")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .join(lut, Seq("query_id", "m", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"), col("qc"))
+      .agg(perSub.head, perSub.tail: _*)
+      .select(col("query_id"), col("neighbor_id"), adc.as("adc"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("adc"))
+  }
+
   /** Production PQ search: ADC shortlist of `rerankFactor * k` candidates
     * per query, then exact-cosine re-rank over full-precision vectors —
     * [[rerank]]'s shared tie-breaking, like [[knnLsh]]/[[knnIvf]]. Vectors

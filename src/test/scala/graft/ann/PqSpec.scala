@@ -134,4 +134,47 @@ class PqSpec extends AnyFunSuite with Matchers with SparkTestSession {
     // codes are always in [0, ksub)
     codes.where(col("code") < 0 || col("code") >= ksub).count() shouldBe 0
   }
+
+  test("IVF-PQ: candidate set equals knnIvf's (same probed cells) with k wide open") {
+    val data = gridCorpus(120)
+    val centroids = data.where(col("id") % 10 === 0)
+      .select(col("id").as("cid"), col("vec"))
+    val queries = data.where(col("id") % 17 === 3)
+    // k >> cell sizes: both return EVERY candidate in the probed cells, so
+    // the sets must be identical — the PQ layer changes scores, never the
+    // probe/assignment geometry
+    val ivf = Ann.knnIvf(queries, data, centroids, 500, 2)
+      .select(col("query_id"), col("neighbor_id")).collect().toSet
+    val ivfpq = Ann.knnIvfPq(queries, data, centroids, 500, 2, numSub, subDim, ksub)
+      .select(col("query_id"), col("neighbor_id")).collect().toSet
+    ivfpq shouldBe ivf
+  }
+
+  test("IVF-PQ off-grid clustered data: top-k recall clears a floor vs brute force") {
+    val rnd = new scala.util.Random(1234)
+    val rows = (0 until 20).flatMap { c =>
+      val centroid = Array.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+      (0 until 15).map { m =>
+        val v = centroid.clone()
+        rnd.shuffle((0 until dim).toList).take(if (m == 0) 0 else 6)
+          .foreach(i => v(i) = -v(i))
+        Row(c.toLong * 15 + m, v.toSeq)
+      }
+    }
+    val data = df(rows)
+    // one centroid per planted cluster (its clean member) — cells ARE the
+    // clusters, so the true neighbors live in the probed cells and the
+    // only approximation left is the residual quantization
+    val centroids = data.where(col("id") % 15 === 0)
+      .select((col("id") / 15).as("cid"), col("vec"))
+    val queries = data.where(col("id") % 15 === 0)
+    val k = 5
+    val exact = Ann.knnBruteForce(queries, data, k)
+    val got = Ann.knnIvfPq(queries, data, centroids, k, 3, numSub, subDim, ksub)
+    val hit = got.select(col("query_id"), col("neighbor_id"))
+      .join(exact.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id")).count()
+    val recall = hit.toDouble / exact.count()
+    withClue(s"recall=$recall") { recall should be >= 0.5 }
+  }
 }
