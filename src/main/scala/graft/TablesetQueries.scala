@@ -346,6 +346,20 @@ object TablesetQueries {
       .orderBy(col("h3index"), col("v"))
   }
 
+  /** The same historical read from PURE SQL (ts35): `graft_asof` splices
+    * [[CellStore.scanForResolutionAsOf]]'s explicit-file-list scan at
+    * analysis time — ts21's oracle, no DataFrame code. Completes the TVF
+    * family: scan / cells / traverse / stats / range / asof. */
+  def ts35SqlAsof(spark: SparkSession, dir: String): DataFrame = {
+    val store = ts21Store(spark, dir)
+    Graft.register(spark)
+    val first = store.snapshotIds("gate_travel").head
+    spark.sql(
+      s"""SELECT h3index, v
+         |FROM graft_asof('${rootFor(dir)}', 'gate_travel', 9, ${first}L)
+         |ORDER BY h3index, v""".stripMargin)
+  }
+
   // ------------------------------------------------------------------ ts19
 
   /** Small-file compaction gate (ts19): two overlapping inserts, then
@@ -1027,6 +1041,12 @@ object TablesetQueries {
          |  SELECT DISTINCT $synthCellSql AS cell, (l_orderkey % 50) AS v
          |  FROM lineitem WHERE l_orderkey % 4 = 0)
          |ORDER BY h3index, v""".stripMargin,
+    // ts35 = ts21 through the graft_asof TVF: identical oracle
+    "ts35_sql_asof" ->
+      s"""SELECT cell AS h3index, v FROM (
+         |  SELECT DISTINCT $synthCellSql AS cell, (l_orderkey % 50) AS v
+         |  FROM lineitem WHERE l_orderkey % 4 = 0)
+         |ORDER BY h3index, v""".stripMargin,
     // compactFiles preserves rows exactly: each batch distinct WITHIN
     // itself (insert-time dedup), cross-batch duplicates kept (mod-4 rows
     // are a subset of mod-2 rows -> appear twice)
@@ -1456,6 +1476,7 @@ object TablesetQueries {
     "ts19_file_compaction" -> ts19FileCompaction,
     "ts20_backfill_resolution" -> ts20BackfillResolution,
     "ts21_time_travel" -> ts21TimeTravel,
+    "ts35_sql_asof" -> ts35SqlAsof,
     "ts22_sql_stats" -> ts22SqlStats,
     "ts23_alter_partitioning" -> ts23AlterPartitioning,
     "ts24_sql_traverse" -> ts24SqlTraverse,

@@ -53,6 +53,13 @@ object TableFunctions {
           "(effective after zorderFiles)", ""),
       graftRangeBuilder)
     spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_asof"),
+      new ExpressionInfo("graft.store", null, "graft_asof",
+        "graft_asof(root, tableset, res, snapshotId) - time travel: the " +
+          "resolution scan as of the given snapshot (the lakehouse " +
+          "VERSION AS OF read from pure SQL)", ""),
+      graftAsofBuilder)
+    spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier("graft_cells"),
       new ExpressionInfo("graft.store", null, "graft_cells",
         "graft_cells(root, tableset, res, array(cells...)) - §3.1 cell query: " +
@@ -131,6 +138,26 @@ object TableFunctions {
       strArg("graft_range", args(1), "tableset"),
       intArg("graft_range", args(2), "targetRes"),
       boundArg(args(3), "lo"), boundArg(args(4), "hi"))
+      .queryExecution.analyzed
+  }
+
+  /** `graft_asof(root, tableset, res, snapshotId)` — [[CellStore.scanForResolutionAsOf]]
+    * from pure SQL: the explicit-file-list historical read (snapshot union,
+    * invalidation checked loudly at analysis time). The snapshot id is a
+    * LONG (or INT) literal, mirroring Delta's `VERSION AS OF n`. */
+  private def graftAsofBuilder: Seq[Expression] => LogicalPlan = { args =>
+    if (args.length != 4)
+      throw new IllegalArgumentException(
+        s"graft_asof(root, tableset, res, snapshotId) expects 4 arguments, got ${args.length}")
+    val snap = args(3) match {
+      case Literal(l: Long, LongType) => l
+      case Literal(i: Int, IntegerType) => i.toLong
+      case e => throw new IllegalArgumentException(
+        s"graft_asof: snapshotId must be an integer literal, got $e")
+    }
+    CellStore(SparkSession.active, strArg("graft_asof", args(0), "root"))
+      .scanForResolutionAsOf(strArg("graft_asof", args(1), "tableset"),
+        intArg("graft_asof", args(2), "targetRes"), snap)
       .queryExecution.analyzed
   }
 
