@@ -773,6 +773,45 @@ object PipelineQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** HyperLogLog cardinality sketch (d29) — Flajolet et al. 2007: estimate
+    * the corpus's distinct-shingle count from 64 one-byte registers. The
+    * canonical "how big is this vocabulary / url set / ngram space" op at
+    * 100 TB, where exact COUNT(DISTINCT) shuffles every distinct value and
+    * HLL shuffles 64 bytes with map-side partial max. Everything up to the
+    * final estimate is INTEGER arithmetic shared with the oracle: the
+    * mixed hash (j=9 of the t1 family), bucket = h & 63, rho = trailing
+    * zeros of the 25-bit suffix + 1, registers = max(rho) per bucket, and
+    * the harmonic denominator computed EXACTLY as sum(1L << (30 - M_j))
+    * (every term integral — no float-accumulation order to disagree on);
+    * only the closing alpha*m^2*2^30/S division is floating point, with
+    * identical left-to-right operand order cross-engine. The gate also
+    * emits the exact distinct count: at sf0.01 the estimate lands within
+    * HLL's ~1.04/sqrt(64) = 13% envelope, asserted by spec, pinned by
+    * hash. */
+  private val HllJ = 9
+  def d29HllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val h = (pmod(col("code"), lit(P)) * TextOps.hashA(HllJ) + TextOps.hashB(HllJ)) % P
+    val regs = shingleCodesExploded(spark, dir).where(col("code").isNotNull)
+      .select(h.as("h"))
+      .select(col("h").bitwiseAND(lit(63L)).as("bucket"),
+        shiftright(col("h"), 6).as("x"))
+      // trailing zeros of x = bit_count(lowestSetBit(x) - 1); rho = tz + 1
+      .select(col("bucket"), when(col("x") === 0, lit(26))
+        .otherwise(bit_count(col("x").bitwiseAND(-col("x")) - 1) + 1).as("rho"))
+      .groupBy(col("bucket")).agg(max(col("rho")).as("m"))
+    val full = spark.range(64).select(col("id").as("bucket"))
+      .join(regs, Seq("bucket"), "left")
+      .select(coalesce(col("m"), lit(0)).as("m"))
+    val s = full.agg(
+      sum(expr("shiftleft(1L, cast(30 - m as int))")).as("s"),
+      sum(when(col("m") === 0, 1L).otherwise(0L)).as("n_empty"))
+    val exact = shingleCodesExploded(spark, dir).where(col("code").isNotNull)
+      .agg(countDistinct(col("code")).as("exact_distinct"))
+    s.crossJoin(exact).select(
+      round(lit(0.709) * 4096.0 * 1073741824.0 / col("s"), 2).as("hll_estimate"),
+      col("n_empty"), col("exact_distinct"))
+  }
+
   /** DSIR importance weights (d26) — Xie et al. 2023 (arXiv:2302.03169):
     * score every raw document by how much its hashed-n-gram feature profile
     * looks like a TARGET distribution vs the RAW pool; weight = mean over
@@ -1322,6 +1361,25 @@ object PipelineQueries {
     "e5_ivf_index" -> ivfOracleSql,
     "e7_pq_adc" -> pqOracleSql,
     "e10_ivf_pq" -> ivfPqOracleSql,
+    // d29: integer-exact HLL registers + exact-rational harmonic sum; the
+    // one float op (the closing division) has fixed operand order
+    "d29_hll_distinct" ->
+      s"""WITH c AS (SELECT doc_id, $codesSql AS codes FROM documents),
+         |g AS (SELECT unnest(codes) AS code FROM c),
+         |h AS (SELECT ((code % $P) * ${TextOps.hashA(HllJ)} + ${TextOps.hashB(HllJ)}) % $P AS h
+         |      FROM g),
+         |rr AS (SELECT h & 63 AS bucket,
+         |    CASE WHEN (h >> 6) = 0 THEN 26
+         |         ELSE bit_count(((h >> 6) & (-(h >> 6))) - 1)::INT + 1 END AS rho
+         |  FROM h),
+         |regs AS (SELECT bucket, max(rho) AS m FROM rr GROUP BY 1),
+         |f AS (SELECT coalesce(m, 0) AS m
+         |  FROM (SELECT unnest(range(64)) AS bucket) b LEFT JOIN regs USING (bucket)),
+         |s AS (SELECT sum((1::BIGINT << (30 - m)))::BIGINT AS s,
+         |    sum(CASE WHEN m = 0 THEN 1 ELSE 0 END)::BIGINT AS n_empty FROM f),
+         |e AS (SELECT count(DISTINCT code)::BIGINT AS exact_distinct FROM g)
+         |SELECT round(0.709 * 4096.0 * 1073741824.0 / s.s, 2) AS hll_estimate,
+         |  s.n_empty, e.exact_distinct FROM s, e""".stripMargin,
     "e8_centroid_outliers" -> e8OracleSql,
     // e9: same deterministic clusters + round-6 centroid-cosine tie-break
     // as the Spark side, re-derived through DuckDB's unnest/window engine
@@ -1428,6 +1486,7 @@ object PipelineQueries {
     "e6_ivf_append" -> e6IvfAppend,
     "e7_pq_adc" -> e7PqAdc,
     "e10_ivf_pq" -> e10IvfPq,
+    "d29_hll_distinct" -> d29HllDistinct,
     "e8_centroid_outliers" -> e8CentroidOutliers,
     "e9_semantic_dedup" -> e9SemanticDedup,
     "d26_dsir_weights" -> d26DsirWeights,
