@@ -45,7 +45,13 @@ object Inflate {
         .withColumn("n_chars", col("n_chars") + lit(3L)))
     copies("embeddings")((df, i) =>
       df.withColumn("vec_id", col("vec_id") + lit(i * Off)))
-    copies("events")((df, i) => df) // volume only; keys unused by the smoke set
+    // remap event AND user keys: a plain volume copy would multiply every
+    // user's activity density 10x, quadratically inflating per-user joins
+    // (s10 attribution) by data construction rather than plan behavior —
+    // remapping keeps per-user structure identical to the source
+    copies("events")((df, i) =>
+      df.withColumn("event_id", col("event_id") + lit(i * Off))
+        .withColumn("user_id", col("user_id") + lit(i * Off)))
     Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
       spark.read.parquet(s"$srcDir/$t.parquet")
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/$t.parquet")
