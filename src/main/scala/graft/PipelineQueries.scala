@@ -812,6 +812,43 @@ object PipelineQueries {
       col("n_empty"), col("exact_distinct"))
   }
 
+  /** Count-min sketch (d30) — Cormode & Muthukrishnan 2005: 4 x 512
+    * integer counters over the corpus shingle stream; a point estimate is
+    * the min over rows of the hashed counter, which NEVER undercounts (the
+    * CMS guarantee, asserted by spec) and overcounts by at most the
+    * collision mass. The frequency-estimation companion to d23's
+    * Misra-Gries (d23 finds the heavy hitters; CMS answers "how often does
+    * X occur" for ANY x from 2 KB of state) and d29's HLL (cardinality).
+    * Entirely integer arithmetic — counters are one map-side-combined
+    * groupBy of (row, bucket); the exact counts joined alongside exist to
+    * make the gate self-checking, exactly like d29's exact_distinct. */
+  private val CmsD = 4
+  private val CmsW = 512L
+  private def cmsBucket(code: org.apache.spark.sql.Column, d: Int) =
+    pmod(pmod(pmod(code, lit(P)) * TextOps.hashA(10 + d) + TextOps.hashB(10 + d),
+      lit(P)), lit(CmsW))
+  def d30CountMin(spark: SparkSession, dir: String): DataFrame = {
+    val g = shingleCodesExploded(spark, dir).where(col("code").isNotNull)
+    def rows(codeCol: org.apache.spark.sql.Column) = array((0 until CmsD).map(d =>
+      struct(lit(d).as("d"), cmsBucket(codeCol, d).as("b"))): _*)
+    val counters = g.select(explode(rows(col("code"))).as("r"))
+      .groupBy(col("r.d").as("d"), col("r.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val top = g.groupBy(col("code")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("code")).limit(10)
+    val est = top
+      .select(col("code"), col("exact_cnt"), explode(rows(col("code"))).as("r"))
+      .select(col("code"), col("exact_cnt"), col("r.d").as("d"), col("r.b").as("b"))
+      .join(broadcast(counters), Seq("d", "b"))
+      .groupBy(col("code"), col("exact_cnt"))
+      .agg(min(col("c")).as("cms_est"))
+    est.orderBy(col("exact_cnt").desc, col("code"))
+      .select(row_number().over(
+          Window.orderBy(col("exact_cnt").desc, col("code"))).as("rnk"),
+        col("code"), col("exact_cnt"), col("cms_est"))
+      .orderBy(col("rnk"))
+  }
+
   /** DSIR importance weights (d26) — Xie et al. 2023 (arXiv:2302.03169):
     * score every raw document by how much its hashed-n-gram feature profile
     * looks like a TARGET distribution vs the RAW pool; weight = mean over
@@ -1361,6 +1398,26 @@ object PipelineQueries {
     "e5_ivf_index" -> ivfOracleSql,
     "e7_pq_adc" -> pqOracleSql,
     "e10_ivf_pq" -> ivfPqOracleSql,
+    // d30: pure integer CMS — same counter/bucket derivation both engines
+    "d30_count_min" -> {
+      val buckets = (0 until CmsD).map(d =>
+        s"SELECT $d AS d, ((code % $P) * ${TextOps.hashA(10 + d)} + " +
+          s"${TextOps.hashB(10 + d)}) % $P % $CmsW AS b, code FROM g")
+        .mkString(" UNION ALL ")
+      s"""WITH c AS (SELECT doc_id, $codesSql AS codes FROM documents),
+         |g AS (SELECT unnest(codes) AS code FROM c),
+         |db AS ($buckets),
+         |counters AS (SELECT d, b, count(*)::BIGINT AS cnt FROM db GROUP BY 1, 2),
+         |top AS (SELECT code, count(*)::BIGINT AS exact_cnt FROM g
+         |        GROUP BY 1 ORDER BY exact_cnt DESC, code LIMIT 10),
+         |est AS (SELECT t.code, t.exact_cnt, min(cn.cnt) AS cms_est
+         |  FROM top t JOIN db ON db.code = t.code
+         |  JOIN counters cn ON cn.d = db.d AND cn.b = db.b
+         |  GROUP BY 1, 2)
+         |SELECT row_number() OVER (ORDER BY exact_cnt DESC, code) AS rnk,
+         |  code, exact_cnt, cms_est
+         |FROM est ORDER BY rnk""".stripMargin
+    },
     // d29: integer-exact HLL registers + exact-rational harmonic sum; the
     // one float op (the closing division) has fixed operand order
     "d29_hll_distinct" ->
@@ -1487,6 +1544,7 @@ object PipelineQueries {
     "e7_pq_adc" -> e7PqAdc,
     "e10_ivf_pq" -> e10IvfPq,
     "d29_hll_distinct" -> d29HllDistinct,
+    "d30_count_min" -> d30CountMin,
     "e8_centroid_outliers" -> e8CentroidOutliers,
     "e9_semantic_dedup" -> e9SemanticDedup,
     "d26_dsir_weights" -> d26DsirWeights,

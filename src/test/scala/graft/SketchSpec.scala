@@ -38,4 +38,17 @@ class SketchSpec extends AnyFunSuite with Matchers with SparkTestSession {
       math.abs(est - exact) / exact should be < 0.39
     }
   }
+
+  test("d30 count-min: estimates NEVER undercount and overcount is bounded") {
+    val rows = PipelineQueries.d30CountMin(spark, "/root/testdata/sf0.001").collect()
+    rows.length shouldBe 10
+    rows.foreach { r =>
+      val exact = r.getLong(2); val est = r.getLong(3)
+      withClue(s"code=${r.getLong(1)}") {
+        est should be >= exact // the CMS one-sided guarantee
+        // overcount <= collision mass; generous envelope for 4x512 counters
+        est - exact should be < (exact / 2 + 1000)
+      }
+    }
+  }
 }
