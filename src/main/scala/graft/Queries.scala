@@ -658,6 +658,42 @@ object Queries {
     spark.table(sink).orderBy(col("view_id"), col("purchase_id"))
   }
 
+  /** Stream-stream LEFT OUTER interval join (s11): s10's attribution with
+    * the unmatched side kept — "views that led to NO purchase", the
+    * negative-signal curation query. Outer rows are watermark-gated: the
+    * engine emits a null-extended row only once the watermark proves no
+    * matching purchase can still arrive (view_ts + horizon below the
+    * GLOBAL watermark = min over both sides' max event time, minus the
+    * delay) — so views in the stream's final delay+horizon window are
+    * still-open state at end-of-stream and are NOT emitted, which the
+    * oracle mirrors with the same cutoff predicate. The no-data final
+    * micro-batch (AvailableNow) is what flushes the eviction; unmatched
+    * purchases map to -1 (not NULL) so the cross-engine value
+    * representation stays exact. */
+  def s11StreamOuterAttribution(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val src = convertEventTs(
+      spark.readStream.schema(raw.schema).parquet(s"$dir/events.*"))
+    val views = src.where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+    val purchases = src.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+    val joined = graft.streaming.StreamOps.intervalJoin(
+        views, purchases, "user_id", "view_ts", "purchase_ts",
+        horizon = "30 minutes", watermarkDelay = "1 hour", joinType = "left_outer")
+      .select(col("view_id"), coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+        col("user_id"))
+    val sink = "s11_stream_sink"
+    spark.catalog.dropTempView(sink) // idempotent across bench passes
+    val q = joined.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink).orderBy(col("view_id"), col("purchase_id"))
+  }
+
   /** PII-redaction gate (d13): scrub emails / IPv4s / phone numbers from
     * document text via [[graft.text.TextOps.redactPii]]. The corpus text
     * carries no PII, so each doc is suffixed with deterministic synthetic
@@ -1940,6 +1976,24 @@ object Queries {
           | AND v.event_type = 'view' AND p.event_type = 'purchase'
           | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
           |ORDER BY view_id, purchase_id""".stripMargin,
+      "s11_stream_outer_attribution" ->
+        """WITH v AS (SELECT event_id AS view_id, ts AS view_ts, user_id
+          |  FROM events WHERE event_type = 'view'),
+          |p AS (SELECT event_id AS purchase_id, ts AS purchase_ts, user_id
+          |  FROM events WHERE event_type = 'purchase'),
+          |m AS (SELECT v.view_id, p.purchase_id, v.user_id
+          |  FROM v JOIN p ON v.user_id = p.user_id
+          |   AND p.purchase_ts >= v.view_ts
+          |   AND p.purchase_ts <= v.view_ts + INTERVAL 30 MINUTE),
+          |mx AS (SELECT least((SELECT max(ts) FROM events WHERE event_type = 'view'),
+          |                    (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+          |         - INTERVAL 1 HOUR AS wm)
+          |SELECT view_id, purchase_id, user_id FROM m
+          |UNION ALL
+          |SELECT v.view_id, -1 AS purchase_id, v.user_id FROM v, mx
+          |WHERE v.view_id NOT IN (SELECT view_id FROM m)
+          |  AND v.view_ts + INTERVAL 30 MINUTE < mx.wm
+          |ORDER BY view_id, purchase_id""".stripMargin,
       "s7_stream_static_join" ->
         """SELECT n_name, count(*) AS n_events, round(sum(value), 2) AS sum_value
           |FROM events e
@@ -2089,6 +2143,7 @@ object Queries {
     "q21_lateral_join" -> q21LateralJoin,
     "s3_stream_windowed" -> s3StreamWindowed,
     "s10_stream_attribution" -> s10StreamAttribution,
+    "s11_stream_outer_attribution" -> s11StreamOuterAttribution,
     "s7_stream_static_join" -> s7StreamStaticJoin,
     "s4_stream_dedup" -> s4StreamDedup,
     "d13_pii_redact" -> d13PiiRedact,
