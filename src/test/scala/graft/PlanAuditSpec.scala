@@ -230,6 +230,33 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkTestSession {
     all(exchanges) should not include "ws#"
   }
 
+  test("d28: dup-span removal shuffles hashes + positions, never word arrays; no global window") {
+    val plan = planOf(Queries.d28DupSpanRemoval(spark, "/root/testdata/sf0.001"))
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    exchanges should not be empty
+    // the word array and the gram-text materializer stay inside their rows
+    all(exchanges) should not include "ws#"
+    all(exchanges) should not include "array_join"
+    // the island merge is a per-document window, not a global sort
+    plan should not include "Exchange SinglePartition"
+  }
+
+  test("e10: IVF-PQ broadcasts codebooks/centroids; exchanges never carry vectors") {
+    val v = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cent = v.where(expr("id % 29 = 0")).select(col("id").as("cid"), col("vec"))
+    val plan = planOf(graft.ann.Ann.knnIvfPq(
+      v.where(col("id") < 5), v, cent, 5, 3, 8, 8, 16))
+    plan should include("BroadcastExchange") // codebooks + centroid frames
+    plan should not include "CartesianProduct"
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    // residual/query/corpus vector arrays never transit a shuffle — codes,
+    // ids and per-subspace partial maxes do
+    all(exchanges) should not include "rv#"
+    all(exchanges) should not include "dv#"
+    all(exchanges) should not include "qv#"
+  }
+
   test("d14: shard packing never plans a single-partition window") {
     // audit PrefixSum's phase 1 directly on d14's token frame: the gate's
     // own plan starts at the localCheckpoint (lineage truncated), so the
