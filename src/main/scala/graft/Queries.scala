@@ -1360,18 +1360,10 @@ object Queries {
       .agg(count(lit(1)).as("n")).where(col("n") >= 2).select(col("h"))
     val iv = grams.join(dup, Seq("h"))
       .select(col("doc_id"), col("s"), (col("s") + (k - 1)).as("e"))
-    // island merge: an interval starts a new island iff it begins past the
-    // running max end of everything before it (per-position starts are
-    // unique per doc, so the ordering is total and the islands determinate)
-    val ord = Window.partitionBy(col("doc_id")).orderBy(col("s"))
-    val prevMax = max(col("e")).over(ord.rowsBetween(Window.unboundedPreceding, -1))
-    val perDoc = iv
-      .withColumn("brk", when(col("s") > coalesce(prevMax, lit(-1L)), 1L).otherwise(0L))
-      .withColumn("isl", sum(col("brk")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
-      .groupBy(col("doc_id"), col("isl"))
-      .agg((max(col("e")) - min(col("s")) + 1).as("span_words"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_islands"), sum(col("span_words")).as("dup_words"))
+    // island merge = the reusable per-key interval union
+    // ([[graft.util.Intervals]], property-tested against brute force)
+    val perDoc = graft.util.Intervals.coveredLength(iv, "doc_id", "s", "e")
+      .select(col("doc_id"), col("n_islands"), col("covered").as("dup_words"))
     words.select(col("doc_id"), size(col("ws")).cast("long").as("n_words"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_words"),
