@@ -635,27 +635,41 @@ object Queries {
     * expire state, the property that makes the join runnable on an
     * unbounded stream (StreamOps scale note). Hash-matched against the
     * batch DuckDB interval join. */
-  def s10StreamAttribution(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared s10/s11 scaffold: the streamed events source split into the
+    * attribution sides (one file-stream source — a genuine stream-stream
+    * self-join downstream). */
+  private def attributionSides(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
     val src = convertEventTs(
       spark.readStream.schema(raw.schema).parquet(s"$dir/events.*"))
-    val views = src.where(col("event_type") === "view")
-      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
-    val purchases = src.where(col("event_type") === "purchase")
-      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
-    val joined = graft.streaming.StreamOps.intervalJoin(
-        views, purchases, "user_id", "view_ts", "purchase_ts",
-        horizon = "30 minutes", watermarkDelay = "1 hour")
-      .select(col("view_id"), col("purchase_id"), col("user_id"))
-    val sink = "s10_stream_sink"
+    (src.where(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts")),
+      src.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts")))
+  }
+
+  /** Run a streaming frame to completion through an append-mode memory sink
+    * (AvailableNow; the no-data final batch flushes watermark-gated state). */
+  private def runToMemorySink(joined: DataFrame, sink: String): DataFrame = {
+    val spark = joined.sparkSession
     spark.catalog.dropTempView(sink) // idempotent across bench passes
     val q = joined.writeStream.format("memory").queryName(sink)
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(sink).orderBy(col("view_id"), col("purchase_id"))
+    spark.table(sink)
+  }
+
+  def s10StreamAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val (views, purchases) = attributionSides(spark, dir)
+    val joined = graft.streaming.StreamOps.intervalJoin(
+        views, purchases, "user_id", "view_ts", "purchase_ts",
+        horizon = "30 minutes", watermarkDelay = "1 hour")
+      .select(col("view_id"), col("purchase_id"), col("user_id"))
+    runToMemorySink(joined, "s10_stream_sink")
+      .orderBy(col("view_id"), col("purchase_id"))
   }
 
   /** Stream-stream LEFT OUTER interval join (s11): s10's attribution with
@@ -671,27 +685,14 @@ object Queries {
     * purchases map to -1 (not NULL) so the cross-engine value
     * representation stays exact. */
   def s11StreamOuterAttribution(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
-    val src = convertEventTs(
-      spark.readStream.schema(raw.schema).parquet(s"$dir/events.*"))
-    val views = src.where(col("event_type") === "view")
-      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
-    val purchases = src.where(col("event_type") === "purchase")
-      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+    val (views, purchases) = attributionSides(spark, dir)
     val joined = graft.streaming.StreamOps.intervalJoin(
         views, purchases, "user_id", "view_ts", "purchase_ts",
         horizon = "30 minutes", watermarkDelay = "1 hour", joinType = "left_outer")
       .select(col("view_id"), coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
         col("user_id"))
-    val sink = "s11_stream_sink"
-    spark.catalog.dropTempView(sink) // idempotent across bench passes
-    val q = joined.writeStream.format("memory").queryName(sink)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(sink).orderBy(col("view_id"), col("purchase_id"))
+    runToMemorySink(joined, "s11_stream_sink")
+      .orderBy(col("view_id"), col("purchase_id"))
   }
 
   /** PII-redaction gate (d13): scrub emails / IPv4s / phone numbers from

@@ -320,17 +320,22 @@ object Ann {
     * This is the 100 TB story: the encoded corpus is numSub bytes per
     * vector (64x smaller than 64 float dims) and is what a scan touches —
     * full-precision vectors stay in cold storage until re-rank. */
+  /** `carry`: extra columns of `data` to thread through unchanged (one value
+    * per id — e.g. [[knnIvfPq]]'s cell assignment), so callers need no
+    * second corpus-sized join to restore them. */
   def pqAssign(data: DataFrame, codebooks: DataFrame,
-      numSub: Int, subDim: Int): DataFrame =
-    data.select(col("id"), col("vec").cast("array<double>").as("dv"))
+      numSub: Int, subDim: Int, carry: Seq[String] = Nil): DataFrame = {
+    val ids = col("id") +: carry.map(col)
+    data.select(ids :+ col("vec").cast("array<double>").as("dv"): _*)
       .where(size(col("dv")) === numSub * subDim)
       .crossJoin(broadcast(codebooks))
-      .select(col("id"), col("m"), col("code"),
+      .select(ids ++ Seq(col("m"), col("code"),
         (lit(2.0) * vec_dot(slice(col("dv"), col("m") * subDim + 1, lit(subDim)),
-          col("cw")) - col("cwn2")).as("score"))
-      .groupBy(col("id"), col("m"))
+          col("cw")) - col("cwn2")).as("score")): _*)
+      .groupBy(ids :+ col("m"): _*)
       .agg(max(struct(col("score"), (-col("code")).as("nc"))).as("best"))
-      .select(col("id"), col("m"), (-col("best.nc")).as("code"))
+      .select(ids ++ Seq(col("m"), (-col("best.nc")).as("code")): _*)
+  }
 
   /** Per-query ADC lookup table: lut(q, m, code) = dot(q_m, codebook[m][code])
     * — numSub*ksub doubles per query, computed once and reused against every
@@ -401,39 +406,34 @@ object Ann {
       k: Int, nprobe: Int, numSub: Int, subDim: Int, ksub: Int): DataFrame = {
     val dims = numSub * subDim
     val corp = corpus.where(size(col("vec")) === dims)
-    val cent = centroids.select(col("cid"), col("vec").cast("array<double>").as("cv"))
+    // centroid set filtered to the PQ width too — an off-width centroid
+    // would diverge Spark's assignment from the (width-filtered) oracle's
+    // instead of failing loudly
+    val centW = centroids.where(size(col("vec")) === dims)
+    val cent = centW.select(col("cid"), col("vec").cast("array<double>").as("cv"))
     val resid = corp.select(col("id"), col("vec").cast("array<double>").as("dv"))
-      .join(ivfAssign(corp, centroids), "id")
+      .join(ivfAssign(corp, centW), "id")
       .join(broadcast(cent), "cid")
       .select(col("id"), col("cid"),
         zip_with(col("dv"), col("cv"), (a, b) => a - b).as("rv"))
-    val subs = (0 until numSub).map(m =>
-      struct(lit(m).as("m"), slice(col("rv"), m * subDim + 1, subDim).as("cw")))
-    val cb = resid.where(col("id") < ksub)
-      .select(col("id").as("code"), explode(array(subs: _*)).as("s"))
-      .select(col("s.m").as("m"), col("code"), col("s.cw").as("cw"),
-        vec_dot(col("s.cw"), col("s.cw")).as("cwn2"))
-    val codes = resid
-      .crossJoin(broadcast(cb))
-      .select(col("id"), col("cid"), col("m"), col("code"),
-        (lit(2.0) * vec_dot(slice(col("rv"), col("m") * subDim + 1, lit(subDim)),
-          col("cw")) - col("cwn2")).as("score"))
-      .groupBy(col("id"), col("cid"), col("m"))
-      .agg(max(struct(col("score"), (-col("code")).as("nc"))).as("best"))
-      .select(col("id").as("neighbor_id"), col("cid"), col("m"),
-        (-col("best.nc")).as("code"))
+    // codebooks/encode/LUT are the SAME determinism-critical machinery as
+    // the flat-PQ path, applied to the residual frame — one implementation
+    // of the tie-break and fixed-order contracts ([[pqCodebooks]],
+    // [[pqAssign]] with the cell carried through, [[adcTable]])
+    val rvec = resid.select(col("id"), col("cid"), col("rv").as("vec"))
+    val cb = pqCodebooks(rvec, numSub, subDim, ksub)
+    val codes = pqAssign(rvec, cb, numSub, subDim, carry = Seq("cid"))
+      .select(col("id").as("neighbor_id"), col("cid"), col("m"), col("code"))
     val q = queries.where(size(col("vec")) === dims)
       .select(col("id").as("query_id"), col("vec").cast("array<double>").as("qv"))
     val wp = Window.partitionBy(col("id")).orderBy(col("cos").desc, col("cid"))
-    val probes = centroidCosines(queries.where(size(col("vec")) === dims), centroids)
+    val probes = centroidCosines(queries.where(size(col("vec")) === dims), centW)
       .withColumn("rn", row_number().over(wp))
       .where(col("rn") <= nprobe)
       .select(col("id").as("query_id"), col("cid"))
     val qc = probes.join(q, "query_id").join(broadcast(cent), "cid")
       .select(col("query_id"), col("cid"), vec_dot(col("qv"), col("cv")).as("qc"))
-    val lut = q.crossJoin(broadcast(cb))
-      .select(col("query_id"), col("m"), col("code"),
-        vec_dot(slice(col("qv"), col("m") * subDim + 1, lit(subDim)), col("cw")).as("l"))
+    val lut = adcTable(queries.where(size(col("vec")) === dims), cb, numSub, subDim)
     val perSub = (0 until numSub).map(m =>
       max(when(col("m") === m, col("l"))).as(s"l$m"))
     val adc = (0 until numSub).map(m => col(s"l$m")).foldLeft(col("qc"))(_ + _)

@@ -257,12 +257,16 @@ class CellStore(spark: SparkSession, rootPath: String) {
     // directory is garbage from a failed run; drop it so the retry cannot
     // double-append
     fs.delete(new Path(dataPath(name), s"kind=base/resolution=$newRes"), true)
-    val preexisting =
-      if (fs.exists(dataPath(name))) listDataFiles(name).toSet else Set.empty[String]
-    writePartitioned(target, updated, name)
-    invalidateFileCaches(name)
-    recordSnapshot(name, preexisting) // the backfill is its own commit
-    writeSchema(name, updated)
+    // same append-commit critical section as insert() (shared _temporary
+    // staging + atomic listing diff)
+    CellStore.commitLock(cacheKey(name)).synchronized {
+      val preexisting =
+        if (fs.exists(dataPath(name))) listDataFiles(name).toSet else Set.empty[String]
+      writePartitioned(target, updated, name)
+      invalidateFileCaches(name)
+      recordSnapshot(name, preexisting) // the backfill is its own commit
+      writeSchema(name, updated)
+    }
   }
 
   private def writeSchema(name: String, schema: CompactedTableSchema): Unit = {
@@ -501,11 +505,24 @@ class CellStore(spark: SparkSession, rootPath: String) {
       }
 
       val all = frames.reduce(_ unionByName _)
-      val preexisting =
-        if (fs.exists(dataPath(name))) listDataFiles(name).toSet else Set.empty[String]
-      writePartitioned(all, schema, name)
-      invalidateFileCaches(name)
-      recordSnapshot(name, preexisting)
+      // the commit critical section — serialized per (root, tableset) JVM-wide:
+      // (a) Hadoop's FileOutputCommitter stages EVERY job under the same
+      // <data>/_temporary/0 dir, so a concurrent writer's cleanupJob would
+      // delete this writer's in-flight task files (lost rows, not just lost
+      // metadata); (b) the before/after listing diff must not interleave with
+      // another commit, or this snapshot would list the other writer's files
+      // (phantom rows in earlier-id as-of reads). Cross-JVM writers: snapshot
+      // id claims stay collision-safe (exclusive create), but concurrent data
+      // commits to the SAME tableset from separate drivers share _temporary
+      // and need an external coordinator — the documented multi-writer
+      // contract (per-writer tablesets + cross-tableset union, or serialize).
+      CellStore.commitLock(cacheKey(name)).synchronized {
+        val preexisting =
+          if (fs.exists(dataPath(name))) listDataFiles(name).toSet else Set.empty[String]
+        writePartitioned(all, schema, name)
+        invalidateFileCaches(name)
+        recordSnapshot(name, preexisting)
+      }
     } finally {
       compacted.unpersist()
     }
@@ -1070,9 +1087,12 @@ class CellStore(spark: SparkSession, rootPath: String) {
     * conflict). Claims are never deleted: a crash between claim and publish
     * just leaves a skipped id (readers iterate actual `.list` files, so id
     * gaps cost nothing), and a few empty marker files per tableset lifetime
-    * is noise next to the data. Concurrent appends may still each LIST the
-    * other's freshly-committed files into their own snapshot — [[scanAsOf]]
-    * reads the union distinct, so overlap affects bytes listed, never rows. */
+    * is noise next to the data. Same-JVM appends are fully serialized by
+    * insert()'s commit lock (listing diffs never interleave); claims protect
+    * the CROSS-JVM metadata case, where concurrent listings can still
+    * overlap — [[scanAsOf]] reads the union distinct, so cross-JVM overlap
+    * affects bytes listed, never duplicates rows (an unclaimed concurrent
+    * writer's files may surface one id early there; same-JVM they cannot). */
   private def claimSnapshotId(name: String): Long = {
     val dir = snapshotsPath(name)
     fs.mkdirs(dir)
@@ -1081,11 +1101,24 @@ class CellStore(spark: SparkSession, rootPath: String) {
         n.stripPrefix(".").stripSuffix(".claim").toLong }
     var id = (snapshotIds(name) ++ claimed).foldLeft(0L)(math.max) + 1
     var out = -1L
+    var attempts = 0
     while (out < 0) {
+      val claim = new Path(dir, s".$id.claim")
       try {
-        fs.create(new Path(dir, s".$id.claim"), false).close()
+        fs.create(claim, false).close()
         out = id
-      } catch { case _: java.io.IOException => id += 1 }
+      } catch {
+        case e: java.io.IOException =>
+          // only a GENUINE collision (someone else holds the claim) means
+          // "bump and retry" — a persistent FS failure (permissions, disk
+          // full) must surface, not spin forever
+          if (!fs.exists(claim)) throw e
+          attempts += 1
+          if (attempts > 10000) throw new IllegalStateException(
+            s"claimSnapshotId('$name'): $attempts consecutive claim collisions — " +
+              "claims directory corrupt or a runaway writer", e)
+          id += 1
+      }
     }
     out
   }
@@ -1787,6 +1820,12 @@ object CellStore {
 
   // JVM-wide (root, tableset)-keyed caches shared by every instance — see
   // the instance-side scaladoc at CellStore#cacheKey
+  /** Per-(root, tableset) append-commit monitors — see insert()'s critical
+    * section. TrieMap getOrElseUpdate gives one canonical lock per key. */
+  private val commitLocks = scala.collection.concurrent.TrieMap.empty[String, Object]
+  private[store] def commitLock(key: String): Object =
+    commitLocks.getOrElseUpdate(key, new Object)
+
   private val listingCache = scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
   private val coverageCache = scala.collection.concurrent.TrieMap.empty[String, (Long, Seq[String])]
 
