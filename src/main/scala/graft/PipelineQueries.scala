@@ -150,6 +150,27 @@ object PipelineQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Ensemble near-dup consensus (d31): the text-side MinHash-LSH verdicts
+    * (t2, Jaccard >= 0.8) FULL-OUTER-joined with the embedding-side cosine
+    * verdicts (e3, cos >= 0.4) per document pair — the multimodal dedup
+    * ensemble practice: pairs BOTH signals agree on are dropped with
+    * confidence, single-signal pairs are the review/threshold-tuning queue.
+    * Pure composition of the two memoized pipelines (band frames and
+    * signature frames are computed once per dir across t2/e3/d31); the
+    * consensus join carries only id pairs and two booleans. */
+  def d31EnsembleNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val txt = t2MinhashLshPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"), lit(true).as("in_text"))
+    val embp = e3EmbeddingNearDup(spark, dir)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        lit(true).as("in_embedding"))
+    txt.join(embp, Seq("doc_a", "doc_b"), "full_outer")
+      .select(col("doc_a"), col("doc_b"),
+        coalesce(col("in_text"), lit(false)).as("in_text"),
+        coalesce(col("in_embedding"), lit(false)).as("in_embedding"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** 31-bit SimHash per document (explode + 31 codegen'd bit-vote sums). */
   private def simhashFrame(spark: SparkSession, dir: String): DataFrame = {
     val h = (pmod(col("code"), lit(P)) * TextOps.hashA(0) + TextOps.hashB(0)) % P
@@ -1398,6 +1419,46 @@ object PipelineQueries {
     "e5_ivf_index" -> ivfOracleSql,
     "e7_pq_adc" -> pqOracleSql,
     "e10_ivf_pq" -> ivfPqOracleSql,
+    // d31: t2's star-shaped text pairs x e3's banded embedding pairs,
+    // consensus-classified — both chains re-derived from the shared
+    // building blocks, full-outer-joined
+    "d31_ensemble_neardup" -> {
+      val mh = (0 until 8).map(j => s"${mhSql(j)} AS mh$j").mkString(", ")
+      val b0 = bandSql(Seq("mh0", "mh1", "mh2", "mh3"))
+      val b1 = bandSql(Seq("mh4", "mh5", "mh6", "mh7"))
+      val bandSelects = (0 until 6).map { b =>
+        s"SELECT vec_id, $b AS band, (sig >> ${8 * b}) & 255 AS bucket FROM es"
+      }.mkString(" UNION ALL ")
+      s"""WITH c AS (SELECT doc_id, $codesSql AS codes FROM documents),
+         |s AS (SELECT doc_id, $mh FROM c),
+         |bands AS (SELECT doc_id, 0 AS band, $b0 AS bh FROM s
+         |          UNION ALL SELECT doc_id, 1, $b1 FROM s),
+         |reps AS (SELECT band, bh, min(doc_id) AS doc_a, count(*) AS n
+         |         FROM bands GROUP BY band, bh HAVING count(*) > 1),
+         |cand AS (SELECT DISTINCT r.doc_a, m.doc_id AS doc_b
+         |         FROM bands m JOIN reps r ON m.band = r.band AND m.bh = r.bh
+         |         WHERE m.doc_id != r.doc_a),
+         |sh AS (SELECT doc_id, list_distinct($codesSql) AS s FROM documents),
+         |tp AS (SELECT doc_a, doc_b
+         |  FROM cand JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b
+         |  WHERE $jaccSql >= 0.8),
+         |es AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |  ${sigSql("embedding::DOUBLE[]", 48)} AS sig FROM embeddings),
+         |ebands AS ($bandSelects),
+         |ecand AS (SELECT DISTINCT q.vec_id AS doc_a, e.vec_id AS doc_b
+         |  FROM ebands q JOIN ebands e ON q.band = e.band AND q.bucket = e.bucket
+         |    AND q.vec_id < e.vec_id),
+         |ep AS (SELECT doc_a, doc_b FROM ecand
+         |  JOIN es a ON a.vec_id = doc_a JOIN es b ON b.vec_id = doc_b
+         |  WHERE list_cosine_similarity(a.v, b.v) >= 0.4)
+         |SELECT coalesce(tp.doc_a, ep.doc_a) AS doc_a,
+         |  coalesce(tp.doc_b, ep.doc_b) AS doc_b,
+         |  (tp.doc_a IS NOT NULL) AS in_text,
+         |  (ep.doc_a IS NOT NULL) AS in_embedding
+         |FROM tp FULL OUTER JOIN ep
+         |  ON tp.doc_a = ep.doc_a AND tp.doc_b = ep.doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
     // d30: pure integer CMS — same counter/bucket derivation both engines
     "d30_count_min" -> {
       val buckets = (0 until CmsD).map(d =>
@@ -1545,6 +1606,7 @@ object PipelineQueries {
     "e10_ivf_pq" -> e10IvfPq,
     "d29_hll_distinct" -> d29HllDistinct,
     "d30_count_min" -> d30CountMin,
+    "d31_ensemble_neardup" -> d31EnsembleNearDup,
     "e8_centroid_outliers" -> e8CentroidOutliers,
     "e9_semantic_dedup" -> e9SemanticDedup,
     "d26_dsir_weights" -> d26DsirWeights,
