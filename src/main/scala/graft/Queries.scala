@@ -662,6 +662,29 @@ object Queries {
     spark.table(sink)
   }
 
+  /** Streaming sessionization gate (s12): the native `session_window`
+    * aggregate run as an ACTUAL append-mode streaming query — sessions are
+    * emitted only once the watermark proves they can no longer grow
+    * (session_end = last event + gap below the final watermark = max event
+    * time - delay; the AvailableNow no-data batch flushes the eviction).
+    * Sessions still open inside the stream's final delay window are state,
+    * not output — the oracle mirrors the same cutoff, s11's device. This
+    * closes the streaming-lifecycle loop for the one stateful op that was
+    * gated batch-only (s1 cross-checks the same session algebra on batch
+    * input). */
+  def s12StreamSessions(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val src = convertEventTs(
+      spark.readStream.schema(raw.schema).parquet(s"$dir/events.*"))
+    val agg = graft.streaming.StreamOps.sessionWindows(
+        src.withWatermark("ts", "1 hour"), "30 minutes")
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("num_events"), round(col("total_value"), 2).as("total_value"))
+    runToMemorySink(agg, "s12_stream_sink")
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   def s10StreamAttribution(spark: SparkSession, dir: String): DataFrame = {
     val (views, purchases) = attributionSides(spark, dir)
     val joined = graft.streaming.StreamOps.intervalJoin(
@@ -1969,6 +1992,23 @@ object Queries {
           | AND v.event_type = 'view' AND p.event_type = 'purchase'
           | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
           |ORDER BY view_id, purchase_id""".stripMargin,
+      "s12_stream_sessions" ->
+        """WITH g AS (SELECT user_id, ts, value,
+          |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+          |         >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+          |  FROM events),
+          |s AS (SELECT user_id, ts, value,
+          |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          |  FROM g),
+          |sess AS (SELECT user_id, min(ts) AS session_start,
+          |    max(ts) + INTERVAL 30 MINUTE AS session_end,
+          |    count(*) AS num_events, round(sum(value), 2) AS total_value
+          |  FROM s GROUP BY user_id, sid),
+          |mx AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM events)
+          |SELECT user_id, session_start, session_end, num_events, total_value
+          |FROM sess, mx WHERE session_end < wm
+          |ORDER BY user_id, session_start""".stripMargin,
       "s11_stream_outer_attribution" ->
         """WITH v AS (SELECT event_id AS view_id, ts AS view_ts, user_id
           |  FROM events WHERE event_type = 'view'),
@@ -2137,6 +2177,7 @@ object Queries {
     "s3_stream_windowed" -> s3StreamWindowed,
     "s10_stream_attribution" -> s10StreamAttribution,
     "s11_stream_outer_attribution" -> s11StreamOuterAttribution,
+    "s12_stream_sessions" -> s12StreamSessions,
     "s7_stream_static_join" -> s7StreamStaticJoin,
     "s4_stream_dedup" -> s4StreamDedup,
     "d13_pii_redact" -> d13PiiRedact,
