@@ -1,0 +1,95 @@
+package graft.store
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestSession
+import graft.h3.H3
+import graft.schema.{AggregationMethod => Agg, GraftDataType => T, _}
+
+/** Model-based (state-machine) testing of the store: seeded random
+  * OPERATION SEQUENCES run against both the real CellStore and a trivial
+  * in-memory model, with full-scan equivalence asserted after every step.
+  * The oracle gates (ts1-ts35) pin each operation's semantics in
+  * isolation; this spec pins their COMPOSITIONS — the interleavings a
+  * deployment actually produces (insert, insert, optimize, compact,
+  * rename, insert, ...) where bugs live in the seams (a rewrite dropping
+  * rows an append just added, dedup collapsing across an insert boundary
+  * it shouldn't, a rename losing files).
+  *
+  * Model semantics (single res-7 base, no compaction, Max agg):
+  *  - insert(batch)          -> model ++= batch.distinct (within-insert
+  *                              full-row dedup — the documented exact-write
+  *                              strengthening)
+  *  - deduplicateWhere(true) -> model = model.distinct (all partitions)
+  *  - compactFiles           -> model unchanged (layout-only)
+  *  - rename                 -> model unchanged (metadata-only)
+  */
+class StoreModelSpec extends AnyFunSuite with Matchers with SparkTestSession {
+
+  private val parents = Seq(1, 2, 3).map(d => H3.fromParts(20, 5, Seq(0, 0, 0, 0, d)))
+  private val pool: IndexedSeq[Long] = parents.flatMap(p => H3.toChildren(p, 7)).toIndexedSeq
+
+  private def frame(rows: Seq[(Long, Long)]) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 3),
+      StructType(Seq(
+        StructField("h3index", LongType, false),
+        StructField("v", LongType, false))))
+
+  private def randBatch(rnd: scala.util.Random): Seq[(Long, Long)] =
+    Seq.fill(1 + rnd.nextInt(60))((pool(rnd.nextInt(pool.size)), rnd.nextInt(5).toLong))
+
+  test("random op sequences: store scan == in-memory model after every step") {
+    for (seed <- Seq(11, 23, 47)) {
+      val rnd = new scala.util.Random(seed)
+      val root = Files.createTempDirectory(s"graft_model_$seed").toString
+      val s = CellStore(spark, root)
+      var name = s"model_ts_$seed"
+      var model = Vector.empty[(Long, Long)]
+
+      def check(step: String): Unit = {
+        val got = s.scanForResolution(name, 7)
+          .select(col("h3index"), col("v"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        withClue(s"seed=$seed after $step") { got shouldBe model.sorted }
+      }
+
+      val first = randBatch(rnd)
+      s.insert(name, frame(first),
+        createSchema = Some(CompactedTableSchema.builder(name)
+          .h3BaseResolutions(Seq(7)).useCompaction(false)
+          .addAggregatedColumn("v", T.Int64, Agg.Max).build()))
+      model = model ++ first.distinct
+      check("initial insert")
+
+      for (step <- 1 to 12) {
+        rnd.nextInt(4) match {
+          case 0 =>
+            val b = randBatch(rnd)
+            s.insert(name, frame(b))
+            model = model ++ b.distinct
+            check(s"$step:insert(${b.size})")
+          case 1 =>
+            s.deduplicateWhere(name, col("ph3") >= 0)
+            model = model.distinct
+            check(s"$step:deduplicateWhere")
+          case 2 =>
+            s.compactFiles(name)
+            check(s"$step:compactFiles")
+          case 3 =>
+            val renamed = s"${name}_r$step"
+            s.renameTableset(name, renamed)
+            name = renamed
+            check(s"$step:rename")
+        }
+      }
+      s.dropTableset(name)
+    }
+  }
+}
