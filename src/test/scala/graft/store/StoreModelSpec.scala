@@ -92,4 +92,71 @@ class StoreModelSpec extends AnyFunSuite with Matchers with SparkTestSession {
       s.dropTableset(name)
     }
   }
+
+  /** Versioned variant: ReplacingMergeTree(version) under random
+    * insert / replace / compactFiles sequences — BOTH read paths checked
+    * each step: the raw scan against the uncollapsed multiset, the FINAL
+    * scan against the keep-latest collapse (survivor = lexicographic max
+    * of (version, payload) per h3index, the engine's documented tiebreak). */
+  private def vframe(rows: Seq[(Long, Long, Long)]) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2, r._3)), 3),
+      StructType(Seq(
+        StructField("h3index", LongType, false),
+        StructField("version", LongType, false),
+        StructField("val", LongType, false))))
+
+  test("versioned random sequences: raw + FINAL reads match the keep-latest model") {
+    for (seed <- Seq(7, 31)) {
+      val rnd = new scala.util.Random(seed)
+      val root = Files.createTempDirectory(s"graft_vmodel_$seed").toString
+      val s = CellStore(spark, root)
+      val name = s"vmodel_ts_$seed"
+      var raw = Vector.empty[(Long, Long, Long)]
+      def collapsed = raw.groupBy(_._1).valuesIterator
+        .map(_.maxBy(r => (r._2, r._3))).toVector
+      def batch() = Seq.fill(1 + rnd.nextInt(50))(
+        (pool(rnd.nextInt(pool.size)), rnd.nextInt(4).toLong, rnd.nextInt(5).toLong))
+
+      def check(step: String): Unit = {
+        val gotRaw = s.scanForResolution(name, 7)
+          .select(col("h3index"), col("version"), col("val"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+        withClue(s"seed=$seed raw after $step") { gotRaw shouldBe raw.sorted }
+        val gotFinal = s.scanForResolutionFinal(name, 7)
+          .select(col("h3index"), col("version"), col("val"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+        withClue(s"seed=$seed FINAL after $step") { gotFinal shouldBe collapsed.sorted }
+      }
+
+      val first = batch()
+      s.insert(name, vframe(first),
+        createSchema = Some(CompactedTableSchema.builder(name)
+          .h3BaseResolutions(Seq(7)).useCompaction(false)
+          .engine(TableEngine.ReplacingMergeTree(Some("version")))
+          .addSimpleColumn("version", T.Int64)
+          .addSimpleColumn("val", T.Int64)
+          .build()))
+      raw = raw ++ first.distinct
+      check("initial insert")
+
+      for (step <- 1 to 10) {
+        rnd.nextInt(3) match {
+          case 0 =>
+            val b = batch()
+            s.insert(name, vframe(b))
+            raw = raw ++ b.distinct
+            check(s"$step:insert(${b.size})")
+          case 1 =>
+            s.replace(name)
+            raw = collapsed
+            check(s"$step:replace")
+          case 2 =>
+            s.compactFiles(name)
+            check(s"$step:compactFiles")
+        }
+      }
+      s.dropTableset(name)
+    }
+  }
 }
