@@ -171,6 +171,29 @@ object PipelineQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Recursive-CTE transitive closure (q27): `WITH RECURSIVE` through
+    * Spark 4's UnionLoop execution — the SQL-native graph walk, gated
+    * cross-engine. The t2 near-dup edges are id-ascending (doc_a < doc_b),
+    * i.e. a DAG, so UNION ALL recursion terminates (Spark does not yet
+    * support UNION-distinct in recursive CTEs) and the row MULTIPLICITY is
+    * exactly the number of distinct ascending paths — the gate pins path
+    * counts, not just reachability. Complements t8: that computes
+    * undirected components via distributed label propagation; this is the
+    * declarative closure a pure-SQL user writes. */
+  def q27TransitiveClosure(spark: SparkSession, dir: String): DataFrame = {
+    t2MinhashLshPairs(spark, dir)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .createOrReplaceTempView("q27_edges")
+    spark.sql(
+      """WITH RECURSIVE reach(src, dst) AS (
+        |  SELECT src, dst FROM q27_edges
+        |  UNION ALL
+        |  SELECT r.src, e.dst FROM reach r JOIN q27_edges e ON e.src = r.dst)
+        |SELECT src AS doc_a, dst AS doc_b, count(*) AS n_paths
+        |FROM reach GROUP BY src, dst
+        |ORDER BY doc_a, doc_b""".stripMargin)
+  }
+
   /** 31-bit SimHash per document (explode + 31 codegen'd bit-vote sums). */
   private def simhashFrame(spark: SparkSession, dir: String): DataFrame = {
     val h = (pmod(col("code"), lit(P)) * TextOps.hashA(0) + TextOps.hashB(0)) % P
@@ -1419,6 +1442,33 @@ object PipelineQueries {
     "e5_ivf_index" -> ivfOracleSql,
     "e7_pq_adc" -> pqOracleSql,
     "e10_ivf_pq" -> ivfPqOracleSql,
+    // q27: the same t2 edge set, closed with DuckDB's recursive CTE —
+    // UNION ALL multiplicities are ascending-path counts in both engines
+    "q27_transitive_closure" -> {
+      val mh = (0 until 8).map(j => s"${mhSql(j)} AS mh$j").mkString(", ")
+      val b0 = bandSql(Seq("mh0", "mh1", "mh2", "mh3"))
+      val b1 = bandSql(Seq("mh4", "mh5", "mh6", "mh7"))
+      s"""WITH RECURSIVE c AS (SELECT doc_id, $codesSql AS codes FROM documents),
+         |s AS (SELECT doc_id, $mh FROM c),
+         |bands AS (SELECT doc_id, 0 AS band, $b0 AS bh FROM s
+         |          UNION ALL SELECT doc_id, 1, $b1 FROM s),
+         |reps AS (SELECT band, bh, min(doc_id) AS doc_a, count(*) AS n
+         |         FROM bands GROUP BY band, bh HAVING count(*) > 1),
+         |cand AS (SELECT DISTINCT r.doc_a, m.doc_id AS doc_b
+         |         FROM bands m JOIN reps r ON m.band = r.band AND m.bh = r.bh
+         |         WHERE m.doc_id != r.doc_a),
+         |sh AS (SELECT doc_id, list_distinct($codesSql) AS s FROM documents),
+         |tp AS (SELECT doc_a AS src, doc_b AS dst
+         |  FROM cand JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b
+         |  WHERE $jaccSql >= 0.8),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM tp
+         |  UNION ALL
+         |  SELECT r.src, e.dst FROM reach r JOIN tp e ON e.src = r.dst)
+         |SELECT src AS doc_a, dst AS doc_b, count(*) AS n_paths
+         |FROM reach GROUP BY src, dst
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
     // d31: t2's star-shaped text pairs x e3's banded embedding pairs,
     // consensus-classified — both chains re-derived from the shared
     // building blocks, full-outer-joined
@@ -1607,6 +1657,7 @@ object PipelineQueries {
     "d29_hll_distinct" -> d29HllDistinct,
     "d30_count_min" -> d30CountMin,
     "d31_ensemble_neardup" -> d31EnsembleNearDup,
+    "q27_transitive_closure" -> q27TransitiveClosure,
     "e8_centroid_outliers" -> e8CentroidOutliers,
     "e9_semantic_dedup" -> e9SemanticDedup,
     "d26_dsir_weights" -> d26DsirWeights,

@@ -66,4 +66,29 @@ class Round4GatesSpec extends AnyFunSuite with Matchers with SparkTestSession {
     // the duplicated fingerprints span both documents
     out.exists(_.getLong(3) == 2L) shouldBe true
   }
+
+  test("q27 recursion: multi-hop closure + path multiplicities on a synthetic diamond-chain") {
+    import spark.implicits._
+    // 1->2->3->4 chain plus a 1->5->3 detour: (1,3) has TWO ascending
+    // paths, (1,4) inherits both — real recursion depth and UNION ALL
+    // multiplicity semantics, which the sf-scale gate's star edges (depth
+    // 1 at sf0.01) cannot exercise
+    Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 5L), (5L, 3L))
+      .toDF("src", "dst").createOrReplaceTempView("q27_edges")
+    val out = spark.sql(
+      """WITH RECURSIVE reach(src, dst) AS (
+        |  SELECT src, dst FROM q27_edges
+        |  UNION ALL
+        |  SELECT r.src, e.dst FROM reach r JOIN q27_edges e ON e.src = r.dst)
+        |SELECT src, dst, count(*) AS n FROM reach GROUP BY src, dst
+        |ORDER BY src, dst""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    out((1L, 3L)) shouldBe 2L // via 2 and via 5
+    out((1L, 4L)) shouldBe 2L // both paths extend through 3->4
+    out((1L, 2L)) shouldBe 1L
+    out((2L, 4L)) shouldBe 1L
+    out((5L, 4L)) shouldBe 1L
+    // pairs: from 1 -> {2,3,4,5}, from 2 -> {3,4}, from 3 -> {4}, from 5 -> {3,4}
+    out.size shouldBe 9
+  }
 }
