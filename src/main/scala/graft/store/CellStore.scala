@@ -1593,6 +1593,13 @@ class CellStore(spark: SparkSession, rootPath: String) {
     val k2 = secondaryOrderKey(schema).getOrElse(throw new IllegalArgumentException(
       s"tableset '$name' declares no ORDER BY column after h3index — " +
         "zorderFiles needs a second dimension to interleave"))
+    // the Morton bucketing normalizes via a double cast — a non-numeric key
+    // would cast to NULL and interleave garbage SILENTLY (range reads stay
+    // type-agnostic: manifest min/max and the filters work on any ordered
+    // type; only the z-order rewrite needs numbers)
+    require(schema.columns(k2).dataType.isNumber,
+      s"zorderFiles: secondary ORDER BY column '$k2' is " +
+        s"${schema.columns(k2).dataType} — z-order interleaving needs a numeric key")
     optimizePartitionsClustered(name, touched, (all, _) => all,
       df => {
         val h3Col = CompactedTableSchema.ColH3Index
