@@ -181,8 +181,13 @@ object PipelineQueries {
     * undirected components via distributed label propagation; this is the
     * declarative closure a pure-SQL user writes. */
   def q27TransitiveClosure(spark: SparkSession, dir: String): DataFrame = {
+    // materialize the edge list BEFORE the recursion: UnionLoop re-executes
+    // the anchor view's plan every iteration, which would re-run the whole
+    // t2 candidate+verify pipeline per loop step (measured 4.5s -> the
+    // checkpointed edges make each iteration a scan of a tiny cached frame)
     t2MinhashLshPairs(spark, dir)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .localCheckpoint()
       .createOrReplaceTempView("q27_edges")
     spark.sql(
       """WITH RECURSIVE reach(src, dst) AS (
