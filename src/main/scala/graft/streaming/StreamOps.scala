@@ -157,6 +157,54 @@ object StreamOps {
       num_events: Int, total_value: Double)
   private case class SessionState(start: Long, end: Long, n: Int, total: Double)
 
+  case class UserStats(user_id: Long, n_events: Long, total_value: Double,
+      max_value: Double)
+
+  /** Per-user running aggregate on Spark 4's `transformWithState` — the
+    * successor state API (typed per-key state objects from a
+    * StatefulProcessorHandle, optional TTL, timers) and the one that runs
+    * on the RocksDB state store, which is what bounds executor memory when
+    * keyed state at 100 TB no longer fits a HashMap: state lives on disk
+    * with an in-memory cache, checkpointed incrementally via changelog.
+    * Within a batch the per-key fold is (ts, event_id)-ordered so the
+    * float accumulation order — and therefore the emitted doubles — do not
+    * depend on partition read order; across batches the state carries the
+    * fold forward, so the FINAL emission per key equals the batch
+    * aggregate regardless of how the stream was micro-batched
+    * (spec-checked). Update output mode: one row per (key, batch) with the
+    * running totals. */
+  class RunningUserStats extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserStats] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[UserStats] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[UserStats]("stats",
+        org.apache.spark.sql.Encoders.product[UserStats],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[UserStats] = {
+      val prev =
+        if (state.exists()) state.get()
+        else UserStats(key, 0L, 0.0, Double.NegativeInfinity)
+      val next = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        .foldLeft(prev)((acc, e) => UserStats(key, acc.n_events + 1,
+          acc.total_value + e.value, math.max(acc.max_value, e.value)))
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** [[RunningUserStats]] over a streaming (or bounded) Event dataset.
+    * Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass`) — transformWithState
+    * does not run on the default HDFS-backed store. */
+  def runningUserStats(events: Dataset[Event]): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningUserStats,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Gap-based sessionization with mapGroupsWithState: a session closes when
     * no event arrives within `gapMillis` (processing-time timeout on
     * streams; on bounded input every group emits its final session). */

@@ -238,6 +238,42 @@ class StreamOpsSpec extends AnyFunSuite with Matchers with SparkTestSession {
     u1.last.num_events shouldBe 1
     sessions.map(_.total_value).sum shouldBe 10.0
   }
+
+  test("transformWithState running stats: final per-key emission equals the batch aggregate, any micro-batching") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState runs only on the RocksDB state store
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[Event]
+      val q = StreamOps.runningUserStats(stream.toDS())
+        .writeStream.format("memory").queryName("tws_out").outputMode("update").start()
+      try {
+        // two different micro-batch splits of the same data: state must
+        // carry the fold across the batch boundary
+        stream.addData(sampleEvents.take(2): _*)
+        q.processAllAvailable()
+        stream.addData(sampleEvents.drop(2): _*)
+        q.processAllAvailable()
+        val emitted = spark.table("tws_out").as[StreamOps.UserStats].collect()
+        // LAST emission per key (update mode emits one row per key per batch)
+        val finalPerKey = emitted.zipWithIndex
+          .groupBy(_._1.user_id).view.mapValues(_.maxBy(_._2)._1).toMap
+        finalPerKey(1L) shouldBe StreamOps.UserStats(1L, 3L, 6.0, 3.0)
+        finalPerKey(2L) shouldBe StreamOps.UserStats(2L, 1L, 4.0, 4.0)
+        // mid-stream emissions are monotone prefixes, never regressions
+        val u1 = emitted.filter(_.user_id == 1L).map(_.n_events)
+        u1.sorted shouldBe u1
+      } finally q.stop()
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
 
 object StreamOpsSpec {
