@@ -814,6 +814,35 @@ object Queries {
       .orderBy(col("lang"))
   }
 
+  /** Executed mixture sampling (d32): d25's temperature-scaled per-language
+    * budgets MATERIALIZED into a concrete epoch plan — every document gets
+    * its repetition count n_copies, the dataset a pretraining loader
+    * actually consumes. Rank-based (not threshold-based) so the decision
+    * arithmetic is INTEGER once the target is fixed: docs order by a
+    * deterministic id hash within their language; with target = q*n + r
+    * (integer div), the first r ranks get q+1 copies, the rest q —
+    * sum(n_copies) per language equals target_docs exactly, down- AND
+    * up-sampling (epoch repetition) in one rule. Scale shape: one
+    * per-language window rank (state = a counter per partition) + a
+    * broadcast join of the |langs|-row budget frame. */
+  def d32MixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextOps
+    val P = TextOps.P
+    val h = pmod(pmod(col("doc_id"), lit(P)) * TextOps.hashA(11) + TextOps.hashB(11), lit(P))
+    val targets = d25MixtureWeights(spark, dir)
+      .select(col("lang"), col("n_docs"), col("target_docs"))
+    val ranked = t(spark, dir, "documents").select(col("doc_id"), col("lang"))
+      .withColumn("h", h)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))))
+    ranked.join(broadcast(targets), "lang")
+      .select(col("doc_id"), col("lang"),
+        (expr("target_docs div n_docs") +
+          when(col("rnk") <= pmod(col("target_docs"), col("n_docs")), 1L)
+            .otherwise(0L)).cast("long").as("n_copies"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Gopher-style quality rule bundle (d16) — the published heuristic
     * filters of Rae et al. 2021 that survive contact with a whitespace
     * tokenizer: mean word length in [3, 10], fraction of words containing
@@ -1780,6 +1809,24 @@ object Queries {
           |  round(sqrt(count(*)::DOUBLE) / sum(sqrt(count(*)::DOUBLE)) OVER ()
           |    * sum(count(*)) OVER ())::BIGINT AS target_docs
           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+      // d32: d25's budget expression verbatim, then integer rank arithmetic
+      "d32_mixture_sample" -> {
+        import graft.text.TextOps
+        s"""WITH t AS (SELECT lang, count(*)::BIGINT AS n_docs,
+          |    round(sqrt(count(*)::DOUBLE) / sum(sqrt(count(*)::DOUBLE)) OVER ()
+          |      * sum(count(*)) OVER ())::BIGINT AS target_docs
+          |  FROM documents GROUP BY lang),
+          |r AS (SELECT doc_id, lang,
+          |    row_number() OVER (PARTITION BY lang ORDER BY
+          |      ((doc_id % ${TextOps.P}) * ${TextOps.hashA(11)} +
+          |        ${TextOps.hashB(11)}) % ${TextOps.P}, doc_id) AS rnk
+          |  FROM documents)
+          |SELECT r.doc_id, r.lang,
+          |  (t.target_docs // t.n_docs +
+          |   CASE WHEN r.rnk <= t.target_docs % t.n_docs THEN 1 ELSE 0 END)::BIGINT
+          |    AS n_copies
+          |FROM r JOIN t USING (lang) ORDER BY doc_id""".stripMargin
+      },
       // d23's sketch+verify must equal the plain exact top-10
       "d23_heavy_hitters" ->
         """WITH w AS (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
@@ -2187,6 +2234,7 @@ object Queries {
     "d3_quality_score" -> d3QualityScore,
     "d4_lang_distribution" -> d4LangDistribution,
     "d25_mixture_weights" -> d25MixtureWeights,
+    "d32_mixture_sample" -> d32MixtureSample,
     "e1_knn_brute_force" -> e1KnnBruteForce,
     "q22_keep_latest" -> q22KeepLatest,
     "q23_range_window" -> q23RangeWindow,
