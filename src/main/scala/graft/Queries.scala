@@ -1099,10 +1099,15 @@ object Queries {
     * checksums the exact membership, not just the sizes.
     *
     * Knuth multiplicative hashing (2654435761 = 2^32/phi) mixes the
-    * sequential doc_ids; products stay far below 2^63 so the arithmetic is
-    * exact in both engines. */
+    * sequential doc_ids. The id is first reduced mod 1e9+7 so the product
+    * stays below 2^62 for ANY 64-bit doc_id — the raw multiply overflows
+    * (ANSI error) for ids >= 2^31, which the 10x-inflated corpus reaches
+    * and a billions-of-documents deployment would too; ids below the prime
+    * keep their exact original buckets. */
   def c5HashSplit(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = pmod(col("doc_id") * lit(2654435761L) + lit(40503L), lit(1000L))
+    val bucket = pmod(
+      pmod(col("doc_id"), lit(1000000007L)) * lit(2654435761L) + lit(40503L),
+      lit(1000L))
     val split = when(bucket < 800, "train").when(bucket < 900, "val").otherwise("test")
     t(spark, dir, "documents")
       .select(col("lang"), split.as("split"), col("doc_id"))
@@ -2022,8 +2027,8 @@ object Queries {
       // sum(BIGINT) is HUGEINT in DuckDB -> ::BIGINT (the t5 lesson)
       "c5_hash_split" ->
         """WITH s AS (SELECT lang,
-          |  CASE WHEN (doc_id * 2654435761 + 40503) % 1000 < 800 THEN 'train'
-          |       WHEN (doc_id * 2654435761 + 40503) % 1000 < 900 THEN 'val'
+          |  CASE WHEN ((doc_id % 1000000007) * 2654435761 + 40503) % 1000 < 800 THEN 'train'
+          |       WHEN ((doc_id % 1000000007) * 2654435761 + 40503) % 1000 < 900 THEN 'val'
           |       ELSE 'test' END AS split, doc_id FROM documents)
           |SELECT lang, split, count(*) AS n_docs, sum(doc_id)::BIGINT AS id_sum
           |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin,
