@@ -127,6 +127,12 @@ object Queries {
       .orderBy(col("c_custkey"))
 
   /** Multi-way join through the full star: revenue per region. */
+  /** Revenue sums accumulate in DECIMAL(30,6): at 10x the corpus the
+    * region totals reach 6e10, where a double sum's ORDER-dependent
+    * rounding differs across engines by > a cent (caught by the 10x oracle
+    * sweep) — the per-row product stays a deterministic double, cast once,
+    * then summed exactly; the order-independence money aggregation needs
+    * at any scale. */
   def q8RegionRevenue(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
@@ -134,7 +140,8 @@ object Queries {
       .join(broadcast(t(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(t(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+      .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(30,6)")).cast("double"), 2).as("revenue"),
         count(lit(1)).as("num_items"))
       .orderBy(col("r_name"))
 
@@ -1611,7 +1618,7 @@ object Queries {
           |ORDER BY c_custkey""".stripMargin,
       "q8_region_revenue" ->
         """SELECT r_name,
-          | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+          | round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(30,6))::DOUBLE, 2) AS revenue,
           | count(*) AS num_items
           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
           |JOIN customer ON o_custkey = c_custkey
