@@ -939,8 +939,10 @@ object Queries {
       .select(col("o_orderkey"), col("o_orderpriority"))
     graft.skew.Skew.saltedJoin(l, o, "o_orderkey", 8)
       .groupBy(col("o_orderpriority"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("revenue"),
+      // DECIMAL accumulation — q8's at-scale order-independence rule: the
+      // 5-group totals reach 1.8e11 at 30x, past the double-sum boundary
+      .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(30,6)")).cast("double"), 2).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("o_orderpriority"))
   }
@@ -1742,7 +1744,7 @@ object Queries {
           |GROUP BY err_id ORDER BY err_id""".stripMargin,
       "q13_salted_join" ->
         """SELECT o_orderpriority,
-          |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+          |  round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(30,6))::DOUBLE, 2) AS revenue,
           |  count(*) AS n_items
           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
           |GROUP BY 1 ORDER BY 1""".stripMargin,
