@@ -171,33 +171,27 @@ object PipelineQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Recursive-CTE transitive closure (q27): `WITH RECURSIVE` through
-    * Spark 4's UnionLoop execution — the SQL-native graph walk, gated
-    * cross-engine. The t2 near-dup edges are id-ascending (doc_a < doc_b),
-    * i.e. a DAG, so UNION ALL recursion terminates (Spark does not yet
-    * support UNION-distinct in recursive CTEs) and the row MULTIPLICITY is
-    * exactly the number of distinct ascending paths — the gate pins path
-    * counts, not just reachability. Complements t8: that computes
+  /** Transitive-closure REACHABILITY over the t2 near-dup edges (q27):
+    * every (doc_a, doc_b) pair connected by an ascending chain of verified
+    * near-dup links — the "if A dups B and B dups C, A transitively dups
+    * C" relation a dedup pipeline acts on. Evaluated by semi-naive
+    * frontier iteration with a per-round `distinct`
+    * ([[graft.graph.TransitiveClosure]]), NOT by a recursive CTE with
+    * UNION ALL: path-multiplicity enumeration is combinatorial on dense
+    * near-dup cliques (an m-member boilerplate family has O(2^m) ascending
+    * paths between its extreme members — at corpus scale such a query
+    * never finishes), while reachability is bounded by |closure| per round
+    * and converges in diameter rounds. Complements t8: that computes
     * undirected components via distributed label propagation; this is the
-    * declarative closure a pure-SQL user writes. */
-  def q27TransitiveClosure(spark: SparkSession, dir: String): DataFrame = {
-    // materialize the edge list BEFORE the recursion: UnionLoop re-executes
-    // the anchor view's plan every iteration, which would re-run the whole
-    // t2 candidate+verify pipeline per loop step (measured 4.5s -> the
-    // checkpointed edges make each iteration a scan of a tiny cached frame)
-    t2MinhashLshPairs(spark, dir)
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .localCheckpoint()
-      .createOrReplaceTempView("q27_edges")
-    spark.sql(
-      """WITH RECURSIVE reach(src, dst) AS (
-        |  SELECT src, dst FROM q27_edges
-        |  UNION ALL
-        |  SELECT r.src, e.dst FROM reach r JOIN q27_edges e ON e.src = r.dst)
-        |SELECT src AS doc_a, dst AS doc_b, count(*) AS n_paths
-        |FROM reach GROUP BY src, dst
-        |ORDER BY doc_a, doc_b""".stripMargin)
-  }
+    * directed ascending-path closure. The DuckDB oracle is the recursive
+    * CTE with UNION (distinct) — the declarative statement of the same
+    * fixpoint, independently evaluated. */
+  def q27TransitiveClosure(spark: SparkSession, dir: String): DataFrame =
+    graph.TransitiveClosure.closure(
+      t2MinhashLshPairs(spark, dir)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      .select(col("src").as("doc_a"), col("dst").as("doc_b"))
+      .orderBy(col("doc_a"), col("doc_b"))
 
   /** 31-bit SimHash per document (explode + 31 codegen'd bit-vote sums). */
   private def simhashFrame(spark: SparkSession, dir: String): DataFrame = {
@@ -1447,8 +1441,9 @@ object PipelineQueries {
     "e5_ivf_index" -> ivfOracleSql,
     "e7_pq_adc" -> pqOracleSql,
     "e10_ivf_pq" -> ivfPqOracleSql,
-    // q27: the same t2 edge set, closed with DuckDB's recursive CTE —
-    // UNION ALL multiplicities are ascending-path counts in both engines
+    // q27: the same t2 edge set, closed with DuckDB's recursive CTE using
+    // UNION (distinct) — the declarative fixpoint for REACHABILITY, the
+    // semantics the Spark side reaches via semi-naive frontier iteration
     "q27_transitive_closure" -> {
       val mh = (0 until 8).map(j => s"${mhSql(j)} AS mh$j").mkString(", ")
       val b0 = bandSql(Seq("mh0", "mh1", "mh2", "mh3"))
@@ -1468,11 +1463,10 @@ object PipelineQueries {
          |  WHERE $jaccSql >= 0.8),
          |reach(src, dst) AS (
          |  SELECT src, dst FROM tp
-         |  UNION ALL
+         |  UNION
          |  SELECT r.src, e.dst FROM reach r JOIN tp e ON e.src = r.dst)
-         |SELECT src AS doc_a, dst AS doc_b, count(*) AS n_paths
-         |FROM reach GROUP BY src, dst
-         |ORDER BY doc_a, doc_b""".stripMargin
+         |SELECT src AS doc_a, dst AS doc_b
+         |FROM reach ORDER BY doc_a, doc_b""".stripMargin
     },
     // d31: t2's star-shaped text pairs x e3's banded embedding pairs,
     // consensus-classified — both chains re-derived from the shared

@@ -67,28 +67,44 @@ class Round4GatesSpec extends AnyFunSuite with Matchers with SparkTestSession {
     out.exists(_.getLong(3) == 2L) shouldBe true
   }
 
-  test("q27 recursion: multi-hop closure + path multiplicities on a synthetic diamond-chain") {
+  test("q27 closure: multi-hop reachability on a synthetic diamond-chain") {
     import spark.implicits._
-    // 1->2->3->4 chain plus a 1->5->3 detour: (1,3) has TWO ascending
-    // paths, (1,4) inherits both — real recursion depth and UNION ALL
-    // multiplicity semantics, which the sf-scale gate's star edges (depth
-    // 1 at sf0.01) cannot exercise
-    Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 5L), (5L, 3L))
-      .toDF("src", "dst").createOrReplaceTempView("q27_edges")
-    val out = spark.sql(
-      """WITH RECURSIVE reach(src, dst) AS (
-        |  SELECT src, dst FROM q27_edges
-        |  UNION ALL
-        |  SELECT r.src, e.dst FROM reach r JOIN q27_edges e ON e.src = r.dst)
-        |SELECT src, dst, count(*) AS n FROM reach GROUP BY src, dst
-        |ORDER BY src, dst""".stripMargin)
-      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
-    out((1L, 3L)) shouldBe 2L // via 2 and via 5
-    out((1L, 4L)) shouldBe 2L // both paths extend through 3->4
-    out((1L, 2L)) shouldBe 1L
-    out((2L, 4L)) shouldBe 1L
-    out((5L, 4L)) shouldBe 1L
+    // 1->2->3->4 chain plus a 1->5->3 detour: real multi-hop depth, which
+    // the sf-scale gate's star edges (depth 1 at sf0.01) cannot exercise.
+    // (1,3) is reachable by two paths but must appear ONCE — reachability,
+    // not path enumeration.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 5L), (5L, 3L))
+      .toDF("src", "dst")
+    val out = graph.TransitiveClosure.closure(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // pairs: from 1 -> {2,3,4,5}, from 2 -> {3,4}, from 3 -> {4}, from 5 -> {3,4}
-    out.size shouldBe 9
+    out shouldBe Set((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (2L, 3L),
+      (2L, 4L), (3L, 4L), (5L, 3L), (5L, 4L))
+  }
+
+  test("q27 closure: 200-member dense clique finishes (the UNION ALL killer fixture)") {
+    import spark.implicits._
+    // An m-member near-dup clique with ALL ascending edges — the shape t2
+    // emits for a large boilerplate family. Path-multiplicity recursion has
+    // O(2^m) rows here (~2^198 paths between members 0 and 199 — never
+    // finishes); reachability closure is exactly the input edge set and one
+    // frontier round proves no new pairs exist.
+    val m = 200
+    val edges = (for (a <- 0 until m; b <- a + 1 until m) yield (a.toLong, b.toLong))
+      .toDF("src", "dst")
+    val out = graph.TransitiveClosure.closure(edges)
+    out.count() shouldBe m.toLong * (m - 1) / 2 // 19,900 — closure == clique
+  }
+
+  test("q27 closure: long chain converges in diameter rounds and loud-errors past maxIter") {
+    import spark.implicits._
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("src", "dst")
+    // 11-edge chain: closure is all ascending pairs, 12*11/2 = 66
+    graph.TransitiveClosure.closure(chain).count() shouldBe 66L
+    // maxIter below the needed rounds must fail LOUDLY, not truncate
+    val err = intercept[IllegalArgumentException] {
+      graph.TransitiveClosure.closure(chain, maxIter = 2)
+    }
+    err.getMessage should include("did not converge")
   }
 }
