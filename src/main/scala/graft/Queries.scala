@@ -725,6 +725,56 @@ object Queries {
       .orderBy(col("view_id"), col("purchase_id"))
   }
 
+  /** transformWithState running-stats gate (s13): the per-key running
+    * aggregate on Spark 4's successor state API
+    * ([[graft.streaming.StreamOps.RunningUserStats]]) run as an ACTUAL
+    * streaming query — file-stream source over the events parquet, the
+    * RocksDB state store provider (the one transformWithState runs on and
+    * the one that bounds executor memory for keyed state at 100 TB),
+    * update-mode memory sink, `Trigger.AvailableNow`. The FINAL emission
+    * per key — the row with the highest running n_events, since update
+    * mode emits a monotone prefix per (key, batch) — must equal the batch
+    * aggregate, which the DuckDB oracle states directly. Doubles are
+    * rounded to cents in the GATE projection (the repo's s-gate
+    * convention): the in-operator fold is (ts, event_id)-ordered per
+    * batch, the oracle's sum order is the engine's own. */
+  def s13RunningStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      val src = convertEventTs(
+          spark.readStream.schema(raw.schema).parquet(s"$dir/events.*"))
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value"))
+        .as[graft.streaming.StreamOps.Event]
+      val out = graft.streaming.StreamOps.runningUserStats(src).toDF()
+      val sink = "s13_stream_sink"
+      spark.catalog.dropTempView(sink) // idempotent across bench passes
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("n_events").desc)
+      spark.table(sink)
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("user_id"), col("n_events"),
+          round(col("total_value"), 2).as("total_value"),
+          round(col("max_value"), 2).as("max_value"))
+        .orderBy(col("user_id"))
+    } finally prevProvider match {
+      case Some(p) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   /** PII-redaction gate (d13): scrub emails / IPv4s / phone numbers from
     * document text via [[graft.text.TextOps.redactPii]]. The corpus text
     * carries no PII, so each doc is suffixed with deterministic synthetic
@@ -2088,6 +2138,11 @@ object Queries {
           |WHERE v.view_id NOT IN (SELECT view_id FROM m)
           |  AND v.view_ts + INTERVAL 30 MINUTE < mx.wm
           |ORDER BY view_id, purchase_id""".stripMargin,
+      "s13_running_stats" ->
+        """SELECT user_id, count(*) AS n_events,
+          |  round(sum(value), 2) AS total_value,
+          |  round(max(value), 2) AS max_value
+          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
       "s7_stream_static_join" ->
         """SELECT n_name, count(*) AS n_events, round(sum(value), 2) AS sum_value
           |FROM events e
@@ -2239,6 +2294,7 @@ object Queries {
     "s10_stream_attribution" -> s10StreamAttribution,
     "s11_stream_outer_attribution" -> s11StreamOuterAttribution,
     "s12_stream_sessions" -> s12StreamSessions,
+    "s13_running_stats" -> s13RunningStats,
     "s7_stream_static_join" -> s7StreamStaticJoin,
     "s4_stream_dedup" -> s4StreamDedup,
     "d13_pii_redact" -> d13PiiRedact,

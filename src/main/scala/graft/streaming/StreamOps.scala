@@ -170,9 +170,13 @@ object StreamOps {
     * float accumulation order — and therefore the emitted doubles — do not
     * depend on partition read order; across batches the state carries the
     * fold forward, so the FINAL emission per key equals the batch
-    * aggregate regardless of how the stream was micro-batched
-    * (spec-checked). Update output mode: one row per (key, batch) with the
-    * running totals. */
+    * aggregate: counts and max exactly for ANY micro-batching, and the
+    * double total bit-exactly when batch boundaries respect (ts, event_id)
+    * order. A late event arriving in a later batch folds OUT of global ts
+    * order, so total_value can then differ from the batch aggregate in the
+    * low bits of double addition (still equal to ~1e-12 relative — the
+    * spec pins both regimes). Update output mode: one row per (key, batch)
+    * with the running totals. */
   class RunningUserStats extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserStats] {
     @transient private var state: org.apache.spark.sql.streaming.ValueState[UserStats] = _
     override def init(outputMode: OutputMode,

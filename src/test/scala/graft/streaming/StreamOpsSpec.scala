@@ -239,7 +239,7 @@ class StreamOpsSpec extends AnyFunSuite with Matchers with SparkTestSession {
     sessions.map(_.total_value).sum shouldBe 10.0
   }
 
-  test("transformWithState running stats: final per-key emission equals the batch aggregate, any micro-batching") {
+  test("transformWithState running stats: final per-key emission equals the batch aggregate bit-exactly under in-order micro-batching") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     // transformWithState runs only on the RocksDB state store
@@ -266,6 +266,39 @@ class StreamOpsSpec extends AnyFunSuite with Matchers with SparkTestSession {
         // mid-stream emissions are monotone prefixes, never regressions
         val u1 = emitted.filter(_.user_id == 1L).map(_.n_events)
         u1.sorted shouldBe u1
+      } finally q.stop()
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("transformWithState running stats: a LATE cross-batch event still converges (counts/max exact, total within float tolerance)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[Event]
+      val q = StreamOps.runningUserStats(stream.toDS())
+        .writeStream.format("memory").queryName("tws_late_out").outputMode("update").start()
+      try {
+        // batch 0: the 10:02 and 10:20 events; batch 1 delivers the 10:00
+        // event LATE — it folds out of global ts order, so the double total
+        // is only float-close to the batch aggregate, while count and max
+        // stay exact (the scaladoc's narrowed claim, pinned)
+        stream.addData(sampleEvents(1), sampleEvents(2))
+        q.processAllAvailable()
+        stream.addData(sampleEvents(0))
+        q.processAllAvailable()
+        val emitted = spark.table("tws_late_out").as[StreamOps.UserStats].collect()
+        val fin = emitted.zipWithIndex.filter(_._1.user_id == 1L).maxBy(_._2)._1
+        fin.n_events shouldBe 3L
+        fin.max_value shouldBe 3.0
+        fin.total_value shouldBe 6.0 +- 1e-9
       } finally q.stop()
     } finally {
       prevProvider match {
