@@ -56,8 +56,13 @@ object Queries {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        // money sums accumulate in DECIMAL(30,6) — q8's at-scale
+        // order-independence rule: these per-flag totals reach ~1.7e11 at
+        // 30x sf0.1, past the double-sum half-cent boundary (~6e10)
+        round(sum(col("l_extendedprice").cast("decimal(30,6)")).cast("double"), 2)
+          .as("sum_base_price"),
+        round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(30,6)")).cast("double"), 2).as("sum_disc_price"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
@@ -70,7 +75,10 @@ object Queries {
       .join(broadcast(t(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(count(lit(1)).as("num_orders"),
-        round(sum(col("o_totalprice")), 2).as("total_price"))
+        // DECIMAL accumulation (q8 rule): per-nation totals ~2.7e10 at 30x
+        // sf0.1 sit at the double-sum half-cent boundary
+        round(sum(col("o_totalprice").cast("decimal(30,6)")).cast("double"), 2)
+          .as("total_price"))
       .orderBy(col("n_name"))
 
   /** TPC-H Q3-style: top 10 unshipped-revenue orders for one segment. */
@@ -217,7 +225,10 @@ object Queries {
     t(spark, dir, "lineitem")
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"),
-        round(sum(col("l_extendedprice")), 2).as("rev"),
+        // DECIMAL accumulation (q8 rule): the cube's grand-total row sums
+        // ALL of lineitem (~6.8e11 at 30x sf0.1)
+        round(sum(col("l_extendedprice").cast("decimal(30,6)")).cast("double"), 2)
+          .as("rev"),
         grouping_id().as("gid"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
@@ -1625,15 +1636,16 @@ object Queries {
       "q1_pricing_summary" ->
         """SELECT l_returnflag, l_linestatus,
           | round(sum(l_quantity), 2) AS sum_qty,
-          | round(sum(l_extendedprice), 2) AS sum_base_price,
-          | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+          | round(sum(l_extendedprice::DECIMAL(30,6))::DOUBLE, 2) AS sum_base_price,
+          | round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(30,6))::DOUBLE, 2) AS sum_disc_price,
           | round(avg(l_quantity), 4) AS avg_qty,
           | count(*) AS count_order
           |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
           |GROUP BY l_returnflag, l_linestatus
           |ORDER BY l_returnflag, l_linestatus""".stripMargin,
       "q2_nation_orders" ->
-        """SELECT n_name, count(*) AS num_orders, round(sum(o_totalprice), 2) AS total_price
+        """SELECT n_name, count(*) AS num_orders,
+          | round(sum(o_totalprice::DECIMAL(30,6))::DOUBLE, 2) AS total_price
           |FROM orders JOIN customer ON o_custkey = c_custkey
           |JOIN nation ON c_nationkey = n_nationkey
           |GROUP BY n_name ORDER BY n_name""".stripMargin,
@@ -1999,7 +2011,8 @@ object Queries {
         """SELECT coalesce(l_returnflag, 'ALL') AS rf,
           | coalesce(l_linestatus, 'ALL') AS ls,
           | GROUPING(l_returnflag, l_linestatus) AS gid,
-          | count(*) AS n, round(sum(l_extendedprice), 2) AS rev
+          | count(*) AS n,
+          | round(sum(l_extendedprice::DECIMAL(30,6))::DOUBLE, 2) AS rev
           |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
           |ORDER BY gid, rf, ls""".stripMargin,
       "q20_bag_set_ops" ->
