@@ -268,16 +268,18 @@ object PipelineQueries {
   }
 
   /** Embedding-cosine near-duplicate pairs (banded LSH candidates + exact
-    * cosine >= 0.4) over the embeddings table. 48 planes / 6 bands of 8
-    * bits: wide enough that candidates stay ~linear at corpus scale (see
-    * [[Ann.nearDupPairs]] tuning note). */
+    * cosine >= 0.4) over the embeddings table. 48 planes regrouped into
+    * [[Ann.adaptiveNearDupBands]] bands — band width scales ~log2(n) with
+    * the corpus (6x8 bits at gate scale, 4x12 at the 10x/30x smoke, up to
+    * 2x24) so the candidate volume stays ~linear without hand-tuning; the
+    * DuckDB oracle derives the same band count from its own COUNT(*). */
   def e3EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     // memoized: each nearDupPairs call materializes its own band frame
     // (Ann.scala persist note) — repeat invocations (verify + bench's
     // double run) would otherwise accumulate executor storage per call
     val pairs = memo(spark, s"e3pairs:$dir") {
       val data = emb(spark, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
-      Ann.nearDupPairs(data, 0.4, 48, 64, 6)
+      Ann.nearDupPairs(data, 0.4, 48, 64, Ann.adaptiveNearDupBands(data.count()))
     }
     pairs
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_sim"))
@@ -1031,6 +1033,19 @@ object PipelineQueries {
     s"lpad(($score)::VARCHAR, 10, '0') || '$lang'"
   }.mkString(", ")
 
+  /** Adaptive embedding band CTEs ([[Ann.adaptiveNearDupBands]] mirrored
+    * relationally): derives the band count from the engine's own COUNT(*)
+    * over embeddings — the e9 device — then regroups the 48-bit signature
+    * CTE `es(vec_id, v, sig)` into `ebands(vec_id, band, bucket)`. */
+  private val adaptiveEbandsSql: String =
+    """ebw AS (SELECT CASE WHEN n <= 2000 THEN 6 WHEN n <= 32000 THEN 4
+      |    WHEN n <= 512000 THEN 3 ELSE 2 END AS nb
+      |  FROM (SELECT count(*) AS n FROM embeddings)),
+      |eb0 AS (SELECT vec_id, sig, (48 // nb)::INT AS bb,
+      |    unnest(range(0, nb))::INT AS band FROM es, ebw),
+      |ebands AS (SELECT vec_id, band,
+      |    (sig >> (bb * band)) & ((1::BIGINT << bb) - 1) AS bucket FROM eb0)""".stripMargin
+
   private def sigSql(vecExpr: String, numPlanes: Int = 32): String =
     (0 until numPlanes).map { j =>
       val w = Ann.planeWeights(j, 64).map(x => s"$x.0").mkString("[", ",", "]")
@@ -1363,17 +1378,14 @@ object PipelineQueries {
          |JOIN src sb ON sb.doc_id = pairs.doc_b
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "e3_embedding_neardup" -> {
-      val bandSelects = (0 until 6).map { b =>
-        s"SELECT vec_id, $b AS band, (sig >> ${8 * b}) & 255 AS bucket FROM s"
-      }.mkString(" UNION ALL ")
-      s"""WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+      s"""WITH es AS (SELECT vec_id, embedding::DOUBLE[] AS v,
          |  ${sigSql("embedding::DOUBLE[]", 48)} AS sig FROM embeddings),
-         |bands AS ($bandSelects),
+         |$adaptiveEbandsSql,
          |cand AS (SELECT DISTINCT q.vec_id AS id_a, e.vec_id AS id_b
-         |  FROM bands q JOIN bands e ON q.band = e.band AND q.bucket = e.bucket
+         |  FROM ebands q JOIN ebands e ON q.band = e.band AND q.bucket = e.bucket
          |    AND q.vec_id < e.vec_id)
          |SELECT id_a, id_b, round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
-         |FROM cand JOIN s a ON a.vec_id = id_a JOIN s b ON b.vec_id = id_b
+         |FROM cand JOIN es a ON a.vec_id = id_a JOIN es b ON b.vec_id = id_b
          |WHERE list_cosine_similarity(a.v, b.v) >= 0.4
          |ORDER BY id_a, id_b""".stripMargin
     },
@@ -1475,9 +1487,6 @@ object PipelineQueries {
       val mh = (0 until 8).map(j => s"${mhSql(j)} AS mh$j").mkString(", ")
       val b0 = bandSql(Seq("mh0", "mh1", "mh2", "mh3"))
       val b1 = bandSql(Seq("mh4", "mh5", "mh6", "mh7"))
-      val bandSelects = (0 until 6).map { b =>
-        s"SELECT vec_id, $b AS band, (sig >> ${8 * b}) & 255 AS bucket FROM es"
-      }.mkString(" UNION ALL ")
       s"""WITH c AS (SELECT doc_id, $codesSql AS codes FROM documents),
          |s AS (SELECT doc_id, $mh FROM c),
          |bands AS (SELECT doc_id, 0 AS band, $b0 AS bh FROM s
@@ -1493,7 +1502,7 @@ object PipelineQueries {
          |  WHERE $jaccSql >= 0.8),
          |es AS (SELECT vec_id, embedding::DOUBLE[] AS v,
          |  ${sigSql("embedding::DOUBLE[]", 48)} AS sig FROM embeddings),
-         |ebands AS ($bandSelects),
+         |$adaptiveEbandsSql,
          |ecand AS (SELECT DISTINCT q.vec_id AS doc_a, e.vec_id AS doc_b
          |  FROM ebands q JOIN ebands e ON q.band = e.band AND q.bucket = e.bucket
          |    AND q.vec_id < e.vec_id),

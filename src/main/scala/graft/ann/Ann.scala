@@ -476,6 +476,29 @@ object Ann {
     * cut candidates ~20x. Raise b further as n or the similarity threshold
     * grows (high-threshold near-dups survive wide bands: p_bit^b stays
     * usable when p_bit is ~0.9+). */
+  /** Adaptive band COUNT for [[nearDupPairs]] over a 48-plane signature —
+    * the corpus-size-scaled throttle (the e9 SemDeDup rule applied to
+    * banding): expected random candidates are ~numBands * n^2 / 2^(b+1),
+    * so the band width b must grow ~log2(n) for the candidate volume to
+    * stay ~linear. Regrouping the FIXED 48-bit signature into fewer, wider
+    * bands (6x8 -> 4x12 -> 3x16 -> 2x24 bits) widens b without changing
+    * the signature computation, so the per-vector work is identical at
+    * every scale and only the band extraction adapts. Each threshold
+    * doubles-to-16x the corpus bound that keeps candidates linear
+    * (2000 * 2^(b-8)); beyond ~1.3e8 vectors the 2x24 split stands and
+    * recall/candidate volume is the operator's documented knob (raise
+    * numPlanes past 48 for more bands at 24 bits). Recall trade: fewer,
+    * wider bands lower the match probability p_band = p_bit^b summed over
+    * fewer bands — acceptable for HIGH-similarity near-dup thresholds
+    * (p_bit ~ 0.9+), which is this operator's regime (cf. the TUNING note
+    * below). Mirrored verbatim by the DuckDB oracle via a COUNT scalar
+    * subquery, the e9 device, so both engines adapt identically. */
+  def adaptiveNearDupBands(n: Long): Int =
+    if (n <= 2000L) 6          // 8-bit bands — the sf0.01/sf0.1 gate regime
+    else if (n <= 32000L) 4    // 12-bit — covers the 10x/30x smoke
+    else if (n <= 512000L) 3   // 16-bit
+    else 2                     // 24-bit
+
   def nearDupPairs(data: DataFrame, threshold: Double,
       numPlanes: Int, dim: Int, numBands: Int = 8): DataFrame = {
     require(numPlanes % numBands == 0, "numPlanes must divide into numBands")
