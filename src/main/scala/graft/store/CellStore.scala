@@ -1216,7 +1216,7 @@ class CellStore(spark: SparkSession, rootPath: String) {
 
   // --------------------------------------------------------------- manifest
 
-  private def manifestPath(name: String) = new Path(tablesetPath(name), "manifest")
+  private[store] def manifestPath(name: String) = new Path(tablesetPath(name), "manifest")
 
   /** Whether [[buildManifest]] has published file statistics for `name`. */
   def hasManifest(name: String): Boolean =
@@ -1242,11 +1242,21 @@ class CellStore(spark: SparkSession, rootPath: String) {
     manifestStats(name, readDeclared(name))
       .repartition(col("bc"))
       .write.mode(SaveMode.Overwrite)
-      .partitionBy("bc")
+      .partitionBy("kind", "resolution", "bc")
       .parquet(manifestPath(name).toString)
     coverageCache.remove(cacheKey(name))
     ()
   }
+
+  /** Round-4 manifests were partitioned by `bc` alone; round 5 nests
+    * kind/resolution ABOVE bc so [[selectFilesForValueRange]]'s
+    * resolution predicate directory-prunes too (the value dimension
+    * crosses base cells, so bc pruning can never help it). Appending the
+    * new layout into a legacy directory would corrupt partition
+    * discovery, so refresh falls back to a full rebuild there. */
+  private def manifestIsLegacyLayout(name: String): Boolean =
+    fs.listStatus(manifestPath(name))
+      .exists(st => st.isDirectory && st.getPath.getName.startsWith("bc="))
 
   /** Incremental manifest maintenance: stat ONLY the files the manifest
     * does not cover (inserts since the last build/refresh) and append their
@@ -1256,6 +1266,7 @@ class CellStore(spark: SparkSession, rootPath: String) {
   def refreshManifest(name: String): Unit = {
     require(hasManifest(name),
       s"tableset '$name' has no manifest to refresh — run buildManifest first")
+    if (manifestIsLegacyLayout(name)) { buildManifest(name); return }
     val (_, uncoveredRel) = manifestCoverage(name)
     if (uncoveredRel.isEmpty) return
     val base = qualifiedDataDir(name)
@@ -1266,7 +1277,7 @@ class CellStore(spark: SparkSession, rootPath: String) {
         .parquet(uncoveredRel.map(rel => s"$base/$rel"): _*))
       .repartition(col("bc"))
       .write.mode(SaveMode.Append)
-      .partitionBy("bc")
+      .partitionBy("kind", "resolution", "bc")
       .parquet(manifestPath(name).toString)
     coverageCache.remove(cacheKey(name))
     ()
@@ -1436,17 +1447,36 @@ class CellStore(spark: SparkSession, rootPath: String) {
     * secondary key (unclustered files span the whole value domain and
     * nothing prunes — correct either way, the row filter still applies).
     * None when no manifest exists or the manifest predates k2 stats. */
+  /** The filtered manifest read a value-range selection collects — the
+    * k2 analogue of [[manifestCandidates]]. kind/resolution are the
+    * manifest's OUTER partition directories (round-5 layout), so
+    * [[resolutionFilter]] directory-prunes to the target resolutions
+    * before any file is opened — bc pruning cannot help here (the value
+    * dimension crosses base cells), but the per-resolution nesting keeps
+    * the read O(files at target resolution), flat in the total manifest
+    * size; the k2 interval predicate lands in `PushedFilters` (row-group
+    * skipping inside the surviving directories). Exposed for the spec
+    * that audits exactly that plan. None when the manifest predates k2
+    * stats. */
+  private[graft] def valueRangeCandidates(name: String, targetRes: Int,
+      lo: Any, hi: Any): Option[DataFrame] = {
+    val m = spark.read.parquet(manifestPath(name).toString)
+    if (!m.columns.contains("k2_min")) return None
+    Some(m
+      .where(resolutionFilter(targetRes))
+      .where(col("k2_max") >= lit(lo) && col("k2_min") <= lit(hi))
+      .select("path"))
+  }
+
   private[graft] def selectFilesForValueRange(name: String, targetRes: Int,
       lo: Any, hi: Any): Option[ManifestSelection] = {
     if (!hasManifest(name)) return None
-    val m = spark.read.parquet(manifestPath(name).toString)
-    if (!m.columns.contains("k2_min")) return None
+    val cand = valueRangeCandidates(name, targetRes, lo, hi) match {
+      case Some(c) => c
+      case None => return None
+    }
     val base = qualifiedDataDir(name)
-    val selected = m
-      .where(resolutionFilter(targetRes))
-      .where(col("k2_max") >= lit(lo) && col("k2_min") <= lit(hi))
-      .select("path")
-      .collect().map(r => s"$base/${r.getString(0)}").toSeq
+    val selected = cand.collect().map(r => s"$base/${r.getString(0)}").toSeq
     val currentSet = listDataFilesCached(name).toSet
     val (manifestEntries, uncoveredRel) = manifestCoverage(name)
     val uncovered = uncoveredRel.map(rel => s"$base/$rel")

@@ -126,11 +126,12 @@ class ManifestSpec extends AnyFunSuite with Matchers with SparkTestSession {
     pushed should include("max_h3")
   }
 
-  test("50k-file manifest: selection reads one bc partition, not the manifest") {
-    // synthetic manifest at the documented layout (parquet partitioned by
-    // bc): 250 base cells x 200 files = 50,000 entries, one parquet file
-    // per bc directory. Selection cost must be O(probed bc), flat in the
-    // total file count — the round-3 verdict's scale criterion.
+  /** Synthetic 50k-entry manifest at the round-5 layout
+    * (kind=/resolution=/bc=): TWO base resolutions (7 and 6 — a res-7
+    * probe must exclude base-6 entirely via directory pruning) x 250
+    * base cells x 100 files = 50,000 entries, one parquet file per leaf
+    * directory, with k2 stats. Returns (store, res-7 cell universe). */
+  private def bigManifestFixture(): (CellStore, Seq[Long]) = {
     val dir = Files.createTempDirectory("graft_manifest_big_").toString
     val s = CellStore(spark, dir)
     s.insert(name, frame(cellsOf(bcA).take(8), 0),
@@ -140,30 +141,67 @@ class ManifestSpec extends AnyFunSuite with Matchers with SparkTestSession {
         .addAggregatedColumn("v", T.Int64, Agg.Max)
         .build()))
     val cs = cellsOf(bcA)
-    import spark.implicits._
-    val entries = spark.range(250L * 200).select(
-      (col("id") / 200).cast("long").as("bc"),
-      (col("id") % 200).as("i"))
+    val entries = spark.range(2L * 250 * 100).select(
+      (col("id") % 2).as("r"),
+      ((col("id") / 2) / 100).cast("long").as("bc"),
+      ((col("id") / 2) % 100).as("i"))
       .select(
-        concat(lit("kind=base/resolution=7/ph3="), col("bc"),
+        concat(when(col("r") === 0, "kind=base/resolution=7/ph3=")
+            .otherwise("kind=base/resolution=6/ph3="), col("bc"),
           lit("/part-"), col("i"), lit(".parquet")).as("path"),
-        lit("base").as("kind"), lit(7).as("resolution"), col("bc").as("ph3"),
+        lit("base").as("kind"),
+        when(col("r") === 0, 7).otherwise(6).as("resolution"),
+        col("bc").as("ph3"),
         // ~half the entries of any bc straddle real cell values (selected),
         // the rest sit far outside every envelope (row-group skipped)
         when(col("i") % 2 === 0, lit(cs.head)).otherwise(lit(Long.MaxValue - 10)).as("min_h3"),
         when(col("i") % 2 === 0, lit(cs.last)).otherwise(lit(Long.MaxValue - 1)).as("max_h3"),
-        lit(100L).as("rows"), col("bc"))
+        lit(100L).as("rows"),
+        // k2 stats: each file covers a disjoint [100*i, 100*i+99] slice
+        (col("i") * 100).as("k2_min"), (col("i") * 100 + 99).as("k2_max"),
+        col("bc"))
     entries.repartition(col("bc")).write.mode("overwrite")
-      .partitionBy("bc").parquet(s"$dir/$name/manifest")
+      .partitionBy("kind", "resolution", "bc")
+      .parquet(s.manifestPath(name).toString)
+    (s, cs)
+  }
+
+  test("50k-file manifest: selection reads one bc partition, not the manifest") {
+    // selection cost must be O(probed bc), flat in the total file count —
+    // the round-3 verdict's scale criterion
+    val (s, cs) = bigManifestFixture()
     val df = s.manifestCandidates(name, 7, Seq(cs(30)))
     val selected = df.collect().map(_.getString(0))
-    selected should have size 100 // the straddling half of bc 20's entries
+    selected should have size 50 // the straddling half of bc 20's res-7 entries
     all(selected) should include("ph3=20/")
     val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
       case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
     }.getOrElse(fail("no file scan in the manifest-candidates plan"))
-    // 250 bc directories on disk; planning touched exactly one
+    // 500 leaf directories on disk; bc + resolution pruning touched one
     scan.metrics("numFiles").value shouldBe 1L
+  }
+
+  test("50k-file manifest: value-range selection directory-prunes to the target resolution") {
+    // the value dimension crosses base cells, so bc pruning cannot help a
+    // k2 range probe — the round-5 resolution-major layout keeps the read
+    // O(files at target resolution): a res-7 probe must plan res-7's 250
+    // leaf files, not all 500, with the k2 interval pushed to parquet
+    val (s, _) = bigManifestFixture()
+    val df = s.valueRangeCandidates(name, 7, 120L, 180L)
+      .getOrElse(fail("manifest has k2 stats — candidates expected"))
+    val selected = df.collect().map(_.getString(0))
+    // [120, 180] intersects exactly files i=1 ([100,199]) of each res-7 bc
+    selected should have size 250
+    all(selected) should include("kind=base/resolution=7/")
+    val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+    }.getOrElse(fail("no file scan in the value-range candidates plan"))
+    scan.metadata("PartitionFilters") should include("resolution")
+    val pushed = scan.metadata("PushedFilters")
+    pushed should include("k2_min")
+    pushed should include("k2_max")
+    // res-6 directories are never listed into the scan
+    scan.metrics("numFiles").value shouldBe 250L
   }
 
   test("the SQL graft_cells TVF engages the manifest (file-pruned scan from pure SQL)") {
