@@ -683,10 +683,13 @@ object Queries {
   /** Streaming sessionization gate (s12): the native `session_window`
     * aggregate run as an ACTUAL append-mode streaming query — sessions are
     * emitted only once the watermark proves they can no longer grow
-    * (session_end = last event + gap below the final watermark = max event
-    * time - delay; the AvailableNow no-data batch flushes the eviction).
-    * Sessions still open inside the stream's final delay window are state,
-    * not output — the oracle mirrors the same cutoff, s11's device. This
+    * (session_end = last event + gap AT OR below the final watermark = max
+    * event time - delay; the AvailableNow no-data batch flushes the
+    * eviction). The boundary is INCLUSIVE — Spark emits a session whose
+    * end equals the watermark exactly, unlike the s11 outer join's strict
+    * cutoff; WatermarkBoundarySpec pins both — so the oracle's predicate
+    * is `session_end <= wm`. Sessions still open inside the stream's
+    * final delay window are state, not output. This
     * closes the streaming-lifecycle loop for the one stateful op that was
     * gated batch-only (s1 cross-checks the same session algebra on batch
     * input). */
@@ -2131,7 +2134,7 @@ object Queries {
           |  FROM s GROUP BY user_id, sid),
           |mx AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM events)
           |SELECT user_id, session_start, session_end, num_events, total_value
-          |FROM sess, mx WHERE session_end < wm
+          |FROM sess, mx WHERE session_end <= wm
           |ORDER BY user_id, session_start""".stripMargin,
       "s11_stream_outer_attribution" ->
         """WITH v AS (SELECT event_id AS view_id, ts AS view_ts, user_id

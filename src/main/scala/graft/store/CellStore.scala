@@ -1092,7 +1092,12 @@ class CellStore(spark: SparkSession, rootPath: String) {
     * the CROSS-JVM metadata case, where concurrent listings can still
     * overlap — [[scanAsOf]] reads the union distinct, so cross-JVM overlap
     * affects bytes listed, never duplicates rows (an unclaimed concurrent
-    * writer's files may surface one id early there; same-JVM they cannot). */
+    * writer's files may surface one id early there; same-JVM they cannot).
+    * SCOPE: the cross-JVM claim is atomic only on filesystems with atomic
+    * exclusive create (HDFS-like). On local FS and S3A, create(path,
+    * overwrite=false) is check-then-create, so two cross-JVM writers can
+    * both "win" — [[writeSnapshotList]]'s read-back verify turns the
+    * resulting silent overwrite into a loud, retryable failure. */
   private def claimSnapshotId(name: String): Long = {
     val dir = snapshotsPath(name)
     fs.mkdirs(dir)
@@ -1126,15 +1131,41 @@ class CellStore(spark: SparkSession, rootPath: String) {
   /** Write a .list via temp + rename: an in-place overwrite truncates first,
     * so a crash mid-write would leave a silently SHORT list — scanAsOf
     * would then return fewer rows than the historical state with no error
-    * (the files still exist, so the invalidation check can't catch it). */
+    * (the files still exist, so the invalidation check can't catch it).
+    *
+    * After the rename the list is READ BACK and compared: on filesystems
+    * without atomic exclusive create (local FS, S3A) two cross-JVM writers
+    * can both "win" the same claim (check-then-create race), and the later
+    * publish would silently replace the earlier history entry — exactly
+    * the loss the claim exists to prevent. The read-back turns that silent
+    * loss into a loud failure for the overwritten writer (whose caller can
+    * retry the insert's metadata commit). The residual window — the rival
+    * publishing AFTER this writer's verify — is the FS's non-atomicity,
+    * not recoverable client-side: the cross-JVM claim guarantee is atomic
+    * only on stores with atomic exclusive create (HDFS-like); elsewhere
+    * this check narrows the race from "any concurrent claim" to
+    * "concurrent publish within the verify round-trip". */
   private def writeSnapshotList(name: String, id: Long, rels: Seq[String]): Unit = {
+    val payload = rels.mkString("\n")
     val tmp = new Path(snapshotsPath(name), s".$id.list.tmp")
     val out = fs.create(tmp, true)
-    try out.write(rels.mkString("\n").getBytes("UTF-8")) finally out.close()
+    try out.write(payload.getBytes("UTF-8")) finally out.close()
     val dst = new Path(snapshotsPath(name), s"$id.list")
     fs.delete(dst, false)
     if (!fs.rename(tmp, dst))
       throw new IllegalStateException(s"snapshot $id of '$name': publish rename failed")
+    val back = {
+      val buf = new Array[Byte](fs.getFileStatus(dst).getLen.toInt)
+      val in = fs.open(dst)
+      try in.readFully(0, buf) finally in.close()
+      new String(buf, "UTF-8")
+    }
+    if (back != payload)
+      throw new IllegalStateException(
+        s"snapshot $id of '$name': read-back mismatch after publish — a " +
+          "concurrent cross-JVM writer claimed the same id (non-atomic " +
+          "exclusive create on this filesystem) and overwrote this list; " +
+          "retry the commit")
   }
 
   private def relToData(name: String, abs: String): String = {
