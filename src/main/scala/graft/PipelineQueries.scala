@@ -60,11 +60,19 @@ object PipelineQueries {
   /** Distinct shingle set per doc, derived from the exploded frame with a
     * codegen'd collect_set aggregation (order-insensitive — only ever used
     * through set intersect/union). */
+  /** Per-doc shingle-code sets for Jaccard verification. The MERGE hint
+    * pins every verification join to sort-merge: this frame scales with
+    * the corpus AND carries per-doc arrays, so a size misestimate that
+    * picks broadcast builds the whole array table single-threaded on the
+    * driver — measured on t2 at 10x sf0.1 (500k docs): the auto-picked
+    * broadcast plan ran 11s vs 4s sort-merge, and at 100 TB it would be a
+    * driver OOM, not a slowdown. Never let a corpus-scaling side near a
+    * broadcast. */
   private def shingleSets(spark: SparkSession, dir: String): DataFrame =
     memo(spark, s"shingleSets:$dir") {
       shingleCodesExploded(spark, dir).groupBy(col("doc_id"))
         .agg(collect_set(col("code")).as("s"))
-    }
+    }.hint("merge")
 
   /** Per-dir memo of derived frames (shingles/signatures): a banded
     * self-join otherwise recomputes its input once per join side — at

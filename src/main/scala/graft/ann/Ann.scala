@@ -518,8 +518,12 @@ object Ann {
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    val va = withNorm(data, "id_a", "va", "na")
-    val vb = withNorm(data, "id_b", "vb", "nb")
+    // MERGE hint: the vector sides scale with the corpus and carry the
+    // embedding arrays — a misestimated broadcast would build the whole
+    // vector table on the driver (same trap as PipelineQueries.shingleSets;
+    // measured there at 10x). Verification joins stay sort-merge.
+    val va = withNorm(data, "id_a", "va", "na").hint("merge")
+    val vb = withNorm(data, "id_b", "vb", "nb").hint("merge")
     cand
       .join(va, "id_a")
       .join(vb, "id_b")
