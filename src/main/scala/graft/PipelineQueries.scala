@@ -766,8 +766,11 @@ object PipelineQueries {
     * deployment plugs [[graft.ann.Ann.kmeansCentroids]] in as the cluster
     * column and everything downstream is unchanged. Scale shape: the
     * pairwise step is CLUSTER-SCOPED (the published algorithm's bound — k
-    * grows with n so clusters stay small); join keys are (cl, pos) on
-    * exploded vectors with map-side partial sums, never a global product.
+    * grows with n so clusters stay small) and rides compact (id, vector)
+    * rows self-joined on the cluster key with a codegen'd sequential dot
+    * (one n x dim shuffle per side, no exploded pair intermediate);
+    * centroids/norms aggregate the shared exploded frame with map-side
+    * partial sums, never a global product.
     * The cluster COUNT scales with corpus size (n/250 vectors per cluster,
     * min 7 clusters) — the paper's regime, and what keeps the per-cluster
     * pair space CONSTANT-sized as the corpus grows (fixed k would be
@@ -800,14 +803,21 @@ object PipelineQueries {
       .join(norms, "id")
       .select(col("id"), col("cl"),
         round(col("vc") / (sqrt(col("nn")) * sqrt(col("cc"))), 6).as("cos_cent"))
-    val lhs = ex.select(col("cl"), col("pos"), col("id").as("id_a"), col("col").as("va"))
-    val rhs = ex.select(col("cl").as("cl2"), col("pos").as("pos2"),
-      col("id").as("id_b"), col("col").as("vb"))
-    val dots = lhs.join(rhs,
-        col("cl") === col("cl2") && col("pos") === col("pos2") &&
-          col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(sum(col("va") * col("vb")).as("ab"))
+    // the pair dots ride COMPACT vector rows, not the exploded frame: a
+    // self-join on (cl, pos) materializes an (intra-cluster pairs) x dim
+    // intermediate and re-shuffles it for the per-pair sum (the r4 plan's
+    // two heavy exchanges); joining (id, v[dim]) rows on the cluster key
+    // shuffles n x (dim+1) values ONCE per side and the codegen'd
+    // sequential vec_dot folds each pair in place — no second shuffle, no
+    // wide intermediate. MERGE hint: the vector sides scale with the
+    // corpus (the shingleSets broadcast-misestimate rule).
+    val vc = v.withColumn("cl", pmod(col("id"), lit(k)))
+    val dots = vc.select(col("cl"), col("id").as("id_a"), col("v").as("va"))
+      .join(vc.select(col("cl"), col("id").as("id_b"), col("v").as("vb"))
+        .hint("merge"), Seq("cl"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.ann.expr.functions.vec_dot(col("va"), col("vb")).as("ab"))
     val na = norms.select(col("id").as("id_a"), col("nn").as("na"))
     val nb = norms.select(col("id").as("id_b"), col("nn").as("nb"))
     val pairs = dots.join(na, "id_a").join(nb, "id_b")
