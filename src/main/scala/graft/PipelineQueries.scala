@@ -376,7 +376,10 @@ object PipelineQueries {
     val queries = e.where(col("vec_id") < 10)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
-    Ann.knnLsh(queries, corpus, 5, 32, 64, 8)
+    // band count scales with the corpus (Ann.adaptiveKnnBands) — fixed
+    // 4-bit bands left candidates at ~n/2 per query (measured 27s at 100x
+    // sf0.1); the oracle derives the same count from its own COUNT(*)
+    Ann.knnLsh(queries, corpus, 5, 32, 64, Ann.adaptiveKnnBands(e.count()))
       .select(col("query_id"), col("rnk"), col("neighbor_id"),
         round(col("cos"), 4).as("cos_sim"))
       .orderBy(col("query_id"), col("rnk"))
@@ -1645,12 +1648,15 @@ object PipelineQueries {
          |WHERE quality >= 0.5
          |GROUP BY lang ORDER BY lang""".stripMargin,
     "e2_lsh_ann" -> {
-      val bandSelects = (0 until 8).map { b =>
-        s"SELECT vec_id, $b AS band, (sig >> ${4 * b}) & 15 AS bucket FROM s"
-      }.mkString(" UNION ALL ")
       s"""WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v,
          |  ${sigSql("embedding::DOUBLE[]")} AS sig FROM embeddings),
-         |bands AS ($bandSelects),
+         |kbw AS (SELECT CASE WHEN n <= 2000 THEN 8 WHEN n <= 512000 THEN 4
+         |    ELSE 2 END AS nb
+         |  FROM (SELECT count(*) AS n FROM embeddings)),
+         |kb0 AS (SELECT vec_id, sig, (32 // nb)::INT AS bb,
+         |    unnest(range(0, nb))::INT AS band FROM s, kbw),
+         |bands AS (SELECT vec_id, band,
+         |    (sig >> (bb * band)) & ((1::BIGINT << bb) - 1) AS bucket FROM kb0),
          |cand AS (SELECT DISTINCT q.vec_id AS query_id, e.vec_id AS neighbor_id
          |  FROM bands q JOIN bands e ON q.band = e.band AND q.bucket = e.bucket
          |    AND q.vec_id != e.vec_id

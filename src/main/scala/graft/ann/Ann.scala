@@ -46,13 +46,16 @@ object Ann {
     * cost ~2x the whole query at a 50k corpus; the previous workaround was
     * an explode-once/aggregate shape, now unnecessary). Empty or null
     * vectors sign to 0 on every plane -> signature 0. */
-  def rhpSignature(vec: Column, numPlanes: Int, dim: Int): Column = {
-    val bits = (0 until numPlanes).map { j =>
-      val w = array(planeWeights(j, dim).map(x => lit(x.toDouble)): _*)
-      when(vec_dot(vec, w) > 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  /** All-plane RHP signature as ONE fused codegen'd expression
+    * ([[graft.ann.expr.RhpSignature]]): the per-plane
+    * `when(vec_dot(vec, w_j) > 0, 1L << j)` sum it replaces generated one
+    * inlined cast+dot loop PER PLANE, blowing the whole-stage method past
+    * the JIT's huge-method threshold (measured 26s -> ~1s for 200k x 32
+    * planes). Bit semantics and per-plane accumulation order unchanged. */
+  def rhpSignature(vec: Column, numPlanes: Int, dim: Int): Column =
+    graft.ann.expr.functions.rhp_signature(vec,
+      (0 until numPlanes).flatMap(j => planeWeights(j, dim).map(_.toDouble)),
+      numPlanes, dim)
 
   /** Brute-force exact top-k: for each query vector, the k nearest neighbors
     * by cosine. `queries`/`corpus`: (id, vec) with vec castable to
@@ -498,6 +501,19 @@ object Ann {
     else if (n <= 32000L) 4    // 12-bit — covers the 10x/30x smoke
     else if (n <= 512000L) 3   // 16-bit
     else 2                     // 24-bit
+
+  /** Adaptive band COUNT for [[knnLsh]] over a 32-plane signature — the
+    * same corpus-scaled regrouping as [[adaptiveNearDupBands]], tuned for
+    * the top-k ANN regime (narrower signature, moderate-similarity
+    * neighbors): 8x4-bit bands at gate scale, 4x8-bit through ~512k
+    * vectors (candidates ~ 4n/256 per query — linear, recall still sound
+    * for p_bit ~ 0.7+), 2x16-bit beyond. Past ~512k the production
+    * answers are IVF ([[knnIvf]]/[[ann.IvfIndex]] — the cid-pruned scale
+    * path) or multiprobe/more planes; the 2x16 tier keeps candidate
+    * volume bounded for a user who stays on LSH. Mirrored by the DuckDB
+    * oracle via the COUNT scalar-subquery device. */
+  def adaptiveKnnBands(n: Long): Int =
+    if (n <= 2000L) 8 else if (n <= 512000L) 4 else 2
 
   def nearDupPairs(data: DataFrame, threshold: Double,
       numPlanes: Int, dim: Int, numBands: Int = 8): DataFrame = {

@@ -17,6 +17,9 @@ object functions {
 
   def vec_dot(a: Column, b: Column): Column = c(VecDot(e(a), e(b)))
   def vec_cosine(a: Column, b: Column): Column = c(VecCosine(e(a), e(b)))
+  def rhp_signature(vec: Column, weights: Seq[Double],
+      numPlanes: Int, dim: Int): Column =
+    c(RhpSignature(e(vec), weights, numPlanes, dim))
 }
 
 object VectorFunctions {

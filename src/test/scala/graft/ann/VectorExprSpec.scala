@@ -78,4 +78,44 @@ class VectorExprSpec extends AnyFunSuite with SparkTestSession {
     assert(r.getDouble(0) === 11.0)
     assert(math.abs(r.getDouble(1) - 1.0) < 1e-12) // fp: dot/(|v||v|) != exactly 1
   }
+
+  test("rhp_signature: bit-identical to the unfused per-plane when(vec_dot > 0) sum") {
+    // the fused expression replaced 32 inlined cast+dot loops (JIT
+    // huge-method cliff); the signature bits and degenerate-input outcomes
+    // must not move by a single bit
+    val numPlanes = 32
+    val dim = 16
+    val unfused = {
+      val bits = (0 until numPlanes).map { j =>
+        val w = array(Ann.planeWeights(j, dim).map(x => lit(x.toDouble)): _*)
+        when(vec_dot(col("vec"), w) > 0, lit(1L << j)).otherwise(lit(0L))
+      }
+      bits.reduce(_ + _)
+    }
+    val df = spark.range(300).select(col("id"),
+      transform(sequence(lit(1), lit(dim)),
+        i => sin(i * (col("id") + 1L)).cast("double")).as("vec"))
+    val out = df.select(
+        Ann.rhpSignature(col("vec"), numPlanes, dim).as("fused"),
+        unfused.as("ref"))
+      .where(col("fused") =!= col("ref"))
+    assert(out.isEmpty)
+    // degenerate inputs follow the otherwise(0) fall-through, never null:
+    // null vector, wrong length, null element -> signature 0
+    import spark.implicits._
+    val weird = Seq(
+      (1, null.asInstanceOf[Seq[Double]]),
+      (2, Seq(1.0, 2.0)), // wrong length
+      (3, Seq.empty[Double])
+    ).toDF("id", "vec")
+    val sigs = weird.select(col("id"),
+        Ann.rhpSignature(col("vec"), numPlanes, dim).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sigs === Map(1 -> 0L, 2 -> 0L, 3 -> 0L))
+    // a null ELEMENT likewise zeroes the signature (predicate null per plane)
+    val nullElem = spark.sql(
+      s"SELECT array(${Seq.fill(dim - 1)("1.0d").mkString(",")}, NULL) AS vec")
+    assert(nullElem.select(Ann.rhpSignature(col("vec"), numPlanes, dim))
+      .head().getLong(0) === 0L)
+  }
 }
