@@ -328,16 +328,27 @@ object Ann {
     * second corpus-sized join to restore them. */
   def pqAssign(data: DataFrame, codebooks: DataFrame,
       numSub: Int, subDim: Int, carry: Seq[String] = Nil): DataFrame = {
+    // the codebook is broadcast-sized BY CONSTRUCTION (numSub*ksub rows) —
+    // collect it once and encode each vector with the fused
+    // [[graft.ann.expr.PqEncode]] loop instead of cross-joining every
+    // vector against numSub*ksub codebook rows and argmax-aggregating the
+    // blowup (2048x the corpus row count for 8x256 codebooks; the r4
+    // smoke's dominant e7 cost). Same arithmetic, same tie-break, same
+    // collected cwn2 doubles — bit-identical codes (spec-pinned).
+    val rows = codebooks
+      .select(col("m").cast("int"), col("code").cast("long"), col("cw"), col("cwn2"))
+      .orderBy(col("m"), col("code")).collect()
+    val counts = (0 until numSub).map(m => rows.count(_.getInt(0) == m))
+    val cbFlat = rows.flatMap(_.getSeq[Double](2))
+    val cwn2 = rows.map(_.getDouble(3))
+    val codeVals = rows.map(_.getLong(1))
     val ids = col("id") +: carry.map(col)
     data.select(ids :+ col("vec").cast("array<double>").as("dv"): _*)
       .where(size(col("dv")) === numSub * subDim)
-      .crossJoin(broadcast(codebooks))
-      .select(ids ++ Seq(col("m"), col("code"),
-        (lit(2.0) * vec_dot(slice(col("dv"), col("m") * subDim + 1, lit(subDim)),
-          col("cw")) - col("cwn2")).as("score")): _*)
-      .groupBy(ids :+ col("m"): _*)
-      .agg(max(struct(col("score"), (-col("code")).as("nc"))).as("best"))
-      .select(ids ++ Seq(col("m"), (-col("best.nc")).as("code")): _*)
+      .select(ids :+ posexplode(graft.ann.expr.functions.pq_encode(col("dv"),
+        cbFlat.toIndexedSeq, cwn2.toIndexedSeq, codeVals.toIndexedSeq,
+        counts, numSub, subDim)): _*)
+      .select(ids ++ Seq(col("pos").as("m"), col("col").as("code")): _*)
   }
 
   /** Per-query ADC lookup table: lut(q, m, code) = dot(q_m, codebook[m][code])

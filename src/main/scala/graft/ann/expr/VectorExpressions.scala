@@ -201,6 +201,82 @@ case class RhpSignature(child: Expression, weights: Seq[Double],
     copy(child = newChild)
 }
 
+/** pq_encode(vec): the full product-quantization code assignment of one
+  * vector — per subspace m, the argmax over that subspace's codewords of
+  * `2*dot(vec_m, cw) - ||cw||^2` (the L2 argmin identity), ties to the
+  * LOWEST code value — in a single pass.
+  *
+  * WHY: the relational formulation (cross-join every vector against the
+  * broadcast numSub x ksub codebook, then a max(struct) argmax) pushes
+  * n * numSub * ksub rows (2048x the corpus for 8x256 codebooks) through
+  * a join and an aggregation just to compute a per-row pure function; at
+  * corpus scale the encode dominates every PQ operator (the r4 smoke's
+  * e7 ratio). Here the same arithmetic runs as one per-row loop nest over
+  * reference-object codebook tables.
+  *
+  * DETERMINISM (bit-identical to the formulation it replaces): per-codeword
+  * dot is strict left-to-right over subDim; score = 2.0*dot - cwn2 with
+  * the SAME collected cwn2 doubles; codewords are visited in ascending
+  * code order and only a STRICTLY greater score displaces the best, so
+  * ties keep the lowest code — exactly `max(struct(score, -code))`.
+  * Null or wrong-length input -> null (callers pre-filter on length).
+  *
+  * Interpreted eval only (CodegenFallback): the per-row work is a
+  * numSub*ksub*subDim JVM-compiled loop — codegen would save one virtual
+  * call per ROW against ~16k multiplies, and the fallback keeps the
+  * generated whole-stage method small (the rhp_signature lesson). */
+case class PqEncode(child: Expression, cb: Seq[Double], cwn2: Seq[Double],
+    codeVals: Seq[Long], counts: Seq[Int], numSub: Int, subDim: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    with VecTypeCheck {
+  require(counts.length == numSub && counts.forall(_ > 0),
+    s"pq_encode needs a non-empty codebook for each of $numSub subspaces")
+  require(cb.length == cwn2.length * subDim && cwn2.length == counts.sum,
+    "pq_encode codebook table shape mismatch")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_encode"
+  @transient private lazy val cbFlat = cb.toArray
+  @transient private lazy val n2Flat = cwn2.toArray
+  @transient private lazy val codeFlat = codeVals.toArray
+  @transient private lazy val offsets: Array[Int] =
+    counts.scanLeft(0)(_ + _).init.toArray
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val a = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (a.numElements() != numSub * subDim) return null
+    val out = new Array[Long](numSub)
+    var m = 0
+    while (m < numSub) {
+      var best = Double.NegativeInfinity
+      var bestCode = 0L
+      val off = offsets(m)
+      var c = 0
+      while (c < counts(m)) {
+        var acc = 0.0
+        val base = (off + c) * subDim
+        var d = 0
+        while (d < subDim) {
+          acc += a.getDouble(m * subDim + d) * cbFlat(base + d)
+          d += 1
+        }
+        val score = 2.0 * acc - n2Flat(off + c)
+        if (score > best) { best = score; bestCode = codeFlat(off + c) }
+        c += 1
+      }
+      out(m) = bestCode
+      m += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
 /** vec_cosine(a, b): one-pass cosine similarity (dot / (|a| * |b|)). */
 case class VecCosine(left: Expression, right: Expression)
     extends BinaryExpression with VecTypeCheck {

@@ -20,6 +20,9 @@ object functions {
   def rhp_signature(vec: Column, weights: Seq[Double],
       numPlanes: Int, dim: Int): Column =
     c(RhpSignature(e(vec), weights, numPlanes, dim))
+  def pq_encode(vec: Column, cb: Seq[Double], cwn2: Seq[Double],
+      codeVals: Seq[Long], counts: Seq[Int], numSub: Int, subDim: Int): Column =
+    c(PqEncode(e(vec), cb, cwn2, codeVals, counts, numSub, subDim))
 }
 
 object VectorFunctions {
