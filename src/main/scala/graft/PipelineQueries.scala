@@ -537,16 +537,36 @@ object PipelineQueries {
   /** Shared e4/e5 IVF parameters — the two gates AND [[ivfOracleSql]] must
     * stay in lockstep (the e5 gate's whole point is that the persisted
     * index returns EXACTLY the ad-hoc results); one definition site removes
-    * the drift hazard. Centroids = vec_id % IvfCentroidStride == 0, queries
-    * = vec_id < IvfNumQueries, top-IvfK within IvfNprobe probed cells. */
+    * the drift hazard. Centroids = vec_id % ivfStride(n) == 0, queries
+    * = vec_id < IvfNumQueries, top-IvfK within IvfNprobe probed cells.
+    *
+    * The stride ADAPTS so the cell count follows the published C ~ sqrt(n)
+    * IVF regime (FAISS guideline): the round-5 100x sweep caught the fixed
+    * stride scaling C as n/29, which makes the n x C assignment pass
+    * QUADRATIC (1.4e9 dot products at 200k vectors — 156s; sqrt-scaled:
+    * ~1.4e8, seconds). 29 is pinned below 2000 vectors so the gate corpus
+    * keeps its r4 geometry; beyond, stride = floor(sqrt(n)/1.55) continues
+    * the same C at the crossover (2000/29 == 1.55*sqrt(2000)). Probe cost
+    * scales as nprobe/C of the corpus either way; the oracle derives the
+    * identical stride from its own COUNT(*). */
   private val IvfCentroidStride = 29
+  private def ivfStride(n: Long): Long =
+    if (n <= 2000L) IvfCentroidStride
+    else math.max(IvfCentroidStride.toLong,
+      math.floor(math.sqrt(n.toDouble) / 1.55).toLong)
+  /** The oracle-side mirror of [[ivfStride]] (scalar-subquery device). */
+  private val ivfStrideSql: String =
+    s"""st AS (SELECT CASE WHEN n <= 2000 THEN $IvfCentroidStride
+       |    ELSE greatest($IvfCentroidStride,
+       |      CAST(floor(sqrt(n::DOUBLE) / 1.55) AS BIGINT)) END AS s
+       |  FROM (SELECT count(*) AS n FROM embeddings))""".stripMargin
   private val IvfNumQueries = 10
   private val IvfK = 5
   private val IvfNprobe = 3
   private def ivfCorpus(spark: SparkSession, dir: String): DataFrame =
     emb(spark, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
   private def ivfCentroids(v: DataFrame): DataFrame =
-    v.where(pmod(col("id"), lit(IvfCentroidStride)) === 0)
+    v.where(pmod(col("id"), lit(ivfStride(v.count()))) === 0)
       .select(col("id").as("cid"), col("vec"))
   private def ivfProject(df: DataFrame): DataFrame =
     df.select(col("query_id"), col("rnk"), col("neighbor_id"),
@@ -1128,7 +1148,8 @@ object PipelineQueries {
     val cosSql = (a: String, b: String) =>
       s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
     s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |cent AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id % $IvfCentroidStride = 0),
+       |$ivfStrideSql,
+       |cent AS (SELECT vec_id AS cid, v AS cv FROM v, st WHERE vec_id % st.s = 0),
        |assign AS (
        |  SELECT vec_id, cid FROM (
        |    SELECT v.vec_id, c.cid,
@@ -1203,7 +1224,8 @@ object PipelineQueries {
       .map(m => s"max(CASE WHEN l.m = $m THEN l.l END)").mkString(" + ")
     s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
        |           WHERE len(embedding) = $dims),
-       |cent AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id % $IvfCentroidStride = 0),
+       |$ivfStrideSql,
+       |cent AS (SELECT vec_id AS cid, v AS cv FROM v, st WHERE vec_id % st.s = 0),
        |assign AS (
        |  SELECT vec_id, cid FROM (
        |    SELECT v.vec_id, c.cid,
