@@ -385,6 +385,27 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Multiprobe LSH ANN (e11): e2 with query-side 1-bit-flip probing —
+    * every bucket at Hamming distance <= 1 of each query band bucket is
+    * probed (1 + bandBits lookups per band), the classic probing-vs-tables
+    * recall recovery (Lv et al., VLDB 2007) that costs NO extra signature
+    * storage. Previously spec-only; this gate pins the probe expansion
+    * cross-engine: the oracle mirrors the XOR flips relationally (range
+    * cross join over flip positions), on the SAME adaptive band geometry
+    * as e2, so e11's candidate set is provably a superset of e2's and the
+    * top-k can only improve toward e1's exact ranking. */
+  def e11LshMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val queries = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Ann.knnLsh(queries, corpus, 5, 32, 64, Ann.adaptiveKnnBands(e.count()),
+        multiprobe = true)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** Multimodal frame sampling (m2): the video-style path of the media
     * plumbing — payloads split into 8 equal "frames", every 3rd sampled,
     * checksummed. Complements m1 (decode metadata + byte histogram) so both
@@ -1690,6 +1711,36 @@ object PipelineQueries {
          |      ORDER BY list_cosine_similarity(a.v, b.v) DESC, neighbor_id) AS rnk
          |  FROM cand JOIN s a ON a.vec_id = query_id JOIN s b ON b.vec_id = neighbor_id)
          |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+    },
+    // e11: e2's adaptive band geometry with query-side 1-bit-flip
+    // multiprobe — the probe expansion mirrored relationally (range cross
+    // join over flip positions; f = 0 is the exact bucket)
+    "e11_lsh_multiprobe" -> {
+      s"""WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |  ${sigSql("embedding::DOUBLE[]")} AS sig FROM embeddings),
+         |kbw AS (SELECT CASE WHEN n <= 2000 THEN 8 WHEN n <= 512000 THEN 4
+         |    ELSE 2 END AS nb
+         |  FROM (SELECT count(*) AS n FROM embeddings)),
+         |kb0 AS (SELECT vec_id, sig, (32 // nb)::INT AS bb,
+         |    unnest(range(0, nb))::INT AS band FROM s, kbw),
+         |bands AS (SELECT vec_id, band, bb,
+         |    (sig >> (bb * band)) & ((1::BIGINT << bb) - 1) AS bucket FROM kb0),
+         |qpr AS (SELECT DISTINCT vec_id, band,
+         |    xor(bucket, CASE WHEN f = 0 THEN 0
+         |      ELSE 1::BIGINT << (f - 1) END) AS bucket
+         |  FROM (SELECT vec_id, band, bb, bucket,
+         |      unnest(range(0, bb + 1))::INT AS f
+         |    FROM bands WHERE vec_id < 10)),
+         |cand AS (SELECT DISTINCT q.vec_id AS query_id, e.vec_id AS neighbor_id
+         |  FROM qpr q JOIN bands e ON q.band = e.band AND q.bucket = e.bucket
+         |    AND q.vec_id != e.vec_id)
+         |SELECT query_id, rnk, neighbor_id, round(cos, 4) AS cos_sim FROM (
+         |  SELECT query_id, neighbor_id,
+         |    list_cosine_similarity(a.v, b.v) AS cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY list_cosine_similarity(a.v, b.v) DESC, neighbor_id) AS rnk
+         |  FROM cand JOIN s a ON a.vec_id = query_id JOIN s b ON b.vec_id = neighbor_id)
+         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
     }
   )
 
@@ -1724,6 +1775,7 @@ object PipelineQueries {
     "m2_frame_sample" -> m2FrameSample,
     "m3_phash_neardup" -> m3PhashNearDup,
     "e2_lsh_ann" -> e2LshAnn,
+    "e11_lsh_multiprobe" -> e11LshMultiprobe,
     "e3_embedding_neardup" -> e3EmbeddingNearDup,
     "d17_neardup_provenance" -> d17NearDupProvenance
   )
