@@ -360,6 +360,40 @@ object TablesetQueries {
          |ORDER BY h3index, v""".stripMargin)
   }
 
+  /** Snapshot-retention gate (ts36): three inserts, then
+    * [[CellStore.vacuumSnapshots]](keepLast = 2) — the expiry op that folds
+    * every pre-cutoff list forward into the oldest KEPT id before deleting
+    * (deleting alone would silently lose the early inserts' files from
+    * later states). The gate reads AS OF the folded cutoff id: it must
+    * equal inserts 1+2 exactly — the state the cutoff represented BEFORE
+    * the vacuum — proving retention rewrites history lists, not history. */
+  private def ts36Store(spark: SparkSession, dir: String): CellStore = {
+    val store = CellStore(spark, rootFor(dir))
+    if (!store.listTablesets().contains("gate_vacuum")) {
+      def batch(mod: Int) = lineitem(spark, dir)
+        .where(pmod(col("l_orderkey"), lit(mod)) === 0)
+        .select(Queries.synthCell.as("h3index"), pmod(col("l_orderkey"), lit(50)).as("v"))
+      store.insert("gate_vacuum", batch(4),
+        createSchema = Some(CompactedTableSchema.builder("gate_vacuum")
+          .h3BaseResolutions(Seq(9))
+          .useCompaction(false)
+          .addAggregatedColumn("v", T.Int64, Agg.Max)
+          .build()))
+      store.insert("gate_vacuum", batch(3))
+      store.insert("gate_vacuum", batch(2))
+      store.vacuumSnapshots("gate_vacuum", keepLast = 2)
+    }
+    store
+  }
+
+  def ts36VacuumSnapshots(spark: SparkSession, dir: String): DataFrame = {
+    val store = ts36Store(spark, dir)
+    val cutoff = store.snapshotIds("gate_vacuum").head // the folded id
+    store.scanForResolutionAsOf("gate_vacuum", 9, cutoff)
+      .select(col("h3index"), col("v"))
+      .orderBy(col("h3index"), col("v"))
+  }
+
   // ------------------------------------------------------------------ ts19
 
   /** Small-file compaction gate (ts19): two overlapping inserts, then
@@ -1047,6 +1081,16 @@ object TablesetQueries {
          |  SELECT DISTINCT $synthCellSql AS cell, (l_orderkey % 50) AS v
          |  FROM lineitem WHERE l_orderkey % 4 = 0)
          |ORDER BY h3index, v""".stripMargin,
+    // ts36: as-of the VACUUMED cutoff = inserts 1+2, each distinct within
+    // itself (insert-time dedup), cross-batch duplicates preserved
+    "ts36_vacuum_snapshots" ->
+      s"""SELECT cell AS h3index, v FROM (
+         |  SELECT DISTINCT $synthCellSql AS cell, (l_orderkey % 50) AS v
+         |  FROM lineitem WHERE l_orderkey % 4 = 0
+         |  UNION ALL
+         |  SELECT DISTINCT $synthCellSql AS cell, (l_orderkey % 50) AS v
+         |  FROM lineitem WHERE l_orderkey % 3 = 0)
+         |ORDER BY h3index, v""".stripMargin,
     // compactFiles preserves rows exactly: each batch distinct WITHIN
     // itself (insert-time dedup), cross-batch duplicates kept (mod-4 rows
     // are a subset of mod-2 rows -> appear twice)
@@ -1477,6 +1521,7 @@ object TablesetQueries {
     "ts20_backfill_resolution" -> ts20BackfillResolution,
     "ts21_time_travel" -> ts21TimeTravel,
     "ts35_sql_asof" -> ts35SqlAsof,
+    "ts36_vacuum_snapshots" -> ts36VacuumSnapshots,
     "ts22_sql_stats" -> ts22SqlStats,
     "ts23_alter_partitioning" -> ts23AlterPartitioning,
     "ts24_sql_traverse" -> ts24SqlTraverse,
