@@ -394,6 +394,48 @@ object TablesetQueries {
       .orderBy(col("h3index"), col("v"))
   }
 
+  // ------------------------------------------------------------------ ts37
+
+  /** Lightweight-delete gate (ts37): insert, `DELETE WHERE v >= 25`
+    * ([[CellStore.deleteWhere]] — a metadata-only mutation that masks
+    * captured rows at read, ClickHouse's lightweight-delete model), then a
+    * SECOND insert whose rows all "match" the predicate but arrived after
+    * it — they must NOT be masked. The gate reads the store twice: once
+    * merge-on-read (phase `mor`, mask applied at scan) and once after
+    * [[CellStore.applyDeletes]] physically materialized the mutation
+    * (phase `mat`, markers drained, captured files rewritten/unlinked).
+    * Both phases must hash-match the same relational derivation — the
+    * masked read and the rewrite are two implementations of one delete. */
+  private def ts37Store(spark: SparkSession, dir: String): CellStore = {
+    val store = CellStore(spark, rootFor(dir))
+    if (!store.listTablesets().contains("gate_delete")) {
+      def batch(mod: Int) = lineitem(spark, dir)
+        .where(pmod(col("l_orderkey"), lit(mod)) === 0)
+        .select(Queries.synthCell.as("h3index"), pmod(col("l_orderkey"), lit(50)).as("v"))
+      store.insert("gate_delete", batch(4),
+        createSchema = Some(CompactedTableSchema.builder("gate_delete")
+          .h3BaseResolutions(Seq(9))
+          .useCompaction(false)
+          .addAggregatedColumn("v", T.Int64, Agg.Max)
+          .build()))
+      store.deleteWhere("gate_delete", "v >= 25")
+      store.insert("gate_delete", batch(3))
+    }
+    store
+  }
+
+  def ts37LightweightDelete(spark: SparkSession, dir: String): DataFrame = {
+    val store = ts37Store(spark, dir)
+    def scan(phase: String) = store.scanForResolution("gate_delete", 9)
+      .select(lit(phase).as("phase"), col("h3index"), col("v"))
+    // materialize the merge-on-read result BEFORE applyDeletes rewrites the
+    // captured files out from under the lazy plan
+    val mor = scan("mor").localCheckpoint()
+    store.applyDeletes("gate_delete")
+    mor.unionByName(scan("mat"))
+      .orderBy(col("phase"), col("h3index"), col("v"))
+  }
+
   // ------------------------------------------------------------------ ts19
 
   /** Small-file compaction gate (ts19): two overlapping inserts, then
@@ -1091,6 +1133,24 @@ object TablesetQueries {
          |  SELECT DISTINCT $synthCellSql AS cell, (l_orderkey % 50) AS v
          |  FROM lineitem WHERE l_orderkey % 3 = 0)
          |ORDER BY h3index, v""".stripMargin,
+    // ts37: batch-4 rows minus the deleted v-range, plus batch-3 rows
+    // UNMASKED (inserted after the delete — ClickHouse lightweight-delete
+    // semantics: a mutation affects only rows that existed when it ran);
+    // the merge-on-read and materialized phases share one derivation
+    "ts37_lightweight_delete" ->
+      s"""WITH kept AS (
+         |  SELECT cell, v FROM (
+         |    SELECT DISTINCT $synthCellSql AS cell, (l_orderkey % 50) AS v
+         |    FROM lineitem WHERE l_orderkey % 4 = 0)
+         |  WHERE NOT (v >= 25)
+         |  UNION ALL
+         |  SELECT DISTINCT $synthCellSql AS cell, (l_orderkey % 50) AS v
+         |  FROM lineitem WHERE l_orderkey % 3 = 0)
+         |SELECT phase, cell AS h3index, v
+         |FROM (SELECT 'mor' AS phase, cell, v FROM kept
+         |      UNION ALL
+         |      SELECT 'mat' AS phase, cell, v FROM kept)
+         |ORDER BY phase, h3index, v""".stripMargin,
     // compactFiles preserves rows exactly: each batch distinct WITHIN
     // itself (insert-time dedup), cross-batch duplicates kept (mod-4 rows
     // are a subset of mod-2 rows -> appear twice)
@@ -1522,6 +1582,7 @@ object TablesetQueries {
     "ts21_time_travel" -> ts21TimeTravel,
     "ts35_sql_asof" -> ts35SqlAsof,
     "ts36_vacuum_snapshots" -> ts36VacuumSnapshots,
+    "ts37_lightweight_delete" -> ts37LightweightDelete,
     "ts22_sql_stats" -> ts22SqlStats,
     "ts23_alter_partitioning" -> ts23AlterPartitioning,
     "ts24_sql_traverse" -> ts24SqlTraverse,

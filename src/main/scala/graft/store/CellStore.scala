@@ -76,6 +76,7 @@ class CellStore(spark: SparkSession, rootPath: String) {
   def invalidateFileCaches(name: String): Unit = {
     listingCache.remove(cacheKey(name))
     coverageCache.remove(cacheKey(name))
+    deletesCache.remove(cacheKey(name))
     ()
   }
 
@@ -600,6 +601,10 @@ class CellStore(spark: SparkSession, rootPath: String) {
     fs.delete(old, true)
     fs.delete(manifestPath(name), true)
     writeSchema(name, updated)
+    invalidateFileCaches(name)
+    // the staged rewrite read masked rows and the whole data dir was
+    // replaced — every pending delete is materialized, markers empty out
+    pruneDeleteMarkers(name)
   }
 
   /** Range-repartition on (partition cols ++ ORDER BY key) before a
@@ -689,9 +694,39 @@ class CellStore(spark: SparkSession, rootPath: String) {
     * absent from historical files, and a footer-inferred read would pick a
     * random file's schema — declared reads resolve it to NULL everywhere
     * instead. */
-  private def readDeclared(name: String): DataFrame =
-    spark.read.schema(getTableset(name).toStructType)
+  private def readDeclared(name: String): DataFrame = {
+    val dels = pendingDeletes(name)
+    if (dels.isEmpty) readDeclaredRaw(name)
+    else readFilesMasked(name, listDataFilesCached(name), dels)
+  }
+
+  /** The declared-schema directory read WITHOUT the lightweight-delete mask —
+    * validation probes and the masked reader's own schema prototype. A
+    * tableset with ZERO live data files (possible once [[applyDeletes]] can
+    * unlink a fully-masked store) still reads as an empty frame with the
+    * partition columns a directory read would have inferred — downstream
+    * resolution/kind/ph3 predicates must keep resolving. */
+  private def readDeclaredRaw(name: String): DataFrame =
+    if (listDataFilesCached(name).isEmpty) emptyDeclared(name)
+    else spark.read.schema(getTableset(name).toStructType)
       .parquet(dataPath(name).toString)
+
+  /** Empty frame in the shape a nonempty directory read infers: declared
+    * columns, then kind (string) / resolution (int) / ph3 (int for BaseCell
+    * dirs, long for LowerResolution) / pt buckets. */
+  private def emptyDeclared(name: String): DataFrame = {
+    val schema = getTableset(name)
+    val ph3Type = schema.h3Partitioning match {
+      case H3Partitioning.BaseCell => "int"
+      case H3Partitioning.LowerResolution(_) => "long"
+    }
+    val base = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema.toStructType)
+      .withColumn("kind", lit(null).cast("string"))
+      .withColumn("resolution", lit(null).cast("int"))
+      .withColumn("ph3", lit(null).cast(ph3Type))
+    partitionColumns(base, schema)._1
+  }
 
   /** §3.1 `query_tableset_cells`: fetch the data of the given cells (any
     * resolutions) at `targetRes`.
@@ -978,7 +1013,9 @@ class CellStore(spark: SparkSession, rootPath: String) {
   def tablesetStats(name: String): DataFrame = {
     val schema = getTableset(name)
     import spark.implicits._
-    val counts = spark.read.parquet(dataPath(name).toString)
+    // declared read so pending lightweight deletes are reflected — stats
+    // must agree with what a scan returns, not with raw file contents
+    val counts = readDeclared(name)
       .groupBy("kind", "resolution").count()
       .collect()
       .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
@@ -1010,6 +1047,11 @@ class CellStore(spark: SparkSession, rootPath: String) {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     listDataFilesCached(name).map(relToData(name, _)).sorted
       .foreach(p => md.update(p.getBytes("UTF-8")))
+    // a lightweight delete changes no file, but it changes what every read
+    // returns — fold pending mutations in so stale mirrors can never serve
+    // masked rows (capture size shrinks as markers prune, re-invalidating)
+    pendingDeletes(name).foreach(d =>
+      md.update(s"delete:${d.id}:${d.files.size}".getBytes("UTF-8")))
     md.digest().map("%02x".format(_)).mkString
   }
 
@@ -1205,12 +1247,19 @@ class CellStore(spark: SparkSession, rootPath: String) {
     if (missing.nonEmpty) throw new IllegalStateException(
       s"snapshot $snapshotId of '$name' was invalidated by a rewrite " +
         s"(deduplicate/replace/compactFiles): ${missing.size} file(s) no longer exist")
-    val proto = readDeclared(name)
+    val proto = readDeclaredRaw(name)
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], proto.schema)
-    else spark.read.schema(proto.schema)
-      .option("basePath", qualifiedDataDir(name))
-      .parquet(files: _*)
+    else {
+      // deletes are time-travel points too: a mutation committed at id d
+      // masks this snapshot's rows iff d <= snapshotId (captured files only)
+      val dels = pendingDeletes(name).filter(_.id <= snapshotId)
+      if (dels.isEmpty)
+        spark.read.schema(proto.schema)
+          .option("basePath", qualifiedDataDir(name))
+          .parquet(files: _*)
+      else readFilesMasked(name, files, dels)
+    }
   }
 
   /** [[scanForResolution]] against a snapshot. */
@@ -1243,6 +1292,182 @@ class CellStore(spark: SparkSession, rootPath: String) {
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
     text.split("\n").toSeq.filter(_.nonEmpty)
+  }
+
+  // ---------------------------------------------------------------- deletes
+
+  private def deletesPath(name: String) = new Path(tablesetPath(name), "_deletes")
+  private def deleteMarkerPath(name: String, id: Long) =
+    new Path(deletesPath(name), s"$id.delete")
+
+  /** ClickHouse-style LIGHTWEIGHT DELETE: `DELETE FROM name WHERE pred`
+    * masks matching rows at read time and removes them physically only when
+    * a later rewrite merges the files — the reference's ClickHouse backend
+    * inherits exactly this mutation model (`DELETE` sets a row mask applied
+    * at SELECT; OPTIMIZE/merges materialize it). Here the mutation is a
+    * PREDICATE + the captured current file list:
+    *
+    *  - no data file is touched — the marker is O(metadata), like a
+    *    snapshot commit, which is what makes deletes viable at 100 TB
+    *    (a 100-file delete and a 1M-file delete both cost one marker write);
+    *  - every read path ([[scanForResolution]], [[queryCells]], manifest
+    *    reads, [[scanAsOf]]) applies `NOT coalesce(pred, false)` to the rows
+    *    of CAPTURED files only — rows inserted AFTER the delete are never
+    *    masked even when they match the predicate (ClickHouse semantics:
+    *    DELETE affects rows that existed when it ran);
+    *  - predicate-masking is IDEMPOTENT, so partial rewrites need no
+    *    coordination: a rewrite reads masked rows, writes the survivors, and
+    *    the rewritten files drop out of the captured sets
+    *    ([[pruneDeleteMarkers]]); untouched captured files stay masked;
+    *  - `id` is claimed from the snapshot sequence and publishes an empty
+    *    snapshot list, so the delete is a time-travel point: `scanAsOf(id)`
+    *    sees it applied, `scanAsOf(id - 1)` does not.
+    *
+    * The predicate must be deterministic (a `rand()` mask would change
+    * per read) and resolvable against the declared + partition columns —
+    * both checked here, loudly. Returns the claimed mutation id, or -1 when
+    * the tableset holds no data files (nothing to capture). Dropping a
+    * column referenced by a pending delete is refused by [[dropColumn]]'s
+    * declared-read analysis the moment any scan runs; materialize first. */
+  def deleteWhere(name: String, predicateSql: String): Long = {
+    getTableset(name) // existence + schema check
+    val pred = expr(predicateSql)
+    val analyzed = readDeclaredRaw(name).where(pred).queryExecution.analyzed
+    val det = analyzed.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition.deterministic
+    }.forall(identity)
+    require(det, s"deleteWhere predicate must be deterministic, got: $predicateSql")
+    CellStore.commitLock(cacheKey(name)).synchronized {
+      val files = listDataFilesCached(name).map(relToData(name, _)).sorted
+      if (files.isEmpty) return -1L
+      val id = claimSnapshotId(name)
+      writeDeleteMarker(name, DeleteMutation(id, predicateSql, files))
+      writeSnapshotList(name, id, Seq.empty)
+      deletesCache.remove(cacheKey(name))
+      id
+    }
+  }
+
+  /** Pending (unmaterialized) delete mutations in id order. Cached like the
+    * file listing; any same-JVM mutation invalidates. */
+  def pendingDeletes(name: String): Seq[DeleteMutation] =
+    deletesCache.getOrElseUpdate(cacheKey(name), {
+      val p = deletesPath(name)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.map(_.getPath.getName)
+        .filter(_.endsWith(".delete")).map(_.stripSuffix(".delete").toLong)
+        .sorted.map(readDeleteMarker(name, _))
+    })
+
+  /** Materialize every pending delete: rewrite exactly the partitions that
+    * contain captured files ([[compactFilesWhere]] — the masked read drops
+    * deleted rows on the way through), then remove captured files the
+    * dynamic overwrite could not replace (a partition whose every row is
+    * masked produces no output rows, so its directory is never overwritten —
+    * those files are 100% deleted rows by construction and are unlinked
+    * directly). Afterwards no marker remains and scans take the unmasked
+    * fast path again. Like any rewrite, invalidates earlier snapshots. */
+  def applyDeletes(name: String): Unit = {
+    val dels = pendingDeletes(name)
+    if (dels.isEmpty) return
+    val dirs = dels.flatMap(_.files).map { r =>
+      val i = r.lastIndexOf('/')
+      if (i < 0) "" else r.substring(0, i)
+    }.distinct.filter(_.nonEmpty)
+    val touched = dirs.map { d =>
+      d.split('/').toSeq.flatMap { seg =>
+        val j = seg.indexOf('=')
+        if (j < 0) None else Some(col(seg.substring(0, j)) === lit(seg.substring(j + 1)))
+      }.reduce(_ && _)
+    }.reduceOption(_ || _).getOrElse(lit(false))
+    compactFilesWhere(name, touched)
+    val leftover = pendingDeletes(name)
+    if (leftover.nonEmpty) {
+      leftover.flatMap(_.files).distinct.foreach { rel =>
+        val abs = new Path(dataPath(name), rel)
+        if (fs.exists(abs)) { fs.delete(abs, false); () }
+      }
+      invalidateFileCaches(name)
+      pruneDeleteMarkers(name)
+    }
+  }
+
+  /** Drop captured-file entries that no longer exist (rewritten away) from
+    * every pending marker; a marker whose capture set empties is removed —
+    * the delete is fully materialized. Called after every rewrite. */
+  private def pruneDeleteMarkers(name: String): Unit = {
+    deletesCache.remove(cacheKey(name))
+    val dels = pendingDeletes(name)
+    if (dels.isEmpty) return
+    val current = listDataFilesCached(name).map(relToData(name, _)).toSet
+    dels.foreach { d =>
+      val remaining = d.files.filter(current)
+      if (remaining.isEmpty) { fs.delete(deleteMarkerPath(name, d.id), false); () }
+      else if (remaining.size < d.files.size)
+        writeDeleteMarker(name, d.copy(files = remaining))
+    }
+    deletesCache.remove(cacheKey(name))
+    ()
+  }
+
+  /** Marker JSON, written temp + rename like every other metadata commit. */
+  private def writeDeleteMarker(name: String, d: DeleteMutation): Unit = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = m.createObjectNode()
+    node.put("id", d.id)
+    node.put("predicate", d.predicate)
+    val arr = node.putArray("files")
+    d.files.foreach(arr.add)
+    val payload = m.writerWithDefaultPrettyPrinter().writeValueAsBytes(node)
+    fs.mkdirs(deletesPath(name))
+    val tmp = new Path(deletesPath(name), s".${d.id}.delete.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(payload) finally out.close()
+    val dst = deleteMarkerPath(name, d.id)
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new IllegalStateException(s"delete marker ${d.id} of '$name': publish rename failed")
+  }
+
+  private def readDeleteMarker(name: String, id: Long): DeleteMutation = {
+    val in = fs.open(deleteMarkerPath(name, id))
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+    val files = (0 until node.get("files").size())
+      .map(i => node.get("files").get(i).asText())
+    DeleteMutation(node.get("id").asLong(), node.get("predicate").asText(), files)
+  }
+
+  /** Read `absFiles` under the declared schema with the delete mask applied
+    * per file group. Files are grouped DRIVER-SIDE (over the cached listing,
+    * the same O(files) class as manifest selection) by which mutations
+    * captured them — typically 2 groups: "captured by all pending deletes"
+    * and "inserted since" — and each group reads with the conjunction of
+    * its applicable `NOT coalesce(pred, false)` filters. Row-level filters
+    * and partition pruning push into each union branch unchanged; a file in
+    * no capture set reads raw, so post-delete inserts pay nothing. */
+  private def readFilesMasked(name: String, absFiles: Seq[String],
+      dels: Seq[DeleteMutation]): DataFrame = {
+    val proto = readDeclaredRaw(name)
+    if (absFiles.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], proto.schema)
+    val base = qualifiedDataDir(name)
+    val groups = absFiles.groupBy { abs =>
+      val rel = relToData(name, abs)
+      dels.collect { case d if d.fileSet(rel) => d.id }
+    }
+    groups.map { case (ids, files) =>
+      val df = spark.read.schema(proto.schema)
+        .option("basePath", base).parquet(files: _*)
+      if (ids.isEmpty) df
+      else {
+        val keep = dels.filter(d => ids.contains(d.id))
+          .map(d => !coalesce(expr(d.predicate), lit(false)))
+          .reduce(_ && _)
+        df.where(keep)
+      }
+    }.reduce(_ unionByName _)
   }
 
   // --------------------------------------------------------------- manifest
@@ -1540,13 +1765,18 @@ class CellStore(spark: SparkSession, rootPath: String) {
     * pins their types independently of which subset of directories
     * survived). An empty selection is an empty frame, not a scan. */
   private def manifestScan(name: String, sel: ManifestSelection): DataFrame = {
-    val proto = readDeclared(name)
+    val proto = readDeclaredRaw(name)
     if (sel.paths.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], proto.schema)
-    else spark.read.schema(proto.schema)
-      .option("basePath", qualifiedDataDir(name))
-      .parquet(sel.paths: _*)
+    else {
+      val dels = pendingDeletes(name)
+      if (dels.isEmpty)
+        spark.read.schema(proto.schema)
+          .option("basePath", qualifiedDataDir(name))
+          .parquet(sel.paths: _*)
+      else readFilesMasked(name, sel.paths, dels)
+    }
   }
 
   // --------------------------------------------------------------- optimize
@@ -1879,6 +2109,9 @@ class CellStore(spark: SparkSession, rootPath: String) {
       .partitionBy(allPartCols: _*)
       .parquet(dp.toString)
     invalidateFileCaches(name)
+    // the rewrite read masked rows, so the rewritten partitions' files have
+    // their deletes materialized — drop them from the capture sets
+    pruneDeleteMarkers(name)
   }
 
 }
@@ -1896,6 +2129,17 @@ object CellStore {
 
   private val listingCache = scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
   private val coverageCache = scala.collection.concurrent.TrieMap.empty[String, (Long, Seq[String])]
+  private val deletesCache = scala.collection.concurrent.TrieMap.empty[String, Seq[DeleteMutation]]
+
+  /** A pending lightweight-delete mutation ([[CellStore.deleteWhere]]): rows
+    * of `files` (paths RELATIVE to the data dir, like snapshot lists — a
+    * tableset rename keeps them valid) matching `predicate` are masked at
+    * every read until a rewrite materializes the delete. `id` comes from the
+    * same claim sequence as snapshot ids, so inserts and deletes are totally
+    * ordered for time travel. */
+  final case class DeleteMutation(id: Long, predicate: String, files: Seq[String]) {
+    @transient lazy val fileSet: Set[String] = files.toSet
+  }
 
   /** Result of the manifest's driver-side file pruning (counts exposed so
     * specs/ops can assert the pruning actually pruned). */

@@ -1,0 +1,177 @@
+package graft.store
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestSession
+import graft.h3.H3
+import graft.schema.{GraftDataType => T, _}
+
+/** ClickHouse-style lightweight deletes ([[CellStore.deleteWhere]]): masking
+  * on every read path, post-delete inserts unmasked, materialization via
+  * rewrite / [[CellStore.applyDeletes]], time travel, mirror invalidation,
+  * and the FINAL filter-then-merge contract. */
+class DeleteSpec extends AnyFunSuite with Matchers with SparkTestSession {
+
+  private val name = "del_ts"
+  private val hexRes5 = H3.fromParts(20, 5, Seq(0, 0, 0, 0, 0))
+  private def cells = H3.toChildren(hexRes5, 7).toSeq
+
+  private def schema = CompactedTableSchema.builder(name)
+    .h3BaseResolutions(Seq(7))
+    .useCompaction(false)
+    .engine(TableEngine.ReplacingMergeTree(None))
+    .addSimpleColumn("v", T.Int64)
+    .build()
+
+  private def input(valOf: Int => Long) = {
+    val rows = cells.zipWithIndex.map { case (c, i) => Row(c, valOf(i)) }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 4),
+      StructType(Seq(
+        StructField("h3index", LongType, false),
+        StructField("v", LongType, false))))
+  }
+
+  private def freshStore(): CellStore = {
+    val root = Files.createTempDirectory("graft_del_").toString
+    val s = CellStore(spark, root)
+    s.insert(name, input(_.toLong), createSchema = Some(schema))
+    s
+  }
+
+  test("delete masks matching rows on scan, probe and stats paths") {
+    val s = freshStore()
+    s.scanForResolution(name, 7).count() shouldBe 49L
+    val id = s.deleteWhere(name, "v >= 40")
+    id should be > 0L
+    val kept = s.scanForResolution(name, 7)
+    kept.count() shouldBe 40L
+    kept.agg(max(col("v"))).collect()(0).getLong(0) shouldBe 39L
+    // probe path: a cell whose row is masked comes back empty
+    val deletedCell = cells(45)
+    s.queryCells(name, Seq(deletedCell), 7).count() shouldBe 0L
+    val keptCell = cells(5)
+    s.queryCells(name, Seq(keptCell), 7).count() shouldBe 1L
+    // stats agree with the scan, not with the raw files
+    s.tablesetStats(name).agg(sum(col("num_cells_stored_at_resolution")))
+      .collect()(0).getLong(0) shouldBe 40L
+    // the data files themselves are untouched (mask, not rewrite)
+    spark.read.parquet(s.dataDir(name)).count() shouldBe 49L
+  }
+
+  test("rows inserted after the delete are never masked, even when they match") {
+    val s = freshStore()
+    s.deleteWhere(name, "v >= 40")
+    s.insert(name, input(i => 1000L + i)) // all match "v >= 40"
+    val out = s.scanForResolution(name, 7)
+    out.count() shouldBe (40L + 49L)
+    out.where(col("v") >= 1000).count() shouldBe 49L
+    out.where(col("v").between(40, 999)).count() shouldBe 0L
+  }
+
+  test("compactFiles materializes the delete: markers drain, files shrink") {
+    val s = freshStore()
+    s.deleteWhere(name, "v % 2 = 0")
+    s.pendingDeletes(name) should have size 1
+    val masked = s.scanForResolution(name, 7).collect().map(_.getLong(1)).sorted
+    s.compactFiles(name)
+    s.pendingDeletes(name) shouldBe empty
+    // physical removal: the raw files no longer contain the deleted rows
+    spark.read.parquet(s.dataDir(name)).count() shouldBe masked.length.toLong
+    s.scanForResolution(name, 7).collect().map(_.getLong(1)).sorted shouldBe masked
+  }
+
+  test("applyDeletes unlinks files of fully-masked partitions") {
+    val s = freshStore()
+    s.deleteWhere(name, "true")
+    s.scanForResolution(name, 7).count() shouldBe 0L
+    s.applyDeletes(name)
+    s.pendingDeletes(name) shouldBe empty
+    s.scanForResolution(name, 7).count() shouldBe 0L
+    // every captured file was 100% deleted rows -> unlinked outright
+    val dataDir = new java.io.File(s.dataDir(name))
+    def walk(f: java.io.File): Seq[java.io.File] = {
+      val kids = Option(f.listFiles()).getOrElse(Array.empty).toSeq
+      kids.filter(k => k.isFile && k.getName.endsWith(".parquet")) ++
+        kids.filter(_.isDirectory).flatMap(walk)
+    }
+    walk(dataDir) shouldBe empty
+  }
+
+  test("applyDeletes on a partial mask rewrites only captured partitions") {
+    val s = freshStore()
+    s.deleteWhere(name, "v < 10")
+    s.applyDeletes(name)
+    s.pendingDeletes(name) shouldBe empty
+    val vals = s.scanForResolution(name, 7).collect().map(_.getLong(1)).sorted
+    vals shouldBe (10L until 49L).toArray
+    spark.read.parquet(s.dataDir(name)).count() shouldBe 39L
+  }
+
+  test("a delete is a time-travel point: as-of before it is unmasked") {
+    val s = freshStore()
+    val preIds = s.snapshotIds(name)
+    preIds should have size 1
+    val delId = s.deleteWhere(name, "v >= 40")
+    s.snapshotIds(name) shouldBe (preIds :+ delId)
+    s.scanAsOf(name, preIds.head).count() shouldBe 49L
+    s.scanAsOf(name, delId).count() shouldBe 40L
+  }
+
+  test("nondeterministic and unresolvable predicates are refused loudly") {
+    val s = freshStore()
+    an[IllegalArgumentException] should be thrownBy
+      s.deleteWhere(name, "rand() < 0.5")
+    an[Exception] should be thrownBy s.deleteWhere(name, "no_such_column > 1")
+    // neither left a marker behind
+    s.pendingDeletes(name) shouldBe empty
+    s.scanForResolution(name, 7).count() shouldBe 49L
+  }
+
+  test("a delete invalidates bucketed mirrors (stale mirror never serves masked rows)") {
+    val s = freshStore()
+    s.buildMirror(name, 7, 4)
+    s.mirrorFor(name, 7) shouldBe defined
+    s.deleteWhere(name, "v >= 40")
+    s.mirrorFor(name, 7) shouldBe None
+  }
+
+  test("FINAL is filter-then-merge: deleting the newest version resurrects the older") {
+    val root = Files.createTempDirectory("graft_delv_").toString
+    val s = CellStore(spark, root)
+    val vschema = CompactedTableSchema.builder(name)
+      .h3BaseResolutions(Seq(7))
+      .useCompaction(false)
+      .engine(TableEngine.ReplacingMergeTree(Some("version")))
+      .addSimpleColumn("version", T.Int64)
+      .addSimpleColumn("val", T.Int64)
+      .build()
+    def vinput(version: Long, valOf: Int => Long) = {
+      val rows = cells.zipWithIndex.map { case (c, i) => Row(c, version, valOf(i)) }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 2),
+        StructType(Seq(
+          StructField("h3index", LongType, false),
+          StructField("version", LongType, false),
+          StructField("val", LongType, false))))
+    }
+    s.insert(name, vinput(1, i => 100L + i), createSchema = Some(vschema))
+    s.insert(name, vinput(2, i => 200L + i))
+    // without the delete, FINAL keeps version 2
+    s.scanForResolutionFinal(name, 7).agg(min(col("val")))
+      .collect()(0).getLong(0) shouldBe 200L
+    s.deleteWhere(name, "version = 2")
+    // ClickHouse lightweight-delete contract: the mask applies BEFORE the
+    // merge, so the older surviving version wins FINAL again
+    val fin = s.scanForResolutionFinal(name, 7)
+    fin.count() shouldBe 49L
+    fin.agg(max(col("version"))).collect()(0).getLong(0) shouldBe 1L
+    fin.agg(min(col("val"))).collect()(0).getLong(0) shouldBe 100L
+  }
+}
