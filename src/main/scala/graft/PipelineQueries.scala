@@ -406,6 +406,50 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Hybrid retrieval with reciprocal-rank fusion (e12): the RAG-curation
+    * shape that joins the two retriever families the engine already gates —
+    * d18's BM25 keyword top-20 (sparse) and the cosine top-20 of a dense
+    * query vector (vec 0's embedding, ranked exactly like e1) — and fuses
+    * them with RRF (Cormack et al., SIGIR 2009):
+    * `score(d) = Σ_lists 1/(60 + rank_list(d))`, absent-from-list
+    * contributing 0. Rank fusion needs no score calibration between BM25
+    * and cosine — only ranks — which is why it is the standard hybrid
+    * baseline.
+    *
+    * Scale shape: the retrievers do all the heavy lifting (postings /
+    * ANN index, both gated elsewhere); fusion itself is arithmetic over
+    * two top-k lists — k rows per query per retriever, a broadcast-sized
+    * full-outer join however large the corpus is. The fused score is two
+    * IEEE divisions and one addition in fixed (text, vector) order —
+    * bit-identical cross-engine, no tolerance. */
+  def e12HybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val text = graft.Queries.d18Bm25Topk(spark, dir)
+      .select(col("doc_id"), col("rnk").as("bm25_rnk"))
+    val e = emb(spark, dir)
+    val q = e.where(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>").as("qe"))
+    val cosine = graft.ann.expr.functions.vec_cosine(col("qe"),
+      col("embedding").cast("array<double>"))
+    val w = Window.orderBy(col("cos").desc, col("vec_id"))
+    val vec = e.where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("cos", cosine)
+      .withColumn("vrnk", row_number().over(w))
+      .where(col("vrnk") <= 20)
+      .select(col("vec_id").as("doc_id"), col("vrnk").as("cos_rnk"))
+    val rrf = coalesce(lit(1.0) / (lit(60.0) + col("bm25_rnk").cast("double")), lit(0.0)) +
+      coalesce(lit(1.0) / (lit(60.0) + col("cos_rnk").cast("double")), lit(0.0))
+    val fusedW = Window.orderBy(col("rrf").desc, col("doc_id"))
+    text.join(vec, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", rrf)
+      .withColumn("rnk", row_number().over(fusedW))
+      .where(col("rnk") <= 10)
+      .select(col("rnk"), col("doc_id"), round(col("rrf"), 6).as("rrf"),
+        coalesce(col("bm25_rnk"), lit(0)).as("bm25_rnk"),
+        coalesce(col("cos_rnk"), lit(0)).as("cos_rnk"))
+      .orderBy(col("rnk"))
+  }
+
   /** Multimodal frame sampling (m2): the video-style path of the media
     * plumbing — payloads split into 8 equal "frames", every 3rd sampled,
     * checksummed. Complements m1 (decode metadata + byte histogram) so both
@@ -1741,7 +1785,29 @@ object PipelineQueries {
          |      ORDER BY list_cosine_similarity(a.v, b.v) DESC, neighbor_id) AS rnk
          |  FROM cand JOIN s a ON a.vec_id = query_id JOIN s b ON b.vec_id = neighbor_id)
          |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
-    }
+    },
+    // e12: RRF fusion of d18's BM25 top-20 (its oracle embedded verbatim —
+    // one text-ranking derivation for d18/d20/d21/e12) with the cosine
+    // top-20 of vec 0's embedding; fixed (text, vector) addition order
+    "e12_hybrid_rrf" ->
+      s"""WITH txt AS (SELECT doc_id, rnk AS bm25_rnk FROM (${graft.Queries.d18OracleSql})),
+         |qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+         |vr AS (SELECT e.vec_id AS doc_id,
+         |    row_number() OVER (ORDER BY
+         |      list_cosine_similarity(qv.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+         |      e.vec_id) AS cos_rnk
+         |  FROM embeddings e CROSS JOIN qv WHERE e.vec_id != 0),
+         |vec AS (SELECT doc_id, cos_rnk FROM vr WHERE cos_rnk <= 20),
+         |f AS (SELECT doc_id,
+         |    coalesce(1.0 / (60.0 + bm25_rnk::DOUBLE), 0.0)
+         |      + coalesce(1.0 / (60.0 + cos_rnk::DOUBLE), 0.0) AS rrf,
+         |    bm25_rnk, cos_rnk
+         |  FROM txt FULL OUTER JOIN vec USING (doc_id)),
+         |fr AS (SELECT doc_id, rrf, bm25_rnk, cos_rnk,
+         |    row_number() OVER (ORDER BY rrf DESC, doc_id) AS rnk FROM f)
+         |SELECT rnk, doc_id, round(rrf, 6) AS rrf,
+         |  coalesce(bm25_rnk, 0) AS bm25_rnk, coalesce(cos_rnk, 0) AS cos_rnk
+         |FROM fr WHERE rnk <= 10 ORDER BY rnk""".stripMargin
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1776,6 +1842,7 @@ object PipelineQueries {
     "m3_phash_neardup" -> m3PhashNearDup,
     "e2_lsh_ann" -> e2LshAnn,
     "e11_lsh_multiprobe" -> e11LshMultiprobe,
+    "e12_hybrid_rrf" -> e12HybridRrf,
     "e3_embedding_neardup" -> e3EmbeddingNearDup,
     "d17_neardup_provenance" -> d17NearDupProvenance
   )

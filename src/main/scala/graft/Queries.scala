@@ -1613,7 +1613,7 @@ object Queries {
   // ---------------------------------------------------------------- oracles
 
   /** DuckDB SQL equivalents. Same column names, same ORDER BY. */
-  private val d18OracleSql: String =
+  private[graft] val d18OracleSql: String =
     """WITH w AS (SELECT doc_id,
       |    unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')) AS term
       |  FROM documents),

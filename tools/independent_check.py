@@ -128,6 +128,46 @@ def check_d18(docs, out):
                  for i, r in enumerate(out.itertuples()))
     check("d18 BM25 ranking", ids_ok, "top-20 doc ids match the Robertson re-derivation")
     check("d18 BM25 scores", val_ok, "scores match within the 1e-4 rounding")
+    return [d for d, _ in top]
+
+
+# -------------------------------------------------------------- e12
+
+def check_e12(docs, emb, bm25_ids, out):
+    """RRF hybrid fusion (Cormack et al., SIGIR 2009): re-derive BOTH
+    retriever rankings independently (BM25 ids from check_d18's Robertson
+    re-derivation; dense ranks from a from-scratch float64 cosine against
+    vec 0) and re-fuse with score = sum 1/(60 + rank)."""
+    if out is None or bm25_ids is None:
+        print("skip  e12_hybrid_rrf (no Verify output)"); return
+    vecs = {int(r.vec_id): [float(x) for x in r.embedding] for r in emb.itertuples()}
+    q = vecs[0]
+
+    def cosine(a, b):
+        dot = n1 = n2 = 0.0
+        for x, y in zip(a, b):  # strict left-to-right, like vec_cosine
+            dot += x * y; n1 += x * x; n2 += y * y
+        return dot / math.sqrt(n1 * n2)
+
+    cos = sorted(((vid, cosine(q, v)) for vid, v in vecs.items() if vid != 0),
+                 key=lambda kv: (-kv[1], kv[0]))[:20]
+    trnk = {d: i + 1 for i, d in enumerate(bm25_ids)}
+    vrnk = {d: i + 1 for i, (d, _) in enumerate(cos)}
+    fused = {}
+    for d in set(trnk) | set(vrnk):
+        s = (1.0 / (60.0 + trnk[d]) if d in trnk else 0.0) \
+            + (1.0 / (60.0 + vrnk[d]) if d in vrnk else 0.0)
+        fused[d] = s
+    top = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    ids_ok = [int(r.doc_id) for r in out.itertuples()] == [d for d, _ in top]
+    val_ok = all(abs(float(r.rrf) - top[i][1]) <= 1.5e-6
+                 for i, r in enumerate(out.itertuples()))
+    rank_ok = all(int(r.bm25_rnk) == trnk.get(int(r.doc_id), 0)
+                  and int(r.cos_rnk) == vrnk.get(int(r.doc_id), 0)
+                  for r in out.itertuples())
+    check("e12 RRF ranking", ids_ok, "fused top-10 matches the from-scratch fusion")
+    check("e12 RRF scores", val_ok, "scores match within the 1e-6 rounding")
+    check("e12 source ranks", rank_ok, "per-list ranks match both re-derivations")
 
 
 # --------------------------------------------------------- d25 / d32
@@ -286,7 +326,9 @@ def main(sf_dir, out_dir):
     docs = load_table(sf_dir, "documents")
     li = load_table(sf_dir, "lineitem")
     check_d15(docs, load_out(out_dir, "d15_lm_quality"))
-    check_d18(docs, load_out(out_dir, "d18_bm25_topk"))
+    bm25_ids = check_d18(docs, load_out(out_dir, "d18_bm25_topk"))
+    check_e12(docs, load_table(sf_dir, "embeddings"), bm25_ids,
+              load_out(out_dir, "e12_hybrid_rrf"))
     check_d25(docs, load_out(out_dir, "d25_mixture_weights"))
     check_d32(docs, load_out(out_dir, "d25_mixture_weights"),
               load_out(out_dir, "d32_mixture_sample"))
