@@ -142,6 +142,47 @@ class DeleteSpec extends AnyFunSuite with Matchers with SparkTestSession {
     s.mirrorFor(name, 7) shouldBe None
   }
 
+  test("plan audit: no pending deletes -> the raw single-scan fast path (no Union)") {
+    val s = freshStore()
+    val plan = s.scanForResolution(name, 7).queryExecution.executedPlan
+    plan.collect { case u: org.apache.spark.sql.execution.UnionExec => u } shouldBe empty
+    plan.collectLeaves().collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+    } should have size 1
+  }
+
+  test("plan audit: the mask keeps probe range pushdown in every union branch") {
+    val s = freshStore()
+    s.deleteWhere(name, "v >= 40")
+    s.insert(name, input(i => 1000L + i)) // a second, uncaptured file group
+    val probe = cells(5)
+    val df = s.queryCells(name, Seq(probe), 7)
+    df.collect() should have length 2 // one masked-group row + one post-delete row
+    // unwrap AQE: the file scans live in the FINAL adaptive plan
+    def leaves(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        leaves(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => leaves(q.plan)
+      case other => other.collectLeaves().flatMap {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => leaves(a)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => leaves(q.plan)
+        case l => Seq(l)
+      }
+    }
+    val scans = leaves(df.queryExecution.executedPlan).collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec
+        if sc.metadata.get("Location").exists(_.contains("/data")) => sc
+    }
+    // two file groups (captured + fresh), each its own scan, and the
+    // h3index probe envelope must be pushed into BOTH — the mask is a
+    // row filter on top, never a pushdown blocker
+    scans.size should be >= 2
+    scans.foreach { sc =>
+      sc.metadata("PushedFilters") should include("h3index")
+    }
+  }
+
   test("FINAL is filter-then-merge: deleting the newest version resurrects the older") {
     val root = Files.createTempDirectory("graft_delv_").toString
     val s = CellStore(spark, root)
