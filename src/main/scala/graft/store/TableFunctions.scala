@@ -60,6 +60,12 @@ object TableFunctions {
           "VERSION AS OF read from pure SQL)", ""),
       graftAsofBuilder)
     spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_deletes"),
+      new ExpressionInfo("graft.store", null, "graft_deletes",
+        "graft_deletes(root, tableset) - pending lightweight-delete mutations " +
+          "(id, predicate, captured file count) awaiting materialization", ""),
+      graftDeletesBuilder)
+    spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier("graft_cells"),
       new ExpressionInfo("graft.store", null, "graft_cells",
         "graft_cells(root, tableset, res, array(cells...)) - §3.1 cell query: " +
@@ -171,6 +177,25 @@ object TableFunctions {
         s"graft_stats(root, tableset) expects 2 arguments, got ${args.length}")
     CellStore(SparkSession.active, strArg("graft_stats", args(0), "root"))
       .tablesetStats(strArg("graft_stats", args(1), "tableset"))
+      .queryExecution.analyzed
+  }
+
+  /** `graft_deletes(root, tableset)` — observability for the lightweight-
+    * delete queue ([[CellStore.deleteWhere]]): one row per PENDING mutation
+    * with its snapshot id, predicate SQL and captured-file count (shrinks
+    * as rewrites materialize; the row disappears when the capture set
+    * drains). Driver-local metadata spliced as a local relation, like
+    * `graft_stats`. */
+  private def graftDeletesBuilder: Seq[Expression] => LogicalPlan = { args =>
+    if (args.length != 2)
+      throw new IllegalArgumentException(
+        s"graft_deletes(root, tableset) expects 2 arguments, got ${args.length}")
+    val spark = SparkSession.active
+    val dels = CellStore(spark, strArg("graft_deletes", args(0), "root"))
+      .pendingDeletes(strArg("graft_deletes", args(1), "tableset"))
+    import spark.implicits._
+    dels.map(d => (d.id, d.predicate, d.files.size.toLong))
+      .toDF("id", "predicate", "num_files")
       .queryExecution.analyzed
   }
 

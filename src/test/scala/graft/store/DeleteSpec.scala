@@ -183,6 +183,23 @@ class DeleteSpec extends AnyFunSuite with Matchers with SparkTestSession {
     }
   }
 
+  test("graft_deletes TVF surfaces the pending queue and drains after materialization") {
+    val root = Files.createTempDirectory("graft_deltvf_").toString
+    val s = CellStore(spark, root)
+    s.insert(name, input(_.toLong), createSchema = Some(schema))
+    graft.Graft.register(spark)
+    spark.sql(s"SELECT * FROM graft_deletes('$root', '$name')").count() shouldBe 0L
+    val id = s.deleteWhere(name, "v >= 40")
+    val row = spark.sql(
+      s"SELECT id, predicate, num_files FROM graft_deletes('$root', '$name')").collect()
+    row should have length 1
+    row(0).getLong(0) shouldBe id
+    row(0).getString(1) shouldBe "v >= 40"
+    row(0).getLong(2) should be > 0L
+    s.applyDeletes(name)
+    spark.sql(s"SELECT * FROM graft_deletes('$root', '$name')").count() shouldBe 0L
+  }
+
   test("FINAL is filter-then-merge: deleting the newest version resurrects the older") {
     val root = Files.createTempDirectory("graft_delv_").toString
     val s = CellStore(spark, root)
