@@ -552,6 +552,47 @@ object TablesetQueries {
     digits.foldLeft(base)(_ bitwiseOR _)
   }
 
+  // ------------------------------------------------------------------ ts38
+
+  /** Partition-retirement gate (ts38): ts8's temporal layout, then
+    * [[CellStore.dropPartitionsWhere]]`(pt < cutoff)` — ClickHouse's
+    * `ALTER TABLE ... DROP PARTITION` as instant data retention. The drop
+    * is driver-only (predicate evaluated over the parsed partition tuples,
+    * directories unlinked — zero rewrite, the O(metadata) retirement a
+    * 100 TB store needs for TTL), and the surviving scan must hash-match
+    * the oracle's bucket arithmetic with the same cutoff. */
+  private val Ts38Cutoff = 8311L
+  private def ts38Schema = CompactedTableSchema.builder("gate_retention")
+    .h3BaseResolutions(Seq(9))
+    .useCompaction(false)
+    .addSimpleColumn("d", T.DateTimeT)
+    .addSimpleColumn("v", T.Float64)
+    .temporalPartitioning(TemporalPartitioning.Months(24))
+    .build()
+
+  private def ts38Store(spark: SparkSession, dir: String): CellStore = {
+    val store = CellStore(spark, rootFor(dir))
+    if (!store.listTablesets().contains("gate_retention")) {
+      val input = spark.read.parquet(s"$dir/orders.parquet").select(
+        synthOrderCell.as("h3index"),
+        col("o_orderdate").as("d"),
+        col("o_totalprice").as("v"))
+      store.insert("gate_retention", input, createSchema = Some(ts38Schema))
+      store.dropPartitionsWhere("gate_retention", col("pt") < Ts38Cutoff)
+    }
+    store
+  }
+
+  def ts38DropPartition(spark: SparkSession, dir: String): DataFrame = {
+    val store = ts38Store(spark, dir)
+    store.scanForResolution("gate_retention", 9)
+      .groupBy(col("pt").cast("long").as("pt"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("v")), 2).as("min_v"),
+        round(max(col("v")), 2).as("max_v"))
+      .orderBy(col("pt"))
+  }
+
   private def ts8Store(spark: SparkSession, dir: String): CellStore = {
     val store = CellStore(spark, rootFor(dir))
     if (!store.listTablesets().contains("gate_temporal")) {
@@ -1195,7 +1236,27 @@ object TablesetQueries {
     },
     "ts4_stats" -> ts4StatsOracleSql,
     // ts22 reads the SAME stats through the graft_stats SQL TVF
-    "ts22_sql_stats" -> ts4StatsOracleSql
+    "ts22_sql_stats" -> ts4StatsOracleSql,
+    // ts38: ts8's bucket arithmetic with the retention cutoff — every
+    // surviving (pt >= cutoff) bucket, dropped buckets simply absent
+    "ts38_drop_partition" -> {
+      val synthOrderCellSql = {
+        val digits = (2 to 9).map { i =>
+          s"(((o_custkey + $i*o_orderkey) % 7)::BIGINT << ${3 * (15 - i)})"
+        }.mkString(" | ")
+        "((1::BIGINT << 59) | (9::BIGINT << 52)" +
+          " | (((o_orderkey * 7 + o_custkey) % 12)::BIGINT << 45)" +
+          " | ((((o_custkey + o_orderkey) % 5) + 2)::BIGINT << 42)" +
+          s" | $digits | 262143::BIGINT)"
+      }
+      s"""WITH rows_ AS (SELECT DISTINCT $synthOrderCellSql AS cell,
+         |    o_orderdate AS d, o_totalprice AS v FROM orders),
+         |b AS (SELECT ceil((year(d)*100 + 100.0*(month(d)-1)/12.0)/24)::BIGINT AS pt, v
+         |  FROM rows_)
+         |SELECT pt, count(*) AS n, round(min(v), 2) AS min_v, round(max(v), 2) AS max_v
+         |FROM b WHERE pt >= $Ts38Cutoff
+         |GROUP BY pt ORDER BY pt""".stripMargin
+    }
   )
 
   private lazy val ts4StatsOracleSql: String =
@@ -1583,6 +1644,7 @@ object TablesetQueries {
     "ts35_sql_asof" -> ts35SqlAsof,
     "ts36_vacuum_snapshots" -> ts36VacuumSnapshots,
     "ts37_lightweight_delete" -> ts37LightweightDelete,
+    "ts38_drop_partition" -> ts38DropPartition,
     "ts22_sql_stats" -> ts22SqlStats,
     "ts23_alter_partitioning" -> ts23AlterPartitioning,
     "ts24_sql_traverse" -> ts24SqlTraverse,

@@ -1410,6 +1410,84 @@ class CellStore(spark: SparkSession, rootPath: String) {
     ()
   }
 
+  /** ClickHouse `ALTER TABLE ... DROP PARTITION` generalized to a partition
+    * predicate: instantly retire whole partition DIRECTORIES — the 100 TB
+    * data-retention move (expire last decade's `pt` buckets, withdraw a bad
+    * resolution backfill) that costs O(dropped directories) of metadata and
+    * ZERO rewrite, where a row-level [[deleteWhere]] of the same data would
+    * mask and eventually rewrite it. Complements the lightweight delete the
+    * same way ClickHouse's DROP PARTITION complements its DELETE mutation.
+    *
+    * The predicate must reference ONLY partition columns
+    * (kind/resolution/ph3/pt/pt_*) — the [[deduplicateWhere]] contract, and
+    * here it is also what makes the operation DRIVER-ONLY: the distinct
+    * partition tuples are parsed from the cached file listing and the
+    * predicate is evaluated over that tiny LOCAL frame (partition-count
+    * rows), so no cluster job runs at all. NULL evaluates to
+    * not-dropped. Like any rewrite, dropping invalidates earlier snapshots
+    * (scanAsOf fails loudly on missing files) and prunes pending delete
+    * markers whose captured files vanish; stale manifest entries are
+    * dropped against the live listing by construction. Returns the number
+    * of directories removed. */
+  def dropPartitionsWhere(name: String, touched: org.apache.spark.sql.Column): Int = {
+    getTableset(name)
+    if (!fs.exists(dataPath(name))) return 0
+    val rels = listDataFilesCached(name).map(relToData(name, _))
+    val dirs = rels.flatMap { r =>
+      val i = r.lastIndexOf('/')
+      if (i < 0) None else Some(r.substring(0, i))
+    }.distinct
+    if (dirs.isEmpty) return 0
+    val colNames = dirs.head.split('/').toSeq.flatMap { seg =>
+      val j = seg.indexOf('=')
+      if (j < 0) None else Some(seg.substring(0, j))
+    }
+    val rows = dirs.map { d =>
+      val vals = d.split('/').toSeq.flatMap { seg =>
+        val j = seg.indexOf('=')
+        if (j < 0) None else Some(seg.substring(j + 1))
+      }
+      org.apache.spark.sql.Row.fromSeq(d +: vals)
+    }
+    val schemaT = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__dir",
+        org.apache.spark.sql.types.StringType, false) +:
+        colNames.map(c => org.apache.spark.sql.types.StructField(c,
+          org.apache.spark.sql.types.StringType, false)))
+    val untyped = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schemaT)
+    // type the partition values: a string-vs-long comparison coerces BOTH
+    // sides to DOUBLE in Spark, which silently corrupts equality on ph3
+    // values past 2^53 (LowerResolution partitioning stores full h3 longs)
+    val declared = getTableset(name)
+    val declaredT = declared.toStructType
+    val local = colNames.foldLeft(untyped) { (df, c) =>
+      c match {
+        case "resolution" => df.withColumn(c, col(c).cast("int"))
+        case "ph3" | "pt" => df.withColumn(c, col(c).cast("long"))
+        case _ if c.startsWith("pt_") =>
+          val src = c.stripPrefix("pt_")
+          if (declared.columns.get(src).exists(_.dataType.isTemporal))
+            df.withColumn(c, col(c).cast("long"))
+          else declaredT.fields.find(_.name == src)
+            .map(f => df.withColumn(c, col(c).cast(f.dataType)))
+            .getOrElse(df)
+        case _ => df
+      }
+    }
+    // resolve the predicate against the local frame: a non-partition column
+    // reference fails analysis loudly (UNRESOLVED_COLUMN) — the same
+    // contract deduplicateWhere enforces, discovered one step later
+    val matching = local.where(coalesce(touched, lit(false)))
+      .select(col("__dir")).collect().map(_.getString(0))
+    matching.foreach(d => fs.delete(new Path(dataPath(name), d), true))
+    if (matching.nonEmpty) {
+      invalidateFileCaches(name)
+      pruneDeleteMarkers(name)
+    }
+    matching.length
+  }
+
   /** Marker JSON, written temp + rename like every other metadata commit. */
   private def writeDeleteMarker(name: String, d: DeleteMutation): Unit = {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
