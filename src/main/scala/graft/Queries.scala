@@ -758,6 +758,28 @@ object Queries {
       .orderBy(col("view_id"), col("purchase_id"))
   }
 
+  /** Stream-stream FULL OUTER interval join (s14): s11 with BOTH unmatched
+    * sides kept — views that converted to nothing AND purchases with no
+    * preceding view (the "dark conversions" of the attribution shape).
+    * Each side's outer rows are watermark-gated by its OWN eviction bound:
+    * an unmatched view once the watermark passes view_ts + horizon (the
+    * s11 cutoff), an unmatched purchase once the watermark passes
+    * purchase_ts itself (future views must carry later timestamps, so the
+    * range condition can no longer be met). The oracle mirrors both
+    * cutoffs relationally; -1 stands in for NULL ids so the cross-engine
+    * value representation stays exact. */
+  def s14StreamFullOuterAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val (views, purchases) = attributionSides(spark, dir)
+    val joined = graft.streaming.StreamOps.intervalJoin(
+        views, purchases, "user_id", "view_ts", "purchase_ts",
+        horizon = "30 minutes", watermarkDelay = "1 hour", joinType = "full_outer")
+      .select(coalesce(col("view_id"), lit(-1L)).as("view_id"),
+        coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+        col("user_id"))
+    runToMemorySink(joined, "s14_stream_sink")
+      .orderBy(col("view_id"), col("purchase_id"), col("user_id"))
+  }
+
   /** transformWithState running-stats gate (s13): the per-key running
     * aggregate on Spark 4's successor state API
     * ([[graft.streaming.StreamOps.RunningUserStats]]) run as an ACTUAL
@@ -2175,6 +2197,32 @@ object Queries {
           |WHERE v.view_id NOT IN (SELECT view_id FROM m)
           |  AND v.view_ts + INTERVAL 30 MINUTE < mx.wm
           |ORDER BY view_id, purchase_id""".stripMargin,
+      // s14 = s11's derivation with the purchase-side outer rows added;
+      // the right-side eviction cutoff is purchase_ts < wm (strict, like
+      // s11's view-side cutoff — WatermarkBoundarySpec pins the class)
+      "s14_stream_full_outer" ->
+        """WITH v AS (SELECT event_id AS view_id, ts AS view_ts, user_id
+          |  FROM events WHERE event_type = 'view'),
+          |p AS (SELECT event_id AS purchase_id, ts AS purchase_ts, user_id
+          |  FROM events WHERE event_type = 'purchase'),
+          |m AS (SELECT v.view_id, p.purchase_id, v.user_id
+          |  FROM v JOIN p ON v.user_id = p.user_id
+          |   AND p.purchase_ts >= v.view_ts
+          |   AND p.purchase_ts <= v.view_ts + INTERVAL 30 MINUTE),
+          |mx AS (SELECT least((SELECT max(ts) FROM events WHERE event_type = 'view'),
+          |                    (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+          |         - INTERVAL 1 HOUR AS wm)
+          |SELECT view_id, purchase_id, user_id FROM (
+          |  SELECT view_id, purchase_id, user_id FROM m
+          |  UNION ALL
+          |  SELECT v.view_id, -1 AS purchase_id, v.user_id FROM v, mx
+          |  WHERE v.view_id NOT IN (SELECT view_id FROM m)
+          |    AND v.view_ts + INTERVAL 30 MINUTE < mx.wm
+          |  UNION ALL
+          |  SELECT -1 AS view_id, p.purchase_id, p.user_id FROM p, mx
+          |  WHERE p.purchase_id NOT IN (SELECT purchase_id FROM m)
+          |    AND p.purchase_ts < mx.wm)
+          |ORDER BY view_id, purchase_id, user_id""".stripMargin,
       "s13_running_stats" ->
         """SELECT user_id, count(*) AS n_events,
           |  round(sum(value), 2) AS total_value,
@@ -2330,6 +2378,7 @@ object Queries {
     "s3_stream_windowed" -> s3StreamWindowed,
     "s10_stream_attribution" -> s10StreamAttribution,
     "s11_stream_outer_attribution" -> s11StreamOuterAttribution,
+    "s14_stream_full_outer" -> s14StreamFullOuterAttribution,
     "s12_stream_sessions" -> s12StreamSessions,
     "s13_running_stats" -> s13RunningStats,
     "s7_stream_static_join" -> s7StreamStaticJoin,

@@ -77,9 +77,15 @@ object StreamOps {
     * which is how the spec cross-checks results. Column names must be
     * disjoint apart from `key`; the right frame's timestamp column is
     * `rightTs`. */
-  /** `joinType`: "inner" or "left_outer". Outer rows (left events with no
-    * match) are emitted only once the watermark passes their horizon — the
-    * engine must prove no matching right event can still arrive. */
+  /** `joinType`: "inner", "left_outer" or "full_outer". Outer rows (events
+    * with no match) are emitted only once the watermark proves no partner
+    * can still arrive: an unmatched LEFT row when the watermark passes its
+    * horizon (left.ts + horizon), an unmatched RIGHT row when the watermark
+    * passes its own timestamp (the range condition bounds candidate left
+    * timestamps from below by right.ts - horizon, so a right row is settled
+    * as soon as future left events must carry later timestamps than its
+    * own). Under full_outer the key column is coalesced across sides — an
+    * unmatched right row has no left key to carry. */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, horizon: String,
       watermarkDelay: String, joinType: String = "inner"): DataFrame = {
@@ -87,12 +93,17 @@ object StreamOps {
              else left).alias("l")
     val r = (if (right.isStreaming) right.withWatermark(rightTs, watermarkDelay)
              else right).alias("r")
-    l.join(r,
+    val joined = l.join(r,
       expr(s"l.$key = r.$key") &&
         col(s"r.$rightTs") >= col(s"l.$leftTs") &&
         col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL '$horizon'"),
       joinType)
-      .drop(col(s"r.$key"))
+    if (joinType == "full_outer" || joinType == "full" || joinType == "outer") {
+      val lCols = left.columns.filterNot(_ == key).map(c => col(s"l.$c"))
+      val rCols = right.columns.filterNot(_ == key).map(c => col(s"r.$c"))
+      joined.select(coalesce(col(s"l.$key"), col(s"r.$key")).as(key)
+        +: (lCols ++ rCols): _*)
+    } else joined.drop(col(s"r.$key"))
   }
 
   /** Continuous tableset ingest: run a streaming H3 DataFrame through the

@@ -100,4 +100,42 @@ class WatermarkBoundarySpec extends AnyFunSuite with Matchers with SparkTestSess
     // one millisecond past the cutoff: closed
     run("2024-01-01 11:30:00.001", "wmb_outer2") should contain(10L)
   }
+
+  test("full outer closes an unmatched purchase only STRICTLY past its own ts (oracle uses <)") {
+    import spark.implicits._
+    // the RIGHT side's eviction bound is the purchase's own timestamp (the
+    // range condition bounds candidate views from below by pt - horizon,
+    // and future views must carry ts past the watermark):
+    //  purchase C (user 1) at 10:00, no view -> cutoff 10:00
+    //  purchase D (user 2) at 09:59, no view -> cutoff 09:59
+    def run(anchor: String, sink: String): Set[Long] = {
+      val vs = Seq((90L, ts(anchor), 90L)).toDF("view_id", "view_ts", "user_id")
+      val ps = Seq((10L, ts("2024-01-01 10:00:00"), 1L),
+        (20L, ts("2024-01-01 09:59:00"), 2L),
+        (91L, ts(anchor), 91L)).toDF("purchase_id", "purchase_ts", "user_id")
+      val dir = Files.createTempDirectory("graft_wmb_f_").toString
+      vs.write.mode("overwrite").parquet(s"$dir/v.parquet")
+      ps.write.mode("overwrite").parquet(s"$dir/p.parquet")
+      val vSrc = spark.readStream.schema(vs.schema).parquet(s"$dir/v.*")
+      val pSrc = spark.readStream.schema(ps.schema).parquet(s"$dir/p.*")
+      val joined = StreamOps.intervalJoin(vSrc, pSrc, "user_id",
+          "view_ts", "purchase_ts", "30 minutes", "1 hour", "full_outer")
+        .select(coalesce(col("view_id"), lit(-1L)).as("view_id"),
+          col("purchase_id"))
+      spark.catalog.dropTempView(sink)
+      val q = joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(sink).where(col("view_id") === -1L)
+        .select("purchase_id").collect().map(_.getLong(0)).toSet
+    }
+    // wm = 10:00 == purchase C's own ts: NOT closed (strict), D closed
+    val atBoundary = run("2024-01-01 11:00:00", "wmb_full")
+    atBoundary should contain(20L)
+    atBoundary should not contain 10L
+    // one millisecond past: closed
+    run("2024-01-01 11:00:00.001", "wmb_full2") should contain(10L)
+  }
 }
