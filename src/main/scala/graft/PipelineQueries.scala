@@ -450,6 +450,31 @@ object PipelineQueries {
       .orderBy(col("rnk"))
   }
 
+  /** Measured ANN recall (e13): recall@5 of the banded-LSH retriever (e2)
+    * against the exact brute-force ranking (e1), per query — the quality
+    * metric every ANN deployment tracks, here as a GATE rather than a spec
+    * threshold: both retrievers' rankings are the ones their own gates pin,
+    * and the oracle embeds both derivations verbatim, so the recall values
+    * are cross-engine exact (counts and a /5.0 division, no tolerance).
+    *
+    * Scale shape: the exact side is the quadratic oracle anchor, viable at
+    * gate scale only — at 100 TB recall is estimated on a SAMPLED query
+    * set against a brute-force pass over that sample (this exact plan, with
+    * the query frame swapped for the sample), while the approx side is the
+    * production index path. */
+  def e13AnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = graft.Queries.e1KnnBruteForce(spark, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = e2LshAnn(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    exact.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)) / lit(5.0), 2).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
   /** Multimodal frame sampling (m2): the video-style path of the media
     * plumbing — payloads split into 8 equal "frames", every 3rd sampled,
     * checksummed. Complements m1 (decode metadata + byte histogram) so both
@@ -1339,6 +1364,29 @@ object PipelineQueries {
        |WHERE rnk <= $IvfK ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** e2's oracle, shared with e13's recall derivation (the approx side). */
+  private lazy val e2OracleSql: String =
+    s"""WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |  ${sigSql("embedding::DOUBLE[]")} AS sig FROM embeddings),
+       |kbw AS (SELECT CASE WHEN n <= 2000 THEN 8 WHEN n <= 512000 THEN 4
+       |    ELSE 2 END AS nb
+       |  FROM (SELECT count(*) AS n FROM embeddings)),
+       |kb0 AS (SELECT vec_id, sig, (32 // nb)::INT AS bb,
+       |    unnest(range(0, nb))::INT AS band FROM s, kbw),
+       |bands AS (SELECT vec_id, band,
+       |    (sig >> (bb * band)) & ((1::BIGINT << bb) - 1) AS bucket FROM kb0),
+       |cand AS (SELECT DISTINCT q.vec_id AS query_id, e.vec_id AS neighbor_id
+       |  FROM bands q JOIN bands e ON q.band = e.band AND q.bucket = e.bucket
+       |    AND q.vec_id != e.vec_id
+       |  WHERE q.vec_id < 10)
+       |SELECT query_id, rnk, neighbor_id, round(cos, 4) AS cos_sim FROM (
+       |  SELECT query_id, neighbor_id,
+       |    list_cosine_similarity(a.v, b.v) AS cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY list_cosine_similarity(a.v, b.v) DESC, neighbor_id) AS rnk
+       |  FROM cand JOIN s a ON a.vec_id = query_id JOIN s b ON b.vec_id = neighbor_id)
+       |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "t1_minhash_signatures" -> {
       val mh = (0 until 8).map(j => s"${mhSql(j)} AS mh$j").mkString(", ")
@@ -1734,28 +1782,21 @@ object PipelineQueries {
          |FROM q JOIN exact USING (doc_id) JOIN surv USING (doc_id)
          |WHERE quality >= 0.5
          |GROUP BY lang ORDER BY lang""".stripMargin,
-    "e2_lsh_ann" -> {
-      s"""WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v,
-         |  ${sigSql("embedding::DOUBLE[]")} AS sig FROM embeddings),
-         |kbw AS (SELECT CASE WHEN n <= 2000 THEN 8 WHEN n <= 512000 THEN 4
-         |    ELSE 2 END AS nb
-         |  FROM (SELECT count(*) AS n FROM embeddings)),
-         |kb0 AS (SELECT vec_id, sig, (32 // nb)::INT AS bb,
-         |    unnest(range(0, nb))::INT AS band FROM s, kbw),
-         |bands AS (SELECT vec_id, band,
-         |    (sig >> (bb * band)) & ((1::BIGINT << bb) - 1) AS bucket FROM kb0),
-         |cand AS (SELECT DISTINCT q.vec_id AS query_id, e.vec_id AS neighbor_id
-         |  FROM bands q JOIN bands e ON q.band = e.band AND q.bucket = e.bucket
-         |    AND q.vec_id != e.vec_id
-         |  WHERE q.vec_id < 10)
-         |SELECT query_id, rnk, neighbor_id, round(cos, 4) AS cos_sim FROM (
-         |  SELECT query_id, neighbor_id,
-         |    list_cosine_similarity(a.v, b.v) AS cos,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY list_cosine_similarity(a.v, b.v) DESC, neighbor_id) AS rnk
-         |  FROM cand JOIN s a ON a.vec_id = query_id JOIN s b ON b.vec_id = neighbor_id)
-         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
-    },
+    "e2_lsh_ann" -> e2OracleSql,
+    // e13: recall@5 of the banded-LSH ANN against the exact ranking —
+    // BOTH retriever derivations embedded verbatim (e1's + e2's oracles),
+    // so the measured recall is exactly what the two gates individually pin
+    "e13_ann_recall" ->
+      s"""WITH ex AS (SELECT query_id, neighbor_id FROM (${graft.Queries.e1OracleSql})),
+         |ap AS (SELECT query_id, neighbor_id FROM ($e2OracleSql)),
+         |h AS (SELECT ex.query_id, count(*) AS hits FROM ex JOIN ap
+         |  ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id
+         |  GROUP BY ex.query_id)
+         |SELECT q.query_id, coalesce(h.hits, 0) AS hits,
+         |  round(coalesce(h.hits, 0) / 5.0, 2) AS recall
+         |FROM (SELECT DISTINCT query_id FROM ex) q
+         |LEFT JOIN h ON q.query_id = h.query_id
+         |ORDER BY q.query_id""".stripMargin,
     // e11: e2's adaptive band geometry with query-side 1-bit-flip
     // multiprobe — the probe expansion mirrored relationally (range cross
     // join over flip positions; f = 0 is the exact bucket)
@@ -1843,6 +1884,7 @@ object PipelineQueries {
     "e2_lsh_ann" -> e2LshAnn,
     "e11_lsh_multiprobe" -> e11LshMultiprobe,
     "e12_hybrid_rrf" -> e12HybridRrf,
+    "e13_ann_recall" -> e13AnnRecall,
     "e3_embedding_neardup" -> e3EmbeddingNearDup,
     "d17_neardup_provenance" -> d17NearDupProvenance
   )

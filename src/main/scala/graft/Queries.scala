@@ -2318,17 +2318,22 @@ object Queries {
           |SELECT window_start, window_start + INTERVAL 2 HOUR AS window_end,
           |  event_type, count(*) AS num_events, round(sum(value), 2) AS total_value
           |FROM w GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin,
-      "e1_knn_brute_force" ->
-        """SELECT query_id, rnk, neighbor_id, round(cos, 4) AS cos_sim FROM (
-          |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-          |    list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS cos,
-          |    row_number() OVER (PARTITION BY q.vec_id
-          |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC, e.vec_id) AS rnk
-          |  FROM embeddings q JOIN embeddings e ON q.vec_id != e.vec_id
-          |  WHERE q.vec_id < 10)
-          |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+      "e1_knn_brute_force" -> e1OracleSql
     )
   }
+
+  /** e1's oracle, shared with e13's recall derivation (the exact side).
+    * LAZY: referenced from the `oracles` val above — an eager val here
+    * would still be null at the map's initialization. */
+  private[graft] lazy val e1OracleSql: String =
+    """SELECT query_id, rnk, neighbor_id, round(cos, 4) AS cos_sim FROM (
+      |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+      |    list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS cos,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC, e.vec_id) AS rnk
+      |  FROM embeddings q JOIN embeddings e ON q.vec_id != e.vec_id
+      |  WHERE q.vec_id < 10)
+      |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> q1PricingSummary,
