@@ -93,6 +93,83 @@ class StoreModelSpec extends AnyFunSuite with Matchers with SparkTestSession {
     }
   }
 
+  /** Mutation variant: the round-5 ops — lightweight [[CellStore.deleteWhere]]
+    * (masks rows in CAPTURED files; later inserts unmasked),
+    * [[CellStore.applyDeletes]] (materialization-only, result-invisible) and
+    * [[CellStore.dropPartitionsWhere]] (directory retirement) — composed
+    * randomly with inserts, dedup rewrites and renames. The model applies a
+    * delete as a point-in-time filter (exactly the captured-file contract:
+    * every current model row lives in a current file) and a drop as a
+    * base-cell filter; rewrites and renames must not change what a scan
+    * returns. This is where the seams live: a delete crossing a rename, a
+    * dedup rewriting masked partitions, a drop retiring half a capture
+    * set. */
+  private val poolB: IndexedSeq[Long] =
+    (Seq(1, 2).map(d => H3.fromParts(20, 5, Seq(0, 0, 0, 0, d))) ++
+      Seq(1, 2).map(d => H3.fromParts(25, 5, Seq(0, 0, 0, 0, d))))
+      .flatMap(p => H3.toChildren(p, 7)).toIndexedSeq
+
+  test("mutation random sequences: deletes/drops/rewrites match the model after every step") {
+    for (seed <- Seq(5, 17, 41)) {
+      val rnd = new scala.util.Random(seed)
+      val root = Files.createTempDirectory(s"graft_dmodel_$seed").toString
+      val s = CellStore(spark, root)
+      var name = s"dmodel_ts_$seed"
+      var model = Vector.empty[(Long, Long)]
+
+      def batch() = Seq.fill(1 + rnd.nextInt(50))(
+        (poolB(rnd.nextInt(poolB.size)), rnd.nextInt(6).toLong))
+
+      def check(step: String): Unit = {
+        val got = s.scanForResolution(name, 7)
+          .select(col("h3index"), col("v"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        withClue(s"seed=$seed after $step") { got shouldBe model.sorted }
+      }
+
+      val first = batch()
+      s.insert(name, frame(first),
+        createSchema = Some(CompactedTableSchema.builder(name)
+          .h3BaseResolutions(Seq(7)).useCompaction(false)
+          .addAggregatedColumn("v", T.Int64, Agg.Max).build()))
+      model = model ++ first.distinct
+      check("initial insert")
+
+      for (step <- 1 to 14) {
+        rnd.nextInt(7) match {
+          case 0 | 1 =>
+            val b = batch()
+            s.insert(name, frame(b))
+            model = model ++ b.distinct
+            check(s"$step:insert(${b.size})")
+          case 2 =>
+            val k = rnd.nextInt(6).toLong
+            s.deleteWhere(name, s"v >= $k")
+            model = model.filterNot(_._2 >= k)
+            check(s"$step:deleteWhere(v >= $k)")
+          case 3 =>
+            s.applyDeletes(name)
+            check(s"$step:applyDeletes")
+          case 4 =>
+            val bc = if (rnd.nextBoolean()) 20 else 25
+            s.dropPartitionsWhere(name, col("ph3") === bc)
+            model = model.filterNot(r => H3.getBaseCell(r._1) == bc)
+            check(s"$step:dropPartitions(ph3=$bc)")
+          case 5 =>
+            s.deduplicateWhere(name, col("ph3") >= 0)
+            model = model.distinct
+            check(s"$step:deduplicateWhere")
+          case 6 =>
+            val renamed = s"${name}_r$step"
+            s.renameTableset(name, renamed)
+            name = renamed
+            check(s"$step:rename")
+        }
+      }
+      s.dropTableset(name)
+    }
+  }
+
   /** Versioned variant: ReplacingMergeTree(version) under random
     * insert / replace / compactFiles sequences — BOTH read paths checked
     * each step: the raw scan against the uncollapsed multiset, the FINAL
