@@ -1216,48 +1216,38 @@ object TablesetQueries {
          |  UNION ALL
          |  SELECT cell, v FROM allr WHERE ((cell >> 45) & 127) >= 61)
          |ORDER BY h3index, v""".stripMargin,
-    "ts8_temporal_buckets" -> {
-      val synthOrderCellSql = {
-        val digits = (2 to 9).map { i =>
-          s"(((o_custkey + $i*o_orderkey) % 7)::BIGINT << ${3 * (15 - i)})"
-        }.mkString(" | ")
-        "((1::BIGINT << 59) | (9::BIGINT << 52)" +
-          " | (((o_orderkey * 7 + o_custkey) % 12)::BIGINT << 45)" +
-          " | ((((o_custkey + o_orderkey) % 5) + 2)::BIGINT << 42)" +
-          s" | $digits | 262143::BIGINT)"
-      }
-      s"""WITH rows_ AS (SELECT DISTINCT $synthOrderCellSql AS cell,
-         |    o_orderdate AS d, o_totalprice AS v FROM orders),
-         |b AS (SELECT ceil((year(d)*100 + 100.0*(month(d)-1)/12.0)/24)::BIGINT AS pt, v
-         |  FROM rows_)
-         |SELECT pt, count(*) AS n, round(min(v), 2) AS min_v, round(max(v), 2) AS max_v
-         |FROM b WHERE pt BETWEEN $Ts8PtLo AND $Ts8PtHi
-         |GROUP BY pt ORDER BY pt""".stripMargin
-    },
+    "ts8_temporal_buckets" ->
+      temporalBucketOracle(s"pt BETWEEN $Ts8PtLo AND $Ts8PtHi"),
     "ts4_stats" -> ts4StatsOracleSql,
     // ts22 reads the SAME stats through the graft_stats SQL TVF
     "ts22_sql_stats" -> ts4StatsOracleSql,
     // ts38: ts8's bucket arithmetic with the retention cutoff — every
     // surviving (pt >= cutoff) bucket, dropped buckets simply absent
-    "ts38_drop_partition" -> {
-      val synthOrderCellSql = {
-        val digits = (2 to 9).map { i =>
-          s"(((o_custkey + $i*o_orderkey) % 7)::BIGINT << ${3 * (15 - i)})"
-        }.mkString(" | ")
-        "((1::BIGINT << 59) | (9::BIGINT << 52)" +
-          " | (((o_orderkey * 7 + o_custkey) % 12)::BIGINT << 45)" +
-          " | ((((o_custkey + o_orderkey) % 5) + 2)::BIGINT << 42)" +
-          s" | $digits | 262143::BIGINT)"
-      }
+    "ts38_drop_partition" -> temporalBucketOracle(s"pt >= $Ts38Cutoff")
+  )
+
+  /** ts8/ts38's shared oracle body — one synthetic-cell + bucket
+    * derivation, parameterized only by the pt range predicate, so the two
+    * gates can never silently diverge. */
+  private lazy val temporalBucketOracle: String => String = {
+    val synthOrderCellSql = {
+      val digits = (2 to 9).map { i =>
+        s"(((o_custkey + $i*o_orderkey) % 7)::BIGINT << ${3 * (15 - i)})"
+      }.mkString(" | ")
+      "((1::BIGINT << 59) | (9::BIGINT << 52)" +
+        " | (((o_orderkey * 7 + o_custkey) % 12)::BIGINT << 45)" +
+        " | ((((o_custkey + o_orderkey) % 5) + 2)::BIGINT << 42)" +
+        s" | $digits | 262143::BIGINT)"
+    }
+    where =>
       s"""WITH rows_ AS (SELECT DISTINCT $synthOrderCellSql AS cell,
          |    o_orderdate AS d, o_totalprice AS v FROM orders),
          |b AS (SELECT ceil((year(d)*100 + 100.0*(month(d)-1)/12.0)/24)::BIGINT AS pt, v
          |  FROM rows_)
          |SELECT pt, count(*) AS n, round(min(v), 2) AS min_v, round(max(v), 2) AS max_v
-         |FROM b WHERE pt >= $Ts38Cutoff
+         |FROM b WHERE $where
          |GROUP BY pt ORDER BY pt""".stripMargin
-    }
-  )
+  }
 
   private lazy val ts4StatsOracleSql: String =
     s"""WITH rows_ AS (SELECT DISTINCT $synthCellSql AS cell,

@@ -211,6 +211,20 @@ class CellStore(spark: SparkSession, rootPath: String) {
       s"cannot drop ORDER BY key column '$colName' — dropping it would " +
         "narrow the sort key and collapse previously-distinct rows")
     val narrowed = schema.copy(columns = schema.columns - colName).validated
+    // refuse dropping a column a pending lightweight delete still needs:
+    // every read path resolves the stored predicate strings against the
+    // declared schema, so the narrowed schema would make the tableset
+    // unreadable AND un-materializable (applyDeletes reads masked too)
+    val probe = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], narrowed.toStructType)
+    pendingDeletes(name).foreach { d =>
+      val resolves =
+        try { probe.where(expr(d.predicate)).queryExecution.analyzed; true }
+        catch { case _: org.apache.spark.sql.AnalysisException => false }
+      require(resolves,
+        s"cannot drop column '$colName' of '$name': pending delete ${d.id} " +
+          s"(${d.predicate}) references it — applyDeletes first")
+    }
     writeSchema(name, narrowed)
   }
 
@@ -713,7 +727,11 @@ class CellStore(spark: SparkSession, rootPath: String) {
 
   /** Empty frame in the shape a nonempty directory read infers: declared
     * columns, then kind (string) / resolution (int) / ph3 (int for BaseCell
-    * dirs, long for LowerResolution) / pt buckets. */
+    * dirs whose values are 0..121, long for LowerResolution's full h3
+    * indexes) / pt buckets (int — directory inference types year/month
+    * bucket values as integers, unlike the long the write path computes
+    * with; driver code must see ONE shape for both empty and nonempty
+    * stores). */
   private def emptyDeclared(name: String): DataFrame = {
     val schema = getTableset(name)
     val ph3Type = schema.h3Partitioning match {
@@ -725,7 +743,14 @@ class CellStore(spark: SparkSession, rootPath: String) {
       .withColumn("kind", lit(null).cast("string"))
       .withColumn("resolution", lit(null).cast("int"))
       .withColumn("ph3", lit(null).cast(ph3Type))
-    partitionColumns(base, schema)._1
+    val (withParts, partCols) = partitionColumns(base, schema)
+    // align the temporal buckets with directory inference (int, not the
+    // write path's long)
+    partCols.foldLeft(withParts) { (df, c) =>
+      val src = if (c == "pt") None else Some(c.stripPrefix("pt_"))
+      val temporal = src.forall(s => schema.columns.get(s).exists(_.dataType.isTemporal))
+      if (temporal) df.withColumn(c, col(c).cast("int")) else df
+    }
   }
 
   /** §3.1 `query_tableset_cells`: fetch the data of the given cells (any
@@ -1326,9 +1351,9 @@ class CellStore(spark: SparkSession, rootPath: String) {
     * The predicate must be deterministic (a `rand()` mask would change
     * per read) and resolvable against the declared + partition columns —
     * both checked here, loudly. Returns the claimed mutation id, or -1 when
-    * the tableset holds no data files (nothing to capture). Dropping a
-    * column referenced by a pending delete is refused by [[dropColumn]]'s
-    * declared-read analysis the moment any scan runs; materialize first. */
+    * the tableset holds no data files (nothing to capture). [[dropColumn]]
+    * refuses to drop a column a pending delete's predicate references —
+    * materialize first. */
   def deleteWhere(name: String, predicateSql: String): Long = {
     getTableset(name) // existence + schema check
     val pred = expr(predicateSql)
@@ -1377,18 +1402,63 @@ class CellStore(spark: SparkSession, rootPath: String) {
     val touched = dirs.map { d =>
       d.split('/').toSeq.flatMap { seg =>
         val j = seg.indexOf('=')
-        if (j < 0) None else Some(col(seg.substring(0, j)) === lit(seg.substring(j + 1)))
+        if (j < 0) None
+        else Some(segmentPredicate(name, seg.substring(0, j), seg.substring(j + 1)))
       }.reduce(_ && _)
     }.reduceOption(_ || _).getOrElse(lit(false))
     compactFilesWhere(name, touched)
     val leftover = pendingDeletes(name)
     if (leftover.nonEmpty) {
-      leftover.flatMap(_.files).distinct.foreach { rel =>
-        val abs = new Path(dataPath(name), rel)
-        if (fs.exists(abs)) { fs.delete(abs, false); () }
+      val files = leftover.flatMap(_.files).distinct
+        .map(rel => new Path(dataPath(name), rel)).filter(p => fs.exists(p))
+      if (files.nonEmpty) {
+        // SAFETY GATE before unlinking: a captured file that survived the
+        // touched-partition rewrite should contain ONLY masked rows (its
+        // partition produced no dynamic-overwrite output). VERIFY rather
+        // than assume — if any row survives the masks, the reconstructed
+        // partition predicate under-matched this layout (an escaping or
+        // typing edge) and unlinking would destroy live rows.
+        val keep = leftover
+          .map(d => !coalesce(expr(d.predicate), lit(false))).reduce(_ && _)
+        val survivors = spark.read.schema(readDeclaredRaw(name).schema)
+          .option("basePath", qualifiedDataDir(name))
+          .parquet(files.map(_.toString): _*)
+          .where(keep).limit(1).count()
+        if (survivors > 0) throw new IllegalStateException(
+          s"applyDeletes('$name'): captured file(s) the partition-scoped rewrite " +
+            "did not replace still contain live rows — the reconstructed partition " +
+            "predicate under-matched this layout; run compactFiles(name) (full " +
+            "materializing rewrite) and retry. No file was unlinked.")
+        files.foreach { p => fs.delete(p, false); () }
+        invalidateFileCaches(name)
+        pruneDeleteMarkers(name)
       }
-      invalidateFileCaches(name)
-      pruneDeleteMarkers(name)
+    }
+  }
+
+  /** Typed equality predicate for one `col=value` partition-directory
+    * segment (shared by [[applyDeletes]]'s touched-partition reconstruction):
+    * values are Hive-unescaped, the NULL partition sentinel matches isNull,
+    * and the numeric partition columns compare with typed literals — a raw
+    * string comparison coerces BOTH sides to DOUBLE, corrupting ph3
+    * equality past 2^53 (the [[dropPartitionsWhere]] hazard). */
+  private def segmentPredicate(name: String, colName: String,
+      raw: String): org.apache.spark.sql.Column = {
+    val value = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .unescapePathName(raw)
+    if (value == "__HIVE_DEFAULT_PARTITION__") return col(colName).isNull
+    colName match {
+      case "resolution" => col(colName) === lit(value.toInt)
+      case "ph3" | "pt" => col(colName) === lit(value.toLong)
+      case c if c.startsWith("pt_") =>
+        val declared = getTableset(name)
+        val src = c.stripPrefix("pt_")
+        if (declared.columns.get(src).exists(_.dataType.isTemporal))
+          col(c) === lit(value.toLong)
+        else declared.toStructType.fields.find(_.name == src)
+          .map(f => col(c) === lit(value).cast(f.dataType))
+          .getOrElse(col(c) === lit(value))
+      case _ => col(colName) === lit(value)
     }
   }
 
@@ -1443,17 +1513,22 @@ class CellStore(spark: SparkSession, rootPath: String) {
       if (j < 0) None else Some(seg.substring(0, j))
     }
     val rows = dirs.map { d =>
+      // Hive-unescape the directory values and map the NULL-partition
+      // sentinel to an actual NULL, so predicates see the real values —
+      // a raw 'a%20b' string would silently never match col === "a b"
       val vals = d.split('/').toSeq.flatMap { seg =>
         val j = seg.indexOf('=')
-        if (j < 0) None else Some(seg.substring(j + 1))
-      }
+        if (j < 0) None
+        else Some(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(seg.substring(j + 1)))
+      }.map(v => if (v == "__HIVE_DEFAULT_PARTITION__") null else v)
       org.apache.spark.sql.Row.fromSeq(d +: vals)
     }
     val schemaT = org.apache.spark.sql.types.StructType(
       org.apache.spark.sql.types.StructField("__dir",
         org.apache.spark.sql.types.StringType, false) +:
         colNames.map(c => org.apache.spark.sql.types.StructField(c,
-          org.apache.spark.sql.types.StringType, false)))
+          org.apache.spark.sql.types.StringType, true)))
     val untyped = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), schemaT)
     // type the partition values: a string-vs-long comparison coerces BOTH

@@ -183,6 +183,17 @@ class DeleteSpec extends AnyFunSuite with Matchers with SparkTestSession {
     }
   }
 
+  test("dropColumn refuses a column a pending delete predicate references") {
+    val s = freshStore()
+    s.deleteWhere(name, "v >= 40")
+    val e = intercept[IllegalArgumentException](s.dropColumn(name, "v"))
+    e.getMessage should include("pending delete")
+    // materializing unblocks the drop
+    s.applyDeletes(name)
+    s.dropColumn(name, "v")
+    s.getTableset(name).columns.keySet should not contain "v"
+  }
+
   test("graft_deletes TVF surfaces the pending queue and drains after materialization") {
     val root = Files.createTempDirectory("graft_deltvf_").toString
     val s = CellStore(spark, root)
