@@ -719,6 +719,20 @@ object TablesetQueries {
       .select(col("h3index"), col("version"), col("val"))
       .orderBy(col("h3index"))
 
+  /** ts11's FINAL read from PURE SQL (ts39): the `graft_final` TVF splices
+    * [[CellStore.scanForResolutionFinal]]'s engine collapse at analysis
+    * time — same versioned store, same oracle, no DataFrame code. Closes
+    * the TVF family over the read surface: scan / cells / traverse /
+    * stats / range / asof / deletes / FINAL. */
+  def ts39SqlFinal(spark: SparkSession, dir: String): DataFrame = {
+    versionedStore(spark, dir, "gate_final", optimize = false)
+    Graft.register(spark)
+    spark.sql(
+      s"""SELECT h3index, version, val
+         |FROM graft_final('${rootFor(dir)}', 'gate_final', 9)
+         |ORDER BY h3index""".stripMargin)
+  }
+
   // --------------------------------------------------------------- ts25/26
 
   /** SummingMergeTree through the oracle gate (round-3 verdict: the engine
@@ -1062,6 +1076,8 @@ object TablesetQueries {
     // ts11 reads the SAME logical content through the read-time collapse
     // (no rewrite) — identical expected rows by construction
     "ts11_final_read" -> versionedOracleSql,
+    // ts39 = ts11 through the graft_final TVF: identical oracle
+    "ts39_sql_final" -> versionedOracleSql,
     // s6 ingests the same versioned rows through the STREAMING path and
     // reads via FINAL — a reader must not be able to tell
     "s6_versioned_stream" -> versionedOracleSql,
@@ -1635,6 +1651,7 @@ object TablesetQueries {
     "ts36_vacuum_snapshots" -> ts36VacuumSnapshots,
     "ts37_lightweight_delete" -> ts37LightweightDelete,
     "ts38_drop_partition" -> ts38DropPartition,
+    "ts39_sql_final" -> ts39SqlFinal,
     "ts22_sql_stats" -> ts22SqlStats,
     "ts23_alter_partitioning" -> ts23AlterPartitioning,
     "ts24_sql_traverse" -> ts24SqlTraverse,

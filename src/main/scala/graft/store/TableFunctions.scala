@@ -60,6 +60,13 @@ object TableFunctions {
           "VERSION AS OF read from pure SQL)", ""),
       graftAsofBuilder)
     spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_final"),
+      new ExpressionInfo("graft.store", null, "graft_final",
+        "graft_final(root, tableset, res) - SELECT ... FINAL from pure SQL: " +
+          "the resolution scan with the declared engine's collapse applied " +
+          "at read time (keep-latest / sum / declared aggregate)", ""),
+      graftFinalBuilder)
+    spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier("graft_deletes"),
       new ExpressionInfo("graft.store", null, "graft_deletes",
         "graft_deletes(root, tableset) - pending lightweight-delete mutations " +
@@ -177,6 +184,21 @@ object TableFunctions {
         s"graft_stats(root, tableset) expects 2 arguments, got ${args.length}")
     CellStore(SparkSession.active, strArg("graft_stats", args(0), "root"))
       .tablesetStats(strArg("graft_stats", args(1), "tableset"))
+      .queryExecution.analyzed
+  }
+
+  /** `graft_final(root, tableset, res)` — ClickHouse `SELECT ... FINAL`
+    * from pure SQL: [[CellStore.scanForResolutionFinal]]'s read-time
+    * engine collapse (keep-latest for versioned Replacing, sum for
+    * Summing, declared method for Aggregating) spliced at analysis time.
+    * Files untouched — the on-disk collapse is `replace`/ts25. */
+  private def graftFinalBuilder: Seq[Expression] => LogicalPlan = { args =>
+    if (args.length != 3)
+      throw new IllegalArgumentException(
+        s"graft_final(root, tableset, targetRes) expects 3 arguments, got ${args.length}")
+    CellStore(SparkSession.active, strArg("graft_final", args(0), "root"))
+      .scanForResolutionFinal(strArg("graft_final", args(1), "tableset"),
+        intArg("graft_final", args(2), "targetRes"))
       .queryExecution.analyzed
   }
 
