@@ -29,11 +29,16 @@ re-derived here from its published definition —
        30x-sf0.1 regime (and 100 TB) to flag sums whose double ulp
        crosses the half-cent rounding slack without decimal accumulation.
 
+  e12  RRF hybrid fusion (Cormack et al., SIGIR 2009): both retriever
+       rankings re-derived from scratch (Robertson BM25 + float64 cosine)
+       and re-fused with 1/(60+rank).
+
 Usage: python3 tools/independent_check.py [sfDir] [verifyOutDir]
   verifyOutDir must contain the Verify parquet for the checked gates
-  (run: SPARK_GRAFT_ONLY=d15_lm_quality,d18_bm25_topk,d25_mixture_weights,\
-d32_mixture_sample,q25_linreg,q1_pricing_summary,q2_nation_orders,\
-q8_region_revenue,q19_cube sbt "runMain graft.Verify <sfDir> <outDir>").
+  (run: SPARK_GRAFT_ONLY=d15_lm_quality,d18_bm25_topk,e12_hybrid_rrf,\
+d25_mixture_weights,d32_mixture_sample,q25_linreg,q1_pricing_summary,\
+q2_nation_orders,q8_region_revenue,q19_cube sbt "runMain graft.Verify \
+<sfDir> <outDir>").
 """
 import sys, os, glob, math, re
 from collections import Counter, defaultdict
