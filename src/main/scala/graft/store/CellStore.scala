@@ -214,9 +214,20 @@ class CellStore(spark: SparkSession, rootPath: String) {
     // refuse dropping a column a pending lightweight delete still needs:
     // every read path resolves the stored predicate strings against the
     // declared schema, so the narrowed schema would make the tableset
-    // unreadable AND un-materializable (applyDeletes reads masked too)
+    // unreadable AND un-materializable (applyDeletes reads masked too).
+    // The probe frame must carry the PARTITION columns too (kind/resolution/
+    // ph3/pt*): deleteWhere analyzes against readDeclaredRaw, which includes
+    // them, so a pending delete on e.g. `resolution = 7` is perfectly legal —
+    // probing the narrowed declared columns alone would make EVERY unrelated
+    // dropColumn fail with a misleading "references it" error (ADVICE r5).
+    // Built as a LEAF frame (createDataFrame of the narrowed struct), not
+    // emptyDeclared(name).drop(colName): a Filter over a Project resolves
+    // missing references THROUGH the Project (ResolveMissingReferences), so
+    // the dropped column would still resolve and the guard would never fire
+    val probeSchema = org.apache.spark.sql.types.StructType(
+      emptyDeclared(name).schema.fields.filterNot(_.name == colName))
     val probe = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], narrowed.toStructType)
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], probeSchema)
     pendingDeletes(name).foreach { d =>
       val resolves =
         try { probe.where(expr(d.predicate)).queryExecution.analyzed; true }
@@ -1417,13 +1428,13 @@ class CellStore(spark: SparkSession, rootPath: String) {
         // partition produced no dynamic-overwrite output). VERIFY rather
         // than assume — if any row survives the masks, the reconstructed
         // partition predicate under-matched this layout (an escaping or
-        // typing edge) and unlinking would destroy live rows.
-        val keep = leftover
-          .map(d => !coalesce(expr(d.predicate), lit(false))).reduce(_ && _)
-        val survivors = spark.read.schema(readDeclaredRaw(name).schema)
-          .option("basePath", qualifiedDataDir(name))
-          .parquet(files.map(_.toString): _*)
-          .where(keep).limit(1).count()
+        // typing edge) and unlinking would destroy live rows. Survivors are
+        // computed with the SAME per-file capture-group masking as reads
+        // ([[readFilesMasked]]), NOT a global conjunction of every pending
+        // predicate: in the ordering delete-A → insert → delete-B, a row in
+        // a delete-B-only file that happens to match delete-A's predicate is
+        // LIVE (A never captured that file) and must count as a survivor.
+        val survivors = liveRowsInCaptured(name, files.map(_.toString), leftover)
         if (survivors > 0) throw new IllegalStateException(
           s"applyDeletes('$name'): captured file(s) the partition-scoped rewrite " +
             "did not replace still contain live rows — the reconstructed partition " +
@@ -1435,6 +1446,18 @@ class CellStore(spark: SparkSession, rootPath: String) {
       }
     }
   }
+
+  /** Count (bounded at 1) of LIVE rows in `absFiles` under merge-on-read
+    * semantics — [[applyDeletes]]'s unlink safety gate. Uses the SAME
+    * per-file capture-group masking as reads ([[readFilesMasked]]): each
+    * file is masked only by the deletes that CAPTURED it. A global
+    * conjunction of every pending predicate would wrongly zero out a live
+    * row that matches an older delete which never captured its file
+    * (ordering delete-A → insert → delete-B), letting the gate pass on a
+    * file that still holds live data (ADVICE r5, medium). */
+  private[store] def liveRowsInCaptured(name: String, absFiles: Seq[String],
+      dels: Seq[DeleteMutation]): Long =
+    readFilesMasked(name, absFiles, dels).limit(1).count()
 
   /** Typed equality predicate for one `col=value` partition-directory
     * segment (shared by [[applyDeletes]]'s touched-partition reconstruction):
@@ -1493,7 +1516,8 @@ class CellStore(spark: SparkSession, rootPath: String) {
     * here it is also what makes the operation DRIVER-ONLY: the distinct
     * partition tuples are parsed from the cached file listing and the
     * predicate is evaluated over that tiny LOCAL frame (partition-count
-    * rows), so no cluster job runs at all. NULL evaluates to
+    * rows), so the only Spark job is the one-partition local-frame
+    * evaluation — no data file is ever opened. NULL evaluates to
     * not-dropped. Like any rewrite, dropping invalidates earlier snapshots
     * (scanAsOf fails loudly on missing files) and prunes pending delete
     * markers whose captured files vanish; stale manifest entries are
@@ -1511,6 +1535,21 @@ class CellStore(spark: SparkSession, rootPath: String) {
     val colNames = dirs.head.split('/').toSeq.flatMap { seg =>
       val j = seg.indexOf('=')
       if (j < 0) None else Some(seg.substring(0, j))
+    }
+    // every directory must share ONE partition-column sequence: a mixed-depth
+    // layout (e.g. files at differing nesting after a partial/aborted layout
+    // change) would zip a short dir's values against the wrong columns and
+    // blow up with a Row-arity mismatch deep inside createDataFrame — fail
+    // loudly HERE, naming the odd directory (ADVICE r5)
+    dirs.foreach { d =>
+      val cs = d.split('/').toSeq.flatMap { seg =>
+        val j = seg.indexOf('=')
+        if (j < 0) None else Some(seg.substring(0, j))
+      }
+      require(cs == colNames,
+        s"dropPartitionsWhere('$name'): inconsistent partition layout — " +
+          s"directory '$d' has partition columns $cs but '${dirs.head}' has " +
+          s"$colNames; repair the layout (compactFiles) before dropping")
     }
     val rows = dirs.map { d =>
       // Hive-unescape the directory values and map the NULL-partition

@@ -89,6 +89,13 @@ object StreamOps {
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, horizon: String,
       watermarkDelay: String, joinType: String = "inner"): DataFrame = {
+    // loud refusal for join types the key-coalescing select below doesn't
+    // handle — e.g. "right_outer" would pass straight through to Spark and
+    // then hit the .drop(r.key) branch, leaving NULL keys on unmatched right
+    // rows: silently wrong output instead of an error (ADVICE r5)
+    require(Set("inner", "left_outer", "full_outer", "full", "outer")
+      .contains(joinType),
+      s"intervalJoin supports inner/left_outer/full_outer, got '$joinType'")
     val l = (if (left.isStreaming) left.withWatermark(leftTs, watermarkDelay)
              else left).alias("l")
     val r = (if (right.isStreaming) right.withWatermark(rightTs, watermarkDelay)

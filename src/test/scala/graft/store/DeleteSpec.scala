@@ -194,6 +194,49 @@ class DeleteSpec extends AnyFunSuite with Matchers with SparkTestSession {
     s.getTableset(name).columns.keySet should not contain "v"
   }
 
+  test("pending delete on a PARTITION column does not block dropping an unrelated column") {
+    // deleteWhere analyzes against declared + partition columns, so a
+    // predicate on `resolution` is legal; dropColumn's probe must carry the
+    // partition columns too or every unrelated drop fails (ADVICE r5)
+    val s = freshStore()
+    s.deleteWhere(name, "resolution = 7")
+    s.dropColumn(name, "v") // must NOT throw — the delete never references v
+    s.getTableset(name).columns.keySet should not contain "v"
+  }
+
+  test("unlink gate counts per-file-masked survivors: delete -> insert -> delete ordering") {
+    // ordering delete-A -> insert -> delete-B: the inserted row matches A's
+    // predicate but A never captured its file, so it is LIVE. A global
+    // conjunction of all pending predicates would score it dead and let the
+    // gate unlink a file holding live data (ADVICE r5, medium).
+    val s = freshStore()
+    val idA = s.deleteWhere(name, "v >= 0") // captures + masks every original row
+    s.insert(name, input(i => 100L + i))    // live rows, all matching A's predicate
+    s.deleteWhere(name, "v < 0")            // captures everything, masks nothing
+    val dels = s.pendingDeletes(name)
+    dels should have length 2
+    val f2 = dels.find(_.id > idA).get.files
+      .filterNot(dels.find(_.id == idA).get.fileSet)
+      .map(rel => s"${s.dataDir(name)}/$rel")
+    f2 should not be empty
+    // per-file masking sees the live inserted rows in the B-only files
+    s.liveRowsInCaptured(name, f2, dels) should be > 0L
+    // the broken global conjunction would have reported zero:
+    val globalKeep = dels
+      .map(d => !coalesce(expr(d.predicate), lit(false))).reduce(_ && _)
+    spark.read.schema(StructType(Seq(
+        StructField("h3index", LongType, true),
+        StructField("v", LongType, true))))
+      .option("basePath", s.dataDir(name)).parquet(f2: _*)
+      .where(globalKeep).count() shouldBe 0L
+    // end-to-end: materializing keeps exactly the live inserted rows
+    s.applyDeletes(name)
+    s.pendingDeletes(name) shouldBe empty
+    val after = s.scanForResolution(name, 7)
+    after.count() shouldBe 49L
+    after.agg(min(col("v"))).collect()(0).getLong(0) shouldBe 100L
+  }
+
   test("graft_deletes TVF surfaces the pending queue and drains after materialization") {
     val root = Files.createTempDirectory("graft_deltvf_").toString
     val s = CellStore(spark, root)
