@@ -69,10 +69,24 @@ object PipelineQueries {
     * driver OOM, not a slowdown. Never let a corpus-scaling side near a
     * broadcast. */
   private def shingleSets(spark: SparkSession, dir: String): DataFrame =
-    memo(spark, s"shingleSets:$dir") {
-      shingleCodesExploded(spark, dir).groupBy(col("doc_id"))
-        .agg(collect_set(col("code")).as("s"))
-    }.hint("merge")
+    sigSetsFrame(spark, dir).select(col("doc_id"), col("s")).hint("merge")
+
+  /** ONE aggregation pass produces BOTH per-doc derivations every
+    * signature pipeline consumes: the 8-hash MinHash signature (t1/t2/t6
+    * banding) and the distinct shingle-code set (t2/t6 Jaccard
+    * verification). Two separate groupBys over the exploded shingle frame
+    * were pure duplication of the corpus-wide shuffle; the codes are
+    * 24-bit, so the set is collected as INT — half the bytes of the old
+    * bigint arrays through every later shuffle, with identical Jaccard
+    * values (set algebra is type-blind). At corpus scale this is the one
+    * written signature table a dedup pipeline maintains. */
+  private def sigSetsFrame(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, s"sigsets:$dir") {
+      val aggs = (0 until 8).map { j =>
+        min((pmod(col("code"), lit(P)) * TextOps.hashA(j) + TextOps.hashB(j)) % P).as(s"mh$j")
+      } :+ collect_set(col("code").cast("int")).as("s")
+      shingleCodesExploded(spark, dir).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    }
 
   /** Per-dir memo of derived frames (shingles/signatures): a banded
     * self-join otherwise recomputes its input once per join side — at
@@ -107,12 +121,7 @@ object PipelineQueries {
   }
 
   private def minhashFrame(spark: SparkSession, dir: String): DataFrame =
-    memo(spark, s"minhash:$dir") {
-      val aggs = (0 until 8).map { j =>
-        min((pmod(col("code"), lit(P)) * TextOps.hashA(j) + TextOps.hashB(j)) % P).as(s"mh$j")
-      }
-      shingleCodesExploded(spark, dir).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-    }
+    sigSetsFrame(spark, dir).drop("s")
 
   /** MinHash signatures, 8 hashes as columns. */
   def t1MinhashSignatures(spark: SparkSession, dir: String): DataFrame =
@@ -333,19 +342,37 @@ object PipelineQueries {
     * Exact global top-k over near-dup pairs is inherently quadratic; raise
     * the lead window for more recall at linear extra cost. */
   def t6NgramJaccardTopk(spark: SparkSession, dir: String): DataFrame = {
+    // Verification is JOIN-FREE: the shingle set rides the band rows
+    // through the one (band, bh) window shuffle and lead(s, k) hands every
+    // adjacency pair its partner's set in-stage. The previous shape —
+    // candidate pairs re-joined twice against the array table — shuffled
+    // ~2M pair rows plus the per-doc arrays TWICE through sort-merge
+    // joins, and was the steepest dedup-family curve at the third decade
+    // (10.1x wall for 100x docs, r5 verdict watch item); this plan moves
+    // the arrays once, computes Jaccard where the pair is born, and only
+    // slim (doc_a, doc_b, jacc) rows reach the dedup + top-k exchanges.
+    // Candidates and values are IDENTICAL (same lead-1/lead-2 adjacency,
+    // same round(jacc, 4)); the DuckDB oracle is unchanged.
+    def poly(cols: Seq[String]) =
+      cols.foldLeft(lit(0L))((acc, c) => (acc * 31L + col(c)) % P)
+    val bands = sigSetsFrame(spark, dir).select(col("doc_id"), col("s"), explode(array(
+        struct(lit(0).as("band"), poly(Seq("mh0", "mh1", "mh2", "mh3")).as("bh")),
+        struct(lit(1).as("band"), poly(Seq("mh4", "mh5", "mh6", "mh7")).as("bh")))).as("b"))
+      .select(col("doc_id"), col("s"), col("b.band").as("band"), col("b.bh").as("bh"))
     val w = Window.partitionBy(col("band"), col("bh")).orderBy(col("doc_id"))
-    val cand = bandsFrame(spark, dir)
+    bands
       .withColumn("nb1", lead(col("doc_id"), 1).over(w))
+      .withColumn("sb1", lead(col("s"), 1).over(w))
       .withColumn("nb2", lead(col("doc_id"), 2).over(w))
-      .select(col("doc_id").as("doc_a"), explode(array(col("nb1"), col("nb2"))).as("doc_b"))
-      .where(col("doc_b").isNotNull)
-      .distinct()
-    val sets = shingleSets(spark, dir)
-    cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        round(TextOps.jaccardFromSets(col("sa"), col("sb")), 4).as("jacc"))
+      .withColumn("sb2", lead(col("s"), 2).over(w))
+      .select(col("doc_id").as("doc_a"), col("s").as("sa"),
+        explode(array(
+          struct(col("nb1").as("doc_b"), col("sb1").as("sb")),
+          struct(col("nb2").as("doc_b"), col("sb2").as("sb")))).as("p"))
+      .where(col("p.doc_b").isNotNull)
+      .select(col("doc_a"), col("p.doc_b").as("doc_b"),
+        round(TextOps.jaccardFromSets(col("sa"), col("p.sb")), 4).as("jacc"))
+      .dropDuplicates("doc_a", "doc_b") // a pair surfacing via BOTH bands
       .orderBy(col("jacc").desc, col("doc_a"), col("doc_b"))
       .limit(20)
   }
