@@ -175,15 +175,19 @@ class CellStore(spark: SparkSession, rootPath: String) {
     * Subsequent inserts conform to the widened schema; rollup aggregation
     * of the new column treats historical rows as absent (NULL-skipping
     * agg semantics), matching ClickHouse's added-column defaults. */
-  def addColumn(name: String, colName: String, cdef: ColumnDef): Unit = {
-    val schema = getTableset(name)
-    require(!schema.columns.contains(colName),
-      s"tableset '$name' already has a column '$colName'")
-    require(cdef.nullable,
-      s"added column '$colName' must be nullable: historical rows have no value for it")
-    val widened = schema.copy(columns = schema.columns + (colName -> cdef)).validated
-    writeSchema(name, widened)
-  }
+  def addColumn(name: String, colName: String, cdef: ColumnDef): Unit =
+    // read-modify-write under the commit lock: two concurrent ALTERs would
+    // otherwise both read the old schema and the loser's column silently
+    // vanish (the locked writeSchema alone only prevents file loss)
+    CellStore.commitLock(cacheKey(name)).synchronized {
+      val schema = getTableset(name)
+      require(!schema.columns.contains(colName),
+        s"tableset '$name' already has a column '$colName'")
+      require(cdef.nullable,
+        s"added column '$colName' must be nullable: historical rows have no value for it")
+      val widened = schema.copy(columns = schema.columns + (colName -> cdef)).validated
+      writeSchema(name, widened)
+    }
 
   /** Schema evolution: drop a column (`ALTER TABLE ... DROP COLUMN`
     * analogue). Metadata-only like [[addColumn]]: historical files keep
@@ -193,7 +197,8 @@ class CellStore(spark: SparkSession, rootPath: String) {
     * from the partitions it touches. Structural columns cannot be
     * dropped: the h3index key, explicit partition columns, and the
     * engine's version column. */
-  def dropColumn(name: String, colName: String): Unit = {
+  def dropColumn(name: String, colName: String): Unit =
+      CellStore.commitLock(cacheKey(name)).synchronized {
     val schema = getTableset(name)
     require(schema.columns.contains(colName),
       s"tableset '$name' has no column '$colName'")
@@ -298,12 +303,23 @@ class CellStore(spark: SparkSession, rootPath: String) {
   /** Schema sidecar commit, temp + [[publishAtomic]] like every other
     * metadata commit: an in-place overwrite truncates first, so a writer
     * dying mid-write would leave a SHORT schema.json that bricks every
-    * later [[getTableset]] — crash-consistent publish instead. */
+    * later [[getTableset]] — crash-consistent publish instead.
+    *
+    * The temp name is UNIQUE per write (UUID suffix, like the snapshot /
+    * delete-marker paths) and the publish runs under the per-tableset
+    * commit lock: with a FIXED temp name and no lock, two concurrent
+    * schema writers raced — the loser's tmp was consumed by the winner's
+    * rename, its first rename returned false, and the delete+rename
+    * fallback then destroyed the just-published schema.json with no temp
+    * left to promote, leaving the tableset with NO sidecar (ADVICE r6). */
   private def writeSchema(name: String, schema: CompactedTableSchema): Unit = {
-    val tmp = new Path(tablesetPath(name), ".schema.json.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(schema.toJson.getBytes("UTF-8")) finally out.close()
-    publishAtomic(tmp, schemaPath(name), s"schema of '$name'")
+    val tmp = new Path(tablesetPath(name),
+      s".schema.json.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    CellStore.commitLock(cacheKey(name)).synchronized {
+      val out = fs.create(tmp, true)
+      try out.write(schema.toJson.getBytes("UTF-8")) finally out.close()
+      publishAtomic(tmp, schemaPath(name), s"schema of '$name'")
+    }
   }
 
   /** Publish a fully-written temp file at `dst`, preferring the ATOMIC
@@ -318,6 +334,15 @@ class CellStore(spark: SparkSession, rootPath: String) {
     * crash-consistency notes (README). */
   private def publishAtomic(tmp: Path, dst: Path, what: String): Unit = {
     if (fs.rename(tmp, dst)) return
+    // the fallback destroys dst — NEVER take that step unless the temp
+    // that will replace it still exists. A rename can return false because
+    // the SOURCE vanished (another writer consumed it, FS hiccup); deleting
+    // dst then would destroy good metadata right before the loud throw
+    // (ADVICE r6)
+    if (!fs.exists(tmp))
+      throw new IllegalStateException(
+        s"$what: publish rename failed and temp $tmp is gone — " +
+          "refusing to delete the published copy")
     fs.delete(dst, false)
     if (!fs.rename(tmp, dst))
       throw new IllegalStateException(s"$what: publish rename failed")

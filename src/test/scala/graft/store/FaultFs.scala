@@ -57,6 +57,12 @@ object FaultFs {
   /** Fault fires when `counter` reaches this value; negative = disarmed
     * (pure counting mode when `rootFilter` is set). */
   @volatile var armedAt: Int = -1
+  /** Sticky kill: every countable op AT OR AFTER `armedAt` throws — a real
+    * killed process never executes later FS mutations. One-shot mode
+    * (sticky=false) only tests transient-error tolerance at steps the
+    * store tolerates; the sweep runs BOTH modes (ADVICE r6) so "died at
+    * tolerated step k, nothing after ran" states are exercised too. */
+  @volatile var sticky: Boolean = false
   /** Only paths containing this substring are countable; empty = off. */
   @volatile var rootFilter: String = ""
   /** Count recursive deletes under /data/ too (dropPartitionsWhere sweeps —
@@ -87,14 +93,19 @@ object FaultFs {
       return
     val n = counter.getAndIncrement()
     log.add(s"$n:$op:$s${if (o.nonEmpty && o != s) s" -> $o" else ""}")
-    if (armedAt >= 0 && n == armedAt)
+    if (armedAt >= 0 && (n == armedAt || (sticky && n > armedAt)))
       throw new java.io.IOException(s"FaultFs: injected crash at op $n ($op $s)")
   }
 
   /** Counting mode over `root` (no fault). */
   def startCounting(root: String): Unit = { counter.set(0); log.clear(); armedAt = -1; rootFilter = root }
-  /** Arm a kill at countable op `k` over `root`. */
-  def arm(root: String, k: Int): Unit = { counter.set(0); log.clear(); armedAt = k; rootFilter = root }
+  /** Arm a kill at countable op `k` over `root`; `stickyKill` suppresses
+    * every later countable op too (process-death semantics). */
+  def arm(root: String, k: Int, stickyKill: Boolean = false): Unit = {
+    counter.set(0); log.clear(); armedAt = k; sticky = stickyKill; rootFilter = root
+  }
   def counted: Int = counter.get()
-  def disarm(): Unit = { armedAt = -1; rootFilter = ""; includeRecursiveDataDeletes = false }
+  def disarm(): Unit = {
+    armedAt = -1; sticky = false; rootFilter = ""; includeRecursiveDataDeletes = false
+  }
 }

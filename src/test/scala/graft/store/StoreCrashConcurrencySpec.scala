@@ -146,6 +146,37 @@ class StoreCrashConcurrencySpec extends AnyFunSuite with Matchers with SparkTest
     wA.dropTableset(name)
   }
 
+  test("concurrent schema writers never lose the sidecar or a committed column") {
+    // ADVICE r6 (medium): with a FIXED temp name and no lock, two
+    // concurrent writeSchema calls could race so that the loser's
+    // delete+rename fallback destroyed the just-published schema.json with
+    // no temp left to promote — every later getTableset bricked. And even
+    // with a safe publish, unlocked read-modify-write would silently drop
+    // the loser's column. Eight threads ALTERing one tableset must end
+    // with all eight columns present and the sidecar readable.
+    val root = Files.createTempDirectory("graft_sched_").toString
+    val s = CellStore(spark, root)
+    s.insert(name, frame(rows(parentA, 0)), createSchema = Some(schema))
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 8).map { i =>
+      new Thread(() =>
+        try s.addColumn(name, s"extra_$i",
+          ColumnDef.Simple(T.Int64, nullable = true))
+        catch { case t: Throwable => errors.add(t) })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    errors shouldBe empty
+    // a FRESH instance (cold caches) must read the sidecar from disk
+    val r = CellStore(spark, root)
+    val cols = r.getTableset(name).columns.keySet
+    (0 until 8).foreach(i => cols should contain(s"extra_$i"))
+    // and the store remains fully usable
+    r.insert(name, frame(rows(parentB, 100)))
+    scanRows(r, name).size shouldBe 2 * 49
+    r.dropTableset(name)
+  }
+
   // ------------------------------------------------------- kill-point sweep
 
   /** One swept mutation: `run` it against a store, `post` is the model
@@ -209,12 +240,18 @@ class StoreCrashConcurrencySpec extends AnyFunSuite with Matchers with SparkTest
       withClue(s"${op.label}: expected at least one countable commit op") { n should be > 0 }
       val mPost = op.post(m0)
 
-      for (k <- 0 until n) {
+      // two fault semantics per kill point (ADVICE r6): one-shot = a
+      // transient IOException at step k (later mutations still run, tests
+      // error tolerance); sticky = process death at step k (NOTHING after
+      // step k executes — if the store tolerates the error at k, every
+      // later mutation still fails, so "died at a tolerated step" states
+      // are exercised instead of silently skipped)
+      for (stickyKill <- Seq(false, true); k <- 0 until n) {
         val dir = Files.createTempDirectory(s"graft_kp_").toString
         copyDir(baseDir, dir)
         val s = CellStore(spark, s"faultfs:$dir")
         FaultFs.includeRecursiveDataDeletes = op.recursiveDataDeletes
-        FaultFs.arm(dir, k)
+        FaultFs.arm(dir, k, stickyKill)
         // either the op completes (fault hit a best-effort step whose
         // failure is tolerated) or it fails LOUDLY — an exception, never a
         // silent partial success
@@ -226,7 +263,7 @@ class StoreCrashConcurrencySpec extends AnyFunSuite with Matchers with SparkTest
         val r = CellStore(spark, s"faultfs:$dir")
         r.invalidateFileCaches(name)
         val got = scanRows(r, name)
-        withClue(s"${op.label} k=$k crashed=$crashed: ") {
+        withClue(s"${op.label} k=$k sticky=$stickyKill crashed=$crashed: ") {
           if (!crashed) got shouldBe mPost.sorted
           else if (got != m0.sorted && got != mPost.sorted) {
             // intermediate state: only an idempotent op may heal by retry

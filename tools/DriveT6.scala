@@ -20,7 +20,7 @@ object DriveT6 {
     // stage timings via the public pieces: signatures and bands
     val mh = graft.PipelineQueries.t1MinhashSignatures(spark, dir)
     time("minhash frame scan")(mh.count())
-    val poly4 = (cs: Seq[String]) => cs.foldLeft(lit(0L))((a, c) => (a * 31L + col(c)) % 1000000007L)
+    val poly4 = (cs: Seq[String]) => cs.foldLeft(lit(0L))((a, c) => (a * 31L + col(c)) % graft.text.TextOps.P)
     val bands = mh.select(col("doc_id"), explode(array(
       struct(lit(0).as("band"), poly4(Seq("mh0","mh1","mh2","mh3")).as("bh")),
       struct(lit(1).as("band"), poly4(Seq("mh4","mh5","mh6","mh7")).as("bh")))).as("b"))
