@@ -499,6 +499,130 @@ object PipelineQueries {
       .orderBy(col("query_id"))
   }
 
+  /** Measured IVF recall vs nprobe (e14): recall@5 of [[Ann.knnIvf]]
+    * against the exact brute-force ranking (e1) for nprobe = 1..3 — the
+    * probe-budget tuning curve every IVF deployment publishes. Like e13
+    * the oracle embeds both derivations verbatim, so the recall values are
+    * cross-engine exact.
+    *
+    * Two runtime assertions (d23-style, checked before returning):
+    *  - recall is MONOTONE in nprobe per query — a superset of probed
+    *    cells re-ranked by EXACT cosine can only add true neighbors (any
+    *    candidate displacing a true top-5 member scores above it and is
+    *    therefore itself a true top-5 member);
+    *  - mean recall at the full probe budget meets a floor: measured
+    *    0.24-0.50 across sf0.001/0.01/0.1 (it FALLS with scale — C grows
+    *    ~sqrt(n) while nprobe stays 3, so probes cover a shrinking corpus
+    *    fraction; the tuning answer is nprobe ~ C/const, and this sweep is
+    *    the curve that tells you). The floor is 0.1 — ~40x above the
+    *    ~0.0025 chance rate of 5 random picks, catching a broken
+    *    quantizer without pretending the fixed budget scales. */
+  def e14IvfRecallSweep(spark: SparkSession, dir: String): DataFrame = {
+    val v = ivfCorpus(spark, dir)
+    val cents = ivfCentroids(v)
+    val queries = v.where(col("id") < IvfNumQueries)
+    val exact = graft.Queries.e1KnnBruteForce(spark, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    val perProbe = (1 to IvfNprobe).map { np =>
+      Ann.knnIvf(queries, v, cents, IvfK, np)
+        .select(lit(np).as("nprobe"), col("query_id"), col("neighbor_id"))
+    }.reduce(_.unionByName(_))
+    val hits = perProbe.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("nprobe"), col("query_id")).agg(count(lit(1)).as("hits"))
+    val keys = exact.select(col("query_id")).distinct()
+      .select(col("query_id"),
+        explode(array((1 to IvfNprobe).map(lit): _*)).as("nprobe"))
+    val out = keys.join(hits, Seq("nprobe", "query_id"), "left")
+      .select(col("nprobe"), col("query_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)) / lit(IvfK.toDouble), 2).as("recall"))
+      .orderBy(col("nprobe"), col("query_id"))
+    val rows = out.collect()
+    rows.groupBy(_.getLong(1)).foreach { case (qid, rs) =>
+      val byNp = rs.sortBy(_.getInt(0)).map(_.getLong(2))
+      require(byNp.zip(byNp.tail).forall { case (a, b) => a <= b },
+        s"e14: recall not monotone in nprobe for query $qid: ${byNp.mkString(",")}")
+    }
+    val full = rows.filter(_.getInt(0) == IvfNprobe)
+    val mean = full.map(_.getDouble(3)).sum / full.length
+    require(mean >= 0.1,
+      f"e14: mean recall@5 at nprobe=$IvfNprobe is $mean%.2f < 0.10 floor")
+    out
+  }
+
+  /** Measured PQ quantization quality (e15): for the flat-PQ (e7) and
+    * IVF-PQ (e10) rankings, per query — recall@5 against the exact
+    * brute-force top-5 (e1) and the worst ADC distortion
+    * max |adc − dot(q, x)| over the reported neighbors. Both ADC scores
+    * approximate the raw inner product (flat PQ sums subspace LUTs; IVF-PQ
+    * adds the coarse dot(q, centroid) term to the residual LUTs), so one
+    * distortion definition covers both families; max (not mean) keeps the
+    * per-query statistic order-independent and therefore cross-engine
+    * hashable. The oracle embeds all three gate derivations verbatim.
+    *
+    * Measured reality on this corpus (sf0.001/0.01/0.1): flat-PQ mean
+    * recall 0.18-0.28, IVF-PQ 0.10-0.20, worst |adc - dot| 0.34-0.65. The
+    * textbook "residual encoding beats flat PQ" does NOT hold here — the
+    * synthetic embeddings have no cluster structure, so nprobe=3 cell
+    * pruning loses more candidates than residual centering recovers, and
+    * the 16-codeword deterministic sample codebook is the dominant error
+    * either way. The gate records that honestly: runtime floors (d23
+    * style) assert the rankings stay INFORMATIVE (well above the ~0.0025
+    * recall of 5 random picks from ~2k+ vectors) and the distortion
+    * bounded, not a story the data contradicts. Swapping trained k-means
+    * codebooks/centroids in (the documented injection points) is what
+    * raises recall on clustered corpora. */
+  private[graft] def e15PqDistortionRaw(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ann.expr.functions.vec_dot
+    val v = emb(spark, dir).select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("dv"))
+    val exact = graft.Queries.e1KnnBruteForce(spark, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    def family(fam: String, top: DataFrame): DataFrame = {
+      val err = top
+        .join(v.select(col("vec_id").as("query_id"), col("dv").as("qv")), "query_id")
+        .join(v.select(col("vec_id").as("neighbor_id"), col("dv").as("nv")), "neighbor_id")
+        .select(col("query_id"),
+          round(abs(col("adc_score") - vec_dot(col("qv"), col("nv"))), 4).as("err"))
+      val hits = top.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+      err.groupBy(col("query_id")).agg(max(col("err")).as("max_abs_err"))
+        .join(hits, Seq("query_id"), "left")
+        .select(lit(fam).as("family"), col("query_id"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          round(coalesce(col("hits"), lit(0L)) / lit(IvfK.toDouble), 2).as("recall"),
+          col("max_abs_err"))
+    }
+    family("pq", e7PqAdc(spark, dir))
+      .unionByName(family("ivfpq", e10IvfPq(spark, dir)))
+      .orderBy(col("family"), col("query_id"))
+  }
+
+  def e15PqDistortion(spark: SparkSession, dir: String): DataFrame = {
+    val out = e15PqDistortionRaw(spark, dir)
+    val rows = out.collect()
+    def meanRecall(fam: String) = {
+      val rs = rows.filter(_.getString(0) == fam)
+      rs.map(_.getDouble(3)).sum / rs.length
+    }
+    def worst(fam: String) =
+      rows.filter(_.getString(0) == fam).map(_.getDouble(4)).max
+    // floors at ~half the worst value measured across sf0.001/0.01/0.1
+    // (scaladoc table): random 5-of-2000+ picks score ~0.0025, so 0.08 /
+    // 0.05 mean recall proves the ADC rankings carry signal at 30-80x
+    // above chance; the distortion ceiling (1.5 ~= 2.3x the worst measured
+    // 0.65) catches a broken LUT/codebook, whose errors are unbounded.
+    require(meanRecall("pq") >= 0.08,
+      f"e15: mean recall@5 of pq is ${meanRecall("pq")}%.2f < 0.08 floor")
+    require(meanRecall("ivfpq") >= 0.05,
+      f"e15: mean recall@5 of ivfpq is ${meanRecall("ivfpq")}%.2f < 0.05 floor")
+    Seq("pq", "ivfpq").foreach { fam =>
+      require(worst(fam) <= 1.5,
+        f"e15: worst ADC distortion of $fam is ${worst(fam)}%.4f > 1.5 ceiling")
+    }
+    out
+  }
+
   /** Multimodal frame sampling (m2): the video-style path of the media
     * plumbing — payloads split into 8 equal "frames", every 3rd sampled,
     * checksummed. Complements m1 (decode metadata + byte histogram) so both
@@ -1399,6 +1523,75 @@ object PipelineQueries {
        |WHERE rnk <= $IvfK ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** e14: the IVF derivation swept over nprobe = 1..3 (the probes CTE
+    * keeps its per-(query, centroid) rank and is re-cut per budget), hit
+    * counts against e1's exact oracle embedded verbatim. */
+  private lazy val e14OracleSql: String = {
+    val cosSql = (a: String, b: String) =>
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |$ivfStrideSql,
+       |cent AS (SELECT vec_id AS cid, v AS cv FROM v, st WHERE vec_id % st.s = 0),
+       |assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT v.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${cosSql("v.v", "c.cv")} DESC, c.cid) AS rn
+       |    FROM v CROSS JOIN cent c) WHERE rn = 1),
+       |pr AS (SELECT vec_id AS query_id, cid, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+       |  FROM (SELECT v.vec_id, c.cid, ${cosSql("v.v", "c.cv")} AS cos
+       |        FROM v CROSS JOIN cent c WHERE v.vec_id < $IvfNumQueries)),
+       |nps AS (SELECT unnest([${(1 to IvfNprobe).mkString(", ")}]) AS nprobe),
+       |cand AS (SELECT DISTINCT np.nprobe, p.query_id, a.vec_id AS neighbor_id
+       |  FROM pr p CROSS JOIN nps np JOIN assign a ON a.cid = p.cid
+       |  WHERE p.rn <= np.nprobe AND a.vec_id != p.query_id),
+       |top AS (SELECT nprobe, query_id, neighbor_id FROM (
+       |    SELECT nprobe, query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY nprobe, query_id
+       |        ORDER BY ${cosSql("q.v", "n.v")} DESC, neighbor_id) AS rnk
+       |    FROM cand JOIN v q ON q.vec_id = query_id
+       |      JOIN v n ON n.vec_id = neighbor_id)
+       |  WHERE rnk <= $IvfK),
+       |ex AS (SELECT query_id, neighbor_id FROM (${graft.Queries.e1OracleSql})),
+       |h AS (SELECT t.nprobe, t.query_id, count(*) AS hits
+       |  FROM top t JOIN ex ON ex.query_id = t.query_id
+       |    AND ex.neighbor_id = t.neighbor_id
+       |  GROUP BY t.nprobe, t.query_id)
+       |SELECT k.nprobe, k.query_id, coalesce(h.hits, 0) AS hits,
+       |  round(coalesce(h.hits, 0) / ${IvfK}.0, 2) AS recall
+       |FROM (SELECT np.nprobe, e.query_id FROM nps np
+       |      CROSS JOIN (SELECT DISTINCT query_id FROM ex) e) k
+       |LEFT JOIN h ON h.nprobe = k.nprobe AND h.query_id = k.query_id
+       |ORDER BY k.nprobe, k.query_id""".stripMargin
+  }
+
+  /** e15: e7's and e10's ADC rankings (embedded verbatim) scored for
+    * recall against e1's exact oracle and for worst ADC-vs-true-dot
+    * distortion per query. */
+  private lazy val e15OracleSql: String =
+    s"""WITH ex AS (SELECT query_id, neighbor_id FROM (${graft.Queries.e1OracleSql})),
+       |dv AS (SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings),
+       |fam AS (SELECT 'pq' AS family, query_id, neighbor_id, adc_score
+       |          FROM ($pqOracleSql)
+       |        UNION ALL
+       |        SELECT 'ivfpq', query_id, neighbor_id, adc_score
+       |          FROM ($ivfPqOracleSql)),
+       |err AS (SELECT family, f.query_id,
+       |    round(abs(f.adc_score - list_dot_product(q.dv, n.dv)), 4) AS err
+       |  FROM fam f JOIN dv q ON q.vec_id = f.query_id
+       |    JOIN dv n ON n.vec_id = f.neighbor_id),
+       |h AS (SELECT family, f.query_id, count(*) AS hits
+       |  FROM fam f JOIN ex ON ex.query_id = f.query_id
+       |    AND ex.neighbor_id = f.neighbor_id
+       |  GROUP BY family, f.query_id),
+       |m AS (SELECT family, query_id, max(err) AS max_abs_err
+       |  FROM err GROUP BY family, query_id)
+       |SELECT m.family, m.query_id, coalesce(h.hits, 0) AS hits,
+       |  round(coalesce(h.hits, 0) / ${IvfK}.0, 2) AS recall, m.max_abs_err
+       |FROM m LEFT JOIN h ON h.family = m.family AND h.query_id = m.query_id
+       |ORDER BY m.family, m.query_id""".stripMargin
+
   /** e2's oracle, shared with e13's recall derivation (the approx side). */
   private lazy val e2OracleSql: String =
     s"""WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -1644,6 +1837,8 @@ object PipelineQueries {
     "e5_ivf_index" -> ivfOracleSql,
     "e7_pq_adc" -> pqOracleSql,
     "e10_ivf_pq" -> ivfPqOracleSql,
+    "e14_ivf_recall_sweep" -> e14OracleSql,
+    "e15_pq_distortion" -> e15OracleSql,
     // q27: the same t2 edge set, closed with DuckDB's recursive CTE using
     // UNION (distinct) — the declarative fixpoint for REACHABILITY, the
     // semantics the Spark side reaches via semi-naive frontier iteration
@@ -1901,6 +2096,8 @@ object PipelineQueries {
     "e6_ivf_append" -> e6IvfAppend,
     "e7_pq_adc" -> e7PqAdc,
     "e10_ivf_pq" -> e10IvfPq,
+    "e14_ivf_recall_sweep" -> e14IvfRecallSweep,
+    "e15_pq_distortion" -> e15PqDistortion,
     "d29_hll_distinct" -> d29HllDistinct,
     "d30_count_min" -> d30CountMin,
     "d31_ensemble_neardup" -> d31EnsembleNearDup,

@@ -47,6 +47,19 @@ class AnnSpec extends AnyFunSuite with Matchers with SparkTestSession {
     hit.toDouble / exact.count()
   }
 
+  test("e14/e15 measured-quality gates: runtime floors hold and shapes are full at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    // e14: 10 queries x 3 probe budgets, monotone + floor asserts run inside
+    val r14 = graft.PipelineQueries.e14IvfRecallSweep(spark, dir).collect()
+    r14.length shouldBe 30
+    r14.map(_.getDouble(3)).foreach { r => r should (be >= 0.0 and be <= 1.0) }
+    // e15: 2 families x 10 queries, recall floors + distortion ceiling inside
+    val r15 = graft.PipelineQueries.e15PqDistortion(spark, dir).collect()
+    r15.length shouldBe 20
+    r15.map(_.getString(0)).distinct.sorted shouldBe Array("ivfpq", "pq")
+    r15.foreach { r => r.getDouble(4) should be >= 0.0 }
+  }
+
   test("clustered data: banded LSH (32 planes, 8 bands) recall >= 0.8 vs brute force") {
     val data = clustered(noise = 6) // members at cos ~0.81 to the centroid
     val queries = data.where(col("id") % perCluster === 0) // the 20 centroids
