@@ -32,6 +32,16 @@ re-derived here from its published definition —
   e12  RRF hybrid fusion (Cormack et al., SIGIR 2009): both retriever
        rankings re-derived from scratch (Robertson BM25 + float64 cosine)
        and re-fused with 1/(60+rank).
+  d16  Gopher rules (Rae et al. 2021): thresholds re-stated from the
+       paper (mean word len 3-10, alpha-word fraction > 0.8, symbol
+       ratio < 0.1) over ASCII-whitespace tokens.
+  d26  DSIR (Xie et al. 2023): hashed-n-gram importance weights with
+       add-1 smoothing, re-derived with math.log; top-20 re-ranked.
+  e8/e9  centroid-cosine scoring + the SemDeDup drop policy (Abbas et
+       al. 2023) re-derived with numpy float64 linear algebra.
+  d29/d30  sketch estimates checked against the PUBLISHED error
+       envelopes (HLL 1.04/sqrt(m); CMS no-undercount + collision
+       bound) with the exact counts independently recomputed.
 
 Usage: python3 tools/independent_check.py [sfDir] [verifyOutDir]
   verifyOutDir must contain the Verify parquet for the checked gates
@@ -327,6 +337,186 @@ def exact_money(sf_dir, out_dir):
           f"uses decimal accumulation{'; MISSING: ' + ', '.join(worst_missing) if worst_missing else ''}")
 
 
+
+
+# --------------------------------------------------------------- round-7 additions
+
+def char_trigram_codes(text):
+    """Char-3-gram integer codes, re-derived from the documented encoding
+    (codepoint base-256 positional: c0*65536 + c1*256 + c2)."""
+    if len(text) < 3:
+        return []
+    return [ord(text[i]) * 65536 + ord(text[i + 1]) * 256 + ord(text[i + 2])
+            for i in range(len(text) - 2)]
+
+
+def check_d16(docs, out):
+    """Gopher rules (Rae et al. 2021, Table A1 subset): mean word length in
+    [3, 10], fraction of words containing an alphabetic char > 0.8,
+    symbol('#'/'*')-to-word ratio < 0.1 — all re-derived from the paper's
+    published thresholds over ASCII-whitespace tokens."""
+    if out is None:
+        print("      d16: (no Verify output)")
+        return
+    want = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        ws = tokens(text)
+        nw = max(len(ws), 1)
+        mean_len = sum(len(w) for w in ws) / nw
+        frac_alpha = sum(1 for w in ws if re.search(r"[a-zA-Z]", w)) / nw
+        nsym = sum(1 for ch in text if ch in "#*")
+        sym_ratio = nsym / nw
+        want[doc_id] = (round(mean_len, 4), round(frac_alpha, 4), round(sym_ratio, 4),
+                        3.0 <= round(mean_len, 4) <= 10.0
+                        and round(frac_alpha, 4) > 0.8 and round(sym_ratio, 4) < 0.1)
+    n_bad = 0
+    for r in out.itertuples():
+        w = want[r.doc_id]
+        if (abs(r.mean_word_len - w[0]) > 2e-4 or abs(r.frac_alpha_words - w[1]) > 2e-4
+                or abs(r.symbol_ratio - w[2]) > 2e-4 or bool(r.passes) != w[3]):
+            n_bad += 1
+    check("d16 gopher thresholds", n_bad == 0,
+          f"all {len(out)} docs match the re-derived Rae-et-al rules ({n_bad} bad)")
+
+
+def check_d26(docs, out, n_buckets=256):
+    """DSIR (Xie et al. 2023): hashed-n-gram importance weights, add-1
+    smoothed — lam_b = ln(ct+1) - ln(nt+B) - ln(cr+1) + ln(nr+B); doc
+    weight = mean over its grams. Re-derived with math.log from the paper's
+    estimator; features are the documented char-3-gram codes mod B."""
+    if out is None:
+        print("      d26: (no Verify output)")
+        return
+    raw = Counter()
+    tgt = Counter()
+    per_doc = {}
+    langs = dict(zip(docs["doc_id"], docs["lang"]))
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        bs = [c % n_buckets for c in char_trigram_codes(text)]
+        per_doc[doc_id] = bs
+        raw.update(bs)
+        if langs[doc_id] == "en":
+            tgt.update(bs)
+    nr, nt = sum(raw.values()), sum(tgt.values())
+    lam = {b: math.log(tgt.get(b, 0) + 1) - math.log(nt + n_buckets)
+              - math.log(cr + 1) + math.log(nr + n_buckets)
+           for b, cr in raw.items()}
+    scored = sorted(
+        ((round(sum(lam[b] for b in bs) / len(bs), 4), doc_id, len(bs))
+         for doc_id, bs in per_doc.items() if bs),
+        key=lambda t: (-t[0], t[1]))[:20]
+    n_bad = 0
+    for r, (w, doc_id, n_grams) in zip(out.itertuples(), scored):
+        if r.doc_id != doc_id or r.n_grams != n_grams or abs(r.dsir_weight - w) > 2e-4:
+            n_bad += 1
+    check("d26 DSIR weights", n_bad == 0 and len(out) == 20,
+          f"top-20 docs, gram counts and importance weights match the "
+          f"re-derived Xie-et-al estimator ({n_bad} bad)")
+
+
+def check_e8_e9(emb, out8, out9):
+    """Cosine-to-centroid scoring re-derived with numpy float64: e8 =
+    bottom-20 cosines to the (id % 7)-cluster mean; e9 = SemDeDup (Abbas
+    et al. 2023) drop policy — intra-cluster pairs with cos >= 0.4 drop the
+    member closer to its centroid (round-6 comparison, id tie-break)."""
+    import numpy as np
+    ids = emb["vec_id"].to_numpy()
+    V = np.array([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+    order = np.argsort(ids)
+    ids, V = ids[order], V[order]
+
+    def centroids(k):
+        cl = ids % k
+        return cl, {c: V[cl == c].mean(axis=0) for c in np.unique(cl)}
+
+    def cos_cent(k):
+        cl, cents = centroids(k)
+        out = {}
+        for i, vid in enumerate(ids):
+            c = cents[cl[i]]
+            out[vid] = float(V[i] @ c / (np.linalg.norm(V[i]) * np.linalg.norm(c)))
+        return cl, out
+
+    if out8 is not None:
+        _, cc = cos_cent(7)
+        want = sorted(((c, vid) for vid, c in cc.items()))[:20]
+        n_bad = sum(1 for r, (c, vid) in zip(out8.itertuples(), want)
+                    if r.vec_id != vid or abs(r.cos_centroid - round(c, 4)) > 2e-4)
+        check("e8 centroid outliers", n_bad == 0,
+              f"bottom-20 centroid cosines match numpy re-derivation ({n_bad} bad)")
+    else:
+        print("      e8: (no Verify output)")
+
+    if out9 is not None:
+        k = max(7, math.ceil(len(ids) / 250))
+        cl, cc = cos_cent(k)
+        cc6 = {vid: round(c, 6) for vid, c in cc.items()}
+        dropped = set()
+        for c in np.unique(cl):
+            members = ids[cl == c]
+            M = V[cl == c]
+            norms = np.linalg.norm(M, axis=1)
+            sim = (M @ M.T) / np.outer(norms, norms)
+            for i in range(len(members)):
+                for j in range(i + 1, len(members)):
+                    if sim[i, j] >= 0.4:
+                        a, b = int(members[i]), int(members[j])
+                        loser = a if (cc6[a], a) > (cc6[b], b) else b
+                        dropped.add(loser)
+        n_bad = 0
+        for r in out9.itertuples():
+            if (int(r.cluster) != int(r.vec_id % k)
+                    or abs(r.cos_centroid - cc6[r.vec_id]) > 2e-5
+                    or bool(r.is_dropped) != (r.vec_id in dropped)):
+                n_bad += 1
+        check("e9 SemDeDup policy", n_bad == 0,
+              f"clusters, centroid cosines and drop verdicts match the "
+              f"re-derived Abbas-et-al policy over {len(out9)} vectors ({n_bad} bad)")
+    else:
+        print("      e9: (no Verify output)")
+
+
+def check_d29_d30(docs, out29, out30):
+    """Sketch plausibility from first principles (the hash constants are the
+    repo's own, so the CHECK here is the published error envelope, not a
+    register re-derivation): HLL (Flajolet 2007) estimate within 3 x
+    1.04/sqrt(64) of the independently recomputed exact distinct count;
+    CMS (Cormode-Muthukrishnan 2005) estimates never undercount and
+    overcount within a generous eN/w-style collision bound; the top-10
+    exact frequencies re-derived from raw text."""
+    all_codes = Counter()
+    for text in docs["text"]:
+        all_codes.update(char_trigram_codes(text))
+    exact_distinct = len(all_codes)
+    total = sum(all_codes.values())
+
+    if out29 is not None:
+        r = out29.iloc[0]
+        check("d29 HLL exact_distinct", int(r["exact_distinct"]) == exact_distinct,
+              f"gate exact={int(r['exact_distinct'])} vs recomputed {exact_distinct}")
+        env = 3 * 1.04 / math.sqrt(64) * exact_distinct
+        check("d29 HLL envelope", abs(r["hll_estimate"] - exact_distinct) <= env,
+              f"estimate {r['hll_estimate']:.0f} within 3-sigma ({env:.0f}) of exact")
+    else:
+        print("      d29: (no Verify output)")
+
+    if out30 is not None:
+        want_top = sorted(all_codes.items(), key=lambda t: (-t[1], t[0]))[:10]
+        n_bad = sum(1 for r, (code, cnt) in zip(out30.itertuples(), want_top)
+                    if r.code != code or r.exact_cnt != cnt)
+        check("d30 CMS top-10 exact counts", n_bad == 0,
+              f"top-10 codes + exact counts match raw-text recount ({n_bad} bad)")
+        under = sum(1 for r in out30.itertuples() if r.cms_est < r.exact_cnt)
+        check("d30 CMS no-undercount", under == 0,
+              "point estimates >= exact counts (the CMS guarantee)")
+        bound = 20 * total / 512
+        over = sum(1 for r in out30.itertuples() if r.cms_est - r.exact_cnt > bound)
+        check("d30 CMS overcount bound", over == 0,
+              f"overcounts within 20N/w = {bound:.0f} of exact")
+    else:
+        print("      d30: (no Verify output)")
+
+
 def main(sf_dir, out_dir):
     docs = load_table(sf_dir, "documents")
     li = load_table(sf_dir, "lineitem")
@@ -338,6 +528,13 @@ def main(sf_dir, out_dir):
     check_d32(docs, load_out(out_dir, "d25_mixture_weights"),
               load_out(out_dir, "d32_mixture_sample"))
     check_q25(li, load_out(out_dir, "q25_linreg"))
+    check_d16(docs, load_out(out_dir, "d16_gopher_rules"))
+    check_d26(docs, load_out(out_dir, "d26_dsir_weights"))
+    check_e8_e9(load_table(sf_dir, "embeddings"),
+                load_out(out_dir, "e8_centroid_outliers"),
+                load_out(out_dir, "e9_semantic_dedup"))
+    check_d29_d30(docs, load_out(out_dir, "d29_hll_distinct"),
+                  load_out(out_dir, "d30_count_min"))
     exact_money(sf_dir, out_dir)
     print(f"\n{'ALL INDEPENDENT CHECKS PASS' if not FAILURES else f'{len(FAILURES)} FAILURES:'}")
     for f in FAILURES:
