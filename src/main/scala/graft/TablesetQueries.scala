@@ -229,6 +229,25 @@ object TablesetQueries {
       .orderBy(col("h3index"))
   }
 
+  /** ts40: ts7's prefiltered traversal through the DataFrame-AOI overload
+    * (VERDICT r6 #5) — the AOI is the partition-pruned store scan ITSELF
+    * (never collected to the driver); traversal-cell derivation, the
+    * prefilter, and the store semi-join all stay distributed, and the
+    * result must hash-match ts7's oracle exactly. */
+  def ts40TraverseDf(spark: SparkSession, dir: String): DataFrame = {
+    import graft.traverse.Traversal
+    val store = ts1Store(spark, dir)
+    val aoi = store.scanForResolution("gate_sum", 5)
+      .where(col("ph3").between(40, 49))
+      .select(col("h3index"))
+    Traversal.traverseBulk(store, "gate_sum", aoi, 9,
+        Traversal.TraversalOptions(maxFetchCount = 2401,
+          prefilterTemplate = Some(
+            "SELECT * FROM <[table]> WHERE h3index IN <[h3indexes]> AND qty > 100")))
+      .select(col("traversal_cell"), col("h3index"), round(col("qty"), 2).as("qty"))
+      .orderBy(col("h3index"))
+  }
+
   // ------------------------------------------------------------------- ts6
 
   /** A11/A12 through the oracle gate: two overlapping insert batches leave
@@ -1078,6 +1097,17 @@ object TablesetQueries {
     "ts11_final_read" -> versionedOracleSql,
     // ts39 = ts11 through the graft_final TVF: identical oracle
     "ts39_sql_final" -> versionedOracleSql,
+    // ts40 = ts7 through the DataFrame-AOI path: same oracle
+    "ts40_traverse_df" ->
+      s"""WITH cells AS (SELECT DISTINCT $synthCellSql AS cell, l_quantity AS qty FROM lineitem),
+         |r5 AS (SELECT ${parentSql("cell", 9, 5)} AS p5, sum(qty) AS s
+         |       FROM cells GROUP BY 1),
+         |keep AS (SELECT p5 FROM r5
+         |         WHERE ((p5 >> 45) & 127) BETWEEN 40 AND 49 AND s > 100)
+         |SELECT ${parentSql("cell", 9, 5)} AS traversal_cell, cell AS h3index,
+         |  round(qty, 2) AS qty
+         |FROM cells JOIN keep ON ${parentSql("cell", 9, 5)} = keep.p5
+         |ORDER BY h3index""".stripMargin,
     // s6 ingests the same versioned rows through the STREAMING path and
     // reads via FINAL — a reader must not be able to tell
     "s6_versioned_stream" -> versionedOracleSql,
@@ -1652,6 +1682,7 @@ object TablesetQueries {
     "ts37_lightweight_delete" -> ts37LightweightDelete,
     "ts38_drop_partition" -> ts38DropPartition,
     "ts39_sql_final" -> ts39SqlFinal,
+    "ts40_traverse_df" -> ts40TraverseDf,
     "ts22_sql_stats" -> ts22SqlStats,
     "ts23_alter_partitioning" -> ts23AlterPartitioning,
     "ts24_sql_traverse" -> ts24SqlTraverse,

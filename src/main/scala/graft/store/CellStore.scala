@@ -845,6 +845,16 @@ class CellStore(spark: SparkSession, rootPath: String) {
       doUncompact: Boolean, template: Option[String]): DataFrame =
     queryCellsImpl(name, cells, targetRes, doUncompact, template, broadcastProbes = false)
 
+  /** DataFrame-probe path for callers that KNOW every probe's resolution
+    * (the traversal overloads: traversal cells are derived at one fixed
+    * resolution) — skips the probe-resolution discovery job the generic
+    * overload runs over the probe frame. */
+  private[graft] def queryCellsFrame(name: String, cells: DataFrame, targetRes: Int,
+      doUncompact: Boolean, template: Option[String],
+      probeRes: Seq[Int]): DataFrame =
+    queryCellsImpl(name, cells, targetRes, doUncompact, template,
+      broadcastProbes = false, knownRes = Some(probeRes))
+
   /** Driver-known probes -> an OR-of-ranges predicate on the RAW h3index
     * column: for each physical resolution r, every stored row matching some
     * probe lies (numerically) inside that resolution's probe envelope
@@ -901,7 +911,8 @@ class CellStore(spark: SparkSession, rootPath: String) {
   private def queryCellsImpl(name: String, cells: DataFrame, targetRes: Int,
       doUncompact: Boolean, template: Option[String],
       broadcastProbes: Boolean,
-      knownCells: Option[Seq[Long]] = None): DataFrame = {
+      knownCells: Option[Seq[Long]] = None,
+      knownRes: Option[Seq[Int]] = None): DataFrame = {
     val schema = getTableset(name)
     require(targetRes <= schema.maxBaseResolution,
       s"query resolution $targetRes exceeds tableset max ${schema.maxBaseResolution}")
@@ -909,7 +920,8 @@ class CellStore(spark: SparkSession, rootPath: String) {
       s"probe DataFrame must have exactly one column, got ${cells.columns.mkString(", ")}")
     val h3Col = CompactedTableSchema.ColH3Index
     val cellsDf = cells.toDF("qcell")
-    val knownProbeRes = knownCells.map(_.map(H3.getResolution).distinct.sorted)
+    val knownProbeRes = knownRes.map(_.distinct.sorted)
+      .orElse(knownCells.map(_.map(H3.getResolution).distinct.sorted))
     val knownBaseCells = knownCells.map(_.map(H3.getBaseCell(_).toLong).distinct)
 
     val physRes = (0 to targetRes).toSeq

@@ -88,6 +88,65 @@ object Traversal {
         h3_to_parent(col(CompactedTableSchema.ColH3Index), lit(travRes)))
   }
 
+  /** DataFrame-AOI overload of [[traverseBulk]]: the AOI stays distributed
+    * end to end — traversal-cell derivation (codegen'd H3 expressions +
+    * one distinct), the optional prefilter (its matched traversal cells
+    * ARE the distinct parents of the filter query's rows, flowing straight
+    * into the next semi-join), the optional k-ring buffer (executor-side
+    * flatMap over the H3 algebra), and the store's DataFrame-probe
+    * semi-join ([[CellStore.queryCells]]'s no-collect overload). A
+    * continent-sized AOI — a polyfill output, another query's result —
+    * never materializes on the driver; Catalyst/AQE picks the join
+    * strategy from the probe frame's actual size. `aoiCells` must have
+    * exactly one LONG column. */
+  def traverseBulk(store: CellStore, name: String, aoiCells: DataFrame,
+      targetRes: Int, options: TraversalOptions): DataFrame = {
+    val schema = store.getTableset(name)
+    val travRes = selectTraversalResolution(schema, targetRes, options.maxFetchCount)
+    var cells = traversalCellsFrame(aoiCells, travRes)
+    options.prefilterTemplate.foreach { ft =>
+      cells = store.queryCellsFrame(name, cells, travRes,
+          doUncompact = false, template = Some(ft), probeRes = Seq(travRes))
+        .select(h3_to_parent(col(CompactedTableSchema.ColH3Index), lit(travRes)).as("qcell"))
+        .distinct()
+    }
+    val queryCells =
+      if (options.includeBuffer > 0)
+        bufferCellsFrame(cells, targetRes, options.includeBuffer)
+      else cells
+    // buffered cells are at targetRes, plain traversal cells at travRes
+    val probeRes = if (options.includeBuffer > 0) Seq(targetRes) else Seq(travRes)
+    store.queryCellsFrame(name, queryCells, targetRes, options.doUncompact,
+        options.template, probeRes = probeRes)
+      .withColumn("traversal_cell",
+        h3_to_parent(col(CompactedTableSchema.ColH3Index), lit(travRes)))
+  }
+
+  /** [[traversalCells]] as a distributed transform: parent for cells at or
+    * finer than the traversal resolution, exploded children for coarser —
+    * all codegen'd H3 expressions, one distinct, no driver round-trip. */
+  private[graft] def traversalCellsFrame(aoi: DataFrame, travRes: Int): DataFrame = {
+    require(aoi.columns.length == 1,
+      s"AOI DataFrame must have exactly one column, got ${aoi.columns.mkString(", ")}")
+    val c0 = col(aoi.columns.head)
+    aoi.select(explode(
+        when(h3_get_resolution(c0) >= travRes,
+          array(h3_to_parent(c0, lit(travRes))))
+          .otherwise(h3_to_children(c0, lit(travRes)))).as("qcell"))
+      .distinct()
+  }
+
+  /** [[bufferCells]] distributed: the per-cell child + k-ring expansion
+    * runs as an executor-side flatMap over the pure H3 algebra. */
+  private def bufferCellsFrame(travCells: DataFrame, targetRes: Int, k: Int): DataFrame = {
+    val spark = travCells.sparkSession
+    import spark.implicits._
+    travCells.select(col(travCells.columns.head).cast("long")).as[Long]
+      .flatMap(tc =>
+        H3.toChildren(tc, targetRes).flatMap(c => graft.geom.Grid.gridDisk(c, k)))
+      .toDF("qcell").distinct()
+  }
+
   /** Geometry AOI (reference `TraversalArea::Geometry`): polyfill at the
     * traversal resolution, then traverse. Coordinates are (lng, lat) degrees. */
   def traverseBulkGeometry(store: CellStore, name: String,

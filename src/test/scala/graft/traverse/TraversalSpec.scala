@@ -58,6 +58,34 @@ class TraversalSpec extends AnyFunSuite with Matchers with SparkTestSession {
     travCells.length shouldBe 1 // single res-3 AOI cell == its own traversal cell
   }
 
+  test("DataFrame-AOI overload: identical rows to the Seq overload, AOI never on the driver") {
+    import spark.implicits._
+    val opts = Traversal.TraversalOptions(maxFetchCount = 500)
+    val seqRows = Traversal.traverseBulk(store, "trav_ts", Seq(hexRes3), 6, opts)
+      .select("traversal_cell", "h3index", "v").collect().map(_.toSeq).sortBy(_.toString)
+    val dfAoi = Seq(hexRes3).toDF("aoi")
+    val viaDf = Traversal.traverseBulk(store, "trav_ts", dfAoi, 6, opts)
+    viaDf.select("traversal_cell", "h3index", "v")
+      .collect().map(_.toSeq).sortBy(_.toString) shouldBe seqRows
+    // plan audit: the only LocalTableScan allowed in the DF path is the
+    // one-row AOI literal this test itself built — a collected-then-
+    // re-parallelized AOI would surface as a second local relation of
+    // traversal/probe cells. A store-scan AOI must plan with NO local
+    // relation at all.
+    val storeAoi = store.scanForResolution("trav_ts", 6)
+      .limit(50).select("h3index")
+    val plan = Traversal.traverseBulk(store, "trav_ts", storeAoi, 6, opts)
+      .queryExecution.executedPlan.toString
+    plan should not include "LocalTableScan"
+    plan should not include "scalar-subquery"
+    // and the prefiltered variant stays fully distributed too
+    val pre = Traversal.traverseBulk(store, "trav_ts", storeAoi, 6,
+      Traversal.TraversalOptions(maxFetchCount = 500, prefilterTemplate =
+        Some("SELECT * FROM <[table]> WHERE h3index IN <[h3indexes]> AND v >= 0")))
+    pre.queryExecution.executedPlan.toString should not include "LocalTableScan"
+    pre.count() shouldBe 343
+  }
+
   test("T2 iterator: per-cell frames, count parity with bulk (test_traversal.py:9-60)") {
     // finer traversal: cap 10 -> travRes 5 -> 49 traversal cells under hexRes3
     val it = Traversal.traverseIterator(store, "trav_ts", Seq(hexRes3), 6,
