@@ -1144,6 +1144,24 @@ object TablesetQueries {
     // s5 ingests the ts1 dataset through the streaming path; a reader must
     // not be able to tell — identical expected rows
     "s5_stream_ingest" -> ts1OracleSql,
+    // s15: streaming ingest with interleaved mutations. Per-chunk
+    // within-batch-distinct rows; chunk 0 (the only one captured by the
+    // batch-0 delete) loses v%11=3 AND v%7=0, chunks 1/2 lose v%7=0 only
+    // (the per-batch delete's final issue runs after the last insert).
+    // The mid-stream applyDeletes, snapshot vacuum, and res-5 partition
+    // drop are all live-content-neutral for the res-9 read.
+    "s15_stream_delete_interleave" ->
+      s"""WITH c0 AS (SELECT DISTINCT $synthCellSql AS cell, (l_orderkey % 50) AS v
+         |  FROM lineitem WHERE l_orderkey % 3 = 0),
+         |c1 AS (SELECT DISTINCT $synthCellSql AS cell, (l_orderkey % 50) AS v
+         |  FROM lineitem WHERE l_orderkey % 3 = 1),
+         |c2 AS (SELECT DISTINCT $synthCellSql AS cell, (l_orderkey % 50) AS v
+         |  FROM lineitem WHERE l_orderkey % 3 = 2),
+         |live AS (
+         |  SELECT cell, v FROM c0 WHERE v % 11 <> 3 AND v % 7 <> 0
+         |  UNION ALL SELECT cell, v FROM c1 WHERE v % 7 <> 0
+         |  UNION ALL SELECT cell, v FROM c2 WHERE v % 7 <> 0)
+         |SELECT cell AS h3index, v FROM live ORDER BY h3index, v""".stripMargin,
     "ts2_compact_roundtrip" -> ts2OracleSql,
     // ts18 is ts2's round trip with driver-known probes THROUGH THE FILE
     // MANIFEST — the data-skipping layer must be result-invisible
@@ -1350,6 +1368,87 @@ object TablesetQueries {
     s5Store(spark, dir).scanForResolution("gate_stream", 5)
       .select(col("h3index").as("parent5"), round(col("qty"), 2).as("sum_qty"))
       .orderBy(col("parent5"))
+
+  // ------------------------------------------------------------------- s15
+
+  /** Streaming ingest with INTERLEAVED store mutations (s15): the rows
+    * arrive as three single-file micro-batches (`maxFilesPerTrigger = 1`;
+    * batch order pinned via strictly increasing file modification times —
+    * the file source schedules oldest-first) and [[graft.streaming.StreamOps
+    * .insertStream]]'s per-batch hook runs REAL maintenance between them:
+    *
+    *   - after batch 0 only: `deleteWhere("v % 11 = 3")` — captures ONLY
+    *     chunk 0's files. Chunks 1/2 rows matching the predicate arrive
+    *     AFTER the mutation and must survive (the ClickHouse lightweight-
+    *     delete contract, ts37's semantics, through the streaming path);
+    *   - after EVERY batch: `deleteWhere("v % 7 = 0")` — the last one runs
+    *     after the last insert, so every such row is masked;
+    *   - after batch 1: [[graft.store.CellStore.applyDeletes]] — mid-stream
+    *     materialization; rewrites captured files while the source keeps
+    *     feeding; live rows must be invariant.
+    *
+    * After termination: `vacuumSnapshots(keepLast = 2)` (retention must not
+    * disturb the current state) and `dropPartitionsWhere(resolution = 5)` —
+    * retiring the coarse rollup's partitions prunes their delete-marker
+    * capture entries but must leave the res-9 masks (and rows) untouched.
+    *
+    * Oracle: per-chunk within-batch-distinct rows; chunk 0 loses
+    * `v%11=3` and `v%7=0`, chunks 1/2 lose `v%7=0` only. */
+  private def s15Store(spark: SparkSession, dir: String): CellStore = {
+    val store = CellStore(spark, rootFor(dir))
+    if (!store.listTablesets().contains("gate_stream_del")) {
+      val staging = graft.util.TempDirs.create("graft_s15_src_")
+      val li = lineitem(spark, dir)
+      (0 to 2).foreach { i =>
+        val tmp = graft.util.TempDirs.create("graft_s15_tmp_")
+        li.where(pmod(col("l_orderkey"), lit(3)) === i)
+          .select(Queries.synthCell.as("h3index"),
+            pmod(col("l_orderkey"), lit(50)).as("v"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"s15 staging: no part file under $tmp"))
+        val dst = new java.io.File(staging, s"chunk_$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        // FileStreamSource schedules unread files oldest-modification-first;
+        // distinct pinned times make batch i == chunk i deterministic
+        require(dst.setLastModified(1700000000000L + i * 60000L),
+          s"s15 staging: cannot pin mtime of $dst")
+      }
+      val schema = CompactedTableSchema.builder("gate_stream_del")
+        .h3BaseResolutions(Seq(5, 9))
+        .useCompaction(false)
+        .addAggregatedColumn("v", T.Int64, Agg.Max)
+        .build()
+      val src = spark.readStream
+        .schema(spark.read.parquet(staging).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+      val ckpt = graft.util.TempDirs.create("graft_s15_ckpt_")
+      val q = graft.streaming.StreamOps.insertStream(
+        src, store, "gate_stream_del", ckpt, createSchema = Some(schema),
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+        onBatch = (st, nm, batchId) => {
+          if (batchId == 0L) st.deleteWhere(nm, "v % 11 = 3")
+          st.deleteWhere(nm, "v % 7 = 0")
+          if (batchId == 1L) st.applyDeletes(nm)
+        })
+      q.awaitTermination()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      require(dataBatches == 3,
+        s"s15 gate expects 3 single-file micro-batches, saw $dataBatches")
+      store.vacuumSnapshots("gate_stream_del", keepLast = 2)
+      val dropped = store.dropPartitionsWhere("gate_stream_del",
+        col("resolution") === 5)
+      require(dropped > 0, "s15 gate expected to retire res-5 rollup partitions")
+    }
+    store
+  }
+
+  def s15StreamDeleteInterleave(spark: SparkSession, dir: String): DataFrame =
+    s15Store(spark, dir).scanForResolution("gate_stream_del", 9)
+      .select(col("h3index"), col("v"))
+      .orderBy(col("h3index"), col("v"))
 
   // ------------------------------------------------------------------ ts12
 
@@ -1657,6 +1756,7 @@ object TablesetQueries {
     "ts1_rollup_query" -> ts1RollupQuery,
     "s6_versioned_stream" -> s6VersionedStreamIngest,
     "s5_stream_ingest" -> s5StreamIngest,
+    "s15_stream_delete_interleave" -> s15StreamDeleteInterleave,
     "ts2_compact_roundtrip" -> ts2CompactRoundtrip,
     "ts3_mixed_rollup" -> ts3MixedRollup,
     "ts4_stats" -> ts4Stats,

@@ -1476,7 +1476,17 @@ class CellStore(spark: SparkSession, rootPath: String) {
       }.reduce(_ && _)
     }.reduceOption(_ || _).getOrElse(lit(false))
     compactFilesWhere(name, touched)
-    val leftover = pendingDeletes(name)
+    // Scope the unlink pass to the ENTRY-TIME markers only (by id): a
+    // deleteWhere racing this materialization (the streaming soak's
+    // mutator) publishes a NEW marker capturing every current file —
+    // including untouched partitions full of live rows. Folding that
+    // marker into `leftover` would (a) trip the survivors gate spuriously
+    // and (b) mask survivor-counting with a delete this call never set out
+    // to materialize. The concurrent marker stays pending and is
+    // materialized by the NEXT applyDeletes — correct lightweight-delete
+    // semantics, not a skipped delete.
+    val entryIds = dels.map(_.id).toSet
+    val leftover = pendingDeletes(name).filter(d => entryIds(d.id))
     if (leftover.nonEmpty) {
       val files = leftover.flatMap(_.files).distinct
         .map(rel => new Path(dataPath(name), rel)).filter(p => fs.exists(p))

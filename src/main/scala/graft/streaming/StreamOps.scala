@@ -126,6 +126,16 @@ object StreamOps {
     * Cross-batch duplicates follow reference semantics: dedup is per
     * insert; the optimize pass removes the rest.
     *
+    * `onBatch(store, name, batchId)` runs AFTER each micro-batch's insert,
+    * on the streaming thread — the maintenance-interleave hook. Long-running
+    * ingest needs housekeeping between batches (lightweight `deleteWhere`,
+    * `applyDeletes` materialization, `deduplicateWhere`, snapshot vacuum),
+    * and running it here serializes the maintenance with the inserts on the
+    * store's own commit path, the same way the reference interleaves its
+    * optimize pass with the chunked insert loop. A hook failure fails the
+    * batch (and so the query) loudly — maintenance errors must not be
+    * swallowed mid-ingest.
+    *
     * Returns the started query; callers own its lifecycle. */
   def insertStream(stream: DataFrame, store: graft.store.CellStore, name: String,
       checkpointDir: String,
@@ -133,15 +143,17 @@ object StreamOps {
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
       invalidPolicy: graft.store.CellStore.InvalidPolicy =
-        graft.store.CellStore.InvalidPolicy.Fail)
+        graft.store.CellStore.InvalidPolicy.Fail,
+      onBatch: (graft.store.CellStore, String, Long) => Unit = (_, _, _) => ())
       : org.apache.spark.sql.streaming.StreamingQuery = {
     createSchema.foreach(store.createTableset)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         store.insert(name, batch, invalidPolicy = invalidPolicy)
+        onBatch(store, name, batchId)
       }
       .start()
   }
