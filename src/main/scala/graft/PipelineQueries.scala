@@ -550,6 +550,53 @@ object PipelineQueries {
     out
   }
 
+  /** e14's probed fraction of the centroid count — nprobe = ceil(C/16)
+    * pins ~6% of cells probed regardless of corpus size. Shared by the
+    * Spark side and (as SQL) the oracle. */
+  private val IvfAdaptiveDenom = 16
+
+  /** Adaptive-nprobe IVF (e16): the tuning answer e14's sweep points at,
+    * applied. e14 measures the FIXED-budget failure mode — C grows ~sqrt(n)
+    * while nprobe stays 3, so the probed corpus fraction shrinks and mean
+    * recall@5 falls with scale (0.40 → 0.50 → 0.24 across
+    * sf0.001/0.01/0.1). Here nprobe = ceil(C / $IvfAdaptiveDenom) instead:
+    * the probed CELL fraction is pinned (~6%), so recall no longer decays
+    * as the corpus — and with it C — grows. Probe cost is then
+    * O(n / $IvfAdaptiveDenom) per query (each cell holds ~n/C vectors):
+    * recall-stable IVF pays a CONSTANT corpus fraction; shrinking the cost
+    * fraction too is the PQ path's job (e7/e10 compress the per-candidate
+    * scan, the e15 gate bounds what that costs in recall/distortion).
+    *
+    * Runtime floor (d23 style): mean recall@5 >= 0.15 — measured
+    * 0.32/0.40/0.38 at sf0.001/0.01/0.1 (nprobe 2/2/5): FLAT across two
+    * orders of magnitude where the fixed budget decays 0.40/0.50/0.24,
+    * which is the property the adaptive rule exists to buy. ~60x chance
+    * rate; by e14's monotonicity argument the adaptive budget's recall
+    * >= the fixed budget's wherever ceil(C/16) >= 3. */
+  def e16AdaptiveNprobe(spark: SparkSession, dir: String): DataFrame = {
+    val v = ivfCorpus(spark, dir)
+    val cents = ivfCentroids(v)
+    val np = math.max(1L, math.ceil(cents.count() / IvfAdaptiveDenom.toDouble).toLong)
+    val queries = v.where(col("id") < IvfNumQueries)
+    val exact = graft.Queries.e1KnnBruteForce(spark, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = Ann.knnIvf(queries, v, cents, IvfK, np.toInt)
+      .select(col("query_id"), col("neighbor_id"))
+      .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    val out = exact.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), lit(np).as("nprobe"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)) / lit(IvfK.toDouble), 2).as("recall"))
+      .orderBy(col("query_id"))
+    val rows = out.collect()
+    val mean = rows.map(_.getDouble(3)).sum / rows.length
+    require(mean >= 0.15,
+      f"e16: mean recall@5 at adaptive nprobe=$np is $mean%.2f < 0.15 floor")
+    out
+  }
+
   /** Measured PQ quantization quality (e15): for the flat-PQ (e7) and
     * IVF-PQ (e10) rankings, per query — recall@5 against the exact
     * brute-force top-5 (e1) and the worst ADC distortion
@@ -1566,6 +1613,50 @@ object PipelineQueries {
        |ORDER BY k.nprobe, k.query_id""".stripMargin
   }
 
+  /** e16: e14's IVF derivation at the single ADAPTIVE budget
+    * nprobe = ceil(C/denom), with C re-derived from the oracle's own
+    * centroid CTE (scalar-subquery device, like the stride). */
+  private lazy val e16OracleSql: String = {
+    val cosSql = (a: String, b: String) =>
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |$ivfStrideSql,
+       |cent AS (SELECT vec_id AS cid, v AS cv FROM v, st WHERE vec_id % st.s = 0),
+       |np AS (SELECT greatest(1, CAST(ceil(count(*) / ${IvfAdaptiveDenom}.0) AS BIGINT)) AS np
+       |  FROM cent),
+       |assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT v.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${cosSql("v.v", "c.cv")} DESC, c.cid) AS rn
+       |    FROM v CROSS JOIN cent c) WHERE rn = 1),
+       |pr AS (SELECT vec_id AS query_id, cid, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+       |  FROM (SELECT v.vec_id, c.cid, ${cosSql("v.v", "c.cv")} AS cos
+       |        FROM v CROSS JOIN cent c WHERE v.vec_id < $IvfNumQueries)),
+       |cand AS (SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+       |  FROM pr p CROSS JOIN np JOIN assign a ON a.cid = p.cid
+       |  WHERE p.rn <= np.np AND a.vec_id != p.query_id),
+       |top AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY ${cosSql("q.v", "n.v")} DESC, neighbor_id) AS rnk
+       |    FROM cand JOIN v q ON q.vec_id = query_id
+       |      JOIN v n ON n.vec_id = neighbor_id)
+       |  WHERE rnk <= $IvfK),
+       |ex AS (SELECT query_id, neighbor_id FROM (${graft.Queries.e1OracleSql})),
+       |h AS (SELECT t.query_id, count(*) AS hits
+       |  FROM top t JOIN ex ON ex.query_id = t.query_id
+       |    AND ex.neighbor_id = t.neighbor_id
+       |  GROUP BY t.query_id)
+       |SELECT k.query_id, (SELECT np FROM np) AS nprobe,
+       |  coalesce(h.hits, 0) AS hits,
+       |  round(coalesce(h.hits, 0) / ${IvfK}.0, 2) AS recall
+       |FROM (SELECT DISTINCT query_id FROM ex) k
+       |LEFT JOIN h ON h.query_id = k.query_id
+       |ORDER BY k.query_id""".stripMargin
+  }
+
   /** e15: e7's and e10's ADC rankings (embedded verbatim) scored for
     * recall against e1's exact oracle and for worst ADC-vs-true-dot
     * distortion per query. */
@@ -1839,6 +1930,7 @@ object PipelineQueries {
     "e10_ivf_pq" -> ivfPqOracleSql,
     "e14_ivf_recall_sweep" -> e14OracleSql,
     "e15_pq_distortion" -> e15OracleSql,
+    "e16_adaptive_nprobe" -> e16OracleSql,
     // q27: the same t2 edge set, closed with DuckDB's recursive CTE using
     // UNION (distinct) — the declarative fixpoint for REACHABILITY, the
     // semantics the Spark side reaches via semi-naive frontier iteration
@@ -2098,6 +2190,7 @@ object PipelineQueries {
     "e10_ivf_pq" -> e10IvfPq,
     "e14_ivf_recall_sweep" -> e14IvfRecallSweep,
     "e15_pq_distortion" -> e15PqDistortion,
+    "e16_adaptive_nprobe" -> e16AdaptiveNprobe,
     "d29_hll_distinct" -> d29HllDistinct,
     "d30_count_min" -> d30CountMin,
     "d31_ensemble_neardup" -> d31EnsembleNearDup,

@@ -58,6 +58,12 @@ class AnnSpec extends AnyFunSuite with Matchers with SparkTestSession {
     r15.length shouldBe 20
     r15.map(_.getString(0)).distinct.sorted shouldBe Array("ivfpq", "pq")
     r15.foreach { r => r.getDouble(4) should be >= 0.0 }
+    // e16: 10 queries at ONE adaptive budget; floor assert runs inside,
+    // and the adaptive budget can never probe fewer cells than exist
+    val r16 = graft.PipelineQueries.e16AdaptiveNprobe(spark, dir).collect()
+    r16.length shouldBe 10
+    r16.map(_.getLong(1)).distinct.length shouldBe 1 // one shared nprobe
+    r16.head.getLong(1) should be >= 1L
   }
 
   test("clustered data: banded LSH (32 planes, 8 bands) recall >= 0.8 vs brute force") {
