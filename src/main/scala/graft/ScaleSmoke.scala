@@ -35,11 +35,23 @@ object ScaleSmoke {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val results = for (dir <- dirs; name <- names) yield {
-      run(name, dir) // warmup: builds stores/memos for this dir
-      val t = math.min(run(name, dir), run(name, dir))
-      println(f"""SMOKE {"query":"$name","dir":"$dir","sec":$t%.2f}""")
-      (name, dir, t)
+    val results = dirs.flatMap { dir =>
+      val rows = names.map { name =>
+        run(name, dir) // warmup: builds stores/memos for this dir
+        val t = math.min(run(name, dir), run(name, dir))
+        println(f"""SMOKE {"query":"$name","dir":"$dir","sec":$t%.2f}""")
+        (name, dir, t)
+      }
+      // Release this decade's cached/checkpointed blocks before the next:
+      // memoized frames (sigSets, stores, probe sets) are keyed per dir and
+      // never revisited, but their localCheckpoint blocks stay pinned — at
+      // the FOURTH decade (300x) the accumulated earlier-decade caches
+      // OOMed an 80g heap mid-t2. Dropping them here keeps the one-JVM
+      // protocol (same host window, warm JIT) while each decade is
+      // measured against its own working set only.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+      rows
     }
     println("\nquery" + dirs.map(d => s"\t$d").mkString)
     names.foreach { n =>
