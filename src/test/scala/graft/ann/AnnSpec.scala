@@ -64,6 +64,12 @@ class AnnSpec extends AnyFunSuite with Matchers with SparkTestSession {
     r16.length shouldBe 10
     r16.map(_.getLong(1)).distinct.length shouldBe 1 // one shared nprobe
     r16.head.getLong(1) should be >= 1L
+    // e17: shortlist-then-exact-rerank; the per-query dominance proof
+    // (hits(e17) >= hits(e10) for EVERY query) asserts inside
+    val r17 = graft.PipelineQueries.e17IvfPqRerank(spark, dir).collect()
+    r17.length shouldBe 50 // 10 queries x full top-5
+    r17.map(_.getInt(1)).toSeq.distinct.sorted shouldBe (1 to 5)
+    r17.map(_.getDouble(3)).foreach { c => c should (be >= -1.0001 and be <= 1.0001) }
   }
 
   test("clustered data: banded LSH (32 planes, 8 bands) recall >= 0.8 vs brute force") {
