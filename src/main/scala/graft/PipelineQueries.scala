@@ -1323,6 +1323,127 @@ object PipelineQueries {
       .orderBy(col("rnk"))
   }
 
+  /** Classifier-based quality filtering (d33) — the GPT-3/CCNet curation
+    * step: train a logistic-regression classifier to recognize a REFERENCE
+    * slice of the corpus from cheap per-document token statistics, then
+    * score EVERY document and keep those above the 0.5 decision boundary.
+    * On this synthetic corpus the only text property with learnable
+    * structure is the length class (vocabulary is uniform across
+    * langs/sources by construction — measured: lang/LM-quality labels sit
+    * at base-rate accuracy), so the gate's reference label is
+    * n_chars >= 300 and the features are deliberately LENGTH-FREE ratios —
+    * stopword density, tokens-per-char, type-token ratio — forcing the
+    * model to recover a held-out property from distributional statistics
+    * (TTR falls with length in fixed-vocabulary text; corr -0.8). Runtime-
+    * asserted: (a) full-batch GD's loss-descent contract holds at every
+    * iteration (eta=2 < 2/L for these bounded features), and (b) final
+    * training accuracy >= 0.85 and >= base rate + 0.25 (measured
+    * 0.94/0.95/0.95 vs base 0.51 at sf0.001/0.01/0.1).
+    *
+    * Distribution: the 4-double feature frame is computed once
+    * (localCheckpoint) and each GD iteration is ONE map-side-combined
+    * aggregation returning the 4-component gradient + loss (the MODEL, not
+    * data) to the driver, which folds it into the weight vector
+    * re-injected as literals — the treeAggregate shape MLlib's optimizers
+    * use. At 100 TB the feature frame is a written intermediate
+    * (~40 B/row) and every iteration is a slim columnar scan with partial
+    * aggregation; driver state is O(features).
+    *
+    * Floats: features are exact ratios of engine-agnostic integer counts
+    * (d6's stopword-term and tokenization contracts), so both engines
+    * iterate from bit-identical inputs; eta=2.0 is exactly representable;
+    * sum-order divergence (~1e-13/pass) stays ~4 orders below the 4dp
+    * rounding (measured minimum boundary distance 2e-8). The oracle is the
+    * SAME descent unrolled as D33Iters generated CTE pairs
+    * (w0 -> g1 -> w1 -> ... -> wT -> score). */
+  private val D33Iters = 40
+  private val D33Eta = 2.0
+  private val D33LenCut = 300
+  def d33QualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val ntok = greatest(size(split(trim(col("text")), "\\s+")), lit(1))
+    val feats = docs(spark, dir).select(
+        col("doc_id"),
+        (TextOps.stopwordCount(col("text")).cast("double") / ntok).as("x1"),
+        (ntok.cast("double") / greatest(col("n_chars"), lit(1))).as("x2"),
+        (size(array_distinct(split(trim(col("text")), "\\s+"))).cast("double")
+          / ntok).as("x3"),
+        when(col("n_chars") >= D33LenCut, 1.0).otherwise(0.0).as("y"))
+      .localCheckpoint()
+    val w = Array.fill(4)(0.0)
+    def zc = lit(w(0)) + lit(w(1)) * col("x1") +
+      lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
+    def lossc(s: org.apache.spark.sql.Column) =
+      avg(-(col("y") * log(s) + (lit(1.0) - col("y")) * log(lit(1.0) - s)))
+    var prevLoss = Double.MaxValue
+    for (it <- 1 to D33Iters) {
+      val s = lit(1.0) / (lit(1.0) + exp(-zc))
+      val d = s - col("y")
+      val r = feats.agg(
+        (sum(d) / count(lit(1))).as("g0"),
+        (sum(d * col("x1")) / count(lit(1))).as("g1"),
+        (sum(d * col("x2")) / count(lit(1))).as("g2"),
+        (sum(d * col("x3")) / count(lit(1))).as("g3"),
+        lossc(s).as("loss")).head()
+      val loss = r.getDouble(4)
+      require(loss <= prevLoss + 1e-12,
+        f"d33: GD loss ascended at iteration $it: $loss%.6f > $prevLoss%.6f")
+      prevLoss = loss
+      for (j <- 0 to 3) w(j) -= D33Eta * r.getDouble(j)
+    }
+    val score = lit(1.0) / (lit(1.0) + exp(-zc))
+    val m = feats.agg(
+      avg(((score >= 0.5) === (col("y") === 1.0)).cast("double")).as("acc"),
+      avg(col("y")).as("pos"), lossc(score).as("loss")).head()
+    val (acc, pos, finalLoss) = (m.getDouble(0), m.getDouble(1), m.getDouble(2))
+    val base = math.max(pos, 1.0 - pos)
+    require(finalLoss <= prevLoss + 1e-12,
+      f"d33: final loss $finalLoss%.6f above last iteration's $prevLoss%.6f")
+    require(acc >= 0.85 && acc >= base + 0.25,
+      f"d33: classifier failed to learn: acc=$acc%.3f base=$base%.3f")
+    val q = round(score, 4)
+    feats.select(col("doc_id"), q.as("quality"),
+        (q >= 0.5).cast("int").as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** d33's oracle: the identical descent unrolled — feature CTE (d6's
+    * stopword terms / tokenization), then D33Iters (gradient, weights) CTE
+    * pairs, then the final sigmoid scoring, all generated from the same
+    * constants as the Spark loop. */
+  private lazy val d33OracleSql: String = {
+    val stopTerms = TextOps.Stopwords.map(m =>
+      s"((length(p) - length(replace(p, '$m', ''))) / ${m.length})::BIGINT")
+      .mkString(" + ")
+    val ntok = "greatest(length(string_split_regex(trim(text), '\\s+')), 1)"
+    val ndist = "length(list_distinct(string_split_regex(trim(text), '\\s+')))"
+    def z(w: String) = s"$w.w0 + $w.w1*x1 + $w.w2*x2 + $w.w3*x3"
+    val iters = (1 to D33Iters).map { i =>
+      val pw = s"w${i - 1}"
+      s"""g$i AS MATERIALIZED (SELECT sum(d)/count(*) AS g0, sum(d*x1)/count(*) AS g1,
+         |    sum(d*x2)/count(*) AS g2, sum(d*x3)/count(*) AS g3
+         |  FROM (SELECT 1.0/(1.0+exp(-(${z(pw)}))) - y AS d, x1, x2, x3
+         |        FROM f CROSS JOIN $pw)),
+         |w$i AS MATERIALIZED (SELECT $pw.w0 - $D33Eta*g$i.g0 AS w0, $pw.w1 - $D33Eta*g$i.g1 AS w1,
+         |  $pw.w2 - $D33Eta*g$i.g2 AS w2, $pw.w3 - $D33Eta*g$i.g3 AS w3
+         |  FROM $pw CROSS JOIN g$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH p AS (SELECT doc_id, n_chars, text, ' ' || text || ' ' AS p
+       |  FROM documents),
+       |f AS MATERIALIZED (SELECT doc_id,
+       |    ($stopTerms)::DOUBLE / $ntok AS x1,
+       |    $ntok::DOUBLE / greatest(n_chars, 1) AS x2,
+       |    $ndist::DOUBLE / $ntok AS x3,
+       |    CASE WHEN n_chars >= $D33LenCut THEN 1.0 ELSE 0.0 END AS y
+       |  FROM p),
+       |w0 AS (SELECT 0.0::DOUBLE AS w0, 0.0::DOUBLE AS w1,
+       |  0.0::DOUBLE AS w2, 0.0::DOUBLE AS w3),
+       |$iters
+       |SELECT doc_id, round(q, 4) AS quality, (round(q, 4) >= 0.5)::INT AS keep
+       |FROM (SELECT doc_id, 1.0/(1.0+exp(-(${z(s"w$D33Iters")}))) AS q
+       |      FROM f CROSS JOIN w$D33Iters)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Content-defined chunking dedup (d27) — the LBFS/FastCDC shape
     * (Muthitacharoen et al., SOSP '01): chunk boundaries wherever the
     * rolling 3-gram code satisfies code % 32 == 7 (expected chunk ≈ 32
@@ -1879,6 +2000,7 @@ object PipelineQueries {
          |  doc_id, n_grams, dsir_weight
          |FROM (SELECT * FROM sc ORDER BY dsir_weight DESC, doc_id LIMIT 20)
          |ORDER BY rnk""".stripMargin,
+    "d33_quality_classifier" -> d33OracleSql,
     "d27_cdc_chunks" -> {
       val w = (0 until 8).map(k => (0 until k).foldLeft(1L)((acc, _) => acc * 31 % P))
       val wList = w.mkString("[", ",", "]")
@@ -2295,6 +2417,7 @@ object PipelineQueries {
     "e8_centroid_outliers" -> e8CentroidOutliers,
     "e9_semantic_dedup" -> e9SemanticDedup,
     "d26_dsir_weights" -> d26DsirWeights,
+    "d33_quality_classifier" -> d33QualityClassifier,
     "d27_cdc_chunks" -> d27CdcChunks,
     "s9_stream_neardup" -> s9StreamNearDup,
     "c1_curation" -> c1Curation,

@@ -52,4 +52,20 @@ class CurationGatesSpec extends AnyFunSuite with Matchers with SparkTestSession 
     // unordered source pairs: src_a <= src_b always
     matrix.foreach(r => r.getString(0) should be <= r.getString(1))
   }
+
+  test("d33: classifier learns the held-out length class from length-free features") {
+    // loss-descent + accuracy-floor asserts run INSIDE the query; here we
+    // check the output contract: one row per doc, scores in (0,1), and the
+    // keep flag is exactly the 0.5 threshold on the rounded score
+    val out = PipelineQueries.d33QualityClassifier(spark, dir).collect()
+    val docs = spark.read.parquet(s"$dir/documents.parquet").count()
+    out.length.toLong shouldBe docs
+    out.foreach { r =>
+      val (q, keep) = (r.getDouble(1), r.getInt(2))
+      q should (be > 0.0 and be < 1.0)
+      keep shouldBe (if (q >= 0.5) 1 else 0)
+    }
+    // it actually discriminates: both classes are non-empty
+    out.map(_.getInt(2)).distinct.sorted shouldBe Array(0, 1)
+  }
 }

@@ -414,6 +414,55 @@ def check_d26(docs, out, n_buckets=256):
           f"re-derived Xie-et-al estimator ({n_bad} bad)")
 
 
+def check_d33(docs, out):
+    """Quality classifier (the GPT-3/CCNet curation step): full-batch
+    logistic-regression GD re-derived with numpy float64 from the
+    documented spec — features x1 = stopword-marker density (non-
+    overlapping padded substring counts), x2 = tokens/chars, x3 =
+    type-token ratio, label = n_chars >= 300, w_{t+1} = w_t -
+    eta * mean((sigmoid(Xw) - y) X), eta=2, 40 iterations from zero.
+    Also re-proves the descent contract (loss strictly non-increasing)
+    and the accuracy floor independently of the Scala asserts."""
+    if out is None:
+        print("      d33: (no Verify output)")
+        return
+    import numpy as np
+    stop_markers = [" the ", " and ", " of ", " to ", " in ",
+                    " is ", " it ", " that "]
+    rows = []
+    for doc_id, text, n_chars in zip(docs["doc_id"], docs["text"],
+                                     docs["n_chars"]):
+        ws = re.split(r"\s+", text.strip(), flags=re.ASCII)
+        ntok = max(len(ws), 1)
+        padded = " " + text + " "
+        nstop = sum(padded.count(m) for m in stop_markers)
+        rows.append((doc_id, nstop / ntok, ntok / max(n_chars, 1),
+                     len(set(ws)) / ntok, 1.0 if n_chars >= 300 else 0.0))
+    rows.sort()
+    X = np.array([[1.0, r[1], r[2], r[3]] for r in rows])
+    y = np.array([r[4] for r in rows])
+    w = np.zeros(4)
+    losses = []
+    for _ in range(40):
+        s = 1.0 / (1.0 + np.exp(-(X @ w)))
+        losses.append(float(-(y * np.log(s) + (1 - y) * np.log(1 - s)).mean()))
+        w = w - 2.0 * (X * (s - y)[:, None]).mean(axis=0)
+    s = 1.0 / (1.0 + np.exp(-(X @ w)))
+    losses.append(float(-(y * np.log(s) + (1 - y) * np.log(1 - s)).mean()))
+    mono = all(b <= a + 1e-12 for a, b in zip(losses, losses[1:]))
+    acc = float(((s >= 0.5) == (y == 1.0)).mean())
+    base = max(float(y.mean()), 1 - float(y.mean()))
+    want = {r[0]: (round(q, 4), 1 if round(q, 4) >= 0.5 else 0)
+            for r, q in zip(rows, s)}
+    n_bad = sum(1 for r in out.itertuples()
+                if abs(r.quality - want[r.doc_id][0]) > 2e-4
+                or r.keep != want[r.doc_id][1])
+    check("d33 quality classifier", n_bad == 0 and mono and acc >= 0.85
+          and acc >= base + 0.25,
+          f"scores+keep match the re-derived 40-step descent ({n_bad} bad); "
+          f"loss monotone={mono}; acc={acc:.3f} vs base={base:.3f}")
+
+
 def check_e8_e9(emb, out8, out9):
     """Cosine-to-centroid scoring re-derived with numpy float64: e8 =
     bottom-20 cosines to the (id % 7)-cluster mean; e9 = SemDeDup (Abbas
@@ -530,6 +579,7 @@ def main(sf_dir, out_dir):
     check_q25(li, load_out(out_dir, "q25_linreg"))
     check_d16(docs, load_out(out_dir, "d16_gopher_rules"))
     check_d26(docs, load_out(out_dir, "d26_dsir_weights"))
+    check_d33(docs, load_out(out_dir, "d33_quality_classifier"))
     check_e8_e9(load_table(sf_dir, "embeddings"),
                 load_out(out_dir, "e8_centroid_outliers"),
                 load_out(out_dir, "e9_semantic_dedup"))
