@@ -487,8 +487,7 @@ object PipelineQueries {
     * the query frame swapped for the sample), while the approx side is the
     * production index path. */
   def e13AnnRecall(spark: SparkSession, dir: String): DataFrame = {
-    val exact = graft.Queries.e1KnnBruteForce(spark, dir)
-      .select(col("query_id"), col("neighbor_id"))
+    val exact = exactKnnFrame(spark, dir)
     val approx = e2LshAnn(spark, dir).select(col("query_id"), col("neighbor_id"))
     val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
@@ -521,8 +520,7 @@ object PipelineQueries {
     val v = ivfCorpus(spark, dir)
     val cents = ivfCentroids(v)
     val queries = v.where(col("id") < IvfNumQueries)
-    val exact = graft.Queries.e1KnnBruteForce(spark, dir)
-      .select(col("query_id"), col("neighbor_id"))
+    val exact = exactKnnFrame(spark, dir)
     val perProbe = (1 to IvfNprobe).map { np =>
       Ann.knnIvf(queries, v, cents, IvfK, np)
         .select(lit(np).as("nprobe"), col("query_id"), col("neighbor_id"))
@@ -578,8 +576,7 @@ object PipelineQueries {
     val cents = ivfCentroids(v)
     val np = math.max(1L, math.ceil(cents.count() / IvfAdaptiveDenom.toDouble).toLong)
     val queries = v.where(col("id") < IvfNumQueries)
-    val exact = graft.Queries.e1KnnBruteForce(spark, dir)
-      .select(col("query_id"), col("neighbor_id"))
+    val exact = exactKnnFrame(spark, dir)
     val hits = Ann.knnIvf(queries, v, cents, IvfK, np.toInt)
       .select(col("query_id"), col("neighbor_id"))
       .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
@@ -623,8 +620,7 @@ object PipelineQueries {
     import graft.ann.expr.functions.vec_dot
     val v = emb(spark, dir).select(col("vec_id"),
       transform(col("embedding"), _.cast("double")).as("dv"))
-    val exact = graft.Queries.e1KnnBruteForce(spark, dir)
-      .select(col("query_id"), col("neighbor_id"))
+    val exact = exactKnnFrame(spark, dir)
     def family(fam: String, top: DataFrame): DataFrame = {
       val err = top
         .join(v.select(col("vec_id").as("query_id"), col("dv").as("qv")), "query_id")
@@ -936,14 +932,25 @@ object PipelineQueries {
     * scoring machinery is e7's (ADC over codes), and the oracle pins the
     * full assign -> residual -> encode -> probe -> ADC pipeline
     * bit-for-bit against DuckDB. */
-  def e10IvfPq(spark: SparkSession, dir: String): DataFrame = {
-    val v = ivfCorpus(spark, dir)
-    Ann.knnIvfPq(v.where(col("id") < IvfNumQueries), v, ivfCentroids(v),
-        IvfK, IvfNprobe, PqNumSub, PqSubDim, PqKsub)
-      .select(col("query_id"), col("rnk"), col("neighbor_id"),
-        round(col("adc"), 4).as("adc_score"))
-      .orderBy(col("query_id"), col("rnk"))
-  }
+  def e10IvfPq(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, s"e10:$dir") {
+      val v = ivfCorpus(spark, dir)
+      Ann.knnIvfPq(v.where(col("id") < IvfNumQueries), v, ivfCentroids(v),
+          IvfK, IvfNprobe, PqNumSub, PqSubDim, PqKsub)
+        .select(col("query_id"), col("rnk"), col("neighbor_id"),
+          round(col("adc"), 4).as("adc_score"))
+    }.orderBy(col("query_id"), col("rnk"))
+
+  /** The e1 exact top-k ranking, memoized per dir — the shared quality
+    * anchor every measured-recall gate (e13-e17) joins against; computed
+    * once per session instead of once per gate. At 100 TB this frame is
+    * the sampled-query brute-force pass, written once and read by every
+    * index-quality report. */
+  private def exactKnnFrame(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, s"e1exact:$dir") {
+      graft.Queries.e1KnnBruteForce(spark, dir)
+        .select(col("query_id"), col("neighbor_id"))
+    }
 
   /** IVF-PQ with exact re-ranking (e17): the IVFADC+R recipe — e10's ADC
     * ranking is cut at a SHORTLIST of R = 4k candidates per query instead
@@ -968,7 +975,7 @@ object PipelineQueries {
     * 4k rows. At 100 TB the shortlist side stays KB-sized per query batch;
     * no all-pairs anything, no array ever rides a wide exchange. */
   private val IvfRerankR = 4 * IvfK
-  def e17IvfPqRerank(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def e17IvfPqRerankRaw(spark: SparkSession, dir: String): DataFrame = {
     import graft.ann.expr.functions.vec_cosine
     val v = ivfCorpus(spark, dir)
     val cents = ivfCentroids(v)
@@ -983,17 +990,24 @@ object PipelineQueries {
       col("vec").cast("array<double>").as("nv"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    val out = nv.join(broadcast(probe), "neighbor_id")
-      .withColumn("cos", vec_cosine(col("qv"), col("nv")))
+    // cosine evaluates map-side inside the broadcast-join stage and the
+    // arrays are dropped BEFORE the per-query window shuffle — only
+    // (query_id, neighbor_id, cos) rides the exchange (plan-audited)
+    nv.join(broadcast(probe), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        vec_cosine(col("qv"), col("nv")).as("cos"))
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= IvfK)
       .select(col("query_id"), col("rnk"), col("neighbor_id"),
         round(col("cos"), 4).as("cos_sim"))
       .orderBy(col("query_id"), col("rnk"))
+  }
+
+  def e17IvfPqRerank(spark: SparkSession, dir: String): DataFrame = {
+    val out = e17IvfPqRerankRaw(spark, dir)
     // Runtime assertion of the per-query dominance proof above, against
     // the exact oracle (e1) and e10's ADC-ranked output.
-    val exact = graft.Queries.e1KnnBruteForce(spark, dir)
-      .select(col("query_id"), col("neighbor_id"))
+    val exact = exactKnnFrame(spark, dir)
     def hitsOf(df: DataFrame): Map[Long, Long] =
       df.select(col("query_id"), col("neighbor_id"))
         .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
@@ -1340,8 +1354,8 @@ object PipelineQueries {
     * training accuracy >= 0.85 and >= base rate + 0.25 (measured
     * 0.94/0.95/0.95 vs base 0.51 at sf0.001/0.01/0.1).
     *
-    * Distribution: the 4-double feature frame is computed once
-    * (localCheckpoint) and each GD iteration is ONE map-side-combined
+    * Distribution: the 4-double feature frame is computed once (per-dir
+    * memo, localCheckpoint-backed) and each GD iteration is ONE map-side-combined
     * aggregation returning the 4-component gradient + loss (the MODEL, not
     * data) to the driver, which folds it into the weight vector
     * re-injected as literals — the treeAggregate shape MLlib's optimizers
@@ -1361,14 +1375,15 @@ object PipelineQueries {
   private val D33LenCut = 300
   def d33QualityClassifier(spark: SparkSession, dir: String): DataFrame = {
     val ntok = greatest(size(split(trim(col("text")), "\\s+")), lit(1))
-    val feats = docs(spark, dir).select(
+    val feats = memo(spark, s"d33feats:$dir") {
+      docs(spark, dir).select(
         col("doc_id"),
         (TextOps.stopwordCount(col("text")).cast("double") / ntok).as("x1"),
         (ntok.cast("double") / greatest(col("n_chars"), lit(1))).as("x2"),
         (size(array_distinct(split(trim(col("text")), "\\s+"))).cast("double")
           / ntok).as("x3"),
         when(col("n_chars") >= D33LenCut, 1.0).otherwise(0.0).as("y"))
-      .localCheckpoint()
+    }
     val w = Array.fill(4)(0.0)
     def zc = lit(w(0)) + lit(w(1)) * col("x1") +
       lit(w(2)) * col("x2") + lit(w(3)) * col("x3")

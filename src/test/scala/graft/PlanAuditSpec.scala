@@ -257,6 +257,21 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkTestSession {
     all(exchanges) should not include "qv#"
   }
 
+  test("e17: re-rank join broadcasts the slim shortlist; vectors never shuffle") {
+    val plan = planOf(
+      PipelineQueries.e17IvfPqRerankRaw(spark, "/root/testdata/sf0.001"))
+    plan should include("BroadcastExchange")
+    plan should not include "CartesianProduct"
+    // corpus/query vector arrays never transit a shuffle exchange — the
+    // only things exchanged are ids and the per-query window rows
+    val exchanges = plan.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("Broadcast")).toSeq
+    all(exchanges) should not include "nv#"
+    all(exchanges) should not include "qv#"
+    all(exchanges) should not include "dv#"
+    all(exchanges) should not include "rv#"
+  }
+
   test("d14: shard packing never plans a single-partition window") {
     // audit PrefixSum's phase 1 directly on d14's token frame: the gate's
     // own plan starts at the localCheckpoint (lineage truncated), so the
