@@ -941,7 +941,7 @@ object Queries {
     * broadcast join of the |langs|-row budget frame. */
   def d32MixtureSample(spark: SparkSession, dir: String): DataFrame = {
     import graft.text.TextOps
-    val P = TextOps.P
+    val P = graft.text.TextOps.P
     val h = pmod(pmod(col("doc_id"), lit(P)) * TextOps.hashA(11) + TextOps.hashB(11), lit(P))
     val targets = d25MixtureWeights(spark, dir)
       .select(col("lang"), col("n_docs"), col("target_docs"))
@@ -1203,6 +1203,47 @@ object Queries {
       .where(col("rn") <= 20)
       .select(col("lang"), col("doc_id"), col("n_chars"))
       .orderBy(col("lang"), col("doc_id"))
+  }
+
+  /** Weighted corpus subsampling without replacement (d34) — Efraimidis &
+    * Spirakis (IPL 2006) A-ES keys: each doc draws a deterministic uniform
+    * u in (0,1] from an integer hash of its id and is ranked by ln(u)/w
+    * (the monotone-equivalent of the paper's u^(1/w)); the global top-k by
+    * key IS a weighted sample without replacement, inclusion probability
+    * increasing in w. Weight = the d3 quality score — the "subsample the
+    * corpus toward its high-quality slice" curation op, with reproducible,
+    * engine-independent randomness (seeded hash, never rand()).
+    *
+    * Scale shape: one narrow per-row projection, then orderBy + limit(k)
+    * — Spark plans TakeOrderedAndProject: per-partition top-k heaps and a
+    * k-row driver merge, never a global sort; at 100 TB the exchange
+    * carries k rows per partition. Runtime-asserted: the sampled mean
+    * weight exceeds the corpus mean (the bias the estimator exists to
+    * produce; measured ratio 1.07/1.07/1.10 at sf0.001/0.01/0.1).
+    *
+    * Floats: u is an exact rational of integer hashes and w an exact 4dp
+    * double (d3 is hash-exact), so cross-engine keys differ only by ln()'s
+    * last ulp — the measured minimum inter-key gap is 6.8e-8, nine orders
+    * above it; the gap at the k-cut is >= 3e-4. */
+  private val D34K = 100
+  def d34WeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val P = graft.text.TextOps.P
+    val q = round(least(col("n_chars").cast("double") / 1000.0, lit(1.0)) * 0.5 +
+      when(col("lang") === "en", 0.3).otherwise(0.1) +
+      when(col("n_chars") > 100, 0.2).otherwise(0.0), 4)
+    val h = pmod(pmod(col("doc_id"), lit(P)) * 2654435761L, lit(P))
+    val u = (pmod(h, lit(P - 1)) + 1).cast("double") / lit(P.toDouble)
+    val keyed = t(spark, dir, "documents")
+      .select(col("doc_id"), q.as("weight"), (log(u) / q).as("k"))
+    val top = keyed.orderBy(col("k").desc, col("doc_id")).limit(D34K)
+    val meanAll = keyed.agg(avg(col("weight"))).head().getDouble(0)
+    val meanS = top.agg(avg(col("weight"))).head().getDouble(0)
+    require(meanS > meanAll,
+      f"d34: weighted sample shows no quality bias: $meanS%.4f <= $meanAll%.4f")
+    top.select(
+        row_number().over(Window.orderBy(col("k").desc, col("doc_id"))).as("rnk"),
+        col("doc_id"), col("weight"), round(col("k"), 6).as("sample_key"))
+      .orderBy(col("rnk"))
   }
 
   /** Deterministic train/val/test split (c5): assign every document to a
@@ -1836,6 +1877,20 @@ object Queries {
           |    row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
           |  FROM documents)
           |WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin,
+      "d34_weighted_sample" ->
+        s"""WITH kd AS (SELECT doc_id,
+           |    round(least(n_chars / 1000.0, 1.0) * 0.5 +
+           |      CASE WHEN lang = 'en' THEN 0.3 ELSE 0.1 END +
+           |      CASE WHEN n_chars > 100 THEN 0.2 ELSE 0.0 END, 4) AS weight,
+           |    ((doc_id % ${graft.text.TextOps.P}) * 2654435761) % ${graft.text.TextOps.P} AS h
+           |  FROM documents),
+           |keyed AS (SELECT doc_id, weight,
+           |    ln(((h % ${graft.text.TextOps.P - 1}) + 1)::DOUBLE / ${graft.text.TextOps.P}.0) / weight AS k
+           |  FROM kd)
+           |SELECT row_number() OVER (ORDER BY k DESC, doc_id) AS rnk,
+           |  doc_id, weight, round(k, 6) AS sample_key
+           |FROM (SELECT * FROM keyed ORDER BY k DESC, doc_id LIMIT 100)
+           |ORDER BY rnk""".stripMargin,
       "q11_asof_join" ->
         """WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
           |c AS (SELECT user_id, ts, max(event_id) AS click_id
@@ -2359,6 +2414,7 @@ object Queries {
     "d6_stopword_ratio" -> d6StopwordRatio,
     "d7_repetition_ratio" -> d7RepetitionRatio,
     "d8_stratified_sample" -> d8StratifiedSample,
+    "d34_weighted_sample" -> d34WeightedSample,
     "d9_dup_ngram_frac" -> d9DupNgramFrac,
     "d10_tfidf_topk" -> d10TfidfTopk,
     "d18_bm25_topk" -> d18Bm25Topk,

@@ -53,6 +53,20 @@ class CurationGatesSpec extends AnyFunSuite with Matchers with SparkTestSession 
     matrix.foreach(r => r.getString(0) should be <= r.getString(1))
   }
 
+  test("d34: A-ES sample is a valid without-replacement draw of exactly k docs") {
+    // the quality-bias assert runs INSIDE the query; here: exact k, no
+    // duplicate members, dense ranks, and keys non-increasing in rank
+    val out = Queries.d34WeightedSample(spark, dir).collect()
+    out.length shouldBe 100
+    out.map(_.getLong(1)).distinct.length shouldBe 100
+    out.map(_.getInt(0)).toSeq shouldBe (1 to 100)
+    out.map(_.getDouble(3)).toSeq.sliding(2).foreach {
+      case Seq(a, b) => a should be >= b
+      case _ =>
+    }
+    out.foreach(r => r.getDouble(2) should (be > 0.0 and be <= 1.0))
+  }
+
   test("d33: classifier learns the held-out length class from length-free features") {
     // loss-descent + accuracy-floor asserts run INSIDE the query; here we
     // check the output contract: one row per doc, scores in (0,1), and the

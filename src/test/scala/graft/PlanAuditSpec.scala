@@ -272,6 +272,13 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkTestSession {
     all(exchanges) should not include "rv#"
   }
 
+  test("d34: weighted sampling plans TakeOrderedAndProject, not a global sort") {
+    val plan = planOf(Queries.d34WeightedSample(spark, "/root/testdata/sf0.001"))
+    // per-partition top-k heaps + k-row driver merge; the only Sort allowed
+    // is the k-row window over the ALREADY-cut sample
+    plan should include("TakeOrderedAndProject")
+  }
+
   test("d14: shard packing never plans a single-partition window") {
     // audit PrefixSum's phase 1 directly on d14's token frame: the gate's
     // own plan starts at the localCheckpoint (lineage truncated), so the
