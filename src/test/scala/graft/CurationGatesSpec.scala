@@ -67,6 +67,14 @@ class CurationGatesSpec extends AnyFunSuite with Matchers with SparkTestSession 
     out.foreach(r => r.getDouble(2) should (be > 0.0 and be <= 1.0))
   }
 
+  test("s16: streaming filter output == the batch classifier's kept slice exactly") {
+    val batch = PipelineQueries.d33QualityClassifier(spark, dir).collect()
+      .filter(_.getInt(2) == 1).map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val stream = PipelineQueries.s16StreamQualityFilter(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    stream shouldBe batch // same model, same expressions, different surface
+  }
+
   test("d33: classifier learns the held-out length class from length-free features") {
     // loss-descent + accuracy-floor asserts run INSIDE the query; here we
     // check the output contract: one row per doc, scores in (0,1), and the
