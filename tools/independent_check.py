@@ -463,6 +463,41 @@ def check_d33(docs, out):
           f"loss monotone={mono}; acc={acc:.3f} vs base={base:.3f}")
 
 
+def check_d34(docs, out):
+    """Weighted sampling without replacement re-derived from Efraimidis &
+    Spirakis (IPL 2006): key_i = u_i^(1/w_i), keep the k largest. We rank
+    by the paper's ORIGINAL u^(1/w) form (math.pow), which must select the
+    same sample the repo's monotone-equivalent ln(u)/w form does; the
+    reported key is checked as ln(u)/w. Weights re-derived from the d3
+    definition; uniforms from the documented Knuth multiplicative hash."""
+    if out is None:
+        print("      d34: (no Verify output)")
+        return
+    P = 2147483647
+    rows = []
+    for doc_id, lang, n_chars in zip(docs["doc_id"], docs["lang"],
+                                     docs["n_chars"]):
+        w = round(min(n_chars / 1000.0, 1.0) * 0.5
+                  + (0.3 if lang == "en" else 0.1)
+                  + (0.2 if n_chars > 100 else 0.0), 4)
+        u = ((((doc_id % P) * 2654435761) % P) % (P - 1) + 1) / P
+        rows.append((math.pow(u, 1.0 / w), doc_id, w, math.log(u) / w))
+    rows.sort(key=lambda t: (-t[0], t[1]))
+    top = rows[:len(out)]
+    n_bad = 0
+    for rnk, (r, (_, doc_id, w, k)) in enumerate(zip(out.itertuples(), top), 1):
+        if (r.rnk != rnk or r.doc_id != doc_id
+                or abs(r.weight - w) > 2e-4 or abs(r.sample_key - k) > 2e-6):
+            n_bad += 1
+    # selection bias the estimator exists to produce
+    mean_s = sum(t[2] for t in top) / len(top)
+    mean_all = sum(t[2] for t in rows) / len(rows)
+    check("d34 weighted sample", n_bad == 0 and mean_s > mean_all,
+          f"top-{len(out)} selected by the paper's u^(1/w) form matches the "
+          f"shipped ln(u)/w ranking ({n_bad} bad); sample mean w "
+          f"{mean_s:.4f} > corpus {mean_all:.4f}")
+
+
 def check_e8_e9(emb, out8, out9):
     """Cosine-to-centroid scoring re-derived with numpy float64: e8 =
     bottom-20 cosines to the (id % 7)-cluster mean; e9 = SemDeDup (Abbas
@@ -580,6 +615,7 @@ def main(sf_dir, out_dir):
     check_d16(docs, load_out(out_dir, "d16_gopher_rules"))
     check_d26(docs, load_out(out_dir, "d26_dsir_weights"))
     check_d33(docs, load_out(out_dir, "d33_quality_classifier"))
+    check_d34(docs, load_out(out_dir, "d34_weighted_sample"))
     check_e8_e9(load_table(sf_dir, "embeddings"),
                 load_out(out_dir, "e8_centroid_outliers"),
                 load_out(out_dir, "e9_semantic_dedup"))
