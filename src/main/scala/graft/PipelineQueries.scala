@@ -103,6 +103,13 @@ object PipelineQueries {
     * context. */
   private val frameCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  /** Drop every memoized frame (all sessions). For callers that are about
+    * to unpersist the checkpoint blocks those frames are backed by (the
+    * ScaleSmoke per-decade release): a cached localCheckpointed frame whose
+    * blocks are gone is permanently broken — it must be rebuilt, not
+    * served. */
+  private[graft] def evictMemos(): Unit = frameCache.clear()
+
   private[graft] def memo(spark: SparkSession, key: String)(f: => DataFrame): DataFrame = {
     val appId = spark.sparkContext.applicationId
     // evict entries of OTHER (stopped) contexts: stale checkpointed frames
@@ -521,10 +528,10 @@ object PipelineQueries {
     val cents = ivfCentroids(v)
     val queries = v.where(col("id") < IvfNumQueries)
     val exact = exactKnnFrame(spark, dir)
-    val perProbe = (1 to IvfNprobe).map { np =>
-      Ann.knnIvf(queries, v, cents, IvfK, np)
-        .select(lit(np).as("nprobe"), col("query_id"), col("neighbor_id"))
-    }.reduce(_.unionByName(_))
+    // one assignment + one scoring pass for all three budgets — the
+    // oracle's own pr-CTE-re-cut shape (see Ann.knnIvfSweep)
+    val perProbe = Ann.knnIvfSweep(queries, v, cents, IvfK, IvfNprobe)
+      .select(col("nprobe"), col("query_id"), col("neighbor_id"))
     val hits = perProbe.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy(col("nprobe"), col("query_id")).agg(count(lit(1)).as("hits"))
     val keys = exact.select(col("query_id")).distinct()
@@ -969,11 +976,13 @@ object PipelineQueries {
     * sits between e10's ADC-ranked recall and e4's exact-reranked IVF
     * recall, which is exactly the published IVFADC+R positioning.
     *
-    * Scale shape: the re-rank adds ONE narrow join — the (query_id,
-    * neighbor_id) shortlist (numQueries x 4k slim rows) broadcast against
-    * the corpus scan to fetch vectors, then a per-query top-k window over
-    * 4k rows. At 100 TB the shortlist side stays KB-sized per query batch;
-    * no all-pairs anything, no array ever rides a wide exchange. */
+    * Scale shape: the re-rank adds two BROADCAST joins with slim payloads
+    * — the id-only (query_id, neighbor_id) shortlist (numQueries x 4k
+    * rows) fetches corpus vectors from the scan, and the numQueries-row
+    * query-vector frame attaches qv — then a per-query top-k window over
+    * 4k slim (id, id, cos) rows. At 100 TB both broadcast sides stay
+    * KB-sized per query batch; no all-pairs anything, no array ever rides
+    * a wide exchange. */
   private val IvfRerankR = 4 * IvfK
   private[graft] def e17IvfPqRerankRaw(spark: SparkSession, dir: String): DataFrame = {
     import graft.ann.expr.functions.vec_cosine
@@ -985,15 +994,18 @@ object PipelineQueries {
       .select(col("query_id"), col("neighbor_id"))
     val qv = queries.select(col("id").as("query_id"),
       col("vec").cast("array<double>").as("qv"))
-    val probe = short.join(qv, "query_id")
     val nv = v.select(col("id").as("neighbor_id"),
       col("vec").cast("array<double>").as("nv"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    // cosine evaluates map-side inside the broadcast-join stage and the
+    // broadcast payloads stay SLIM: the id-only shortlist fetches nv from
+    // the corpus scan, then the numQueries-row qv frame (itself broadcast-
+    // sized) attaches the query vector — never qv duplicated R-fold.
+    // cosine evaluates map-side inside the broadcast-join stages and the
     // arrays are dropped BEFORE the per-query window shuffle — only
     // (query_id, neighbor_id, cos) rides the exchange (plan-audited)
-    nv.join(broadcast(probe), "neighbor_id")
+    nv.join(broadcast(short), "neighbor_id")
+      .join(broadcast(qv), "query_id")
       .select(col("query_id"), col("neighbor_id"),
         vec_cosine(col("qv"), col("nv")).as("cos"))
       .withColumn("rnk", row_number().over(w))

@@ -369,10 +369,7 @@ object Queries {
     * oracle-checkable. One shuffle on the stratum key, then a groupBy
     * whose partial aggregation runs inside the window stage's partitions. */
   def c4QualityNtile(spark: SparkSession, dir: String): DataFrame = {
-    val quality = round(
-      least(col("n_chars").cast("double") / 1000.0, lit(1.0)) * 0.5 +
-        when(col("lang") === "en", 0.3).otherwise(0.1) +
-        when(col("n_chars") > 100, 0.2).otherwise(0.0), 4)
+    val quality = qualityScore
     val w = Window.partitionBy(col("lang")).orderBy(col("quality").desc, col("doc_id"))
     t(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), quality.as("quality"))
@@ -1228,9 +1225,7 @@ object Queries {
   private val D34K = 100
   def d34WeightedSample(spark: SparkSession, dir: String): DataFrame = {
     val P = graft.text.TextOps.P
-    val q = round(least(col("n_chars").cast("double") / 1000.0, lit(1.0)) * 0.5 +
-      when(col("lang") === "en", 0.3).otherwise(0.1) +
-      when(col("n_chars") > 100, 0.2).otherwise(0.0), 4)
+    val q = qualityScore
     val h = pmod(pmod(col("doc_id"), lit(P)) * 2654435761L, lit(P))
     val u = (pmod(h, lit(P - 1)) + 1).cast("double") / lit(P.toDouble)
     val keyed = t(spark, dir, "documents")
@@ -1587,16 +1582,21 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** The d3 quality heuristic as a shared Column — the ONE definition the
+    * scoring gate (d3), the decile filter (c4) and the weighted sampler
+    * (d34) all evaluate, so a change to the formula cannot silently
+    * de-synchronize the operators that document "weight = the d3 score". */
+  private[graft] def qualityScore: org.apache.spark.sql.Column =
+    round(
+      least(col("n_chars").cast("double") / 1000.0, lit(1.0)) * 0.5 +
+        when(col("lang") === "en", 0.3).otherwise(0.1) +
+        when(col("n_chars") > 100, 0.2).otherwise(0.0), 4)
+
   /** Quality score: simple length/punctuation heuristic, deterministic
     * integer arithmetic (training-data quality filter shape). */
   def d3QualityScore(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
-      .select(
-        col("doc_id"),
-        round(
-          least(col("n_chars").cast("double") / 1000.0, lit(1.0)) * 0.5 +
-            when(col("lang") === "en", 0.3).otherwise(0.1) +
-            when(col("n_chars") > 100, 0.2).otherwise(0.0), 4).as("quality"))
+      .select(col("doc_id"), qualityScore.as("quality"))
       .orderBy(col("doc_id"))
 
   /** Language distribution with average length. */

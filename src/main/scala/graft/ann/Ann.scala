@@ -285,6 +285,44 @@ object Ann {
     rerank(cand, queries, corpus, k)
   }
 
+  /** The nprobe SWEEP of [[knnIvf]] in one pass: centroid assignment,
+    * probe ranking, candidate fetch and the exact-cosine scoring all run
+    * ONCE at the maximum budget; each candidate (carrying the rank `rn` of
+    * the probe that found it) is then replicated to every budget
+    * np >= rn — slim (ids, cos) rows only — and cut top-k per (np, query).
+    * Row-identical to unioning knnIvf over np = 1..maxNprobe (each corpus
+    * vector is assigned exactly one cell, so the budget-np candidate set
+    * is exactly {rn <= np}), at one Nth of the assignment + scoring cost
+    * for an N-budget sweep. */
+  def knnIvfSweep(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      k: Int, maxNprobe: Int): DataFrame = {
+    val nonEmpty = (df: DataFrame) => df.where(size(col("vec")) > 0)
+    val assign = ivfAssign(nonEmpty(corpus), centroids)
+    val wp = Window.partitionBy(col("id")).orderBy(col("cos").desc, col("cid"))
+    val probes = centroidCosines(nonEmpty(queries), centroids)
+      .withColumn("rn", row_number().over(wp))
+      .where(col("rn") <= maxNprobe)
+      .select(col("id").as("query_id"), col("cid"), col("rn"))
+    val cand = probes.join(assign.withColumnRenamed("id", "neighbor_id"), "cid")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("rn"))
+    val qv = withNorm(queries, "query_id", "qv", "qn")
+    val nv = withNorm(corpus, "neighbor_id", "nv", "nn")
+    val w = Window.partitionBy(col("nprobe"), col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand
+      .join(qv, "query_id")
+      .join(nv, "neighbor_id")
+      .withColumn("cos",
+        cosineWithNorms(col("qv"), col("nv"), col("qn"), col("nn")))
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
+        explode(sequence(col("rn"), lit(maxNprobe))).as("nprobe"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("nprobe"), col("query_id"), col("rnk"),
+        col("neighbor_id"), col("cos"))
+  }
+
   // -------------------------------------------------------------------- PQ
 
   /** Product-quantization codebooks: the vector space is split into

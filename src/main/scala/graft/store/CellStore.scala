@@ -652,7 +652,11 @@ class CellStore(spark: SparkSession, rootPath: String) {
     * (ADVICE r3, medium). Rewritten paths invalidate the manifest (dropped
     * here; rebuild at will) and snapshot history (fails loudly at
     * [[scanAsOf]]). */
-  def alterPartitioning(name: String, newPartitioning: H3Partitioning): Unit = {
+  def alterPartitioning(name: String, newPartitioning: H3Partitioning): Unit =
+      CellStore.commitLock(cacheKey(name)).synchronized {
+    // serialized with deleteWhere/insert: the staged full rewrite reads
+    // masked rows and replaces the whole data dir, then prunes every
+    // marker — a marker committed mid-stage would be pruned unapplied
     val schema = getTableset(name)
     if (schema.h3Partitioning == newPartitioning) return
     val updated = schema.copy(h3Partitioning = newPartitioning).validated
@@ -1461,7 +1465,16 @@ class CellStore(spark: SparkSession, rootPath: String) {
     * those files are 100% deleted rows by construction and are unlinked
     * directly). Afterwards no marker remains and scans take the unmasked
     * fast path again. Like any rewrite, invalidates earlier snapshots. */
-  def applyDeletes(name: String): Unit = {
+  def applyDeletes(name: String): Unit =
+      CellStore.commitLock(cacheKey(name)).synchronized {
+    // The commit lock spans snapshot -> rewrite -> unlink gate -> prune: a
+    // same-JVM deleteWhere can no longer commit a marker between the
+    // pending-delete snapshot and the rewrite's masked read (which would
+    // make the rewrite mask with a delete this call's unlink gate doesn't
+    // know, tripping the survivors check spuriously), nor between the
+    // rewrite and prune (which would lose the marker — see
+    // optimizePartitionsClustered's scaladoc). The entry-scoping below
+    // stays as the cross-JVM defense.
     val dels = pendingDeletes(name)
     if (dels.isEmpty) return
     val dirs = dels.flatMap(_.files).map { r =>
@@ -1477,14 +1490,14 @@ class CellStore(spark: SparkSession, rootPath: String) {
     }.reduceOption(_ || _).getOrElse(lit(false))
     compactFilesWhere(name, touched)
     // Scope the unlink pass to the ENTRY-TIME markers only (by id): a
-    // deleteWhere racing this materialization (the streaming soak's
-    // mutator) publishes a NEW marker capturing every current file —
-    // including untouched partitions full of live rows. Folding that
-    // marker into `leftover` would (a) trip the survivors gate spuriously
-    // and (b) mask survivor-counting with a delete this call never set out
-    // to materialize. The concurrent marker stays pending and is
-    // materialized by the NEXT applyDeletes — correct lightweight-delete
-    // semantics, not a skipped delete.
+    // CROSS-JVM deleteWhere racing this materialization (same-JVM racers
+    // are excluded by the commit lock above) publishes a NEW marker
+    // capturing every current file — including untouched partitions full
+    // of live rows. Folding that marker into `leftover` would (a) trip the
+    // survivors gate spuriously and (b) mask survivor-counting with a
+    // delete this call never set out to materialize. The concurrent marker
+    // stays pending and is materialized by the NEXT applyDeletes — correct
+    // lightweight-delete semantics, not a skipped delete.
     val entryIds = dels.map(_.id).toSet
     val leftover = pendingDeletes(name).filter(d => entryIds(d.id))
     if (leftover.nonEmpty) {
@@ -1591,7 +1604,11 @@ class CellStore(spark: SparkSession, rootPath: String) {
     * markers whose captured files vanish; stale manifest entries are
     * dropped against the live listing by construction. Returns the number
     * of directories removed. */
-  def dropPartitionsWhere(name: String, touched: org.apache.spark.sql.Column): Int = {
+  def dropPartitionsWhere(name: String, touched: org.apache.spark.sql.Column): Int =
+      CellStore.commitLock(cacheKey(name)).synchronized {
+    // serialized with deleteWhere/insert for the same reason as
+    // optimizePartitionsClustered: listing -> unlink -> prune must not
+    // interleave with a marker commit capturing the dirs being dropped
     getTableset(name)
     if (!fs.exists(dataPath(name))) return 0
     val rels = listDataFilesCached(name).map(relToData(name, _))
@@ -2313,10 +2330,19 @@ class CellStore(spark: SparkSession, rootPath: String) {
     * the hook [[zorderFilesWhere]] uses to linearize on the Z-curve. The
     * key is an expression over row columns, so nothing extra lands in the
     * written files. */
+  /** SERIALIZED with [[deleteWhere]]/insert on the per-tableset commit
+    * lock (held across the whole rewrite): a marker committed between this
+    * rewrite's masked read and its pruneDeleteMarkers would capture files
+    * the dynamic overwrite then replaces WITHOUT the new mask applied —
+    * prune would see every captured file gone, unlink the marker, and an
+    * ACKNOWLEDGED delete would silently un-happen. Same-JVM writers are
+    * the documented consistency domain; cross-JVM markers keep the
+    * entry-scoped defenses in [[applyDeletes]]. */
   private def optimizePartitionsClustered(name: String,
       touched: org.apache.spark.sql.Column,
       collapse: (DataFrame, CompactedTableSchema) => DataFrame,
-      clusterKey: DataFrame => org.apache.spark.sql.Column): Unit = {
+      clusterKey: DataFrame => org.apache.spark.sql.Column): Unit =
+      CellStore.commitLock(cacheKey(name)).synchronized {
     val schema = getTableset(name)
     val dp = dataPath(name)
     if (!fs.exists(dp)) return
