@@ -146,6 +146,55 @@ class StoreCrashConcurrencySpec extends AnyFunSuite with Matchers with SparkTest
     wA.dropTableset(name)
   }
 
+  test("acknowledged deleteWhere survives racing rewrites: no marker pruned unapplied") {
+    // Regression for the round-7 review's marker-loss race: without the
+    // commit lock spanning a rewrite's masked read -> overwrite -> prune,
+    // a deleteWhere committed mid-rewrite captured files the overwrite
+    // then replaced UNMASKED; prune saw every captured file gone and
+    // unlinked the marker — the acknowledged delete silently un-happened.
+    // A mutator thread fires acknowledged single-value deletes while
+    // another loops materializing rewrites; at the end (merge-on-read AND
+    // after draining — deliberately NO catch-all re-delete) no row
+    // matching any acknowledged predicate may remain.
+    val root = Files.createTempDirectory("graft_dw_race_").toString
+    val wA = CellStore(spark, root)
+    val wB = CellStore(spark, root)
+    wA.insert(name, frame(rows(parentA, 0) ++ rows(parentB, 100)),
+      createSchema = Some(schema))
+    val acked = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val deleter = new Thread(() =>
+      try for (k <- Seq(3L, 7L, 11L, 104L, 108L)) {
+        wB.deleteWhere(name, s"v = $k")
+        acked.add(k) // the commit returned: this delete is ACKNOWLEDGED
+        Thread.sleep(15)
+      } catch { case t: Throwable => errors.add(t) }
+      finally stop.set(true))
+    val rewriter = new Thread(() =>
+      try {
+        var i = 0
+        while (!stop.get() && i < 20) {
+          wA.applyDeletes(name)
+          wA.compactFilesWhere(name, col("ph3") >= 0)
+          i += 1
+        }
+      } catch { case t: Throwable => errors.add(t) })
+    deleter.start(); rewriter.start()
+    deleter.join(); rewriter.join()
+    errors shouldBe empty
+    val ackedSet = {
+      val b = Set.newBuilder[Long]; acked.forEach(k => b += k); b.result()
+    }
+    ackedSet should have size 5
+    // merge-on-read: pending markers still mask
+    scanRows(wA, name).map(_._2).toSet.intersect(ackedSet) shouldBe empty
+    // and after draining every marker into the files
+    wA.applyDeletes(name)
+    scanRows(wB, name).map(_._2).toSet.intersect(ackedSet) shouldBe empty
+    wA.dropTableset(name)
+  }
+
   test("concurrent schema writers never lose the sidecar or a committed column") {
     // ADVICE r6 (medium): with a FIXED temp name and no lock, two
     // concurrent writeSchema calls could race so that the loser's
