@@ -537,11 +537,14 @@ object PipelineQueries {
     val keys = exact.select(col("query_id")).distinct()
       .select(col("query_id"),
         explode(array((1 to IvfNprobe).map(lit): _*)).as("nprobe"))
-    val out = keys.join(hits, Seq("nprobe", "query_id"), "left")
-      .select(col("nprobe"), col("query_id"),
-        coalesce(col("hits"), lit(0L)).as("hits"),
-        round(coalesce(col("hits"), lit(0L)) / lit(IvfK.toDouble), 2).as("recall"))
-      .orderBy(col("nprobe"), col("query_id"))
+    // memoized so the assert collect() below doesn't leave the caller to
+    // re-execute the whole sweep DAG a second time
+    val out = memo(spark, s"e14:$dir") {
+      keys.join(hits, Seq("nprobe", "query_id"), "left")
+        .select(col("nprobe"), col("query_id"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          round(coalesce(col("hits"), lit(0L)) / lit(IvfK.toDouble), 2).as("recall"))
+    }.orderBy(col("nprobe"), col("query_id"))
     val rows = out.collect()
     rows.groupBy(_.getLong(1)).foreach { case (qid, rs) =>
       val byNp = rs.sortBy(_.getInt(0)).map(_.getLong(2))
@@ -588,12 +591,13 @@ object PipelineQueries {
       .select(col("query_id"), col("neighbor_id"))
       .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
-    val out = exact.select(col("query_id")).distinct()
-      .join(hits, Seq("query_id"), "left")
-      .select(col("query_id"), lit(np).as("nprobe"),
-        coalesce(col("hits"), lit(0L)).as("hits"),
-        round(coalesce(col("hits"), lit(0L)) / lit(IvfK.toDouble), 2).as("recall"))
-      .orderBy(col("query_id"))
+    val out = memo(spark, s"e16:$dir") {
+      exact.select(col("query_id")).distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), lit(np).as("nprobe"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          round(coalesce(col("hits"), lit(0L)) / lit(IvfK.toDouble), 2).as("recall"))
+    }.orderBy(col("query_id"))
     val rows = out.collect()
     val mean = rows.map(_.getDouble(3)).sum / rows.length
     require(mean >= 0.15,
@@ -649,7 +653,8 @@ object PipelineQueries {
   }
 
   def e15PqDistortion(spark: SparkSession, dir: String): DataFrame = {
-    val out = e15PqDistortionRaw(spark, dir)
+    val out = memo(spark, s"e15:$dir")(e15PqDistortionRaw(spark, dir))
+      .orderBy(col("family"), col("query_id"))
     val rows = out.collect()
     def meanRecall(fam: String) = {
       val rs = rows.filter(_.getString(0) == fam)
@@ -1016,7 +1021,8 @@ object PipelineQueries {
   }
 
   def e17IvfPqRerank(spark: SparkSession, dir: String): DataFrame = {
-    val out = e17IvfPqRerankRaw(spark, dir)
+    val out = memo(spark, s"e17:$dir")(e17IvfPqRerankRaw(spark, dir))
+      .orderBy(col("query_id"), col("rnk"))
     // Runtime assertion of the per-query dominance proof above, against
     // the exact oracle (e1) and e10's ADC-ranked output.
     val exact = exactKnnFrame(spark, dir)

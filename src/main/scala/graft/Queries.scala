@@ -1228,8 +1228,12 @@ object Queries {
     val q = qualityScore
     val h = pmod(pmod(col("doc_id"), lit(P)) * 2654435761L, lit(P))
     val u = (pmod(h, lit(P - 1)) + 1).cast("double") / lit(P.toDouble)
-    val keyed = t(spark, dir, "documents")
-      .select(col("doc_id"), q.as("weight"), (log(u) / q).as("k"))
+    // memoized: the bias asserts below run two aggregates over this frame
+    // before the caller executes the returned top-k — one scan, not four
+    val keyed = PipelineQueries.memo(spark, s"d34keyed:$dir") {
+      t(spark, dir, "documents")
+        .select(col("doc_id"), q.as("weight"), (log(u) / q).as("k"))
+    }
     val top = keyed.orderBy(col("k").desc, col("doc_id")).limit(D34K)
     val meanAll = keyed.agg(avg(col("weight"))).head().getDouble(0)
     val meanS = top.agg(avg(col("weight"))).head().getDouble(0)

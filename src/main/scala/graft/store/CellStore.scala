@@ -160,11 +160,12 @@ class CellStore(spark: SparkSession, rootPath: String) {
   /** D1: create the tableset (idempotent). */
   def createTableset(schema: CompactedTableSchema): Unit = {
     val validated = schema.validated
-    val p = schemaPath(validated.name)
-    if (!fs.exists(p)) {
-      val out = fs.create(p, true)
-      try out.write(validated.toJson.getBytes("UTF-8")) finally out.close()
-    }
+    // through the hardened temp-write + atomic-rename path (writeSchema):
+    // an in-place fs.create(overwrite) truncates first, so a writer killed
+    // mid-write would leave a short schema.json that bricks every later
+    // getTableset — the exact failure class the r6 hardening closed for
+    // schema MUTATIONS; creation must not be the one unhardened site
+    if (!fs.exists(schemaPath(validated.name))) writeSchema(validated.name, validated)
   }
 
   /** Schema evolution: add a column to an existing tableset (the

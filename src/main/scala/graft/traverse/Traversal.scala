@@ -105,10 +105,17 @@ object Traversal {
     val travRes = selectTraversalResolution(schema, targetRes, options.maxFetchCount)
     var cells = traversalCellsFrame(aoiCells, travRes)
     options.prefilterTemplate.foreach { ft =>
-      cells = store.queryCellsFrame(name, cells, travRes,
+      val matched = store.queryCellsFrame(name, cells, travRes,
           doUncompact = false, template = Some(ft), probeRes = Seq(travRes))
         .select(h3_to_parent(col(CompactedTableSchema.ColH3Index), lit(travRes)).as("qcell"))
         .distinct()
+      // mirror the Seq overload's travCells.filter(matched.contains): only
+      // genuine traversal cells survive. On a compacted tableset a matched
+      // row COARSER than travRes passes through h3_to_parent UNCHANGED (the
+      // expression is total), and without this intersection that coarse
+      // cell would become a wrong-resolution probe — the two overloads
+      // would silently diverge.
+      cells = cells.join(matched, Seq("qcell"), "left_semi")
     }
     val queryCells =
       if (options.includeBuffer > 0)
@@ -129,10 +136,22 @@ object Traversal {
     require(aoi.columns.length == 1,
       s"AOI DataFrame must have exactly one column, got ${aoi.columns.mkString(", ")}")
     val c0 = col(aoi.columns.head)
+    // h3_to_children is TOTAL and returns an EMPTY array past the 2^28-
+    // children cap — a silent drop of the whole AOI cell. Same loud guard
+    // as CellStore.changeResolutions: areas that coarse need a coarser
+    // travRes (maxFetchCount), not a quietly vanished region.
+    val guardedChildren =
+      when(h3_children_count(c0, lit(travRes)) > (1L << 28),
+        raise_error(concat(
+          lit("AOI cell expansion to traversal resolution "), lit(travRes),
+          lit(" exceeds 2^28 children for cell "), c0.cast("string"),
+          lit("; raise maxFetchCount so a coarser traversal resolution is selected")))
+          .cast("array<bigint>"))
+        .otherwise(h3_to_children(c0, lit(travRes)))
     aoi.select(explode(
         when(h3_get_resolution(c0) >= travRes,
           array(h3_to_parent(c0, lit(travRes))))
-          .otherwise(h3_to_children(c0, lit(travRes)))).as("qcell"))
+          .otherwise(guardedChildren)).as("qcell"))
       .distinct()
   }
 
