@@ -86,6 +86,47 @@ class TraversalSpec extends AnyFunSuite with Matchers with SparkTestSession {
     pre.count() shouldBe 343
   }
 
+  test("prefilter parity on a COMPACTED store: coarse matched rows never become probes") {
+    // Regression (round-7 review): a prefilter-matched row COARSER than
+    // travRes (compaction can store one res-2 row for a whole subtree)
+    // passes through h3_to_parent UNCHANGED; before the semi-join fix the
+    // DataFrame overload fed that coarse cell to the store as a probe —
+    // expanding the whole foreign subtree — while the Seq overload's
+    // travCells.filter dropped it. The two overloads must return
+    // identical rows, and the uncompacted branch must survive.
+    val s = CellStore(spark, Files.createTempDirectory("graft_trav_cmp_").toString)
+    val cSchema = CompactedTableSchema.builder("trav_cmp")
+      .h3BaseResolutions(0 to 6)
+      .addAggregatedColumn("v", T.Float64, Agg.Max)
+      .build()
+    val parent2 = H3.fromParts(20, 2, Seq(0, 0))
+    val full = H3.toChildren(parent2, 6) // full subtree -> compacts to res 2
+    val partialParent3 = H3.fromParts(20, 3, Seq(1, 0, 0)) // different res-2 branch
+    val partial = H3.toChildren(partialParent3, 6).take(100) // partial -> stays res 6
+    val rows = (full ++ partial).zipWithIndex.map { case (c, i) => Row(c, (i % 50).toDouble) }
+    s.insert("trav_cmp", spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 4),
+      StructType(Seq(
+        StructField("h3index", LongType, false),
+        StructField("v", DoubleType, false)))), createSchema = Some(cSchema))
+    // the compacted branch really is coarser than travRes = 3
+    s.scanForResolution("trav_cmp", 2).count() should be >= 1L
+    val opts = Traversal.TraversalOptions(maxFetchCount = 500,
+      prefilterTemplate =
+        Some("SELECT * FROM <[table]> WHERE h3index IN <[h3indexes]> AND v >= 0"))
+    val aoi = Seq(H3.toChildren(parent2, 3).head, partialParent3)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("traversal_cell", "h3index")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val a = rowsOf(Traversal.traverseBulk(s, "trav_cmp", aoi, 6, opts))
+    import spark.implicits._
+    val b = rowsOf(Traversal.traverseBulk(s, "trav_cmp", aoi.toDF("cell"), 6, opts))
+    b shouldBe a
+    a.nonEmpty shouldBe true // the uncompacted branch survives the prefilter
+    a.map(_._2).foreach(H3.getResolution(_) shouldBe 6)
+    s.dropTableset("trav_cmp")
+  }
+
   test("T2 iterator: per-cell frames, count parity with bulk (test_traversal.py:9-60)") {
     // finer traversal: cap 10 -> travRes 5 -> 49 traversal cells under hexRes3
     val it = Traversal.traverseIterator(store, "trav_ts", Seq(hexRes3), 6,
