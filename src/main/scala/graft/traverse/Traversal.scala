@@ -114,8 +114,9 @@ object Traversal {
       // row COARSER than travRes passes through h3_to_parent UNCHANGED (the
       // expression is total), and without this intersection that coarse
       // cell would become a wrong-resolution probe — the two overloads
-      // would silently diverge.
-      cells = cells.join(matched, Seq("qcell"), "left_semi")
+      // would silently diverge. The matched side is bounded by the
+      // traversal-cell count (maxFetchCount regime) — broadcast, no shuffle.
+      cells = cells.join(broadcast(matched), Seq("qcell"), "left_semi")
     }
     val queryCells =
       if (options.includeBuffer > 0)
