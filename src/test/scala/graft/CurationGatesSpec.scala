@@ -77,14 +77,17 @@ class CurationGatesSpec extends AnyFunSuite with Matchers with SparkTestSession 
 
   test("d33: classifier learns the held-out length class from length-free features") {
     // loss-descent + accuracy-floor asserts run INSIDE the query; here we
-    // check the output contract: one row per doc, scores in (0,1), and the
+    // check the output contract: one row per doc, scores in [0,1] (the
+    // score is 4dp-ROUNDED, so a saturated |z| >= ~9.9 legitimately rounds
+    // to exactly 0.0 or 1.0 — round-8 advice: inclusive bounds, the keep
+    // flag on the next line carries the threshold semantics), and the
     // keep flag is exactly the 0.5 threshold on the rounded score
     val out = PipelineQueries.d33QualityClassifier(spark, dir).collect()
     val docs = spark.read.parquet(s"$dir/documents.parquet").count()
     out.length.toLong shouldBe docs
     out.foreach { r =>
       val (q, keep) = (r.getDouble(1), r.getInt(2))
-      q should (be > 0.0 and be < 1.0)
+      q should (be >= 0.0 and be <= 1.0)
       keep shouldBe (if (q >= 0.5) 1 else 0)
     }
     // it actually discriminates: both classes are non-empty

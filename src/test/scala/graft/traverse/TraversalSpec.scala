@@ -4,6 +4,7 @@ import java.nio.file.Files
 import java.sql.Timestamp
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
@@ -86,35 +87,42 @@ class TraversalSpec extends AnyFunSuite with Matchers with SparkTestSession {
     pre.count() shouldBe 343
   }
 
-  test("prefilter parity on a COMPACTED store: coarse matched rows never become probes") {
-    // Regression (round-7 review): a prefilter-matched row COARSER than
-    // travRes (compaction can store one res-2 row for a whole subtree)
-    // passes through h3_to_parent UNCHANGED; before the semi-join fix the
-    // DataFrame overload fed that coarse cell to the store as a probe —
-    // expanding the whole foreign subtree — while the Seq overload's
-    // travCells.filter dropped it. The two overloads must return
-    // identical rows, and the uncompacted branch must survive.
+  test("prefilter on a COMPACTED store: coarse matched branches survive; Seq/DataFrame parity") {
+    // Round-8 advice regression: a prefilter-matched row stored compacted
+    // COARSER than travRes passed through h3_to_parent UNCHANGED, failed
+    // the traversal-cell intersection, and its whole branch silently
+    // vanished from the traversal output. The reference's
+    // prefilter_traversal_cells queries with do_uncompact=true
+    // (traversal.rs:357-393, mod.rs:51), so coarse matched rows uncompact
+    // to the travRes probe cells they contain and those cells survive.
+    // Both overloads must (a) return the compacted branch and (b) agree.
     val s = CellStore(spark, Files.createTempDirectory("graft_trav_cmp_").toString)
     val cSchema = CompactedTableSchema.builder("trav_cmp")
       .h3BaseResolutions(0 to 6)
       .addAggregatedColumn("v", T.Float64, Agg.Max)
       .build()
     val parent2 = H3.fromParts(20, 2, Seq(0, 0))
-    val full = H3.toChildren(parent2, 6) // full subtree -> compacts to res 2
+    // UNIFORM value over the full subtree -> compaction merges the complete
+    // sibling groups all the way up to one res-2 compacted row
+    val full = H3.toChildren(parent2, 6)
     val partialParent3 = H3.fromParts(20, 3, Seq(1, 0, 0)) // different res-2 branch
-    val partial = H3.toChildren(partialParent3, 6).take(100) // partial -> stays res 6
-    val rows = (full ++ partial).zipWithIndex.map { case (c, i) => Row(c, (i % 50).toDouble) }
+    val partial = H3.toChildren(partialParent3, 6).take(100) // partial + varying -> stays res 6
+    val rows = full.map(c => Row(c, 7.0)) ++
+      partial.zipWithIndex.map { case (c, i) => Row(c, (i % 50).toDouble) }
     s.insert("trav_cmp", spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toIndexedSeq, 4),
       StructType(Seq(
         StructField("h3index", LongType, false),
         StructField("v", DoubleType, false)))), createSchema = Some(cSchema))
-    // the compacted branch really is coarser than travRes = 3
-    s.scanForResolution("trav_cmp", 2).count() should be >= 1L
+    // the matched branch REALLY is stored compacted coarser than travRes = 3
+    s.scanForResolution("trav_cmp", 6)
+      .where(col("kind") === "compacted" && col("resolution") < 3)
+      .count() should be >= 1L
     val opts = Traversal.TraversalOptions(maxFetchCount = 500,
       prefilterTemplate =
         Some("SELECT * FROM <[table]> WHERE h3index IN <[h3indexes]> AND v >= 0"))
-    val aoi = Seq(H3.toChildren(parent2, 3).head, partialParent3)
+    val child3 = H3.toChildren(parent2, 3).head
+    val aoi = Seq(child3, partialParent3)
     def rowsOf(df: org.apache.spark.sql.DataFrame) =
       df.select("traversal_cell", "h3index")
         .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
@@ -122,7 +130,11 @@ class TraversalSpec extends AnyFunSuite with Matchers with SparkTestSession {
     import spark.implicits._
     val b = rowsOf(Traversal.traverseBulk(s, "trav_cmp", aoi.toDF("cell"), 6, opts))
     b shouldBe a
-    a.nonEmpty shouldBe true // the uncompacted branch survives the prefilter
+    // the COMPACTED branch survives the prefilter: child3's res-6 subtree
+    // (343 cells, uncompacted from the res-2 row) plus partial's 100 rows
+    a.count(_._1 == child3) shouldBe 343
+    a.count(_._1 == partialParent3) shouldBe 100
+    a.size shouldBe 443
     a.map(_._2).foreach(H3.getResolution(_) shouldBe 6)
     s.dropTableset("trav_cmp")
   }
