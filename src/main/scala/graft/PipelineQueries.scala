@@ -964,6 +964,31 @@ object PipelineQueries {
         .select(col("query_id"), col("neighbor_id"))
     }
 
+  /** The exact anchor e17's runtime assertions compare against. By default
+    * the full [[exactKnnFrame]] (all IvfNumQueries query docs — the
+    * correctness-gate and sf0.1 bench shape). Under
+    * `SPARK_GRAFT_ASSERT_SAMPLE=<n>` the anchor is restricted to the first
+    * n query ids BEFORE execution — the predicate on the window's partition
+    * key pushes through row_number and the cross join to the query side, so
+    * the brute-force pass scans n x corpus, not IvfNumQueries x corpus.
+    * This is the documented 100 TB contract (and the decade protocol's
+    * knob): the exact side of an index-quality assertion is a SAMPLED query
+    * set; re-running the full brute-force anchor at every scale would
+    * measure the assertion harness, not the two-broadcast-join operator
+    * (VERDICT r7 #2 — 72.7 s of e17's 300x row was anchor cost). Unset for
+    * Verify/Bench, so gate outputs and their oracles are untouched. */
+  private def e17AssertionAnchor(spark: SparkSession, dir: String): DataFrame =
+    sys.env.get("SPARK_GRAFT_ASSERT_SAMPLE").map(_.toInt)
+      .filter(n => n > 0 && n < IvfNumQueries) match {
+      case Some(n) =>
+        memo(spark, s"e1exact:$dir:sample$n") {
+          graft.Queries.e1KnnBruteForce(spark, dir)
+            .where(col("query_id") < n)
+            .select(col("query_id"), col("neighbor_id"))
+        }
+      case None => exactKnnFrame(spark, dir)
+    }
+
   /** IVF-PQ with exact re-ranking (e17): the IVFADC+R recipe — e10's ADC
     * ranking is cut at a SHORTLIST of R = 4k candidates per query instead
     * of k, the shortlist's true vectors are fetched by id, and the final
@@ -1024,8 +1049,11 @@ object PipelineQueries {
     val out = memo(spark, s"e17:$dir")(e17IvfPqRerankRaw(spark, dir))
       .orderBy(col("query_id"), col("rnk"))
     // Runtime assertion of the per-query dominance proof above, against
-    // the exact oracle (e1) and e10's ADC-ranked output.
-    val exact = exactKnnFrame(spark, dir)
+    // the exact oracle (e1) and e10's ADC-ranked output. The anchor is
+    // sampled under the decade protocol ([[e17AssertionAnchor]]); the
+    // dominance check below iterates the queries PRESENT in the anchor, so
+    // it stays per-query exact on whatever set the protocol chose.
+    val exact = e17AssertionAnchor(spark, dir)
     def hitsOf(df: DataFrame): Map[Long, Long] =
       df.select(col("query_id"), col("neighbor_id"))
         .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
@@ -1039,8 +1067,12 @@ object PipelineQueries {
     }
     val qids = exact.select(col("query_id")).distinct().collect().map(_.getLong(0))
     val mean = qids.map(q => h17.getOrElse(q, 0L).toDouble / IvfK).sum / qids.length
-    require(mean >= 0.1,
-      f"e17: mean recall@5 after exact re-rank is $mean%.2f < 0.10 floor")
+    // the mean-recall floor is a full-population quality canary — on a
+    // protocol-sampled anchor (2-3 queries) it would flake on sampling
+    // noise, while the per-query dominance require above stays exact
+    if (sys.env.get("SPARK_GRAFT_ASSERT_SAMPLE").isEmpty)
+      require(mean >= 0.1,
+        f"e17: mean recall@5 after exact re-rank is $mean%.2f < 0.10 floor")
     out
   }
 

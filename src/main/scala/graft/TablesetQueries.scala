@@ -248,6 +248,26 @@ object TablesetQueries {
       .orderBy(col("h3index"))
   }
 
+  /** ts41: ts40's prefiltered DataFrame-AOI traversal from PURE SQL via the
+    * `graft_traverse_df` TVF (VERDICT r7 #5) — the AOI is a `TABLE(...)`
+    * SUBQUERY over the `graft_scan` TVF (never a literal array, never
+    * collected), so a continent-sized AOI is expressible without leaving
+    * `spark.sql`. Must hash-match ts7/ts40's oracle exactly; the plan-audit
+    * spec proves no LocalTableScan of the AOI reaches the executed plan. */
+  def ts41SqlTraverseDf(spark: SparkSession, dir: String): DataFrame = {
+    ts1Store(spark, dir) // ensure gate_sum exists
+    Graft.register(spark)
+    val root = rootFor(dir)
+    spark.sql(
+      s"""SELECT traversal_cell, h3index, round(qty, 2) AS qty
+         |FROM graft_traverse_df('$root', 'gate_sum', 9,
+         |  TABLE(SELECT h3index FROM graft_scan('$root', 'gate_sum', 5)
+         |        WHERE ph3 BETWEEN 40 AND 49),
+         |  2401,
+         |  'SELECT * FROM <[table]> WHERE h3index IN <[h3indexes]> AND qty > 100')
+         |ORDER BY h3index""".stripMargin)
+  }
+
   // ------------------------------------------------------------------- ts6
 
   /** A11/A12 through the oracle gate: two overlapping insert batches leave
@@ -1097,6 +1117,18 @@ object TablesetQueries {
     "ts11_final_read" -> versionedOracleSql,
     // ts39 = ts11 through the graft_final TVF: identical oracle
     "ts39_sql_final" -> versionedOracleSql,
+    // ts41 = ts40 from pure SQL (graft_traverse_df TVF, TABLE() AOI
+    // subquery over graft_scan): same oracle as ts40/ts7
+    "ts41_sql_traverse_df" ->
+      s"""WITH cells AS (SELECT DISTINCT $synthCellSql AS cell, l_quantity AS qty FROM lineitem),
+         |r5 AS (SELECT ${parentSql("cell", 9, 5)} AS p5, sum(qty) AS s
+         |       FROM cells GROUP BY 1),
+         |keep AS (SELECT p5 FROM r5
+         |         WHERE ((p5 >> 45) & 127) BETWEEN 40 AND 49 AND s > 100)
+         |SELECT ${parentSql("cell", 9, 5)} AS traversal_cell, cell AS h3index,
+         |  round(qty, 2) AS qty
+         |FROM cells JOIN keep ON ${parentSql("cell", 9, 5)} = keep.p5
+         |ORDER BY h3index""".stripMargin,
     // ts40 = ts7 through the DataFrame-AOI path: same oracle
     "ts40_traverse_df" ->
       s"""WITH cells AS (SELECT DISTINCT $synthCellSql AS cell, l_quantity AS qty FROM lineitem),
@@ -1783,6 +1815,7 @@ object TablesetQueries {
     "ts38_drop_partition" -> ts38DropPartition,
     "ts39_sql_final" -> ts39SqlFinal,
     "ts40_traverse_df" -> ts40TraverseDf,
+    "ts41_sql_traverse_df" -> ts41SqlTraverseDf,
     "ts22_sql_stats" -> ts22SqlStats,
     "ts23_alter_partitioning" -> ts23AlterPartitioning,
     "ts24_sql_traverse" -> ts24SqlTraverse,

@@ -41,6 +41,15 @@ object TableFunctions {
           "§3.3 bulk AOI traversal: rows at res tagged with their traversal cell", ""),
       graftTraverseBuilder)
     spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_traverse_df"),
+      new ExpressionInfo("graft.store", null, "graft_traverse_df",
+        "graft_traverse_df(root, tableset, res, aoiQuery, maxFetchCount " +
+          "[, prefilterTemplate]) - bulk AOI traversal where the AOI is a " +
+          "SUBQUERY (SQL string or TABLE(...) argument) instead of a " +
+          "literal array: the AOI plan is spliced in distributed, never " +
+          "collected to the driver - continent-sized AOIs from pure SQL", ""),
+      graftTraverseDfBuilder)
+    spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier("graft_stats"),
       new ExpressionInfo("graft.store", null, "graft_stats",
         "graft_stats(root, tableset) - per-resolution stored/derived cell counts (A9/A10)", ""),
@@ -128,6 +137,46 @@ object TableFunctions {
       intArg("graft_traverse", args(2), "targetRes"),
       graft.traverse.Traversal.TraversalOptions(
         maxFetchCount = intArg("graft_traverse", args(4), "maxFetchCount")))
+      .queryExecution.analyzed
+  }
+
+  /** `graft_traverse_df(root, tableset, res, aoiQuery, maxFetchCount
+    * [, prefilterTemplate])` — the DataFrame-AOI traversal overload (T2 +
+    * T3) from pure SQL, completing what `graft_traverse` cannot express:
+    * its foldable-array AOI materializes every cell in the SQL text, which
+    * caps it at driver-literal scale. Here the AOI is a QUERY — a one-LONG-
+    * column subquery passed either as a SQL string literal (analysis-time
+    * `spark.sql` splice) or as a `TABLE(SELECT ...)` argument where the
+    * session's parser supports table arguments for registry TVFs — and its
+    * plan flows into [[graft.traverse.Traversal.traverseBulk]]'s
+    * distributed overload: traversal-cell derivation, the optional
+    * prefilter, and the store semi-join all stay on executors, no
+    * LocalTableScan of the AOI anywhere in the final plan (the ts40
+    * contract, now reachable without leaving SQL). */
+  private def graftTraverseDfBuilder: Seq[Expression] => LogicalPlan = { args =>
+    if (args.length < 5 || args.length > 6)
+      throw new IllegalArgumentException(
+        s"graft_traverse_df(root, tableset, targetRes, aoiQuery, maxFetchCount" +
+          s"[, prefilterTemplate]) expects 5-6 arguments, got ${args.length}")
+    val spark = SparkSession.active
+    val aoi = args(3) match {
+      case t: org.apache.spark.sql.catalyst.expressions.FunctionTableSubqueryArgumentExpression =>
+        org.apache.spark.sql.graft.shims.ofRows(spark, t.plan)
+      case Literal(s: UTF8String, StringType) => spark.sql(s.toString)
+      case e => throw new IllegalArgumentException(
+        "graft_traverse_df: aoiQuery must be a SQL string literal or a " +
+          s"TABLE(...) argument, got $e")
+    }
+    val prefilter =
+      if (args.length == 6) Some(strArg("graft_traverse_df", args(5), "prefilterTemplate"))
+      else None
+    graft.traverse.Traversal.traverseBulk(
+      CellStore(spark, strArg("graft_traverse_df", args(0), "root")),
+      strArg("graft_traverse_df", args(1), "tableset"), aoi,
+      intArg("graft_traverse_df", args(2), "targetRes"),
+      graft.traverse.Traversal.TraversalOptions(
+        maxFetchCount = intArg("graft_traverse_df", args(4), "maxFetchCount"),
+        prefilterTemplate = prefilter))
       .queryExecution.analyzed
   }
 

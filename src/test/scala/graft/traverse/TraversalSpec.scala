@@ -28,8 +28,11 @@ class TraversalSpec extends AnyFunSuite with Matchers with SparkTestSession {
     .addAggregatedColumn("v", T.Float64, Agg.Max)
     .build()
 
+  private lazy val storeRoot: String =
+    Files.createTempDirectory("graft_trav_").toString
+
   private lazy val store: CellStore = {
-    val s = CellStore(spark, Files.createTempDirectory("graft_trav_").toString)
+    val s = CellStore(spark, storeRoot)
     val cells = H3.toChildren(hexRes3, 6) // 343 cells at res 6
     val rows = cells.zipWithIndex.map { case (c, i) => Row(c, ts, (i % 100).toDouble) }
     val input = spark.createDataFrame(
@@ -137,6 +140,32 @@ class TraversalSpec extends AnyFunSuite with Matchers with SparkTestSession {
     a.size shouldBe 443
     a.map(_._2).foreach(H3.getResolution(_) shouldBe 6)
     s.dropTableset("trav_cmp")
+  }
+
+  test("graft_traverse_df TVF: TABLE() and SQL-string AOIs, no driver materialization") {
+    store.getTableset("trav_ts") // force the lazy store build
+    graft.Graft.register(spark)
+    val root = storeRoot
+    spark.sql(s"SELECT h3index FROM graft_scan('$root', 'trav_ts', 6) LIMIT 50")
+      .createOrReplaceTempView("tvf_aoi")
+    val viaTable = spark.sql(
+      s"""SELECT count(*) AS n FROM graft_traverse_df('$root', 'trav_ts', 6,
+         |  TABLE(SELECT h3index FROM tvf_aoi), 500)""".stripMargin)
+    val viaString = spark.sql(
+      s"""SELECT count(*) AS n FROM graft_traverse_df('$root', 'trav_ts', 6,
+         |  'SELECT h3index FROM tvf_aoi', 500)""".stripMargin)
+    // all 50 AOI cells share the one res-3 traversal cell -> full subtree
+    viaTable.head().getLong(0) shouldBe 343L
+    viaString.head().getLong(0) shouldBe 343L
+    // the AOI subquery is spliced as a distributed plan: no LocalTableScan
+    // (a collected-then-reparallelized AOI would surface as one), including
+    // under the prefilter
+    val pre = spark.sql(
+      s"""SELECT * FROM graft_traverse_df('$root', 'trav_ts', 6,
+         |  TABLE(SELECT h3index FROM tvf_aoi), 500,
+         |  'SELECT * FROM <[table]> WHERE h3index IN <[h3indexes]> AND v >= 0')""".stripMargin)
+    pre.queryExecution.executedPlan.toString should not include "LocalTableScan"
+    pre.count() shouldBe 343L
   }
 
   test("T2 iterator: per-cell frames, count parity with bulk (test_traversal.py:9-60)") {

@@ -560,6 +560,161 @@ def check_e8_e9(emb, out8, out9):
         print("      e9: (no Verify output)")
 
 
+def check_recall_gates(emb, outs):
+    """e13-e17 measured-recall gates re-derived with numpy float64 and NO
+    constants shared with the Scala side: the exact top-5 anchor is
+    recomputed from the embeddings parquet (cosine over the float32 values
+    widened to float64, ranked by (-cos, id), self excluded), and each
+    gate's published recall/hits/distortion numbers are recomputed from
+    that anchor plus the APPROX RANKINGS the sibling gates themselves
+    export (e2/e4/e7/e10/e17 Verify parquet). What cannot be re-derived
+    without the repo's quantizer constants (e14's nprobe<max candidate
+    sets, e16's probed cells) is checked by its published invariants:
+    recall == hits/k, monotonicity in nprobe, and the adaptive-vs-fixed
+    dominance the e16 scaladoc argues."""
+    import numpy as np
+    K = 5
+    ids = emb["vec_id"].to_numpy()
+    V = np.array([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+    order = np.argsort(ids)
+    ids, V = ids[order], V[order]
+    qmask = ids < 10
+    Q, qids = V[qmask], ids[qmask]
+    norms = np.linalg.norm(V, axis=1)
+    exact = {}
+    for qi, qv in zip(qids, Q):
+        cos = (V @ qv) / (norms * np.linalg.norm(qv))
+        cand = [(-c, int(i)) for c, i in zip(cos, ids) if i != qi]
+        cand.sort()
+        exact[int(qi)] = [(i, -mc) for mc, i in cand[:K]]
+    exact_sets = {q: {i for i, _ in top} for q, top in exact.items()}
+
+    def hits_of(ranking):
+        h = defaultdict(int)
+        for r in ranking.itertuples():
+            if int(r.neighbor_id) in exact_sets[int(r.query_id)]:
+                h[int(r.query_id)] += 1
+        return h
+
+    e1 = outs.get("e1_knn_brute_force")
+    if e1 is not None:
+        n_bad = 0
+        for q, top in exact.items():
+            got = [(int(r.neighbor_id), r.cos_sim) for r in
+                   e1[e1.query_id == q].sort_values("rnk").itertuples()]
+            want = [(i, round(c, 4)) for i, c in top]
+            if [g[0] for g in got] != [w[0] for w in want] or any(
+                    abs(g[1] - w[1]) > 2e-4 for g, w in zip(got, want)):
+                n_bad += 1
+        check("e1 exact anchor", n_bad == 0,
+              f"brute-force top-5 ids+cosines match numpy re-derivation ({n_bad}/10 queries bad)")
+    else:
+        print("      e1: (no Verify output)")
+
+    def check_recall_out(gate, ranking_gate, out_name):
+        out, ranking = outs.get(out_name), outs.get(ranking_gate)
+        if out is None or ranking is None:
+            print(f"      {gate}: (no Verify output for {out_name} or {ranking_gate})")
+            return
+        h = hits_of(ranking)
+        n_bad = sum(1 for r in out.itertuples()
+                    if int(r.hits) != h.get(int(r.query_id), 0)
+                    or abs(r.recall - round(int(r.hits) / K, 2)) > 1e-9)
+        check(gate, n_bad == 0,
+              f"per-query hits+recall match numpy anchor x {ranking_gate} ranking ({n_bad} bad)")
+
+    check_recall_out("e13 LSH recall", "e2_lsh_ann", "e13_ann_recall")
+
+    e14 = outs.get("e14_ivf_recall_sweep")
+    if e14 is not None:
+        bad_self = sum(1 for r in e14.itertuples()
+                       if abs(r.recall - round(int(r.hits) / K, 2)) > 1e-9)
+        check("e14 self-consistency", bad_self == 0,
+              f"recall == hits/5 on every (nprobe, query) row ({bad_self} bad)")
+        mono_bad = 0
+        for q, grp in e14.groupby("query_id"):
+            hs = grp.sort_values("nprobe")["hits"].tolist()
+            if any(a > b for a, b in zip(hs, hs[1:])):
+                mono_bad += 1
+        check("e14 monotone in nprobe", mono_bad == 0,
+              f"per-query hits nondecreasing with probe budget ({mono_bad} bad)")
+        e4 = outs.get("e4_ivf_ann")
+        if e4 is not None:
+            h4 = hits_of(e4)
+            top = e14[e14.nprobe == e14.nprobe.max()]
+            n_bad = sum(1 for r in top.itertuples()
+                        if int(r.hits) != h4.get(int(r.query_id), 0))
+            check("e14 full-budget row == e4", n_bad == 0,
+                  f"sweep at max nprobe reproduces the e4 gate's recall ({n_bad} bad)")
+    else:
+        print("      e14: (no Verify output)")
+
+    e15 = outs.get("e15_pq_distortion")
+    if e15 is not None:
+        vec_by_id = {int(i): v for i, v in zip(ids, V)}
+        n_bad = 0
+        for fam, ranking_gate in (("pq", "e7_pq_adc"), ("ivfpq", "e10_ivf_pq")):
+            ranking = outs.get(ranking_gate)
+            if ranking is None:
+                print(f"      e15/{fam}: (no {ranking_gate} output)")
+                continue
+            h = hits_of(ranking)
+            errs = defaultdict(float)
+            for r in ranking.itertuples():
+                dot = float(vec_by_id[int(r.query_id)] @ vec_by_id[int(r.neighbor_id)])
+                errs[int(r.query_id)] = max(errs[int(r.query_id)],
+                                            abs(r.adc_score - dot))
+            for r in e15[e15.family == fam].itertuples():
+                if (int(r.hits) != h.get(int(r.query_id), 0)
+                        or abs(r.recall - round(int(r.hits) / K, 2)) > 1e-9
+                        or abs(r.max_abs_err - errs[int(r.query_id)]) > 2e-4):
+                    n_bad += 1
+        check("e15 PQ recall+distortion", n_bad == 0,
+              f"hits, recall and max|adc-dot| match numpy over the exported "
+              f"e7/e10 rankings ({n_bad} bad)")
+    else:
+        print("      e15: (no Verify output)")
+
+    e16 = outs.get("e16_adaptive_nprobe")
+    if e16 is not None:
+        bad_self = sum(1 for r in e16.itertuples()
+                       if abs(r.recall - round(int(r.hits) / K, 2)) > 1e-9)
+        check("e16 self-consistency", bad_self == 0,
+              f"recall == hits/5 per query ({bad_self} bad)")
+        np_adaptive = int(e16["nprobe"].iloc[0])
+        if e14 is not None and np_adaptive >= int(e14.nprobe.max()):
+            fixed = {int(r.query_id): int(r.hits)
+                     for r in e14[e14.nprobe == e14.nprobe.max()].itertuples()}
+            n_bad = sum(1 for r in e16.itertuples()
+                        if int(r.hits) < fixed.get(int(r.query_id), 0))
+            check("e16 dominates fixed budget", n_bad == 0,
+                  f"adaptive nprobe={np_adaptive} >= fixed budget per query "
+                  f"(probed-cell superset argument; {n_bad} bad)")
+    else:
+        print("      e16: (no Verify output)")
+
+    e17 = outs.get("e17_ivfpq_rerank")
+    if e17 is not None:
+        h17 = hits_of(e17)
+        n_cos_bad = 0
+        vec_by_id = {int(i): v for i, v in zip(ids, V)}
+        for r in e17.itertuples():
+            qv, nv = vec_by_id[int(r.query_id)], vec_by_id[int(r.neighbor_id)]
+            cos = float(qv @ nv / (np.linalg.norm(qv) * np.linalg.norm(nv)))
+            if abs(r.cos_sim - cos) > 2e-4:
+                n_cos_bad += 1
+        check("e17 re-rank cosines", n_cos_bad == 0,
+              f"reported exact-cosine scores match numpy ({n_cos_bad} bad)")
+        e10 = outs.get("e10_ivf_pq")
+        if e10 is not None:
+            h10 = hits_of(e10)
+            n_bad = sum(1 for q, h in h10.items() if h17.get(q, 0) < h)
+            check("e17 dominance over e10", n_bad == 0,
+                  f"per-query recall after exact re-rank >= ADC-ranked ({n_bad} bad)")
+    else:
+        print("      e17: (no Verify output)")
+
+
 def check_d29_d30(docs, out29, out30):
     """Sketch plausibility from first principles (the hash constants are the
     repo's own, so the CHECK here is the published error envelope, not a
@@ -619,6 +774,12 @@ def main(sf_dir, out_dir):
     check_e8_e9(load_table(sf_dir, "embeddings"),
                 load_out(out_dir, "e8_centroid_outliers"),
                 load_out(out_dir, "e9_semantic_dedup"))
+    recall_gates = ["e1_knn_brute_force", "e2_lsh_ann", "e4_ivf_ann",
+                    "e7_pq_adc", "e10_ivf_pq", "e13_ann_recall",
+                    "e14_ivf_recall_sweep", "e15_pq_distortion",
+                    "e16_adaptive_nprobe", "e17_ivfpq_rerank"]
+    check_recall_gates(load_table(sf_dir, "embeddings"),
+                       {g: load_out(out_dir, g) for g in recall_gates})
     check_d29_d30(docs, load_out(out_dir, "d29_hll_distinct"),
                   load_out(out_dir, "d30_count_min"))
     exact_money(sf_dir, out_dir)
