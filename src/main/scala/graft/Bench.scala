@@ -43,11 +43,17 @@ object Bench {
     // mechanism that OOMed the one-JVM 300x run, fixed in ScaleSmoke first).
     // Each family is measured against its own working set only; eviction
     // goes through evictMemos() so no memo key outlives its blocks.
+    // SPARK_GRAFT_BENCH_NO_EVICT disables the between-family release — the
+    // control arm for measuring whether memo pinning (vs host variance)
+    // explains a suite-level drift (round-8 diagnostic; keep for re-runs)
+    val evict = !sys.env.contains("SPARK_GRAFT_BENCH_NO_EVICT")
     val families = names.groupBy(n => n.takeWhile(!_.isDigit)).toSeq.sortBy(_._1)
     val measured = families.flatMap { case (_, fnames) =>
-      PipelineQueries.evictMemos()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      spark.catalog.clearCache()
+      if (evict) {
+        PipelineQueries.evictMemos()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        spark.catalog.clearCache()
+      }
       fnames.foreach(n => run(SparkEntry.queries(n))) // family-local warmup
       val pass1 = fnames.map(n => n -> run(SparkEntry.queries(n))).toMap
       val pass2 = fnames.map(n => n -> run(SparkEntry.queries(n))).toMap

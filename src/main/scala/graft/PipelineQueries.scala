@@ -1652,7 +1652,7 @@ object PipelineQueries {
 
   // ------------------------------------------------------------ oracle SQL
 
-  private val codesSql =
+  private[graft] val codesSql =
     "CASE WHEN length(text) < 3 THEN [] ELSE list_transform(range(1, length(text)-1), " +
       "i -> ascii(substr(text, i::INT, 1))::BIGINT*65536 + " +
       "ascii(substr(text, (i+1)::INT, 1))::BIGINT*256 + " +
@@ -1669,10 +1669,10 @@ object PipelineQueries {
   private val shSetSql =
     s"list_distinct(list_transform($codesSql, c -> c % $P))"
 
-  private def mhSql(j: Int): String =
+  private[graft] def mhSql(j: Int): String =
     s"list_min(list_transform(codes, c -> ((c % $P) * ${TextOps.hashA(j)} + ${TextOps.hashB(j)}) % $P))"
 
-  private def bandSql(cols: Seq[String]): String =
+  private[graft] def bandSql(cols: Seq[String]): String =
     cols.foldLeft("0")((acc, c) => s"((($acc) * 31 + $c) % $P)")
 
   private val jaccSql =

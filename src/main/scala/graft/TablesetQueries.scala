@@ -1182,6 +1182,32 @@ object TablesetQueries {
     // (the per-batch delete's final issue runs after the last insert).
     // The mid-stream applyDeletes, snapshot vacuum, and res-5 partition
     // drop are all live-content-neutral for the res-9 read.
+    // s17: s9's relational banding, with the takedown's capture semantics
+    // replayed — the delete ran after batch 0 only, so it masks signature
+    // rows of chunk-0 docs (doc_id%3=0) matching the predicate; chunks 1/2
+    // arrived after the mutation and keep theirs. The verdict probes the
+    // surviving rows: min LIVE doc_id per bucket vs every document's
+    // buckets.
+    "s17_stream_neardup_store" -> {
+      val mh = (0 until 8).map(j => s"${PipelineQueries.mhSql(j)} AS mh$j").mkString(", ")
+      val b0 = PipelineQueries.bandSql(Seq("mh0", "mh1", "mh2", "mh3"))
+      val b1 = PipelineQueries.bandSql(Seq("mh4", "mh5", "mh6", "mh7"))
+      s"""WITH c AS (SELECT doc_id, ${PipelineQueries.codesSql} AS codes FROM documents),
+         |s AS (SELECT doc_id, $mh FROM c),
+         |bands AS (SELECT doc_id, 0 AS band, $b0 AS bh FROM s
+         |          UNION ALL SELECT doc_id, 1, $b1 FROM s),
+         |live AS (SELECT * FROM bands
+         |         WHERE bh IS NOT NULL
+         |           AND NOT (doc_id % 3 = 0 AND doc_id % 17 = 5)),
+         |mb AS (SELECT band, bh, min(doc_id) AS min_id FROM live GROUP BY 1, 2),
+         |fl AS (SELECT b.doc_id,
+         |    max(CASE WHEN mb.min_id < b.doc_id THEN 1 ELSE 0 END) AS f
+         |  FROM bands b JOIN mb ON mb.band = b.band AND mb.bh = b.bh
+         |  GROUP BY 1)
+         |SELECT d.doc_id, coalesce(fl.f, 0) = 1 AS is_near_dup
+         |FROM documents d LEFT JOIN fl USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+    },
     "s15_stream_delete_interleave" ->
       s"""WITH c0 AS (SELECT DISTINCT $synthCellSql AS cell, (l_orderkey % 50) AS v
          |  FROM lineitem WHERE l_orderkey % 3 = 0),
@@ -1481,6 +1507,119 @@ object TablesetQueries {
     s15Store(spark, dir).scanForResolution("gate_stream_del", 9)
       .select(col("h3index"), col("v"))
       .orderBy(col("h3index"), col("v"))
+
+  // ------------------------------------------------------------------- s17
+
+  /** Streaming near-dup against a MAINTAINED signature store (s17) — the
+    * composition of s9 (streaming MinHash-LSH banding) and s15 (streaming
+    * ingest with interleaved store mutations), the last uncomposed pair of
+    * the streaming surface (VERDICT r7 #6). s9 keeps min-per-bucket in the
+    * STREAMING state store; the production shape for a long-lived dedup
+    * service is a PERSISTED signature table — takedowns are store deletes,
+    * new corpora probe it as a plain bucket join, and the state survives
+    * the streaming query. Here:
+    *
+    *   - documents arrive as three pinned-mtime micro-batches
+    *     (doc_id % 3, s15's staging device); each batch's STATELESS
+    *     projection computes t2's two LSH band hashes per row (the same
+    *     codegen'd [[TextOps.lshBandHash]] as s9) and inserts
+    *     (h3index = synthetic cell from (bh, band), band, bh, doc_id) rows
+    *     into the `gate_sig` tableset through the full insert pipeline;
+    *   - after batch 0 only: `deleteWhere("doc_id % 17 = 5")` — a takedown
+    *     request. It captures ONLY batch 0's files, so signature rows of
+    *     later-arriving docs matching the predicate survive (the
+    *     lightweight-delete capture contract, s15/ts37 semantics);
+    *   - after batch 1: `applyDeletes` — mid-stream materialization.
+    *
+    * The verdict query then probes the LIVE store: every document is
+    * near-dup iff some surviving signature row in one of its buckets has a
+    * smaller doc_id. The oracle re-derives bands relationally and replays
+    * the capture semantics (chunk-0 rows with doc_id%17=5 masked, chunks
+    * 1/2 keep theirs).
+    *
+    * Scale shape: signature maintenance is map-only per batch (no
+    * streaming state at all — the STORE is the state, one slim row per
+    * (doc, band)); the verdict is one groupBy(band, bh) over the store scan
+    * plus one bucket equi-join, ids and 2 longs wide — never text, never
+    * all-pairs. At 100 TB the store is partitioned by the synthetic cell's
+    * base cell like any tableset, so bucket probes partition-prune. */
+  private def s17Store(spark: SparkSession, dir: String): CellStore = {
+    val store = CellStore(spark, rootFor(dir))
+    if (!store.listTablesets().contains("gate_sig")) {
+      val staging = graft.util.TempDirs.create("graft_s17_src_")
+      val docsDf = spark.read.parquet(s"$dir/documents.parquet")
+      (0 to 2).foreach { i =>
+        val tmp = graft.util.TempDirs.create("graft_s17_tmp_")
+        docsDf.where(pmod(col("doc_id"), lit(3)) === i)
+          .select(col("doc_id"), col("text"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"s17 staging: no part file under $tmp"))
+        val dst = new java.io.File(staging, s"chunk_$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        require(dst.setLastModified(1700000000000L + i * 60000L),
+          s"s17 staging: cannot pin mtime of $dst")
+      }
+      val schema = CompactedTableSchema.builder("gate_sig")
+        .h3BaseResolutions(Seq(9))
+        .useCompaction(false)
+        .addSimpleColumn("band", T.Int64)
+        .addSimpleColumn("bh", T.Int64)
+        .addSimpleColumn("doc_id", T.Int64)
+        .build()
+      val src = spark.readStream
+        .schema(spark.read.parquet(staging).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+      // docs shorter than a shingle have NULL band hashes (s9 semantics:
+      // they match nothing) — they carry no signature row, and a NULL
+      // synthetic cell would rightly fail P5 validation at insert
+      val sigs = s17BandsOf(src)
+        .where(col("bh").isNotNull)
+        .select(Queries.synthCellFrom(col("bh"), col("band")).as("h3index"),
+          col("band"), col("bh"), col("doc_id"))
+      val ckpt = graft.util.TempDirs.create("graft_s17_ckpt_")
+      val q = graft.streaming.StreamOps.insertStream(
+        sigs, store, "gate_sig", ckpt, createSchema = Some(schema),
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+        onBatch = (st, nm, batchId) => {
+          if (batchId == 0L) st.deleteWhere(nm, "doc_id % 17 = 5")
+          if (batchId == 1L) st.applyDeletes(nm)
+        })
+      q.awaitTermination()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      require(dataBatches == 3,
+        s"s17 gate expects 3 single-file micro-batches, saw $dataBatches")
+    }
+    store
+  }
+
+  /** t2's two LSH band hashes per document row — the same per-row
+    * codegen'd expression on the streaming projection and the batch
+    * verdict probe (s9's device, shared here so both sides agree by
+    * construction). */
+  private def s17BandsOf(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), explode(array(
+      struct(lit(0L).as("band"),
+        graft.text.TextOps.lshBandHash(col("text"), 0).as("bh")),
+      struct(lit(1L).as("band"),
+        graft.text.TextOps.lshBandHash(col("text"), 1).as("bh")))).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+
+  def s17StreamNearDupStore(spark: SparkSession, dir: String): DataFrame = {
+    val store = s17Store(spark, dir)
+    val live = store.scanForResolution("gate_sig", 9)
+      .groupBy(col("band"), col("bh"))
+      .agg(min(col("doc_id")).as("min_id"))
+    val docsDf = spark.read.parquet(s"$dir/documents.parquet")
+    val flags = s17BandsOf(docsDf).join(live, Seq("band", "bh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(max((col("min_id") < col("doc_id")).cast("int")).as("f"))
+    docsDf.select(col("doc_id")).join(flags, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("f") === 1, lit(false)).as("is_near_dup"))
+      .orderBy(col("doc_id"))
+  }
 
   // ------------------------------------------------------------------ ts12
 
@@ -1789,6 +1928,7 @@ object TablesetQueries {
     "s6_versioned_stream" -> s6VersionedStreamIngest,
     "s5_stream_ingest" -> s5StreamIngest,
     "s15_stream_delete_interleave" -> s15StreamDeleteInterleave,
+    "s17_stream_neardup_store" -> s17StreamNearDupStore,
     "ts2_compact_roundtrip" -> ts2CompactRoundtrip,
     "ts3_mixed_rollup" -> ts3MixedRollup,
     "ts4_stats" -> ts4Stats,
