@@ -140,14 +140,20 @@ object Compaction {
     * from NESTED probes (impossible within one resolution), so the dedup
     * shuffle runs only for mixed-resolution probe sets. */
   def uncompactCoarseToProbes(coarse: DataFrame, targetRes: Int,
-      probes: DataFrame, h3Col: String = "h3index"): DataFrame = {
+      probes: DataFrame, h3Col: String = "h3index",
+      knownProbeRes: Option[Seq[Int]] = None): DataFrame = {
     val q0 = probes.columns.head
     val pn = probes.select(
         when(h3_get_resolution(col(q0)) > targetRes,
           h3_to_parent(col(q0), lit(targetRes))).otherwise(col(q0)).as("_q"))
       .distinct()
-    val pRes = pn.select(h3_get_resolution(col("_q")).as("p")).distinct()
-      .collect().map(_.getInt(0)).toSeq.sorted
+    // callers that KNOW the probe resolutions (traversal: one fixed res;
+    // Seq probes: driver-computed) skip the per-execution discovery job —
+    // clamped to targetRes exactly as the pn normalization clamps the cells
+    val pRes = knownProbeRes
+      .map(_.map(r => math.min(r, targetRes)).distinct.sorted)
+      .getOrElse(pn.select(h3_get_resolution(col("_q")).as("p")).distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted)
     val parts = pRes.map { p =>
       val keys = (0 until targetRes).map { r =>
         struct(lit(r).as("_r"),

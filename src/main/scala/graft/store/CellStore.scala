@@ -1045,7 +1045,8 @@ class CellStore(spark: SparkSession, rootPath: String) {
       val fine = projected.where(h3_get_resolution(col(h3Col)) === targetRes)
       val coarse = projected.where(h3_get_resolution(col(h3Col)) < targetRes)
       fine.unionByName(
-        Compaction.uncompactCoarseToProbes(coarse, targetRes, cellsDf, h3Col))
+        Compaction.uncompactCoarseToProbes(coarse, targetRes, cellsDf, h3Col,
+          knownProbeRes = knownProbeRes))
     }
   }
 
