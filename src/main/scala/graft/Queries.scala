@@ -681,19 +681,30 @@ object Queries {
     try f finally spark.conf.set(key, prev)
   }
 
-  /** Run a streaming frame to completion through an append-mode memory sink
-    * (AvailableNow; the no-data final batch flushes watermark-gated state). */
-  private def runToMemorySink(joined: DataFrame, sink: String): DataFrame = {
+  /** Run an append-mode streaming frame to completion through a PARQUET
+    * FILE sink and return a batch read of the output — the sink that
+    * scales. The memory sink collects every result row to the driver:
+    * measured at the 300x decade, s12's session output blew
+    * spark.driver.maxResultSize (1.3 GiB of serialized task results) —
+    * a memory sink is a gate-scale debugging device, while the file sink
+    * is what a production pipeline writes (executors write their own
+    * partitions; the driver sees only commit metadata). Same
+    * AvailableNow/no-data-batch flush semantics; a fresh output+checkpoint
+    * dir per call keeps bench re-runs independent. */
+  private def runToFileSink(joined: DataFrame, tag: String): DataFrame = {
     val spark = joined.sparkSession
-    spark.catalog.dropTempView(sink) // idempotent across bench passes
+    val outDir = graft.util.TempDirs.create(s"graft_${tag}_out_")
+    val ckpt = graft.util.TempDirs.create(s"graft_${tag}_ckpt_")
     withGateStreamingPartitions(spark) {
-      val q = joined.writeStream.format("memory").queryName(sink)
+      val q = joined.writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
     }
-    spark.table(sink)
+    spark.read.schema(joined.schema).parquet(outDir)
   }
 
   /** Streaming sessionization gate (s12): the native `session_window`
@@ -718,7 +729,7 @@ object Queries {
         src.withWatermark("ts", "1 hour"), "30 minutes")
       .select(col("user_id"), col("session_start"), col("session_end"),
         col("num_events"), round(col("total_value"), 2).as("total_value"))
-    runToMemorySink(agg, "s12_stream_sink")
+    runToFileSink(agg, "s12")
       .orderBy(col("user_id"), col("session_start"))
   }
 
@@ -728,7 +739,7 @@ object Queries {
         views, purchases, "user_id", "view_ts", "purchase_ts",
         horizon = "30 minutes", watermarkDelay = "1 hour")
       .select(col("view_id"), col("purchase_id"), col("user_id"))
-    runToMemorySink(joined, "s10_stream_sink")
+    runToFileSink(joined, "s10")
       .orderBy(col("view_id"), col("purchase_id"))
   }
 
@@ -751,7 +762,7 @@ object Queries {
         horizon = "30 minutes", watermarkDelay = "1 hour", joinType = "left_outer")
       .select(col("view_id"), coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
         col("user_id"))
-    runToMemorySink(joined, "s11_stream_sink")
+    runToFileSink(joined, "s11")
       .orderBy(col("view_id"), col("purchase_id"))
   }
 
@@ -773,7 +784,7 @@ object Queries {
       .select(coalesce(col("view_id"), lit(-1L)).as("view_id"),
         coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
         col("user_id"))
-    runToMemorySink(joined, "s14_stream_sink")
+    runToFileSink(joined, "s14")
       .orderBy(col("view_id"), col("purchase_id"), col("user_id"))
   }
 

@@ -101,9 +101,9 @@ object Traversal {
 
   /** DataFrame-AOI overload of [[traverseBulk]]: the AOI stays distributed
     * end to end — traversal-cell derivation (codegen'd H3 expressions +
-    * one distinct), the optional prefilter (its matched traversal cells
-    * ARE the distinct parents of the filter query's rows, flowing straight
-    * into the next semi-join), the optional k-ring buffer (executor-side
+    * one distinct), the optional prefilter (the distinct indexes of the
+    * UNCOMPACTED filter query ARE the surviving traversal cells, feeding
+    * the fine fetch directly), the optional k-ring buffer (executor-side
     * flatMap over the H3 algebra), and the store's DataFrame-probe
     * semi-join ([[CellStore.queryCells]]'s no-collect overload). A
     * continent-sized AOI — a polyfill output, another query's result —
