@@ -664,21 +664,36 @@ object Queries {
         .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts")))
   }
 
-  /** Right-size the stateful shuffle for a gate-scale streaming run: each
-    * state-store instance carries FIXED per-batch overhead (maintenance,
+  /** Right-size the stateful shuffle for a streaming run: each state-store
+    * instance carries FIXED per-batch overhead (maintenance,
     * snapshot/changelog commit, provider bookkeeping) that dwarfs the
     * per-row work at gate corpus sizes — measured on s10: 8.3s at 32
     * partitions vs 3.0s at 8, identical output. This is the standard
-    * stateful-streaming sizing rule applied DOWN (partitions ~ state
-    * volume, not CPU count); a 100 TB deployment applies the same rule
-    * upward. Output is partitioning-independent, so the oracles are
-    * untouched. Restores the session setting afterwards. */
-  private def withGateStreamingPartitions[T](spark: SparkSession)(f: => T): T = {
+    * stateful-streaming sizing rule (partitions ~ state volume, not CPU
+    * count) applied in BOTH directions: DOWN to 8 at gate scale, and back
+    * UP with the source size at decade scale — measured at 300x, the
+    * 8-partition clamp made s12's sessionization superlinear (64.8s,
+    * 4.6x for 3x data: per-partition state outgrew the fixed overhead it
+    * was traded for), while sizing one partition per ~16 MB of compressed source (state inflates well past parquet size)
+    * restores the linear regime. Output is partitioning-independent, so
+    * the oracles are untouched. Restores the session setting afterwards. */
+  private def withGateStreamingPartitions[T](spark: SparkSession,
+      sourceBytes: Long)(f: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    val n = math.min(prev.toInt, 8)
+    val sized = math.max(8L, sourceBytes / (16L << 20)).toInt
+    val n = math.min(prev.toInt, sized)
     spark.conf.set(key, n.toString)
     try f finally spark.conf.set(key, prev)
+  }
+
+  /** Total on-disk size of a table's parquet (file or directory) — the
+    * state-volume proxy [[withGateStreamingPartitions]] sizes by. */
+  private def tableBytes(dir: String, table: String): Long = {
+    def sizeOf(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).map(_.map(sizeOf).sum).getOrElse(0L)
+      else f.length()
+    sizeOf(new java.io.File(s"$dir/$table.parquet"))
   }
 
   /** Run an append-mode streaming frame to completion through a PARQUET
@@ -691,11 +706,12 @@ object Queries {
     * partitions; the driver sees only commit metadata). Same
     * AvailableNow/no-data-batch flush semantics; a fresh output+checkpoint
     * dir per call keeps bench re-runs independent. */
-  private def runToFileSink(joined: DataFrame, tag: String): DataFrame = {
+  private def runToFileSink(joined: DataFrame, tag: String,
+      sourceBytes: Long): DataFrame = {
     val spark = joined.sparkSession
     val outDir = graft.util.TempDirs.create(s"graft_${tag}_out_")
     val ckpt = graft.util.TempDirs.create(s"graft_${tag}_ckpt_")
-    withGateStreamingPartitions(spark) {
+    withGateStreamingPartitions(spark, sourceBytes) {
       val q = joined.writeStream.format("parquet")
         .option("path", outDir)
         .option("checkpointLocation", ckpt)
@@ -729,7 +745,7 @@ object Queries {
         src.withWatermark("ts", "1 hour"), "30 minutes")
       .select(col("user_id"), col("session_start"), col("session_end"),
         col("num_events"), round(col("total_value"), 2).as("total_value"))
-    runToFileSink(agg, "s12")
+    runToFileSink(agg, "s12", tableBytes(dir, "events"))
       .orderBy(col("user_id"), col("session_start"))
   }
 
@@ -739,7 +755,7 @@ object Queries {
         views, purchases, "user_id", "view_ts", "purchase_ts",
         horizon = "30 minutes", watermarkDelay = "1 hour")
       .select(col("view_id"), col("purchase_id"), col("user_id"))
-    runToFileSink(joined, "s10")
+    runToFileSink(joined, "s10", tableBytes(dir, "events"))
       .orderBy(col("view_id"), col("purchase_id"))
   }
 
@@ -762,7 +778,7 @@ object Queries {
         horizon = "30 minutes", watermarkDelay = "1 hour", joinType = "left_outer")
       .select(col("view_id"), coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
         col("user_id"))
-    runToFileSink(joined, "s11")
+    runToFileSink(joined, "s11", tableBytes(dir, "events"))
       .orderBy(col("view_id"), col("purchase_id"))
   }
 
@@ -784,7 +800,7 @@ object Queries {
       .select(coalesce(col("view_id"), lit(-1L)).as("view_id"),
         coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
         col("user_id"))
-    runToFileSink(joined, "s14")
+    runToFileSink(joined, "s14", tableBytes(dir, "events"))
       .orderBy(col("view_id"), col("purchase_id"), col("user_id"))
   }
 
@@ -817,7 +833,7 @@ object Queries {
       val out = graft.streaming.StreamOps.runningUserStats(src).toDF()
       val sink = "s13_stream_sink"
       spark.catalog.dropTempView(sink) // idempotent across bench passes
-      withGateStreamingPartitions(spark) {
+      withGateStreamingPartitions(spark, tableBytes(dir, "events")) {
         val q = out.writeStream.format("memory").queryName(sink)
           .outputMode("update")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
