@@ -31,13 +31,18 @@ object Bench {
     // builds), then two measured passes, reporting the per-query MIN: this
     // VM sees bursty host CPU steal (minutes-long windows where every task
     // runs 10-40x slow), and a single pass randomly inflates whichever
-    // queries the burst lands on; the min of two spaced passes is
-    // steal-robust while still measuring the full warm plan.
+    // queries the burst lands on. The two measured passes are FULL-SUITE
+    // passes, so a query's two timings are separated by an entire suite
+    // pass — a steal burst shorter than that cannot inflate both, which is
+    // what makes the min steal-robust (the round-8 review caught a
+    // back-to-back-passes variant that silently lost this property).
     //
-    // Warm/measure runs PER QUERY FAMILY (name prefix: c/d/e/g/h/m/q/s/t/ts).
-    // SPARK_GRAFT_BENCH_EVICT=1 adds a ScaleSmoke-style release between
-    // families (evictMemos + RDD unpersist + clearCache — eviction goes
-    // through evictMemos() so no memo key outlives its blocks).
+    // SPARK_GRAFT_BENCH_EVICT=1 switches to per-family blocks (name prefix
+    // c/d/e/g/h/m/q/s/t/ts) with a ScaleSmoke-style release between them
+    // (evictMemos + RDD unpersist + clearCache — eviction goes through
+    // evictMemos() so no memo key outlives its blocks); each family's two
+    // passes then run back-to-back, trading steal-spacing for a bounded
+    // working set.
     //
     // MEASURED (round 8, two interleaved sf0.1 runs, same host session):
     // the r7 verdict hypothesized that pinned memoized localCheckpoint
@@ -51,21 +56,29 @@ object Bench {
     // ScaleSmoke keeps its per-dir release, where the 300x one-JVM OOM
     // showed pinning genuinely matters.
     val evict = sys.env.contains("SPARK_GRAFT_BENCH_EVICT")
-    val families = names.groupBy(n => n.takeWhile(!_.isDigit)).toSeq.sortBy(_._1)
-    val measured = families.flatMap { case (_, fnames) =>
-      if (evict) {
-        PipelineQueries.evictMemos()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-        spark.catalog.clearCache()
-      }
-      fnames.foreach(n => run(SparkEntry.queries(n))) // family-local warmup
-      val pass1 = fnames.map(n => n -> run(SparkEntry.queries(n))).toMap
-      val pass2 = fnames.map(n => n -> run(SparkEntry.queries(n))).toMap
-      fnames.map { n =>
+    def minOf(pass1: Map[String, Double], pass2: Map[String, Double], ns: Seq[String]) =
+      ns.map { n =>
         val (a, b) = (pass1(n), pass2(n))
         n -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
       }
-    }.toMap
+    val measured: Map[String, Double] =
+      if (!evict) {
+        names.foreach(n => run(SparkEntry.queries(n))) // global warmup
+        val pass1 = names.map(n => n -> run(SparkEntry.queries(n))).toMap
+        val pass2 = names.map(n => n -> run(SparkEntry.queries(n))).toMap
+        minOf(pass1, pass2, names).toMap
+      } else {
+        val families = names.groupBy(n => n.takeWhile(!_.isDigit)).toSeq.sortBy(_._1)
+        families.flatMap { case (_, fnames) =>
+          PipelineQueries.evictMemos()
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+          spark.catalog.clearCache()
+          fnames.foreach(n => run(SparkEntry.queries(n))) // family-local warmup
+          val pass1 = fnames.map(n => n -> run(SparkEntry.queries(n))).toMap
+          val pass2 = fnames.map(n => n -> run(SparkEntry.queries(n))).toMap
+          minOf(pass1, pass2, fnames)
+        }.toMap
+      }
 
     val results = names.map(n => n -> measured(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

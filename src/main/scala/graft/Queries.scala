@@ -681,8 +681,12 @@ object Queries {
       sourceBytes: Long)(f: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    val sized = math.max(8L, sourceBytes / (16L << 20)).toInt
-    val n = math.min(prev.toInt, sized)
+    // deliberately NOT capped by the session setting: the session default
+    // is sized to CPU count, and capping would re-create the 300x blowup
+    // under a small-CPU session (round-8 review) — state-store partitions
+    // beyond core count just run as sequential tasks with bounded
+    // per-task state, which is the point of the rule
+    val n = math.max(8L, sourceBytes / (16L << 20)).toInt
     spark.conf.set(key, n.toString)
     try f finally spark.conf.set(key, prev)
   }
