@@ -827,6 +827,80 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-(session, dir) EXACT benchmark-gram-set broadcast for s18 — the
+    * streaming filter's static side. Bounded by the BENCHMARK size (eval
+    * suites are fixed-size; they do not grow with the corpus), so at any
+    * corpus scale this stays a few-MB broadcast; corpora whose eval union
+    * is too large for an exact set take c3's Bloom+verify plan instead.
+    * Cached like [[contamBloom]] (rebuilt per call it would leak one
+    * broadcast per invocation for the session lifetime). */
+  private val benchSetCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.broadcast.Broadcast[Set[String]]]()
+  private def contamBenchSet(spark: SparkSession, dir: String)
+      : org.apache.spark.broadcast.Broadcast[Set[String]] = {
+    val appId = spark.sparkContext.applicationId
+    benchSetCache.keySet.removeIf(k => !k.startsWith(s"$appId:"))
+    benchSetCache.computeIfAbsent(s"$appId:$dir", _ =>
+      spark.sparkContext.broadcast(
+        contamBench(spark, dir).collect().map(_.getString(0)).toSet))
+  }
+
+  /** Streaming decontamination at ingest (s18): c2/c3's benchmark-overlap
+    * check applied where production applies it — as each document ARRIVES,
+    * before it ever lands in the training corpus. The benchmark gram set is
+    * built OFFLINE (every 23rd doc, c2's convention) and broadcast as an
+    * exact set; each micro-batch then runs a STATELESS map-only filter:
+    * form the word 4-grams per row (pure Column algebra, no explode — the
+    * grams stay an array inside one row) and keep only documents sharing
+    * ZERO grams with the benchmark. Benchmark documents drop themselves
+    * (their grams are in the set) unless too short to have grams — the
+    * oracle states exactly that. No streaming state, no shuffle: the
+    * contaminated-set problem that needs a corpus-side join in batch (c2)
+    * becomes a broadcast lookup at ingest, which is why production
+    * decontaminates streams; the set is benchmark-sized (fixed) at any
+    * corpus scale, with c3's Bloom plan as the documented escape hatch
+    * when the eval union outgrows an exact broadcast. */
+  def s18StreamDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val bc = contamBenchSet(spark, dir)
+    val shares = udf((gs: Seq[String]) =>
+      gs != null && gs.exists(bc.value.contains))
+    val raw = docs(spark, dir)
+    val src = spark.readStream.schema(raw.schema).parquet(s"$dir/documents.*")
+    val ws = filter(split(col("text"), "\\s+"), x => x =!= "")
+    val grams = when(size(ws) >= 4,
+        transform(sequence(lit(1), size(ws) - 3),
+          i => array_join(slice(ws, i, lit(4)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val clean = src.select(col("doc_id"), grams.as("gs"))
+      .where(!shares(col("gs")))
+      .select(col("doc_id"))
+    val sink = "s18_stream_sink"
+    spark.catalog.dropTempView(sink) // idempotent across bench passes
+    val q = clean.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink).orderBy(col("doc_id"))
+  }
+
+  /** s18's oracle: c2's gram CTEs, inverted — the documents sharing NO
+    * gram with the benchmark set (benchmark docs included: they share
+    * their own grams unless too short to form any). */
+  private val s18OracleSql: String =
+    """WITH w AS (SELECT doc_id,
+      |    list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS ws
+      |  FROM documents),
+      |g AS (SELECT doc_id, unnest(list_transform(range(1, greatest(length(ws)-2, 1)),
+      |    i -> ws[i::INT] || ' ' || ws[(i+1)::INT] || ' ' || ws[(i+2)::INT]
+      |         || ' ' || ws[(i+3)::INT])) AS g
+      |  FROM w),
+      |bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 23 = 0),
+      |contaminated AS (SELECT DISTINCT doc_id FROM g JOIN bench USING (g))
+      |SELECT d.doc_id FROM documents d
+      |WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+      |ORDER BY d.doc_id""".stripMargin
+
   /** Shared e4/e5 IVF parameters — the two gates AND [[ivfOracleSql]] must
     * stay in lockstep (the e5 gate's whole point is that the persisted
     * index returns EXACTLY the ad-hoc results); one definition site removes
@@ -2141,6 +2215,7 @@ object PipelineQueries {
          |ORDER BY rnk""".stripMargin,
     "d33_quality_classifier" -> d33OracleSql,
     "s16_stream_quality_filter" -> s16OracleSql,
+    "s18_stream_decontam" -> s18OracleSql,
     "d27_cdc_chunks" -> {
       val w = (0 until 8).map(k => (0 until k).foldLeft(1L)((acc, _) => acc * 31 % P))
       val wList = w.mkString("[", ",", "]")
@@ -2561,6 +2636,7 @@ object PipelineQueries {
     "d27_cdc_chunks" -> d27CdcChunks,
     "s9_stream_neardup" -> s9StreamNearDup,
     "s16_stream_quality_filter" -> s16StreamQualityFilter,
+    "s18_stream_decontam" -> s18StreamDecontam,
     "c1_curation" -> c1Curation,
     "c2_contamination" -> c2Contamination,
     "c3_bloom_decontam" -> c3BloomDecontam,

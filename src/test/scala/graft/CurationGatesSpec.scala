@@ -75,6 +75,28 @@ class CurationGatesSpec extends AnyFunSuite with Matchers with SparkTestSession 
     stream shouldBe batch // same model, same expressions, different surface
   }
 
+  test("s18: streamed kept set == corpus minus c2's flagged docs minus self-matching benchmark docs") {
+    // batch/stream parity from the gates' own outputs: a doc is dropped at
+    // ingest iff it shares a gram with the benchmark — that is exactly
+    // c2's flagged set (non-benchmark docs with n_shared >= 1) plus the
+    // benchmark docs that have at least one gram (they match themselves)
+    val kept = PipelineQueries.s18StreamDecontam(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val flagged = PipelineQueries.c2Contamination(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val docsDf = spark.read.parquet(s"$dir/documents.parquet")
+    val allIds = docsDf.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val benchWithGrams = docsDf
+      .where(pmod(col("doc_id"), lit(23)) === 0)
+      .where(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.filter(split(col("text"), "\\s+"),
+          (x: org.apache.spark.sql.Column) => x =!= "")) >= 4)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    kept shouldBe (allIds -- flagged -- benchWithGrams)
+    kept should not be empty
+    flagged.intersect(kept) shouldBe empty
+  }
+
   test("d33: classifier learns the held-out length class from length-free features") {
     // loss-descent + accuracy-floor asserts run INSIDE the query; here we
     // check the output contract: one row per doc, scores in [0,1] (the
