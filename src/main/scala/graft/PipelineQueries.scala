@@ -987,6 +987,67 @@ object PipelineQueries {
       v.where(col("id") < IvfNumQueries), IvfK, IvfNprobe))
   }
 
+  /** Streaming IVF index maintenance (s19): vectors ARRIVE as a stream —
+    * three pinned-mtime micro-batches (vec_id % 3, the s15/s17 staging
+    * device) — and each batch folds into the persisted IVF index through
+    * `foreachBatch`: the first batch builds it (quantizer = the
+    * full-corpus deterministic centroids, the production shape — trained
+    * once offline on a representative sample, FROZEN thereafter), every
+    * later batch [[graft.ann.IvfIndex.append]]s into the cid-partitioned
+    * layout. Search after the stream drains must return EXACTLY e4's
+    * ad-hoc result (the ivfOracleSql contract e5/e6 already pin): a
+    * stream-grown index is indistinguishable from a single-pass build,
+    * whatever the micro-batching did. This closes the index family's
+    * streaming loop — s8 maintains a derived TABLESET from a stream, s17
+    * a signature store, s19 the ANN index.
+    *
+    * Scale shape: per batch, assignment is a broadcast-centroid map-side
+    * job and the append writes only the batch's own cid= partitions; no
+    * streaming state, no corpus-wide work per batch. At 100 TB the same
+    * loop runs on the arrival feed with a sampled-trained quantizer. */
+  def s19StreamIvfMaintain(spark: SparkSession, dir: String): DataFrame = {
+    val v = ivfCorpus(spark, dir)
+    val path = ivfIndexCache.computeIfAbsent(s"stream:$dir", _ => {
+      val p = graft.util.TempDirs.create("graft_ivf_stream_")
+      val cents = ivfCentroids(v).localCheckpoint() // frozen quantizer, reused per batch
+      val staging = graft.util.TempDirs.create("graft_s19_src_")
+      (0 to 2).foreach { i =>
+        val tmp = graft.util.TempDirs.create("graft_s19_tmp_")
+        emb(spark, dir).where(pmod(col("vec_id"), lit(3)) === i)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"s19 staging: no part file under $tmp"))
+        val dst = new java.io.File(staging, s"chunk_$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        require(dst.setLastModified(1700000000000L + i * 60000L),
+          s"s19 staging: cannot pin mtime of $dst")
+      }
+      val src = spark.readStream
+        .schema(spark.read.parquet(staging).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val ckpt = graft.util.TempDirs.create("graft_s19_ckpt_")
+      val q = src.writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          if (batchId == 0L) graft.ann.IvfIndex.build(spark, batch, cents, p)
+          else graft.ann.IvfIndex.append(spark, batch, p)
+        }
+        .start()
+      q.awaitTermination()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      require(dataBatches == 3,
+        s"s19 gate expects 3 single-file micro-batches, saw $dataBatches")
+      p
+    })
+    ivfProject(graft.ann.IvfIndex.search(spark, path,
+      v.where(col("id") < IvfNumQueries), IvfK, IvfNprobe))
+  }
+
   /** PQ-ADC ANN (e7): product-quantization search over the embeddings —
     * [[Ann.knnPqAdc]] with 8 subspaces x 8 dims, 16 deterministic codewords
     * per subspace (subvectors of ids < 16; swap for per-subspace k-means
@@ -2355,6 +2416,7 @@ object PipelineQueries {
     // e6 searches an incrementally-grown index — same expected rows as a
     // single-pass build by construction (frozen quantizer)
     "e6_ivf_append" -> ivfOracleSql,
+    "s19_stream_ivf_maintain" -> ivfOracleSql,
     // e5 searches the PERSISTED cid-partitioned index with identical
     // quantizer/probe/k parameters — same expected output as e4
     "e5_ivf_index" -> ivfOracleSql,
@@ -2619,6 +2681,7 @@ object PipelineQueries {
     "e4_ivf_ann" -> e4IvfAnn,
     "e5_ivf_index" -> e5IvfIndex,
     "e6_ivf_append" -> e6IvfAppend,
+    "s19_stream_ivf_maintain" -> s19StreamIvfMaintain,
     "e7_pq_adc" -> e7PqAdc,
     "e10_ivf_pq" -> e10IvfPq,
     "e17_ivfpq_rerank" -> e17IvfPqRerank,

@@ -95,6 +95,44 @@ class IvfIndexSpec extends AnyFunSuite with Matchers with SparkTestSession {
     grown shouldBe single
   }
 
+  test("s19 composition: a STREAM-grown index answers exactly like the batch build") {
+    // the s19 gate pins this against the DuckDB oracle on the real corpus;
+    // here the property is isolated on the lattice vectors — foreachBatch
+    // build-then-append over three micro-batches, any chunking
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val v = vectors
+    val centroids = v.where(pmod(col("id"), lit(23)) === 0)
+      .select(col("id").as("cid"), col("vec")).localCheckpoint()
+    val p = graft.util.TempDirs.create("graft_ivf_stream_spec_")
+    val stream = MemoryStream[(Long, Seq[Double])]
+    val ckpt = graft.util.TempDirs.create("graft_ivf_stream_ckpt_")
+    val q = stream.toDF().toDF("id", "vec").writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        if (batchId == 0L) IvfIndex.build(spark, batch, centroids, p)
+        else IvfIndex.append(spark, batch, p)
+      }
+      .start()
+    try {
+      val rows = (0L until 200L).map { i =>
+        (i, (0 until 40).map(j => (((i * 31 + j * 17) % 19) - 9).toDouble))
+      }
+      rows.grouped(70).foreach { chunk =>
+        stream.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val queries = v.where(col("id") < 5)
+    val streamed = IvfIndex.search(spark, p, queries, 4, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val single = IvfIndex.search(spark, indexPath, queries, 4, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    streamed shouldBe single
+  }
+
   test("index search equals ad-hoc knnIvf for the same parameters") {
     val v = vectors
     val centroids = v.where(pmod(col("id"), lit(23)) === 0)
