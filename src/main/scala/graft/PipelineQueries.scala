@@ -866,22 +866,27 @@ object PipelineQueries {
       gs != null && gs.exists(bc.value.contains))
     val raw = docs(spark, dir)
     val src = spark.readStream.schema(raw.schema).parquet(s"$dir/documents.*")
-    val ws = filter(split(col("text"), "\\s+"), x => x =!= "")
-    val grams = when(size(ws) >= 4,
-        transform(sequence(lit(1), size(ws) - 3),
-          i => array_join(slice(ws, i, lit(4)), " ")))
-      .otherwise(array().cast("array<string>"))
-    val clean = src.select(col("doc_id"), grams.as("gs"))
+    // the SAME gram definition the benchmark set was built from
+    // (TextOps.wordGramArray is wordGrams' pre-explode form — one
+    // definition site, no stream/batch drift), kept in-row: no explode,
+    // no shuffle
+    val clean = src
+      .select(col("doc_id"), TextOps.wordGramArray(col("text"), 4).as("gs"))
       .where(!shares(col("gs")))
       .select(col("doc_id"))
-    val sink = "s18_stream_sink"
-    spark.catalog.dropTempView(sink) // idempotent across bench passes
-    val q = clean.writeStream.format("memory").queryName(sink)
+    // FILE sink, not the memory sink: the kept set is corpus-sized (one
+    // row per clean document), and collecting it to the driver is exactly
+    // the maxResultSize failure s12 hit at 300x (round-8 review)
+    val outDir = graft.util.TempDirs.create("graft_s18_out_")
+    val ckpt = graft.util.TempDirs.create("graft_s18_ckpt_")
+    val q = clean.writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(sink).orderBy(col("doc_id"))
+    spark.read.schema(clean.schema).parquet(outDir).orderBy(col("doc_id"))
   }
 
   /** s18's oracle: c2's gram CTEs, inverted — the documents sharing NO
@@ -1010,19 +1015,8 @@ object PipelineQueries {
     val path = ivfIndexCache.computeIfAbsent(s"stream:$dir", _ => {
       val p = graft.util.TempDirs.create("graft_ivf_stream_")
       val cents = ivfCentroids(v).localCheckpoint() // frozen quantizer, reused per batch
-      val staging = graft.util.TempDirs.create("graft_s19_src_")
-      (0 to 2).foreach { i =>
-        val tmp = graft.util.TempDirs.create("graft_s19_tmp_")
-        emb(spark, dir).where(pmod(col("vec_id"), lit(3)) === i)
-          .coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-          .getOrElse(sys.error(s"s19 staging: no part file under $tmp"))
-        val dst = new java.io.File(staging, s"chunk_$i.parquet")
-        java.nio.file.Files.move(part.toPath, dst.toPath)
-        require(dst.setLastModified(1700000000000L + i * 60000L),
-          s"s19 staging: cannot pin mtime of $dst")
-      }
+      val staging = graft.util.Staging.stageChunks(
+        emb(spark, dir), "vec_id", 3, "s19")
       val src = spark.readStream
         .schema(spark.read.parquet(staging).schema)
         .option("maxFilesPerTrigger", 1)

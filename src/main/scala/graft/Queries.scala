@@ -692,12 +692,16 @@ object Queries {
   }
 
   /** Total on-disk size of a table's parquet (file or directory) — the
-    * state-volume proxy [[withGateStreamingPartitions]] sizes by. */
-  private def tableBytes(dir: String, table: String): Long = {
-    def sizeOf(f: java.io.File): Long =
-      if (f.isDirectory) Option(f.listFiles()).map(_.map(sizeOf).sum).getOrElse(0L)
-      else f.length()
-    sizeOf(new java.io.File(s"$dir/$table.parquet"))
+    * state-volume proxy [[withGateStreamingPartitions]] sizes by. Resolved
+    * through the Hadoop FileSystem so URI-form and non-local dirs size
+    * correctly (a java.io.File of "file:///..." silently reports 0, which
+    * would collapse the sizing back to the 8-partition clamp — round-8
+    * review); a missing table fails loudly rather than under-sizing. */
+  private def tableBytes(spark: SparkSession, dir: String, table: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(p), s"tableBytes: $p does not exist")
+    fs.getContentSummary(p).getLength
   }
 
   /** Run an append-mode streaming frame to completion through a PARQUET
@@ -749,7 +753,7 @@ object Queries {
         src.withWatermark("ts", "1 hour"), "30 minutes")
       .select(col("user_id"), col("session_start"), col("session_end"),
         col("num_events"), round(col("total_value"), 2).as("total_value"))
-    runToFileSink(agg, "s12", tableBytes(dir, "events"))
+    runToFileSink(agg, "s12", tableBytes(spark, dir, "events"))
       .orderBy(col("user_id"), col("session_start"))
   }
 
@@ -759,7 +763,7 @@ object Queries {
         views, purchases, "user_id", "view_ts", "purchase_ts",
         horizon = "30 minutes", watermarkDelay = "1 hour")
       .select(col("view_id"), col("purchase_id"), col("user_id"))
-    runToFileSink(joined, "s10", tableBytes(dir, "events"))
+    runToFileSink(joined, "s10", tableBytes(spark, dir, "events"))
       .orderBy(col("view_id"), col("purchase_id"))
   }
 
@@ -782,7 +786,7 @@ object Queries {
         horizon = "30 minutes", watermarkDelay = "1 hour", joinType = "left_outer")
       .select(col("view_id"), coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
         col("user_id"))
-    runToFileSink(joined, "s11", tableBytes(dir, "events"))
+    runToFileSink(joined, "s11", tableBytes(spark, dir, "events"))
       .orderBy(col("view_id"), col("purchase_id"))
   }
 
@@ -804,7 +808,7 @@ object Queries {
       .select(coalesce(col("view_id"), lit(-1L)).as("view_id"),
         coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
         col("user_id"))
-    runToFileSink(joined, "s14", tableBytes(dir, "events"))
+    runToFileSink(joined, "s14", tableBytes(spark, dir, "events"))
       .orderBy(col("view_id"), col("purchase_id"), col("user_id"))
   }
 
@@ -837,7 +841,7 @@ object Queries {
       val out = graft.streaming.StreamOps.runningUserStats(src).toDF()
       val sink = "s13_stream_sink"
       spark.catalog.dropTempView(sink) // idempotent across bench passes
-      withGateStreamingPartitions(spark, tableBytes(dir, "events")) {
+      withGateStreamingPartitions(spark, tableBytes(spark, dir, "events")) {
         val q = out.writeStream.format("memory").queryName(sink)
           .outputMode("update")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

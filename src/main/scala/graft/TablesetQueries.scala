@@ -1455,24 +1455,14 @@ object TablesetQueries {
   private def s15Store(spark: SparkSession, dir: String): CellStore = {
     val store = CellStore(spark, rootFor(dir))
     if (!store.listTablesets().contains("gate_stream_del")) {
-      val staging = graft.util.TempDirs.create("graft_s15_src_")
-      val li = lineitem(spark, dir)
-      (0 to 2).foreach { i =>
-        val tmp = graft.util.TempDirs.create("graft_s15_tmp_")
-        li.where(pmod(col("l_orderkey"), lit(3)) === i)
-          .select(Queries.synthCell.as("h3index"),
-            pmod(col("l_orderkey"), lit(50)).as("v"))
-          .coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-          .getOrElse(sys.error(s"s15 staging: no part file under $tmp"))
-        val dst = new java.io.File(staging, s"chunk_$i.parquet")
-        java.nio.file.Files.move(part.toPath, dst.toPath)
-        // FileStreamSource schedules unread files oldest-modification-first;
-        // distinct pinned times make batch i == chunk i deterministic
-        require(dst.setLastModified(1700000000000L + i * 60000L),
-          s"s15 staging: cannot pin mtime of $dst")
-      }
+      // Staging.stageChunks pins strictly increasing mtimes so batch i ==
+      // chunk i (FileStreamSource schedules oldest-modification-first)
+      val staging = graft.util.Staging.stageChunks(
+        lineitem(spark, dir)
+          .select(col("l_orderkey"),
+            Queries.synthCell.as("h3index"),
+            pmod(col("l_orderkey"), lit(50)).as("v")),
+        "l_orderkey", 3, "s15", dropKey = true)
       val schema = CompactedTableSchema.builder("gate_stream_del")
         .h3BaseResolutions(Seq(5, 9))
         .useCompaction(false)
@@ -1546,21 +1536,10 @@ object TablesetQueries {
   private def s17Store(spark: SparkSession, dir: String): CellStore = {
     val store = CellStore(spark, rootFor(dir))
     if (!store.listTablesets().contains("gate_sig")) {
-      val staging = graft.util.TempDirs.create("graft_s17_src_")
-      val docsDf = spark.read.parquet(s"$dir/documents.parquet")
-      (0 to 2).foreach { i =>
-        val tmp = graft.util.TempDirs.create("graft_s17_tmp_")
-        docsDf.where(pmod(col("doc_id"), lit(3)) === i)
-          .select(col("doc_id"), col("text"))
-          .coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-          .getOrElse(sys.error(s"s17 staging: no part file under $tmp"))
-        val dst = new java.io.File(staging, s"chunk_$i.parquet")
-        java.nio.file.Files.move(part.toPath, dst.toPath)
-        require(dst.setLastModified(1700000000000L + i * 60000L),
-          s"s17 staging: cannot pin mtime of $dst")
-      }
+      val staging = graft.util.Staging.stageChunks(
+        spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text")),
+        "doc_id", 3, "s17")
       val schema = CompactedTableSchema.builder("gate_sig")
         .h3BaseResolutions(Seq(9))
         .useCompaction(false)

@@ -30,16 +30,24 @@ object TextOps {
     * POSITIONS (shuffle-free — no per-document gram array is built), and
     * materialize each gram on the way out of the generator. Docs shorter
     * than k yield no rows. Callers hash `g` (sha2) before any shuffle. */
+  /** Word k-grams of a text column as an IN-ROW array — the ONE definition
+    * of the gram strings (split on whitespace, empties dropped, tokens
+    * re-joined with single spaces). [[wordGrams]] is its exploded form;
+    * the s18 streaming filter consumes the array directly (no explode, no
+    * shuffle). One definition site keeps the stream-side filter and the
+    * batch-side benchmark set (c2/c3) in lockstep by construction. */
+  def wordGramArray(text: Column, k: Int): Column = {
+    val ws = filter(split(text, "\\s+"), x => x =!= "")
+    when(size(ws) >= k,
+        transform(sequence(lit(1), size(ws) - (k - 1)),
+          i => array_join(slice(ws, i, lit(k)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
   def wordGrams(docs: org.apache.spark.sql.DataFrame, k: Int)
       : org.apache.spark.sql.DataFrame =
-    docs
-      .select(col("doc_id"),
-        filter(split(col("text"), "\\s+"), x => x =!= "").as("ws"))
-      .select(col("doc_id"), col("ws"), explode(
-        when(size(col("ws")) >= k, sequence(lit(1), size(col("ws")) - (k - 1)))
-          .otherwise(array().cast("array<int>"))).as("i"))
-      .select(col("doc_id"),
-        array_join(slice(col("ws"), col("i"), lit(k)), " ").as("g"))
+    docs.select(col("doc_id"),
+      explode(wordGramArray(col("text"), k)).as("g"))
 
   /** Hash family: h_j(x) = (x*A_j + B_j) mod P. A_j stays < 2^21 so
     * (P-1)*A_j fits comfortably in a signed 64-bit long. */

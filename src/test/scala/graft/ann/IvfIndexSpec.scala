@@ -117,9 +117,9 @@ class IvfIndexSpec extends AnyFunSuite with Matchers with SparkTestSession {
       }
       .start()
     try {
-      val rows = (0L until 200L).map { i =>
-        (i, (0 until 40).map(j => (((i * 31 + j * 17) % 19) - 9).toDouble))
-      }
+      // stream rows come from the SAME fixture the batch index was built
+      // from — one source of truth for the vector geometry
+      val rows = v.as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
       rows.grouped(70).foreach { chunk =>
         stream.addData(chunk: _*)
         q.processAllAvailable()
