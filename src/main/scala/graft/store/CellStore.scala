@@ -1038,6 +1038,7 @@ class CellStore(spark: SparkSession, rootPath: String) {
     // a template that aggregated away the h3index column has no cells left
     // to uncompact — pass its result through untouched
     if (!doUncompact || !projected.columns.contains(h3Col)) projected
+    else if (!hasCompactedBelow(name, targetRes)) projected
     else {
       // A7: rows already AT targetRes pass through untouched (the semi-join
       // proved probe coverage); only COARSER (compacted) rows take the
@@ -1049,6 +1050,27 @@ class CellStore(spark: SparkSession, rootPath: String) {
           knownProbeRes = knownProbeRes))
     }
   }
+
+  /** True iff the tableset stores ANY compacted partition strictly below
+    * `targetRes` — the only rows a doUncompact query could see coarser
+    * than the target (scanForResolution returns base rows at exactly
+    * targetRes plus compacted rows at res <= targetRes; a compacted row AT
+    * targetRes needs no expansion). Driver-side partition metadata (the
+    * cached file listing's Hive segments), so compaction-free tablesets —
+    * the Sum engine disables compaction entirely — skip the fine/coarse
+    * split and the uncompaction join in EVERY cell query's plan. Same
+    * plan-time file-set semantics as the directory scan itself (a file
+    * index is fixed when the frame is built; mutations invalidate the
+    * listing cache for frames built after them). */
+  private def hasCompactedBelow(name: String, targetRes: Int): Boolean =
+    listDataFilesCached(name).exists { p =>
+      val marker = "kind=compacted/resolution="
+      val i = p.indexOf(marker)
+      i >= 0 && {
+        val digits = p.substring(i + marker.length).takeWhile(_.isDigit)
+        digits.nonEmpty && digits.toInt < targetRes
+      }
+    }
 
   /** P4: templated query. `<[table]>` is replaced by a temp view over the
     * pruned scan, `<[h3indexes]>` by a subquery of the probe cells
