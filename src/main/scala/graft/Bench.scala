@@ -84,7 +84,19 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // Also persist the full per-query map to a stable in-repo path: the
+    // driver's BENCH_rN artifact tail-truncates the query map (r8 lost the
+    // first ~95 per-query timings), so the committed file is the durable
+    // round-over-round history. Full runs only — a SPARK_GRAFT_ONLY
+    // iteration run must not overwrite the round's suite numbers.
+    if (sys.env.get("SPARK_GRAFT_ONLY").isEmpty)
+      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+        (json + "\n").getBytes("UTF-8"))
+      catch { case e: Exception =>
+        System.err.println(s"BENCH_LOCAL.json write failed: $e") }
     spark.stop()
   }
 }

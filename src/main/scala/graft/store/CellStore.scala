@@ -1064,11 +1064,20 @@ class CellStore(spark: SparkSession, rootPath: String) {
     * listing cache for frames built after them). */
   private def hasCompactedBelow(name: String, targetRes: Int): Boolean =
     listDataFilesCached(name).exists { p =>
-      val marker = "kind=compacted/resolution="
-      val i = p.indexOf(marker)
+      // segment-wise parse, not a raw substring match: if the listing ever
+      // yields a differently-normalized layout, a silent non-match here
+      // would skip uncompaction and return coarse rows (wrong results with
+      // no error) — so a compacted segment whose resolution= neighbor does
+      // not parse fails LOUDLY instead (ADVICE r8)
+      val segs = p.split('/')
+      val i = segs.indexOf("kind=compacted")
       i >= 0 && {
-        val digits = p.substring(i + marker.length).takeWhile(_.isDigit)
-        digits.nonEmpty && digits.toInt < targetRes
+        val res = segs.lift(i + 1).filter(_.startsWith("resolution="))
+          .map(_.stripPrefix("resolution=")).filter(s => s.nonEmpty && s.forall(_.isDigit))
+          .getOrElse(throw new IllegalStateException(
+            s"tableset '$name': kind=compacted segment without a parseable " +
+              s"resolution= segment in data file path: $p"))
+        res.toInt < targetRes
       }
     }
 

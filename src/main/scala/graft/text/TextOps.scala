@@ -23,19 +23,19 @@ object TextOps {
   /** Modulus for all hashing: the Mersenne prime 2^31-1. */
   val P = 2147483647L
 
-  /** Word k-grams of a documents frame: (doc_id, g) with g the
-    * space-joined k-token window. The ONE shared formation for every
-    * n-gram operator (d9 trigrams, c2/c3 4-gram decontamination, d11
-    * 12-word spans): whitespace tokenize once, explode window START
-    * POSITIONS (shuffle-free — no per-document gram array is built), and
-    * materialize each gram on the way out of the generator. Docs shorter
-    * than k yield no rows. Callers hash `g` (sha2) before any shuffle. */
   /** Word k-grams of a text column as an IN-ROW array — the ONE definition
     * of the gram strings (split on whitespace, empties dropped, tokens
-    * re-joined with single spaces). [[wordGrams]] is its exploded form;
-    * the s18 streaming filter consumes the array directly (no explode, no
-    * shuffle). One definition site keeps the stream-side filter and the
-    * batch-side benchmark set (c2/c3) in lockstep by construction. */
+    * re-joined with single spaces); docs shorter than k yield an empty
+    * array. [[wordGrams]] is its exploded form (the batch path for d9/d11
+    * and c2/c3's gram formation); the s18 streaming filter consumes the
+    * array directly (no explode, no shuffle). One definition site keeps
+    * the stream-side filter and the batch-side benchmark set in lockstep
+    * by construction. The higher-order `transform` lambda is interpreted
+    * (not codegen'd) but runs ONCE per row — unlike the per-candidate-pair
+    * recomputation the PipelineQueries performance note warns about — and
+    * the c2/c3 isolated sf0.1 bench was re-measured flat after the switch
+    * from the exploded-positions form (README, round 9). Callers hash `g`
+    * (sha2) before any shuffle. */
   def wordGramArray(text: Column, k: Int): Column = {
     val ws = filter(split(text, "\\s+"), x => x =!= "")
     when(size(ws) >= k,

@@ -25,7 +25,13 @@ object Staging {
       val chunk = df.where(pmod(col(keyCol), lit(parts)) === i)
       (if (dropKey) chunk.drop(keyCol) else chunk)
         .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
+      // listFiles() returns null for URI-form or non-local paths (the same
+      // silent local-FS assumption tableBytes once made) — fail with the
+      // actual path instead of an unexplained NPE
+      val entries = Option(new java.io.File(tmp).listFiles()).getOrElse(
+        sys.error(s"$tag staging: cannot list $tmp (non-local or URI-form " +
+          "path? stageChunks stages on the driver-local filesystem)"))
+      val part = entries
         .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
         .getOrElse(sys.error(s"$tag staging: no part file under $tmp"))
       val dst = new java.io.File(staging, s"chunk_$i.parquet")
