@@ -381,24 +381,38 @@ object PipelineQueries {
       .limit(20)
   }
 
-  /** Multimodal plumbing end to end: synthesized binary media column ->
-    * stub metadata decode -> partition-local byte-histogram featurizer
-    * (the mapPartitions path — no driver round-trip), exploded to
-    * (doc_id, meta, bin, feat) rows. The oracle re-derives the histogram
-    * independently from hex(encode(text)): bucket (byte*16)/256 == the
-    * byte's first hex nibble. */
-  def m1Multimodal(spark: SparkSession, dir: String): DataFrame = {
-    val media = graft.multimodal.Multimodal.synthesizeMediaTable(docs(spark, dir))
-    val withMeta = media.withColumn("meta",
-      graft.multimodal.Multimodal.decodeStub(col("content"), col("mime")))
-    val feats = graft.multimodal.Multimodal.withByteHistogram(withMeta, "content")
-    feats.select(col("doc_id"), col("meta.mime").as("mime"),
-        col("meta.width").as("width"), col("meta.height").as("height"),
-        col("meta.channels").as("channels"),
-        posexplode(col("features")).as(Seq("bin", "feat")))
-      .withColumn("feat", round(col("feat").cast("double"), 4))
+  /** The decoded-image frame every m-gate shares, memoized per dir: one
+    * synthesize (real PNG/BMP encode of the deterministic pixel lattice)
+    * plus one REAL `javax.imageio` decode pass serves m1 (metadata +
+    * histogram), m2 (frame sampling over pixel rows), and m3 (aHash
+    * near-dup). Working set: <= 768 int samples per row — at the 300x
+    * decade (1.5M docs) ~4.6 GB across partitions, which is why ScaleSmoke
+    * releases memos per dir. */
+  private def decodedImages(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, s"mimg:$dir") {
+      graft.multimodal.Multimodal.decodeImage(
+        graft.multimodal.Multimodal.synthesizeImageTable(docs(spark, dir)),
+        "content")
+    }
+
+  /** Multimodal image pipeline end to end (m1), on REAL codecs: the
+    * deterministic pixel lattice is encoded through `javax.imageio`
+    * (PNG gray, PNG RGB, BMP by doc group) and decoded BACK through
+    * `ImageIO.read`; the gate emits decoded width/height/channels plus a
+    * 16-bin histogram of decoded sample values. The DuckDB oracle
+    * recomputes the lattice relationally — only a correct encode+decode
+    * roundtrip reproduces it (a stub would fail the hash). The third
+    * implementation (pure-Python PNG/BMP reader over the m5 byte dump) is
+    * in tools/independent_check.py. */
+  def m1Multimodal(spark: SparkSession, dir: String): DataFrame =
+    decodedImages(spark, dir)
+      .select(col("doc_id"), col("mime"), col("width"), col("height"),
+        col("channels"), posexplode(col("hist")).as(Seq("bin", "cnt")))
+      .withColumn("feat", round(col("cnt").cast("double") /
+        (col("width") * col("height") * col("channels")), 4))
+      .select(col("doc_id"), col("mime"), col("width"), col("height"),
+        col("channels"), col("bin"), col("feat"))
       .orderBy(col("doc_id"), col("bin"))
-  }
 
   /** Banded LSH ANN (32 random hyperplanes, 8 bands x 4 bits, dim 64) for
     * the first 10 vectors, k=5 candidate re-rank. */
@@ -678,47 +692,58 @@ object PipelineQueries {
     out
   }
 
-  /** Multimodal frame sampling (m2): the video-style path of the media
-    * plumbing — payloads split into 8 equal "frames", every 3rd sampled,
-    * checksummed. Complements m1 (decode metadata + byte histogram) so both
-    * stub featurizer paths carry an oracle. The DuckDB side has no BLOB
-    * substring, so it slices the TEXT instead — byte-exact because the
-    * corpus is pure ASCII (verified octet_length == length at both
-    * scales). */
+  /** Multimodal frame sampling (m2), on REAL decoded pixels: the
+    * video-style path of the media plumbing. Compressed video codecs
+    * (H.264/VP9) are the one genuinely absent family offline, so "frames"
+    * are 8 horizontal bands of the decoded image's pixel rows (band k =
+    * rows [k*h/8, (k+1)*h/8)), every 3rd sampled — the identical plumbing
+    * shape (binary in, per-frame slices out) with integer-exact per-frame
+    * checksums: pixel count, sample sum, and a position-weighted sum that
+    * pins the ORDER of the decoded samples, not just their multiset. All
+    * in-row array slicing — no shuffle, frames never leave the task. */
   def m2FrameSample(spark: SparkSession, dir: String): DataFrame = {
-    val media = graft.multimodal.Multimodal.synthesizeMediaTable(docs(spark, dir))
-    graft.multimodal.Multimodal.sampleFrames(media, "content", 8, 3)
-      .select(col("doc_id"), col("frame_idx"),
-        length(col("frame_bytes")).cast("long").as("frame_len"),
-        sha2(col("frame_bytes"), 256).as("frame_sha"))
+    val d = decodedImages(spark, dir)
+    val rowSz = col("width") * col("channels")
+    val lo = floor(col("frame_idx") * col("height") / 8).cast("int")
+    val hi = floor((col("frame_idx") + 1) * col("height") / 8).cast("int")
+    val fr = slice(col("px"), lo * rowSz + 1, (hi - lo) * rowSz)
+    d.select(col("doc_id"), col("width"), col("height"), col("channels"), col("px"),
+        explode(filter(sequence(lit(0), lit(7)),
+          k => pmod(k, lit(3)) === 0)).as("frame_idx"))
+      .withColumn("fr", fr)
+      .select(col("doc_id"), col("frame_idx").cast("int").as("frame_idx"),
+        size(col("fr")).as("frame_px"),
+        aggregate(col("fr"), lit(0L), (acc, v) => acc + v).as("frame_sum"),
+        aggregate(zip_with(col("fr"), sequence(lit(1), size(col("fr"))),
+          (v, j) => v.cast("long") * j), lit(0L), (acc, x) => acc + x)
+          .as("frame_wsum"))
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
-  /** Multimodal perceptual-hash near-duplicate pairs (m3): the image-dedup
-    * leg of the pipeline. Payloads get a 64-bit average-hash signature
-    * ([[graft.multimodal.Multimodal.withAverageHash]], integer-exact), and
-    * pairs within Hamming distance 12 are found with a 16-band x 4-bit
-    * banded self-join — LOSSLESS by pigeonhole (12 differing bits touch at
-    * most 12 of 16 bands, so every qualifying pair shares an intact band),
-    * which the all-pairs DuckDB oracle independently verifies. Only
-    * (band, bucket, id, two 32-bit halves) transit the shuffle — payloads
-    * never do. Geometry note: the block-mean stub signature is
-    * length-shift sensitive, so same-content distances land near ~10 here
-    * (hence T=12 and narrow 4-bit bands); a real pHash over decoded
-    * pixels concentrates duplicates at T<=3, where the SAME pipeline runs
-    * 4 bands x 16 bits and buckets prune ~16k x instead of ~16 x. */
+  /** Multimodal perceptual-hash near-duplicate pairs (m3), on REAL decoded
+    * pixels: the image-dedup leg of the pipeline. Each decoded image gets
+    * the classic 64-bit average-hash — integer BT.601 luma, 8x8 block grid,
+    * bit = block mean > image mean ([[graft.multimodal.Multimodal
+    * .withImageAHash]], integer-exact) — and pairs within Hamming distance
+    * 3 are found with a 4-band x 16-bit banded self-join, LOSSLESS by
+    * pigeonhole (3 differing bits touch at most 3 of 4 bands, so every
+    * qualifying pair shares an intact band), which the all-pairs DuckDB
+    * oracle independently verifies. Only (band, bucket, id, two 32-bit
+    * halves) transit the shuffle — pixels never do. Real-pHash geometry:
+    * duplicates concentrate at T<=3 (the fixture plants exact-duplicate
+    * copies 0/1 and a perturbed copy 2 per group of 3 docs), so the wide
+    * 16-bit buckets prune ~65k x harder than the stub era's 4-bit bands. */
   def m3PhashNearDup(spark: SparkSession, dir: String): DataFrame = {
     val pairs = memo(spark, s"m3pairs:$dir") {
-      val media = graft.multimodal.Multimodal.synthesizeMediaTable(docs(spark, dir))
       val sig = graft.multimodal.Multimodal
-        .withAverageHash(media.where(length(col("content")) > 0), "content")
+        .withImageAHash(decodedImages(spark, dir))
         .select(col("doc_id"), col("ahash_hi"), col("ahash_lo"))
-      val bands = (0 until 8).map { j =>
+      val bands = (0 until 2).map { j =>
         struct(lit(j).as("band"),
-          shiftright(col("ahash_lo"), 4 * j).bitwiseAND(lit(15L)).as("bucket"))
-      } ++ (8 until 16).map { j =>
+          shiftright(col("ahash_lo"), 16 * j).bitwiseAND(lit(0xFFFFL)).as("bucket"))
+      } ++ (2 until 4).map { j =>
         struct(lit(j).as("band"),
-          shiftright(col("ahash_hi"), 4 * (j - 8)).bitwiseAND(lit(15L)).as("bucket"))
+          shiftright(col("ahash_hi"), 16 * (j - 2)).bitwiseAND(lit(0xFFFFL)).as("bucket"))
       }
       val banded = sig
         .select(col("doc_id"), col("ahash_hi"), col("ahash_lo"),
@@ -735,10 +760,47 @@ object PipelineQueries {
         .select(col("doc_a"), col("doc_b"),
           (bit_count(col("ha").bitwiseXOR(col("hb"))) +
             bit_count(col("la").bitwiseXOR(col("lb")))).as("hamming"))
-        .where(col("hamming") <= 12)
+        .where(col("hamming") <= 3)
         .distinct()
     }
     pairs.orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** REAL audio decode (m4): deterministic unsigned 8-bit PCM WAV payloads
+    * (written through `javax.sound.sampled.AudioSystem` — JDK-built-in, no
+    * external codecs) decoded BACK through `AudioSystem
+    * .getAudioInputStream`: container-parsed channels, sample rate, frame
+    * count, plus integer sample checksums (sum + position-weighted sum —
+    * the weighted sum pins interleaving order, so a channel swap or frame
+    * drop cannot hash-match). The oracle recomputes the PCM lattice
+    * relationally; only a correct WAV encode+decode roundtrip reproduces
+    * it. */
+  def m4AudioDecode(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.decodeAudio(
+        graft.multimodal.Multimodal.synthesizeAudioTable(docs(spark, dir)),
+        "content")
+      .select(col("doc_id"), col("n_channels"), col("sample_rate"),
+        col("n_frames"),
+        aggregate(col("samples"), lit(0L), (acc, v) => acc + v).as("sample_sum"),
+        aggregate(zip_with(col("samples"), sequence(lit(1), size(col("samples"))),
+          (v, j) => v.cast("long") * j), lit(0L), (acc, x) => acc + x)
+          .as("sample_wsum"))
+      .orderBy(col("doc_id"))
+
+  /** Raw media byte dump (m5): the actual encoded PNG/BMP/WAV payloads,
+    * persisted by Verify so tools/independent_check.py can decode them with
+    * a THIRD implementation (pure-Python zlib PNG reader, BMP row parser,
+    * WAV chunk parser) and compare every sample against the lattice
+    * formulas — the cross-check that would catch a matched-wrong
+    * encode/decode pair (the one bug class the m1/m3/m4 hash gates share
+    * with their oracles). No SQL oracle: DuckDB cannot re-encode PNG; the
+    * driver records the weaker rows-only check and the Python checker does
+    * the byte-level verification. */
+  def m5MediaBytes(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    graft.multimodal.Multimodal.synthesizeImageTable(d)
+      .unionByName(graft.multimodal.Multimodal.synthesizeAudioTable(d))
+      .orderBy(col("doc_id"), col("mime"))
   }
 
   /** Benchmark decontamination (c2): flag training documents sharing any
@@ -833,7 +895,13 @@ object PipelineQueries {
     * corpus scale this stays a few-MB broadcast; corpora whose eval union
     * is too large for an exact set take c3's Bloom+verify plan instead.
     * Cached like [[contamBloom]] (rebuilt per call it would leak one
-    * broadcast per invocation for the session lifetime). */
+    * broadcast per invocation for the session lifetime).
+    *
+    * Invalidation contract: keyed by (appId, dir) and NEVER invalidated
+    * within a session — callers must treat a dir's documents table as
+    * immutable for the SparkSession lifetime (true for the gate/bench
+    * harness, whose dirs are driver-written fixtures). A long-lived service
+    * would key by (dir, listing token) instead. */
   private val benchSetCache = new java.util.concurrent.ConcurrentHashMap[
     String, org.apache.spark.broadcast.Broadcast[Set[String]]]()
   private def contamBenchSet(spark: SparkSession, dir: String)
@@ -959,7 +1027,12 @@ object PipelineQueries {
     * but searched through [[graft.ann.IvfIndex]]'s cid-PARTITIONED layout —
     * probes prune `cid=` partition directories at planning. The gate shares
     * e4's oracle: an index search must return EXACTLY the ad-hoc knnIvf
-    * results. The index builds once per dir (like the tableset stores). */
+    * results. The index builds once per dir (like the tableset stores).
+    *
+    * Invalidation contract: keyed by dir and NEVER invalidated within the
+    * JVM — a dir's embeddings table is assumed immutable for the session
+    * (true for the gate/bench harness). If a dir's data could change
+    * mid-session, key by (dir, listing token) like the tableset mirrors. */
   private val ivfIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   def e5IvfIndex(spark: SparkSession, dir: String): DataFrame = {
@@ -1093,6 +1166,16 @@ object PipelineQueries {
         .select(col("query_id"), col("neighbor_id"))
     }
 
+  /** The validated `SPARK_GRAFT_ASSERT_SAMPLE` value — ONE parse shared by
+    * the anchor and the floor-skip below, so an out-of-range or
+    * non-numeric value (n=0, n>=IvfNumQueries, "full") cleanly means "no
+    * sampling": full anchor AND full-population floor, never a silently
+    * disabled canary over a full anchor (round-8 review). */
+  private def assertSampleN: Option[Int] =
+    sys.env.get("SPARK_GRAFT_ASSERT_SAMPLE")
+      .flatMap(v => scala.util.Try(v.toInt).toOption)
+      .filter(n => n > 0 && n < IvfNumQueries)
+
   /** The exact anchor e17's runtime assertions compare against. By default
     * the full [[exactKnnFrame]] (all IvfNumQueries query docs — the
     * correctness-gate and sf0.1 bench shape). Under
@@ -1106,16 +1189,6 @@ object PipelineQueries {
     * measure the assertion harness, not the two-broadcast-join operator
     * (VERDICT r7 #2 — 72.7 s of e17's 300x row was anchor cost). Unset for
     * Verify/Bench, so gate outputs and their oracles are untouched. */
-  /** The validated `SPARK_GRAFT_ASSERT_SAMPLE` value — ONE parse shared by
-    * the anchor and the floor-skip below, so an out-of-range or
-    * non-numeric value (n=0, n>=IvfNumQueries, "full") cleanly means "no
-    * sampling": full anchor AND full-population floor, never a silently
-    * disabled canary over a full anchor (round-8 review). */
-  private def assertSampleN: Option[Int] =
-    sys.env.get("SPARK_GRAFT_ASSERT_SAMPLE")
-      .flatMap(v => scala.util.Try(v.toInt).toOption)
-      .filter(n => n > 0 && n < IvfNumQueries)
-
   private def e17AssertionAnchor(spark: SparkSession, dir: String): DataFrame =
     assertSampleN match {
       case Some(n) =>
@@ -2190,6 +2263,25 @@ object PipelineQueries {
        |  FROM cand JOIN s a ON a.vec_id = query_id JOIN s b ON b.vec_id = neighbor_id)
        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
+  /** Shared m1/m2/m3 oracle CTEs: the image fixture geometry and pixel
+    * lattice recomputed relationally — one mirror of Multimodal's
+    * fixture-geometry constants (group/copy, dims, format, sample value),
+    * so the three image gates cannot drift from each other. `geo` carries
+    * (doc_id, w, h, c, mime); `px` one row per sample (doc_id, i, v) with
+    * i = (y*w + x)*c + ch, the decode layout. */
+  private val imagePixelCtesSql: String =
+    """d AS (SELECT doc_id, doc_id // 3 AS grp, doc_id % 3 AS cpy
+      |  FROM documents),
+      |geo AS (SELECT doc_id, grp, cpy,
+      |    8 + grp % 9 AS w, 8 + (grp // 9) % 9 AS h,
+      |    CASE WHEN grp % 3 = 0 THEN 1 ELSE 3 END AS c,
+      |    CASE WHEN grp % 3 = 2 THEN 'image/bmp' ELSE 'image/png' END AS mime
+      |  FROM d),
+      |px AS (SELECT doc_id, w, h, c, i,
+      |    (grp*131 + i*31 + ((i*i) % 251)*5 +
+      |     CASE WHEN cpy = 2 AND i % 7 = 0 THEN 40 ELSE 0 END) % 256 AS v
+      |  FROM (SELECT *, unnest(range(0, w*h*c)) AS i FROM geo))""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "t1_minhash_signatures" -> {
       val mh = (0 until 8).map(j => s"${mhSql(j)} AS mh$j").mkString(", ")
@@ -2351,57 +2443,76 @@ object PipelineQueries {
          |WHERE list_cosine_similarity(a.v, b.v) >= 0.4
          |ORDER BY id_a, id_b""".stripMargin
     },
+    // m1/m2/m3 oracles recompute the deterministic pixel LATTICE
+    // relationally (shared CTEs in [[imagePixelCtesSql]]) —
+    // the Spark side reproduces it only through a correct
+    // ImageIO encode + decode roundtrip, which is what the hash pins.
     "m1_multimodal" ->
-      """WITH m AS (SELECT doc_id, encode(text) AS b FROM documents),
-        |h AS (SELECT doc_id, hex(b) AS hx, octet_length(b) AS n FROM m),
-        |bytes AS (SELECT doc_id, n,
-        |    strpos('0123456789ABCDEF', upper(substr(hx, (2*i+1)::INT, 1))) - 1 AS bin
-        |  FROM (SELECT doc_id, n, hx, unnest(range(0, n)) AS i FROM h)),
-        |cnt AS (SELECT doc_id, bin, count(*) AS c FROM bytes GROUP BY 1, 2),
-        |grid AS (SELECT doc_id, n, b.bin FROM h, range(0, 16) b(bin))
-        |SELECT g.doc_id,
-        |  CASE g.doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
-        |    ELSE 'audio/wav' END AS mime,
-        |  (16 + g.n % 64)::INT AS width, (16 + (g.n // 64) % 64)::INT AS height,
-        |  (1 + g.n % 3)::INT AS channels, g.bin::INT AS bin,
-        |  round((coalesce(c.c, 0)::DOUBLE / greatest(g.n, 1))::FLOAT::DOUBLE, 4) AS feat
-        |FROM grid g LEFT JOIN cnt c ON c.doc_id = g.doc_id AND c.bin = g.bin
-        |ORDER BY g.doc_id, g.bin""".stripMargin,
+      s"""WITH $imagePixelCtesSql,
+         |cnt AS (SELECT doc_id, v // 16 AS bin, count(*) AS n
+         |  FROM px GROUP BY 1, 2),
+         |grid AS (SELECT doc_id, mime, w, h, c, b.bin
+         |  FROM geo, range(0, 16) b(bin))
+         |SELECT gr.doc_id, gr.mime, gr.w::INT AS width, gr.h::INT AS height,
+         |  gr.c::INT AS channels, gr.bin::INT AS bin,
+         |  round(coalesce(cn.n, 0)::DOUBLE / (gr.w*gr.h*gr.c), 4) AS feat
+         |FROM grid gr LEFT JOIN cnt cn
+         |  ON cn.doc_id = gr.doc_id AND cn.bin = gr.bin
+         |ORDER BY gr.doc_id, gr.bin""".stripMargin,
     "m2_frame_sample" ->
-      """WITH f AS (SELECT doc_id, text AS s,
-        |    greatest(length(text) // 8, 1) AS flen FROM documents),
-        |fr AS (SELECT doc_id, k AS frame_idx,
-        |    substring(s, (k*flen+1)::INT, flen::INT) AS fs
-        |  FROM f, range(0, 8) t(k) WHERE k % 3 = 0)
-        |SELECT doc_id, frame_idx::INT AS frame_idx,
-        |  length(fs)::BIGINT AS frame_len,
-        |  sha256(fs) AS frame_sha
-        |FROM fr ORDER BY doc_id, frame_idx""".stripMargin,
-    // m3: all-pairs re-derivation of the banded join — byte values via
-    // ord() on the TEXT (pure-ASCII corpus, see the m2 note); the bit
-    // threshold is the same integer comparison, so signatures are exact
+      s"""WITH $imagePixelCtesSql,
+         |fr AS (SELECT doc_id, w, h, c, k,
+         |    (k*h) // 8 AS lo, ((k+1)*h) // 8 AS hi
+         |  FROM geo, range(0, 8) t(k) WHERE k % 3 = 0)
+         |SELECT f.doc_id, f.k::INT AS frame_idx,
+         |  ((f.hi - f.lo) * f.w * f.c)::INT AS frame_px,
+         |  sum(p.v)::BIGINT AS frame_sum,
+         |  sum(p.v * (p.i - f.lo*f.w*f.c + 1))::BIGINT AS frame_wsum
+         |FROM fr f JOIN px p ON p.doc_id = f.doc_id
+         |  AND p.i >= f.lo*f.w*f.c AND p.i < f.hi*f.w*f.c
+         |GROUP BY f.doc_id, f.k, f.hi, f.lo, f.w, f.c
+         |ORDER BY f.doc_id, frame_idx""".stripMargin,
+    // m3: all-pairs re-derivation of the banded join over the REAL aHash —
+    // integer BT.601 luma, 8x8 block grid, integer mean comparison — so
+    // signatures are exact and the pigeonhole-lossless T<=3 band join is
+    // independently verified
     "m3_phash_neardup" ->
-      """WITH m AS (SELECT doc_id, text AS s, length(text) AS n
-        |  FROM documents WHERE length(text) > 0),
-        |by AS (SELECT doc_id, n, (i*64)//n AS blk,
-        |    ord(substr(s, (i+1)::INT, 1)) AS v
-        |  FROM (SELECT doc_id, s, n, unnest(range(0, n)) AS i FROM m)),
-        |bs AS (SELECT doc_id, any_value(n) AS n, blk, sum(v)::BIGINT AS bsum,
-        |    count(*)::BIGINT AS bcnt FROM by GROUP BY doc_id, blk),
-        |tot AS (SELECT doc_id, sum(v)::BIGINT AS tsum FROM by GROUP BY doc_id),
-        |bits AS (SELECT b.doc_id, b.blk,
-        |    CASE WHEN b.bsum * b.n > t.tsum * b.bcnt THEN 1::BIGINT
-        |      ELSE 0::BIGINT END AS bit
-        |  FROM bs b JOIN tot t USING (doc_id)),
-        |sig AS (SELECT doc_id,
-        |    sum(CASE WHEN blk < 32 THEN bit << blk::INT ELSE 0 END)::BIGINT AS lo,
-        |    sum(CASE WHEN blk >= 32 THEN bit << (blk-32)::INT ELSE 0 END)::BIGINT AS hi
-        |  FROM bits GROUP BY doc_id)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  (bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)))::INT AS hamming
-        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 12
-        |ORDER BY doc_a, doc_b""".stripMargin,
+      s"""WITH $imagePixelCtesSql,
+         |lum AS (SELECT doc_id, w, h, c, i // c AS q,
+         |    CASE WHEN c = 1 THEN max(v)
+         |      ELSE sum(CASE (i % c) WHEN 0 THEN 299*v WHEN 1 THEN 587*v
+         |        ELSE 114*v END) // 1000 END AS gy
+         |  FROM px GROUP BY doc_id, w, h, c, i // c),
+         |blk AS (SELECT doc_id, w, h,
+         |    ((q // w) * 8 // h) * 8 + ((q % w) * 8 // w) AS b, gy FROM lum),
+         |bs AS (SELECT doc_id, any_value(w*h) AS n, b, sum(gy)::BIGINT AS bsum,
+         |    count(*)::BIGINT AS bcnt FROM blk GROUP BY doc_id, b),
+         |tot AS (SELECT doc_id, sum(gy)::BIGINT AS tsum FROM blk GROUP BY doc_id),
+         |bits AS (SELECT s.doc_id, s.b,
+         |    CASE WHEN s.bsum * s.n > t.tsum * s.bcnt THEN 1::BIGINT
+         |      ELSE 0::BIGINT END AS bit
+         |  FROM bs s JOIN tot t USING (doc_id)),
+         |sig AS (SELECT doc_id,
+         |    sum(CASE WHEN b < 32 THEN bit << b::INT ELSE 0 END)::BIGINT AS lo,
+         |    sum(CASE WHEN b >= 32 THEN bit << (b-32)::INT ELSE 0 END)::BIGINT AS hi
+         |  FROM bits GROUP BY doc_id)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  (bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)))::INT AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // m4: the PCM lattice recomputed relationally; sample_wsum pins the
+    // interleaved sample ORDER through the WAV encode+decode roundtrip
+    "m4_audio_decode" ->
+      """WITH a AS (SELECT doc_id, 1 + doc_id % 2 AS ch,
+        |    64 + (doc_id*7) % 129 AS nf FROM documents),
+        |s AS (SELECT doc_id, ch, nf, u,
+        |    (doc_id*173 + u*37 + ((u*u) % 127)*3) % 256 AS v
+        |  FROM (SELECT doc_id, ch, nf, unnest(range(0, nf*ch)) AS u FROM a))
+        |SELECT doc_id, ch::INT AS n_channels, 8000::INT AS sample_rate,
+        |  nf::BIGINT AS n_frames, sum(v)::BIGINT AS sample_sum,
+        |  sum(v * (u+1))::BIGINT AS sample_wsum
+        |FROM s GROUP BY doc_id, ch, nf ORDER BY doc_id""".stripMargin,
     "c2_contamination" -> contamOracleSql,
     // c3 = c2 with a Bloom prefilter + exact verify — Bloom false positives
     // are removed by the verify join, so the expected output is IDENTICAL
@@ -2700,6 +2811,8 @@ object PipelineQueries {
     "m1_multimodal" -> m1Multimodal,
     "m2_frame_sample" -> m2FrameSample,
     "m3_phash_neardup" -> m3PhashNearDup,
+    "m4_audio_decode" -> m4AudioDecode,
+    "m5_media_bytes" -> m5MediaBytes,
     "e2_lsh_ann" -> e2LshAnn,
     "e11_lsh_multiprobe" -> e11LshMultiprobe,
     "e12_hybrid_rrf" -> e12HybridRrf,

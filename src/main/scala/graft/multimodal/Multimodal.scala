@@ -1,127 +1,220 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /**
- * Multimodal column support for training-data pipelines: image/audio/video
- * payloads ride as opaque `binary` columns with a typed metadata struct,
- * processed per-partition (never collected to the driver).
+ * Multimodal column support for training-data pipelines: image/audio
+ * payloads ride as opaque `binary` columns and are decoded with REAL
+ * JDK-built-in codecs — `javax.imageio` (PNG, BMP) for images and
+ * `javax.sound.sampled` (PCM WAV) for audio. No external jars: both live in
+ * the `java.desktop` module every JDK ships. The one genuinely absent codec
+ * family offline is compressed VIDEO (H.264/VP9 need native libs); the
+ * video-shaped operator (frame sampling) therefore runs over decoded image
+ * pixel-row bands, which exercises the identical plumbing — binary in,
+ * per-frame slices out, nothing ever collected to the driver.
  *
- * The actual byte decoding (JPEG/PNG/WAV codecs) is STUBBED — the container
- * has no imaging libraries — with a clearly-marked deterministic fake
- * ([[decodeStub]]). Everything around the stub is real and tested: the
- * schema convention, the mapPartitions batch shape, partition-preserving
- * feature extraction, deterministic resize/frame-sampling on raw bytes.
+ * Fixtures are deterministic synthetic media: a seeded integer pixel
+ * lattice ([[pixelValue]]) encoded THROUGH the real codec, so a decode gate
+ * is a true roundtrip — the DuckDB oracle recomputes the lattice
+ * relationally, and only a correct encoder+decoder pair can reproduce it
+ * (the d33 pattern: exact integer inputs on both sides). A third,
+ * pure-Python PNG/BMP/WAV reader cross-checks the actual encoded bytes in
+ * tools/independent_check.py.
  *
- * Scale notes: all operators here are narrow (no shuffle); binary payloads
- * stream through the vectorized parquet reader partition-by-partition. At
- * 100 TB the only knob that matters is `spark.sql.files.maxPartitionBytes`
- * to bound per-task payload memory; nothing in this module accumulates
- * unbounded state.
+ * Scale notes: synthesis and decode are narrow mapPartitions passes (no
+ * shuffle); payloads stream through the vectorized parquet reader
+ * partition-by-partition and NEVER transit a shuffle or the driver. At
+ * 100 TB the only knob is `spark.sql.files.maxPartitionBytes` to bound
+ * per-task payload memory; decoded pixel arrays live only inside the
+ * featurizer task. ImageIO's stream disk-cache is disabled (byte-array
+ * streams; a shared temp-dir cache would serialize 32 executor threads).
  */
 object Multimodal {
+  ImageIOInit.ensure()
 
-  /** Metadata struct convention for media columns. */
-  val mediaMetaType: StructType = StructType(Seq(
-    StructField("mime", StringType, nullable = false),
-    StructField("width", IntegerType, nullable = false),
-    StructField("height", IntegerType, nullable = false),
-    StructField("channels", IntegerType, nullable = false)))
+  // ---------------------------------------------------------------------
+  // Deterministic fixture geometry (mirrored in the DuckDB oracles and in
+  // tools/independent_check.py — all integer arithmetic):
+  //   group = doc_id / 3, copy = doc_id % 3   (groups of 3 for near-dup)
+  //   w = 8 + group % 9, h = 8 + (group / 9) % 9
+  //   format by group % 3: 0 -> PNG gray (1 channel), 1 -> PNG RGB,
+  //                        2 -> BMP RGB (3 channels)
+  //   sample i (row-major, channel-minor: i = (y*w + x)*c + ch):
+  //     v = (group*131 + i*31 + (i*i mod 251)*5 + perturb) mod 256
+  //     perturb = 40 iff copy == 2 and i mod 7 == 0 (third copy is a
+  //     NEAR-duplicate; copies 0 and 1 are exact duplicates)
+  // ---------------------------------------------------------------------
 
-  /** Build a demo media table from the documents table: payload = UTF-8
-    * bytes of the text (a deterministic opaque blob), mime by doc_id. */
-  def synthesizeMediaTable(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
-      encode(col("text"), "UTF-8").as("content"),
-      element_at(array(lit("image/png"), lit("image/jpeg"), lit("audio/wav")),
-        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("mime"))
+  def imgGroup(docId: Long): Long = docId / 3
+  def imgWidth(group: Long): Int = (8 + group % 9).toInt
+  def imgHeight(group: Long): Int = (8 + (group / 9) % 9).toInt
+  def imgChannels(group: Long): Int = if (group % 3 == 0) 1 else 3
+  def imgMime(group: Long): String =
+    if (group % 3 == 2) "image/bmp" else "image/png"
 
-  /**
-   * STUB decode — deterministic fake. A real implementation decodes the
-   * codec headers (e.g. javax.imageio / libjpeg via JNI); this fake derives
-   * plausible metadata purely from payload length so pipelines are testable
-   * offline:
-   *   width = 16 + len mod 64, height = 16 + (len/64) mod 64,
-   *   channels = 1 + len mod 3.
-   */
-  def decodeStub(content: Column, mime: Column): Column = {
-    val len = length(content)
-    struct(
-      mime.as("mime"),
-      (lit(16) + pmod(len, lit(64))).cast("int").as("width"),
-      (lit(16) + pmod(len.cast("long") / 64, lit(64))).cast("int").as("height"),
-      (lit(1) + pmod(len, lit(3))).cast("int").as("channels"))
+  /** The lattice: sample value at flat index i for document docId. */
+  def pixelValue(docId: Long, i: Int): Int = {
+    val group = imgGroup(docId)
+    val perturb = if (docId % 3 == 2 && i % 7 == 0) 40L else 0L
+    ((group * 131L + i * 31L + (i.toLong * i % 251L) * 5L + perturb) % 256L).toInt
   }
 
-  /** Byte-histogram feature vector (16 buckets, L1-normalized) extracted
-    * per partition — the real plumbing a CNN/CLIP featurizer would use
-    * (iterator-in/iterator-out, no driver round-trip, no UDF serialization
-    * of whole rows). */
-  def withByteHistogram(df: DataFrame, binaryCol: String, bins: Int = 16): DataFrame = {
-    val schema = df.schema.add(StructField("features", ArrayType(FloatType, containsNull = false)))
+  /** Deterministic audio fixture: unsigned 8-bit PCM at 8000 Hz,
+    *   channels = 1 + doc_id % 2, frames = 64 + (doc_id*7) % 129,
+    *   sample u (interleaved, u = frame*channels + ch):
+    *     s = (doc_id*173 + u*37 + (u*u mod 127)*3) mod 256. */
+  val AudioRate = 8000
+  def audioChannels(docId: Long): Int = (1 + docId % 2).toInt
+  def audioFrames(docId: Long): Int = (64 + (docId * 7) % 129).toInt
+  def audioSample(docId: Long, u: Int): Int =
+    ((docId * 173L + u * 37L + (u.toLong * u % 127L) * 3L) % 256L).toInt
+
+  /** Build the media table — REAL encoded image bytes per document:
+    * (doc_id, mime, content). The pixel lattice is generated, loaded into a
+    * BufferedImage, and pushed through the real `javax.imageio` encoder in
+    * a partition-local pass (pure function of doc_id — partitioning cannot
+    * change the bytes' meaning, though PNG/BMP byte streams themselves are
+    * only decoder-canonical, which is why no gate ever hashes the ENCODED
+    * bytes: gates hash decoded samples). */
+  def synthesizeImageTable(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("mime", StringType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    val rdd = docs.select(col("doc_id")).rdd.mapPartitions { it =>
+      ImageIOInit.ensure() // executor-local too, not just the driver JVM
+      it.map { r =>
+        val id = r.getLong(0)
+        Row(id, imgMime(imgGroup(id)), encodeImage(id))
+      }
+    }
+    docs.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** Generate + encode one document's image (executor-side). */
+  private def encodeImage(docId: Long): Array[Byte] = {
+    val group = imgGroup(docId)
+    val (w, h, c) = (imgWidth(group), imgHeight(group), imgChannels(group))
+    val imgType = if (c == 1) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+                  else java.awt.image.BufferedImage.TYPE_3BYTE_BGR
+    val img = new java.awt.image.BufferedImage(w, h, imgType)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var ch = 0
+        while (ch < c) {
+          raster.setSample(x, y, ch, pixelValue(docId, (y * w + x) * c + ch))
+          ch += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val fmt = if (imgMime(group) == "image/bmp") "bmp" else "png"
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, fmt, bos),
+      s"no ImageIO writer for format '$fmt'")
+    bos.toByteArray
+  }
+
+  /** REAL image decode: `javax.imageio.ImageIO.read` over the binary
+    * column, emitting decoded width/height/channels, the full sample array
+    * (row-major, channel-minor — the layout every downstream featurizer
+    * indexes), and a 16-bin sample-value histogram (bin = v/16) computed in
+    * the same partition-local pass. Raster samples are read back through
+    * `Raster.getSample` (logical band order, R=0/G=1/B=2), NOT
+    * `getRGB` — the gray->sRGB ColorModel conversion in getRGB is lossy for
+    * TYPE_BYTE_GRAY. Narrow pass: iterator-in/iterator-out, no shuffle, no
+    * driver round-trip; decoded arrays exist only inside the task. */
+  def decodeImage(df: DataFrame, binaryCol: String): DataFrame = {
+    val schema = df.schema
+      .add(StructField("width", IntegerType, nullable = false))
+      .add(StructField("height", IntegerType, nullable = false))
+      .add(StructField("channels", IntegerType, nullable = false))
+      .add(StructField("px", ArrayType(IntegerType, containsNull = false), nullable = false))
+      .add(StructField("hist", ArrayType(LongType, containsNull = false), nullable = false))
     val binIdx = df.schema.fieldIndex(binaryCol)
     val rdd = df.rdd.mapPartitions { it =>
+      ImageIOInit.ensure() // executor-local too, not just the driver JVM
       it.map { row =>
         val bytes = row.getAs[Array[Byte]](binIdx)
-        val hist = new Array[Float](bins)
-        if (bytes != null && bytes.length > 0) {
-          var i = 0
-          while (i < bytes.length) {
-            hist(((bytes(i) & 0xFF) * bins) / 256) += 1f
-            i += 1
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        require(img != null, "ImageIO.read: no reader recognized the payload")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        val c = raster.getNumBands
+        val px = new Array[Int](w * h * c)
+        val hist = new Array[Long](16)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var ch = 0
+            while (ch < c) {
+              val v = raster.getSample(x, y, ch)
+              px((y * w + x) * c + ch) = v
+              hist(v / 16) += 1L
+              ch += 1
+            }
+            x += 1
           }
-          var b = 0
-          while (b < bins) { hist(b) /= bytes.length; b += 1 }
+          y += 1
         }
-        Row.fromSeq(row.toSeq :+ hist.toSeq)
+        Row.fromSeq(row.toSeq :+ w :+ h :+ c :+ px.toSeq :+ hist.toSeq)
       }
     }
     df.sparkSession.createDataFrame(rdd, schema)
   }
 
-  /** 64-bit average-hash ("aHash") perceptual signature over the payload
-    * bytes, as two 32-bit halves (`ahash_hi` = blocks 32..63, `ahash_lo` =
-    * blocks 0..31) so engines without unsigned 64-bit arithmetic stay
-    * exact. The payload is cut into 64 byte blocks (byte i belongs to
-    * block i*64/len); bit b is set iff block b's mean byte value strictly
-    * exceeds the whole-payload mean, compared in INTEGERS
-    * (blockSum * len > totalSum * blockCount) so no float rounding can
-    * diverge between engines. A real pHash would DCT the decoded pixels;
-    * over the stub decode the block-mean signature exercises the same
-    * pipeline shape — narrow, partition-local, no shuffle, no driver
-    * round-trip — and feeds the same banded Hamming join downstream. */
-  def withAverageHash(df: DataFrame, binaryCol: String): DataFrame = {
+  /** 64-bit average-hash over REAL decoded pixels, as two 32-bit halves
+    * (`ahash_hi` = blocks 32..63) so engines without unsigned 64-bit math
+    * stay exact. Classic aHash geometry: gray = integer BT.601 luma
+    * ((299R + 587G + 114B)/1000; identity for 1-channel), the image cut
+    * into an 8x8 block grid (block of (x,y) = (y*8/h)*8 + x*8/w), bit b set
+    * iff block b's mean luma strictly exceeds the whole-image mean,
+    * compared in INTEGERS (blockSum * w*h > totalSum * blockCount) so no
+    * float rounding can diverge between engines. Narrow, partition-local,
+    * no shuffle — the banded Hamming join downstream shuffles only
+    * (band, bucket, id, two longs), never pixels. Expects [[decodeImage]]'s
+    * px/width/height/channels columns. */
+  def withImageAHash(df: DataFrame): DataFrame = {
     val schema = df.schema
       .add(StructField("ahash_hi", LongType, nullable = false))
       .add(StructField("ahash_lo", LongType, nullable = false))
-    val binIdx = df.schema.fieldIndex(binaryCol)
+    val (wi, hi_, ci, pi) = (df.schema.fieldIndex("width"),
+      df.schema.fieldIndex("height"), df.schema.fieldIndex("channels"),
+      df.schema.fieldIndex("px"))
     val rdd = df.rdd.mapPartitions { it =>
       it.map { row =>
-        val bytes = row.getAs[Array[Byte]](binIdx)
-        var hi = 0L
-        var lo = 0L
-        if (bytes != null && bytes.length > 0) {
-          val n = bytes.length
-          val sums = new Array[Long](64)
-          val cnts = new Array[Long](64)
-          var total = 0L
-          var i = 0
-          while (i < n) {
-            val b = ((i.toLong * 64) / n).toInt
-            val v = (bytes(i) & 0xFF).toLong
-            sums(b) += v; cnts(b) += 1; total += v
-            i += 1
+        val w = row.getInt(wi); val h = row.getInt(hi_); val c = row.getInt(ci)
+        val px = row.getAs[scala.collection.Seq[Int]](pi)
+        val sums = new Array[Long](64)
+        val cnts = new Array[Long](64)
+        var total = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val base = (y * w + x) * c
+            val g = if (c == 1) px(base).toLong
+              else (299L * px(base) + 587L * px(base + 1) + 114L * px(base + 2)) / 1000L
+            val blk = (y * 8 / h) * 8 + (x * 8 / w)
+            sums(blk) += g; cnts(blk) += 1; total += g
+            x += 1
           }
-          var blk = 0
-          while (blk < 64) {
-            if (sums(blk) * n > total * cnts(blk)) {
-              if (blk < 32) lo |= 1L << blk else hi |= 1L << (blk - 32)
-            }
-            blk += 1
+          y += 1
+        }
+        val n = w.toLong * h
+        var hi = 0L; var lo = 0L; var blk = 0
+        while (blk < 64) {
+          if (cnts(blk) > 0 && sums(blk) * n > total * cnts(blk)) {
+            if (blk < 32) lo |= 1L << blk else hi |= 1L << (blk - 32)
           }
+          blk += 1
         }
         Row.fromSeq(row.toSeq :+ hi :+ lo)
       }
@@ -129,30 +222,77 @@ object Multimodal {
     df.sparkSession.createDataFrame(rdd, schema)
   }
 
-  /** Deterministic byte "resize": keep every ceil(len/target)-th byte so the
-    * payload shrinks to <= target bytes (stand-in for image rescale). */
-  def resizeStub(content: Column, targetBytes: Int): Column = {
-    val len = length(content)
-    val step = greatest(ceil(len.cast("double") / targetBytes).cast("int"), lit(1))
-    // positions 1, 1+step, 1+2*step ... (substr is 1-based on binary too)
-    aggregate(
-      sequence(lit(1), len, step),
-      lit(Array.emptyByteArray),
-      (acc, i) => concat(acc, content.substr(i, lit(1))))
+  /** Build the audio table — REAL PCM WAV bytes per document:
+    * (doc_id, mime, content), written through `javax.sound.sampled`
+    * (unsigned 8-bit PCM, the WAV-native 8-bit convention). */
+  def synthesizeAudioTable(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("mime", StringType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    val rdd = docs.select(col("doc_id")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        Row(id, "audio/wav", encodeWav(id))
+      }
+    }
+    docs.sparkSession.createDataFrame(rdd, schema)
   }
 
-  /** Frame sampling stub: split the payload into `numFrames` equal chunks
-    * ("frames") and emit every `stride`-th one as (frame_idx, frame_bytes). */
-  def sampleFrames(df: DataFrame, binaryCol: String, numFrames: Int, stride: Int): DataFrame = {
-    val len = length(col(binaryCol))
-    val frameLen = greatest((len / numFrames).cast("int"), lit(1))
-    val frames = transform(
-      filter(sequence(lit(0), lit(numFrames - 1)), i => pmod(i, lit(stride)) === 0),
-      i => struct(i.cast("int").as("frame_idx"),
-        col(binaryCol).substr(i * frameLen + 1, frameLen).as("frame_bytes")))
-    df.withColumn("frame", explode(frames))
-      .withColumn("frame_idx", col("frame.frame_idx"))
-      .withColumn("frame_bytes", col("frame.frame_bytes"))
-      .drop("frame")
+  private def encodeWav(docId: Long): Array[Byte] = {
+    val ch = audioChannels(docId)
+    val nf = audioFrames(docId)
+    val pcm = new Array[Byte](nf * ch)
+    var u = 0
+    while (u < pcm.length) { pcm(u) = audioSample(docId, u).toByte; u += 1 }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+      AudioRate.toFloat, 8, ch, ch, AudioRate.toFloat, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nf.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
   }
+
+  /** REAL WAV decode via `javax.sound.sampled.AudioSystem`: parses the
+    * container (format chunk -> channels/rate/bits, data chunk -> frames)
+    * and streams the PCM samples out as integers. Same narrow shape as
+    * [[decodeImage]]. */
+  def decodeAudio(df: DataFrame, binaryCol: String): DataFrame = {
+    val schema = df.schema
+      .add(StructField("n_channels", IntegerType, nullable = false))
+      .add(StructField("sample_rate", IntegerType, nullable = false))
+      .add(StructField("n_frames", LongType, nullable = false))
+      .add(StructField("samples", ArrayType(IntegerType, containsNull = false), nullable = false))
+    val binIdx = df.schema.fieldIndex(binaryCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { row =>
+        val bytes = row.getAs[Array[Byte]](binIdx)
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 8,
+          s"audio gate expects 8-bit PCM, got ${fmt.getSampleSizeInBits}")
+        val pcm = ais.readAllBytes()
+        val samples = new Array[Int](pcm.length)
+        var u = 0
+        while (u < pcm.length) { samples(u) = pcm(u) & 0xFF; u += 1 }
+        Row.fromSeq(row.toSeq :+ fmt.getChannels :+ fmt.getSampleRate.toInt :+
+          ais.getFrameLength :+ samples.toSeq)
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+}
+
+/** One-time executor/driver-local ImageIO configuration: disable the
+  * stream disk cache (payloads arrive as byte arrays; a shared temp-dir
+  * cache file per read would serialize the 32 executor threads on disk). */
+private[multimodal] object ImageIOInit {
+  private lazy val done: Unit = {
+    javax.imageio.ImageIO.setUseCache(false)
+  }
+  def ensure(): Unit = done
 }

@@ -8,93 +8,148 @@ import graft.SparkTestSession
 
 class MultimodalSpec extends AnyFunSuite with Matchers with SparkTestSession {
 
-  private lazy val media = {
+  // doc_ids chosen to cover every format/copy combination: groups 0..3
+  // (PNG gray, PNG RGB, BMP RGB, PNG gray again) x copies 0/1/2
+  private val ids: Seq[Long] = (0L until 12L)
+
+  private lazy val docs = {
     import spark.implicits._
-    val docs = Seq((0L, "hello world, this is a binary payload"),
-      (1L, "another longer payload with more bytes in it for the histogram"),
-      (2L, "x")).toDF("doc_id", "text")
-    Multimodal.synthesizeMediaTable(docs)
+    ids.map(id => (id, s"text $id")).toDF("doc_id", "text")
   }
 
-  test("media table: binary payload + mime metadata") {
-    val rows = media.collect()
-    rows.length shouldBe 3
-    rows.foreach { r =>
-      r.getAs[Array[Byte]]("content").length should be > 0
-      Set("image/png", "image/jpeg", "audio/wav") should contain(r.getAs[String]("mime"))
+  private lazy val mediaRows =
+    Multimodal.synthesizeImageTable(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("mime"), r.getAs[Array[Byte]]("content"))).toMap
+
+  test("image synthesis: real container magic bytes per declared mime") {
+    mediaRows.size shouldBe ids.size
+    mediaRows.foreach { case (id, (mime, bytes)) =>
+      mime shouldBe Multimodal.imgMime(Multimodal.imgGroup(id))
+      if (mime == "image/png")
+        bytes.take(8) shouldBe Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+      else
+        bytes.take(2) shouldBe Array('B'.toByte, 'M'.toByte)
     }
   }
 
-  test("decodeStub: deterministic metadata from payload") {
-    val out = media.select(col("doc_id"),
-      Multimodal.decodeStub(col("content"), col("mime")).as("meta")).collect()
+  test("decodeImage: ImageIO roundtrip recovers the exact pixel lattice") {
+    val out = Multimodal.decodeImage(Multimodal.synthesizeImageTable(docs), "content")
+      .select("doc_id", "width", "height", "channels", "px").collect()
+    out.length shouldBe ids.size
     out.foreach { r =>
-      val m = r.getStruct(1)
-      m.getAs[Int]("width") should (be >= 16 and be < 80)
-      m.getAs[Int]("height") should (be >= 16 and be < 80)
-      m.getAs[Int]("channels") should (be >= 1 and be <= 3)
-    }
-    // determinism: run twice, identical
-    val again = media.select(Multimodal.decodeStub(col("content"), col("mime"))).collect()
-    again.map(_.toString) shouldBe out.map(r => org.apache.spark.sql.Row(r.get(1)).toString)
-  }
-
-  test("byte histogram: 16 normalized bins per row, partition-local") {
-    val out = Multimodal.withByteHistogram(media, "content")
-    val feats = out.select("features").collect().map(_.getSeq[Float](0))
-    feats.foreach { f =>
-      f.length shouldBe 16
-      f.sum shouldBe 1.0f +- 1e-3f
+      val id = r.getLong(0)
+      val group = Multimodal.imgGroup(id)
+      r.getInt(1) shouldBe Multimodal.imgWidth(group)
+      r.getInt(2) shouldBe Multimodal.imgHeight(group)
+      r.getInt(3) shouldBe Multimodal.imgChannels(group)
+      val px = r.getSeq[Int](4)
+      px.length shouldBe r.getInt(1) * r.getInt(2) * r.getInt(3)
+      // THE roundtrip assertion: decoded sample i == generated sample i,
+      // for every sample, all three container formats
+      px.zipWithIndex.foreach { case (v, i) =>
+        withClue(s"doc $id sample $i: ") { v shouldBe Multimodal.pixelValue(id, i) }
+      }
     }
   }
 
-  test("averageHash: 32-bit halves, deterministic, identical payloads collide") {
-    import spark.implicits._
-    val dup = Seq((0L, "the same payload bytes exactly"),
-      (1L, "the same payload bytes exactly"),
-      (2L, "completely different content with other letters and length")).toDF("doc_id", "text")
-    val sig = Multimodal.withAverageHash(Multimodal.synthesizeMediaTable(dup), "content")
+  test("decodeImage: histogram counts decoded sample values (bin = v/16)") {
+    val out = Multimodal.decodeImage(Multimodal.synthesizeImageTable(docs), "content")
+      .select("doc_id", "px", "hist").collect()
+    out.foreach { r =>
+      val px = r.getSeq[Int](1)
+      val hist = r.getSeq[Long](2)
+      hist.length shouldBe 16
+      hist.sum shouldBe px.length.toLong
+      val expected = px.groupBy(_ / 16).view.mapValues(_.size.toLong).toMap
+      (0 until 16).foreach(b => hist(b) shouldBe expected.getOrElse(b, 0L))
+    }
+  }
+
+  test("withImageAHash: integer luma/block signature; exact copies collide") {
+    val sig = Multimodal.withImageAHash(
+        Multimodal.decodeImage(Multimodal.synthesizeImageTable(docs), "content"))
       .select("doc_id", "ahash_hi", "ahash_lo").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
-    // halves stay within 32 unsigned bits (engine-portable packing)
     sig.values.foreach { case (hi, lo) =>
       hi should (be >= 0L and be < (1L << 32))
       lo should (be >= 0L and be < (1L << 32))
     }
-    sig(0L) shouldBe sig(1L) // identical bytes -> identical signature
-    sig(0L) should not be sig(2L)
-    // reference check vs an independent scalar computation of doc 0
-    val bytes = "the same payload bytes exactly".getBytes("UTF-8")
-    val n = bytes.length
+    // copies 0 and 1 of each group are byte-identical images
+    Seq(0L, 3L, 6L, 9L).foreach(g => sig(g) shouldBe sig(g + 1))
+    // independent scalar recomputation for one RGB doc (id 4: group 1, PNG RGB)
+    val id = 4L
+    val group = Multimodal.imgGroup(id)
+    val (w, h, c) = (Multimodal.imgWidth(group), Multimodal.imgHeight(group),
+      Multimodal.imgChannels(group))
     val sums = new Array[Long](64); val cnts = new Array[Long](64); var tot = 0L
-    bytes.zipWithIndex.foreach { case (b, i) =>
-      val blk = (i.toLong * 64 / n).toInt
-      sums(blk) += (b & 0xFF); cnts(blk) += 1; tot += (b & 0xFF)
+    for (y <- 0 until h; x <- 0 until w) {
+      val base = (y * w + x) * c
+      val g = if (c == 1) Multimodal.pixelValue(id, base).toLong
+        else (299L * Multimodal.pixelValue(id, base) +
+          587L * Multimodal.pixelValue(id, base + 1) +
+          114L * Multimodal.pixelValue(id, base + 2)) / 1000L
+      val blk = (y * 8 / h) * 8 + (x * 8 / w)
+      sums(blk) += g; cnts(blk) += 1; tot += g
     }
     var hi = 0L; var lo = 0L
     (0 until 64).foreach { blk =>
-      if (sums(blk) * n > tot * cnts(blk)) {
+      if (cnts(blk) > 0 && sums(blk) * (w.toLong * h) > tot * cnts(blk)) {
         if (blk < 32) lo |= 1L << blk else hi |= 1L << (blk - 32)
       }
     }
-    sig(0L) shouldBe ((hi, lo))
+    sig(id) shouldBe ((hi, lo))
   }
 
-  test("sampleFrames: stride-sampled frames with index") {
-    val out = Multimodal.sampleFrames(media, "content", numFrames = 4, stride = 2)
-    val byDoc = out.groupBy("doc_id").count().collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    byDoc.values.foreach(_ shouldBe 2L) // frames 0 and 2
-    out.select("frame_idx").distinct().collect().map(_.getInt(0)).sorted shouldBe Array(0, 2)
+  test("banded Hamming join is lossless at T<=3 (pigeonhole over 4x16 bands)") {
+    // all-pairs ground truth from the signatures vs the gate's banded join
+    val sigs = Multimodal.withImageAHash(
+        Multimodal.decodeImage(Multimodal.synthesizeImageTable(docs), "content"))
+      .select("doc_id", "ahash_hi", "ahash_lo").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val truth = (for {
+      (a, ha, la) <- sigs; (b, hb, lb) <- sigs if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) + java.lang.Long.bitCount(la ^ lb)
+      if d <= 3
+    } yield (a, b)).toSet
+    truth should not be empty // copies 0/1 guarantee distance-0 pairs
+    // the band cut is lossless: every true pair shares an intact band
+    val bands = sigs.flatMap { case (id, hi2, lo2) =>
+      Seq((0, lo2 & 0xFFFFL), (1, (lo2 >> 16) & 0xFFFFL),
+        (2, hi2 & 0xFFFFL), (3, (hi2 >> 16) & 0xFFFFL)).map { case (bd, bk) => ((bd, bk), id) }
+    }
+    val candidates = bands.groupBy(_._1).values.flatMap { grp =>
+      val is = grp.map(_._2).toSeq
+      for (a <- is; b <- is if a < b) yield (a, b)
+    }.toSet
+    truth.subsetOf(candidates) shouldBe true
+    // and the GATE (banded join end to end) returns exactly the truth set
+    val gate = graft.PipelineQueries.m3PhashNearDup(spark, mediaDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    gate shouldBe truth
   }
 
-  test("resizeStub: payload shrinks to at most the target size") {
-    val fl = org.apache.spark.sql.functions.length _ // shadowed by Matchers.length
-    val out = media.select(fl(Multimodal.resizeStub(col("content"), 10)).as("len"),
-      fl(col("content")).as("orig")).collect()
+  // m3PhashNearDup needs a docs parquet dir; point it at a temp fixture
+  private lazy val mediaDir: String = {
+    val dir = graft.util.TempDirs.create("graft_mm_spec_")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("audio: WAV roundtrip recovers channels, rate, frames, samples") {
+    val out = Multimodal.decodeAudio(Multimodal.synthesizeAudioTable(docs), "content")
+      .select("doc_id", "n_channels", "sample_rate", "n_frames", "samples").collect()
+    out.length shouldBe ids.size
     out.foreach { r =>
-      r.getInt(0) should be <= 11 // ceil rounding slack of one byte
-      if (r.getInt(1) <= 10) r.getInt(0) shouldBe r.getInt(1)
+      val id = r.getLong(0)
+      r.getInt(1) shouldBe Multimodal.audioChannels(id)
+      r.getInt(2) shouldBe Multimodal.AudioRate
+      r.getLong(3) shouldBe Multimodal.audioFrames(id).toLong
+      val samples = r.getSeq[Int](4)
+      samples.length shouldBe Multimodal.audioFrames(id) * Multimodal.audioChannels(id)
+      samples.zipWithIndex.foreach { case (s, u) =>
+        withClue(s"doc $id sample $u: ") { s shouldBe Multimodal.audioSample(id, u) }
+      }
     }
   }
 }

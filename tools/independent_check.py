@@ -756,6 +756,127 @@ def check_d29_d30(docs, out29, out30):
         print("      d30: (no Verify output)")
 
 
+# --------------------------------------------------------------- m5 media
+# Pure-Python PNG/BMP/WAV decoders (zlib + struct only — no imaging libs),
+# the THIRD implementation of the media fixtures: the Spark side encodes
+# and decodes through javax.imageio / javax.sound.sampled, the DuckDB
+# oracle recomputes the lattice relationally, and this checker decodes the
+# ACTUAL encoded bytes and compares every sample to the lattice re-derived
+# here from the documented constants.
+
+def _png_decode(data):
+    import zlib, struct
+    assert data[:8] == b"\x89PNG\r\n\x1a\n", "bad PNG signature"
+    pos, idat, w, h, bitd, ctype = 8, b"", None, None, None, None
+    while pos < len(data):
+        (ln,) = struct.unpack(">I", data[pos:pos + 4])
+        typ = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + ln]
+        if typ == b"IHDR":
+            w, h, bitd, ctype = struct.unpack(">IIBB", body[:10])
+        elif typ == b"IDAT":
+            idat += body
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    assert bitd == 8 and ctype in (0, 2), f"unsupported PNG (depth={bitd}, color={ctype})"
+    c = 1 if ctype == 0 else 3
+    raw = zlib.decompress(idat)
+    stride = w * c
+    out, prev = [], bytes(stride)
+    for y in range(h):
+        flt = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
+        for x in range(stride):
+            a = line[x - c] if x >= c else 0
+            b = prev[x]
+            cc = prev[x - c] if x >= c else 0
+            if flt == 1:   line[x] = (line[x] + a) & 0xFF
+            elif flt == 2: line[x] = (line[x] + b) & 0xFF
+            elif flt == 3: line[x] = (line[x] + (a + b) // 2) & 0xFF
+            elif flt == 4:
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                line[x] = (line[x] + pred) & 0xFF
+        out.extend(line)
+        prev = line
+    return w, h, c, out  # samples row-major, channel-minor (R,G,B)
+
+
+def _bmp_decode(data):
+    import struct
+    assert data[:2] == b"BM", "bad BMP signature"
+    (off,) = struct.unpack("<I", data[10:14])
+    w, h = struct.unpack("<ii", data[18:26])
+    (bits,) = struct.unpack("<H", data[28:30])
+    (comp,) = struct.unpack("<I", data[30:34])
+    assert bits == 24 and comp == 0, f"unsupported BMP (bits={bits}, comp={comp})"
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    out = []
+    for y in range(h):
+        src_y = (h - 1 - y) if bottom_up else y
+        row = data[off + src_y * stride: off + src_y * stride + w * 3]
+        for x in range(w):  # stored BGR -> emit RGB
+            out.extend((row[3 * x + 2], row[3 * x + 1], row[3 * x]))
+    return w, h, 3, out
+
+
+def _wav_decode(data):
+    import struct
+    assert data[:4] == b"RIFF" and data[8:12] == b"WAVE", "bad WAV header"
+    pos, ch, rate, bits, pcm = 12, None, None, None, None
+    while pos + 8 <= len(data):
+        typ = data[pos:pos + 4]
+        (ln,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        body = data[pos + 8:pos + 8 + ln]
+        if typ == b"fmt ":
+            fmt_tag, ch, rate = struct.unpack("<HHI", body[:8])
+            (bits,) = struct.unpack("<H", body[14:16])
+            assert fmt_tag == 1, f"not PCM: {fmt_tag}"
+        elif typ == b"data":
+            pcm = body
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+    assert bits == 8 and pcm is not None
+    return ch, rate, list(pcm)  # 8-bit WAV is unsigned: bytes ARE samples
+
+
+def check_media(out):
+    if out is None:
+        print("skip  m5_media_bytes (no Verify output)"); return
+    n_img, n_aud, bad = 0, 0, []
+    for r in out.itertuples():
+        did, blob = int(r.doc_id), bytes(r.content)
+        if r.mime.startswith("image/"):
+            grp = did // 3
+            ew, eh = 8 + grp % 9, 8 + (grp // 9) % 9
+            ec = 1 if grp % 3 == 0 else 3
+            w, h, c, px = _bmp_decode(blob) if r.mime == "image/bmp" else _png_decode(blob)
+            if (w, h, c) != (ew, eh, ec):
+                bad.append(f"doc {did}: dims {(w, h, c)} != {(ew, eh, ec)}"); continue
+            exp = [(grp * 131 + i * 31 + (i * i % 251) * 5 +
+                    (40 if did % 3 == 2 and i % 7 == 0 else 0)) % 256
+                   for i in range(w * h * c)]
+            if px != exp:
+                bad.append(f"doc {did}: pixel mismatch"); continue
+            n_img += 1
+        else:
+            ech, enf = 1 + did % 2, 64 + (did * 7) % 129
+            ch, rate, samples = _wav_decode(blob)
+            if (ch, rate, len(samples)) != (ech, 8000, enf * ech):
+                bad.append(f"doc {did}: wav meta {(ch, rate, len(samples))}"); continue
+            exp = [(did * 173 + u * 37 + (u * u % 127) * 3) % 256
+                   for u in range(enf * ech)]
+            if samples != exp:
+                bad.append(f"doc {did}: sample mismatch"); continue
+            n_aud += 1
+    check("m5 media decode (pure-Python PNG/BMP/WAV)", not bad,
+          f"{n_img} images + {n_aud} wavs byte-verified" +
+          (f"; first bad: {bad[0]}" if bad else ""))
+
+
 def main(sf_dir, out_dir):
     docs = load_table(sf_dir, "documents")
     li = load_table(sf_dir, "lineitem")
@@ -782,6 +903,7 @@ def main(sf_dir, out_dir):
                        {g: load_out(out_dir, g) for g in recall_gates})
     check_d29_d30(docs, load_out(out_dir, "d29_hll_distinct"),
                   load_out(out_dir, "d30_count_min"))
+    check_media(load_out(out_dir, "m5_media_bytes"))
     exact_money(sf_dir, out_dir)
     print(f"\n{'ALL INDEPENDENT CHECKS PASS' if not FAILURES else f'{len(FAILURES)} FAILURES:'}")
     for f in FAILURES:
