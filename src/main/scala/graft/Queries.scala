@@ -921,19 +921,39 @@ object Queries {
     spark.table(sink).orderBy(col("text_sha"))
   }
 
+  /** Per-dir memo of the corpus-trained BPE per-document counts — d35
+    * (token counting) and d14 (shard packing) share the train + tokenize
+    * passes; see [[graft.text.Bpe]] for the training/application contract
+    * and its oracle-parity bounds. */
+  private def bpeDocCounts(spark: SparkSession, dir: String): DataFrame =
+    PipelineQueries.memo(spark, s"bpe:$dir") {
+      graft.text.Bpe.docTokenCounts(spark, t(spark, dir, "documents"))
+    }
+
+  /** Merge-table BPE token counting (d35): the trained-tokenizer upgrade
+    * of d5's regex estimate — [[graft.text.Bpe]] trains the merge table
+    * from corpus pair counts in one aggregation pass and applies canonical
+    * leftmost-first merges over the distinct vocabulary; per-document
+    * counts come from an explode -> broadcast-vocab join -> sum. The
+    * oracle retrains the SAME table relationally and applies it with
+    * unrolled first-occurrence string replacement — equivalence proven in
+    * BpeSpec, bound-checked at runtime (Bpe.requireOracleBound). */
+  def d35BpeTokens(spark: SparkSession, dir: String): DataFrame =
+    bpeDocCounts(spark, dir).orderBy(col("doc_id"))
+
   /** Tokens per training shard (d14): documents packed into shards of
     * [[D14ShardBudget]] tokens in stable doc_id order — the step that turns
-    * a curated corpus into bounded training files. The running token count
-    * comes from [[graft.util.PrefixSum.runningSum]], the two-phase parallel
-    * scan: a naive `sum OVER (ORDER BY doc_id)` would funnel the corpus
-    * through ONE reducer (the oracle states exactly that naive form, which
-    * is fine at DuckDB's single-node scale). The plan audit asserts no
-    * single-partition exchange appears. */
+    * a curated corpus into bounded training files. Token counts are the
+    * REAL trained-BPE counts ([[bpeDocCounts]] — round 9; the budget packs
+    * what the model actually consumes, not a whitespace estimate). The
+    * running token count comes from [[graft.util.PrefixSum.runningSum]],
+    * the two-phase parallel scan: a naive `sum OVER (ORDER BY doc_id)`
+    * would funnel the corpus through ONE reducer (the oracle states exactly
+    * that naive form, which is fine at DuckDB's single-node scale). The
+    * plan audit asserts no single-partition exchange appears. */
   def d14ShardPacking(spark: SparkSession, dir: String): DataFrame =
     graft.util.PrefixSum.runningSum(
-        t(spark, dir, "documents")
-          .select(col("doc_id"),
-            size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens")),
+        bpeDocCounts(spark, dir).select(col("doc_id"), col("n_tokens")),
         "doc_id", "n_tokens", "cum_tokens")
       .withColumn("shard", floor((col("cum_tokens") - col("n_tokens")) / lit(D14ShardBudget)))
       .orderBy(col("doc_id"))
@@ -1618,6 +1638,71 @@ object Queries {
       .select(col("doc_id"), col("n_words"),
         coalesce(col("dup_words"), lit(0L)).as("dup_words"),
         coalesce(col("n_islands"), lit(0L)).as("n_islands"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The deduplicated CORPUS itself (d36) — the output Lee et al.'s
+    * substring dedup ships: d11 found duplicated-span pairs, d28 accounted
+    * the removal intervals; this gate APPLIES them and emits each
+    * document's retained text (as length + sha256, the d19 convention —
+    * hashing pins the exact retained byte sequence without shipping text).
+    * One survivor per span cluster: for every exact [[D11SpanWords]]-word
+    * window occurring >= 2 times in the corpus, the lexicographically
+    * first occurrence (min (doc_id, position)) KEEPS its interval; every
+    * other occurrence marks its word-position interval for removal.
+    * Overlapping removal intervals merge per document
+    * ([[graft.util.Intervals.mergeIntervals]]); a surviving occurrence
+    * overlapped by another window's removal is still cut (removal is a
+    * set union — the deterministic spec both engines state).
+    *
+    * Scale shape: windows shuffle once as 32-byte sha2 keys with their
+    * (doc_id, position); the survivor election is a min(struct) aggregate
+    * on that key (no pair self-join, no df-cap hazard); merged intervals
+    * collapse to a per-doc ARRAY (few entries — interval count is bounded
+    * by the doc's removal occurrences, already merged) that is BROADCAST
+    * back onto the documents scan, so the TEXT never transits a shuffle:
+    * scan -> broadcast hash join -> in-row filter/join of the word array.
+    * A corpus whose removal-doc set outgrows a broadcast co-locates via
+    * the doc_id-bucketed store layout (the ts17 device) instead — or
+    * accepts the one rewrite shuffle any materialized dedup pays. */
+  def d36DedupCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val k = D11SpanWords
+    val words = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        filter(split(col("text"), "\\s+"), x => x =!= "").as("ws"))
+    // every occurrence's (doc_id, start, hash) — d28's per-position frame
+    val grams = words
+      .select(col("doc_id"), explode(
+        when(size(col("ws")) >= k, sequence(lit(1), size(col("ws")) - (k - 1)))
+          .otherwise(array().cast("array<int>"))).as("i"),
+        col("ws"))
+      .select(col("doc_id"), col("i").cast("long").as("s"),
+        sha2(array_join(slice(col("ws"), col("i"), lit(k)), " "), 256).as("h"))
+    // survivor per duplicated window: lexicographic min (doc_id, s)
+    val surv = grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("n"), min(struct(col("doc_id"), col("s"))).as("sv"))
+      .where(col("n") >= 2)
+      .select(col("h"), col("sv.doc_id").as("sd"), col("sv.s").as("ss"))
+    val removals = grams.join(surv, Seq("h"))
+      .where(!(col("doc_id") === col("sd") && col("s") === col("ss")))
+      .select(col("doc_id"), col("s"), (col("s") + (k - 1)).as("e"))
+    val ivs = graft.util.Intervals.mergeIntervals(removals, "doc_id", "s", "e")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(
+        col("island_s").as("s"), col("island_e").as("e")))).as("ivs"))
+    val kept = filter(col("ws"), (_, i) =>
+      !exists(col("ivs"), iv =>
+        (i + 1) >= iv.getField("s") && (i + 1) <= iv.getField("e")))
+    words.join(broadcast(ivs), Seq("doc_id"), "left")
+      .withColumn("ivs",
+        coalesce(col("ivs"), array().cast("array<struct<s:bigint,e:bigint>>")))
+      .withColumn("kept", kept)
+      .withColumn("rt", array_join(col("kept"), " "))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        size(col("kept")).cast("long").as("kept_words"),
+        length(col("rt")).cast("long").as("retained_len"),
+        sha2(col("rt"), 256).as("retained_sha"))
       .orderBy(col("doc_id"))
   }
 
@@ -2351,11 +2436,15 @@ object Queries {
       "s4_stream_dedup" ->
         """SELECT DISTINCT sha256(text) AS text_sha FROM documents
           |ORDER BY text_sha""".stripMargin,
+      // d14 packs on the REAL trained-BPE counts (round 9) — the naive
+      // single-reducer window stated here is the oracle-side contrast to
+      // the gate's two-phase parallel prefix sum
       "d14_shard_packing" ->
-        """WITH tk AS (
-          |  SELECT doc_id,
-          |    length(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens
-          |  FROM documents),
+        s"""WITH ${graft.text.Bpe.oracleCtesSql},
+          |per AS (SELECT doc_id, sum(nt) AS n_tokens
+          |  FROM wocc JOIN wtok USING (w) GROUP BY doc_id),
+          |tk AS (SELECT d.doc_id, coalesce(per.n_tokens, 0)::BIGINT AS n_tokens
+          |  FROM documents d LEFT JOIN per USING (doc_id)),
           |c AS (
           |  SELECT doc_id, n_tokens,
           |    (sum(n_tokens) OVER (ORDER BY doc_id
@@ -2364,6 +2453,56 @@ object Queries {
           |SELECT doc_id, n_tokens, cum_tokens,
           |  ((cum_tokens - n_tokens) // 50000)::BIGINT AS shard
           |FROM c ORDER BY doc_id""".stripMargin,
+      "d35_bpe_tokens" ->
+        s"""WITH ${graft.text.Bpe.oracleCtesSql},
+          |per AS (SELECT doc_id, count(*) AS nw, sum(nt) AS ntk
+          |  FROM wocc JOIN wtok USING (w) GROUP BY doc_id)
+          |SELECT d.doc_id, coalesce(per.nw, 0)::BIGINT AS n_words,
+          |  coalesce(per.ntk, 0)::BIGINT AS n_tokens
+          |FROM documents d LEFT JOIN per USING (doc_id)
+          |ORDER BY d.doc_id""".stripMargin,
+      // d36: one survivor (lexicographically first occurrence) per
+      // duplicated window; removal = interval UNION of the rest; retained
+      // text re-assembled position-by-position and sha-pinned
+      "d36_dedup_corpus" ->
+        s"""WITH w AS (SELECT doc_id,
+          |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS ws
+          |  FROM documents),
+          |p AS (SELECT doc_id, ws,
+          |    unnest(range(1, greatest(length(ws) - ${D11SpanWords - 2}, 1))) AS i
+          |  FROM w),
+          |g AS (SELECT doc_id, i,
+          |    array_to_string(list_slice(ws, i, i + ${D11SpanWords - 1}), ' ') AS g
+          |  FROM p),
+          |occ AS (SELECT doc_id, i::BIGINT AS s,
+          |    (i + ${D11SpanWords - 1})::BIGINT AS e,
+          |    count(*) OVER (PARTITION BY g) AS n,
+          |    row_number() OVER (PARTITION BY g ORDER BY doc_id, i) AS rn
+          |  FROM g),
+          |rem AS (SELECT doc_id, s, e FROM occ WHERE n >= 2 AND rn > 1),
+          |m AS (SELECT doc_id, s, e,
+          |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+          |    THEN 1 ELSE 0 END AS brk
+          |  FROM rem),
+          |isl AS (SELECT doc_id, s, e,
+          |    sum(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+          |  FROM m),
+          |cov AS (SELECT doc_id, min(s) AS ms, max(e) AS me
+          |        FROM isl GROUP BY doc_id, island),
+          |pos AS (SELECT doc_id, unnest(range(1, length(ws) + 1)) AS q FROM w),
+          |dropd AS (SELECT DISTINCT pos.doc_id, q FROM pos
+          |  JOIN cov ON cov.doc_id = pos.doc_id AND q BETWEEN ms AND me),
+          |keptp AS (SELECT pos.doc_id, q FROM pos ANTI JOIN dropd USING (doc_id, q)),
+          |txt AS (SELECT k.doc_id, count(*) AS kw,
+          |    string_agg(ws[q::INT], ' ' ORDER BY q) AS rt
+          |  FROM keptp k JOIN w USING (doc_id) GROUP BY k.doc_id)
+          |SELECT w.doc_id, length(ws)::BIGINT AS n_words,
+          |  coalesce(txt.kw, 0)::BIGINT AS kept_words,
+          |  length(coalesce(txt.rt, ''))::BIGINT AS retained_len,
+          |  sha256(coalesce(txt.rt, '')) AS retained_sha
+          |FROM w LEFT JOIN txt USING (doc_id) ORDER BY w.doc_id""".stripMargin,
       "d16_gopher_rules" ->
         """WITH m AS (
           |  SELECT doc_id,
@@ -2485,6 +2624,8 @@ object Queries {
     "s4_stream_dedup" -> s4StreamDedup,
     "d13_pii_redact" -> d13PiiRedact,
     "d14_shard_packing" -> d14ShardPacking,
+    "d35_bpe_tokens" -> d35BpeTokens,
+    "d36_dedup_corpus" -> d36DedupCorpus,
     "d15_lm_quality" -> d15LmQuality,
     "d16_gopher_rules" -> d16GopherRules,
     "d3_quality_score" -> d3QualityScore,
