@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1637,17 +1637,33 @@ object PipelineQueries {
   private val D33Iters = 40
   private val D33Eta = 2.0
   private val D33LenCut = 300
+  /** The d33 feature expressions over a documents row (text, n_chars) —
+    * ONE definition site for the batch gate (d33), the streaming filter
+    * (s16), and the funnel stage (s20), so the served model can never
+    * drift from the trained one. */
+  private def d33FeatureCols: (Column, Column, Column) = {
+    val ntok = greatest(size(split(trim(col("text")), "\\s+")), lit(1))
+    (TextOps.stopwordCount(col("text")).cast("double") / ntok,
+      ntok.cast("double") / greatest(col("n_chars"), lit(1)),
+      size(array_distinct(split(trim(col("text")), "\\s+"))).cast("double") / ntok)
+  }
+
   /** The d33 feature projection over any documents frame (batch or
     * streaming): exact integer-ratio features + label, per-row codegen'd. */
   private def d33Features(df: DataFrame): DataFrame = {
-    val ntok = greatest(size(split(trim(col("text")), "\\s+")), lit(1))
+    val (x1, x2, x3) = d33FeatureCols
     df.select(
-      col("doc_id"),
-      (TextOps.stopwordCount(col("text")).cast("double") / ntok).as("x1"),
-      (ntok.cast("double") / greatest(col("n_chars"), lit(1))).as("x2"),
-      (size(array_distinct(split(trim(col("text")), "\\s+"))).cast("double")
-        / ntok).as("x3"),
+      col("doc_id"), x1.as("x1"), x2.as("x2"), x3.as("x3"),
       when(col("n_chars") >= D33LenCut, 1.0).otherwise(0.0).as("y"))
+  }
+
+  /** The frozen-weights quality score as a single Column over a documents
+    * row — d33's sigmoid inlined over [[d33FeatureCols]], rounded 4dp
+    * (the decision-surface convention both engines share). */
+  private[graft] def d33QualityCol(w: Array[Double]): Column = {
+    val (x1, x2, x3) = d33FeatureCols
+    val z = lit(w(0)) + lit(w(1)) * x1 + lit(w(2)) * x2 + lit(w(3)) * x3
+    round(lit(1.0) / (lit(1.0) + exp(-z)), 4)
   }
 
   private def d33SigmoidOf(w: Array[Double]): org.apache.spark.sql.Column = {
@@ -1785,6 +1801,50 @@ object PipelineQueries {
        |SELECT doc_id, round(q, 4) AS quality
        |FROM scored WHERE round(q, 4) >= 0.5 ORDER BY doc_id""".stripMargin
 
+  /** s20's oracle: the composed batch semantics of the streaming funnel —
+    * c2's decontamination CTEs, d33's descent CTEs (the same trained
+    * model), arrival-keyed sha survivorship (key = (doc_id mod 3, doc_id),
+    * the pinned staging order), and s9's bucket-min near-dup rule scoped to
+    * the exact survivors — aggregated in c1's per-language output shape. */
+  private lazy val s20OracleSql: String = {
+    val mh = (0 until 8).map(j => s"${mhSql(j)} AS mh$j").mkString(", ")
+    val b0 = bandSql(Seq("mh0", "mh1", "mh2", "mh3"))
+    val b1 = bandSql(Seq("mh4", "mh5", "mh6", "mh7"))
+    s"""$d33DescentCtes,
+       |dw AS (SELECT doc_id,
+       |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS ws
+       |  FROM documents),
+       |dg AS (SELECT doc_id, unnest(list_transform(range(1, greatest(length(ws)-2, 1)),
+       |    i -> ws[i::INT] || ' ' || ws[(i+1)::INT] || ' ' || ws[(i+2)::INT]
+       |         || ' ' || ws[(i+3)::INT])) AS g4
+       |  FROM dw),
+       |bench20 AS (SELECT DISTINCT g4 FROM dg WHERE doc_id % 23 = 0),
+       |contam20 AS (SELECT DISTINCT doc_id FROM dg JOIN bench20 USING (g4)),
+       |pass2 AS (SELECT d.doc_id, d.lang, d.n_chars, d.text,
+       |    round(s.q, 4) AS quality
+       |  FROM documents d JOIN scored s USING (doc_id)
+       |  WHERE d.doc_id NOT IN (SELECT doc_id FROM contam20)
+       |    AND round(s.q, 4) >= 0.5),
+       |pass3 AS (SELECT doc_id, lang, n_chars, text, quality FROM (
+       |    SELECT p2.*, row_number() OVER (PARTITION BY sha256(text)
+       |      ORDER BY doc_id % 3, doc_id) AS rn FROM pass2 p2)
+       |  WHERE rn = 1),
+       |c20 AS (SELECT doc_id, $codesSql AS codes FROM pass3),
+       |sg20 AS (SELECT doc_id, $mh FROM c20),
+       |bands20 AS (SELECT doc_id, 0 AS band, $b0 AS bh FROM sg20
+       |            UNION ALL SELECT doc_id, 1, $b1 FROM sg20),
+       |mb20 AS (SELECT band, bh,
+       |    min((doc_id % 3) * 1000000000 + doc_id) AS mkey
+       |  FROM bands20 GROUP BY 1, 2),
+       |fl20 AS (SELECT DISTINCT b.doc_id FROM bands20 b JOIN mb20 USING (band, bh)
+       |  WHERE mb20.mkey < (b.doc_id % 3) * 1000000000 + b.doc_id),
+       |pass4 AS (SELECT * FROM pass3
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM fl20))
+       |SELECT lang, count(*) AS num_docs, round(avg(n_chars), 2) AS avg_chars,
+       |  min(quality) AS min_quality, max(quality) AS max_quality
+       |FROM pass4 GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   /** Content-defined chunking dedup (d27) — the LBFS/FastCDC shape
     * (Muthitacharoen et al., SOSP '01): chunk boundaries wherever the
     * rolling 3-gram code satisfies code % 32 == 7 (expected chunk ≈ 32
@@ -1832,16 +1892,20 @@ object PipelineQueries {
     * BUCKET (not per document, not per pair); the corpus-sized work is the
     * stateless per-batch signature projection. Documents shorter than a
     * shingle have NULL buckets and match nothing in either engine. */
+  /** Per-row codegen'd t2 band buckets of a (possibly streaming) documents
+    * frame — the stream-side formulation (LshBandHash: a micro-batch
+    * projection cannot amortize through the memoized exploded shingle
+    * frame, and the interpreted Column formulation costs 8 lambda walks
+    * per document). Shared by s9 and the s20 funnel's near-dup stage. */
+  private def streamBandsOf(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), explode(array(
+      struct(lit(0).as("band"), TextOps.lshBandHash(col("text"), 0).as("bh")),
+      struct(lit(1).as("band"), TextOps.lshBandHash(col("text"), 1).as("bh")))).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+
   def s9StreamNearDup(spark: SparkSession, dir: String): DataFrame = {
     val raw = docs(spark, dir)
-    // per-row codegen'd band hash (LshBandHash): a micro-batch projection
-    // cannot amortize through the memoized exploded shingle frame, and the
-    // interpreted Column formulation costs 8 lambda walks per document
-    def bandsOf(df: DataFrame): DataFrame =
-      df.select(col("doc_id"), explode(array(
-        struct(lit(0).as("band"), TextOps.lshBandHash(col("text"), 0).as("bh")),
-        struct(lit(1).as("band"), TextOps.lshBandHash(col("text"), 1).as("bh")))).as("b"))
-        .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    def bandsOf(df: DataFrame): DataFrame = streamBandsOf(df)
     val src = spark.readStream.schema(raw.schema).parquet(s"$dir/documents.*")
     val minPerBucket = bandsOf(src).groupBy(col("band"), col("bh"))
       .agg(min(col("doc_id")).as("min_id"))
@@ -1863,6 +1927,117 @@ object PipelineQueries {
       .select(col("doc_id"), coalesce(col("f") === 1, lit(false)).as("is_near_dup"))
       .orderBy(col("doc_id"))
   }
+
+  /** Streaming END-TO-END curation funnel (s20): the ingest-side loop the
+    * round-8 gates built piecewise, composed into ONE foreachBatch pipeline
+    * — one arrival stream, all four filters, one store:
+    *
+    *   1. DECONTAMINATION (s18's device): drop any arriving document
+    *      sharing a word 4-gram with the offline benchmark set (exact
+    *      broadcast, stateless map-only).
+    *   2. QUALITY (s16's device): score with the OFFLINE-trained d33
+    *      model's frozen weights, keep quality >= 0.5 (stateless).
+    *   3. EXACT DEDUP (s4's semantics, s17's maintained store): first
+    *      arrival per sha2-256(text) wins — a sha STORE is read before and
+    *      appended after each batch; within a batch the smallest doc_id
+    *      represents its sha. Arrival order is deterministic (pinned-mtime
+    *      staging, util.Staging): arrival key = (chunk = doc_id mod 3,
+    *      doc_id), which is exactly what the oracle re-derives.
+    *   4. NEAR-DUP (s9's rule, s17's maintained store): a (band, bucket)
+    *      signature STORE accumulates every exact-surviving document's t2
+    *      band buckets; an arrival is rejected iff some bucket of its
+    *      already holds an earlier arrival (store hit = earlier batch;
+    *      within-batch = smaller doc_id). Decisions are FINAL at ingest —
+    *      later arrivals can only be larger keys.
+    *
+    * Survivors append (doc_id, lang, n_chars, quality) to a parquet FILE
+    * store (corpus-sized output — the memory sink is exactly the
+    * maxResultSize failure the round-8 decade run hit); the gate output is
+    * the per-language funnel summary in c1's shape (num_docs, avg_chars,
+    * min/max quality), which the oracle recomputes from the composed batch
+    * semantics — decontam CTEs (c2's), the d33 descent CTEs (the SAME
+    * trained model), arrival-keyed sha survivorship, and s9's bucket-min
+    * rule over the survivors.
+    *
+    * Scale shape: stages 1-2 are map-only; stage 3 shuffles 32-byte sha
+    * keys within a batch plus one store anti-join (sha-bucketed store at
+    * real scale); stage 4 shuffles (band, bucket, id) triples only. State
+    * grows with DISTINCT content (shas + occupied buckets), not arrivals.
+    * Eager localCheckpoints pin each batch's read-before-append ordering
+    * against the two stores. */
+  def s20StreamCurationFunnel(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, s"s20:$dir") {
+      val bc = contamBenchSet(spark, dir) // offline benchmark set (s18)
+      val wts = d33TrainWeights(spark, dir) // offline-trained model (s16)
+      val shares = udf((gs: Seq[String]) =>
+        gs != null && gs.exists(bc.value.contains))
+      val raw = docs(spark, dir)
+      val staging = graft.util.Staging.stageChunks(raw, "doc_id", 3, "s20")
+      val shaDir = graft.util.TempDirs.create("graft_s20_sha_")
+      val bandDir = graft.util.TempDirs.create("graft_s20_band_")
+      val outDir = graft.util.TempDirs.create("graft_s20_out_")
+      val ckpt = graft.util.TempDirs.create("graft_s20_ckpt_")
+      // seed the stores so per-batch reads have a schema before batch 0
+      // (overwrite: TempDirs.create already made the empty directories)
+      spark.range(0).select(lit("").as("sha"))
+        .write.mode("overwrite").parquet(shaDir)
+      spark.range(0).select(lit(0).as("band"), lit(0L).as("bh"),
+        lit(0L).as("doc_id")).write.mode("overwrite").parquet(bandDir)
+      val quality = d33QualityCol(wts)
+      val src = spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1).parquet(staging)
+      val q = src.writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // stages 1+2: stateless decontam + frozen-model quality filter
+          val p2 = batch
+            .where(!shares(TextOps.wordGramArray(col("text"), 4)))
+            .withColumn("quality", quality)
+            .where(col("quality") >= 0.5)
+            .withColumn("sha", sha2(col("text"), 256))
+          // stage 3: within-batch rep (min doc_id per sha), then the store
+          val batchRep = p2
+            .withColumn("rn", row_number().over(
+              Window.partitionBy(col("sha")).orderBy(col("doc_id"))))
+            .where(col("rn") === 1).drop("rn")
+          val seen = spark.read.parquet(shaDir)
+          // EAGER: the anti-join must evaluate against the PRE-append store
+          val p3 = batchRep.join(seen, Seq("sha"), "left_anti").localCheckpoint()
+          // stage 4: flag vs the signature store (any hit = earlier batch)
+          // and within-batch smaller ids — evaluated BEFORE the band append
+          val bands = streamBandsOf(p3)
+          val store = spark.read.parquet(bandDir)
+          val flagged = bands.join(store.select(col("band"), col("bh")),
+              Seq("band", "bh"))
+            .select(col("doc_id"))
+            .unionByName(bands.as("a")
+              .join(bands.select(col("band"), col("bh"),
+                col("doc_id").as("other")), Seq("band", "bh"))
+              .where(col("other") < col("doc_id"))
+              .select(col("doc_id")))
+            .distinct().localCheckpoint()
+          // state + output appends (order no longer matters: p3/flagged
+          // are materialized)
+          p3.select(col("sha")).write.mode("append").parquet(shaDir)
+          bands.write.mode("append").parquet(bandDir)
+          p3.join(flagged, Seq("doc_id"), "left_anti")
+            .select(col("doc_id"), col("lang"), col("n_chars"), col("quality"))
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      require(dataBatches == 3,
+        s"s20 gate expects 3 single-file micro-batches, saw $dataBatches")
+      spark.read.parquet(outDir)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("num_docs"),
+          round(avg(col("n_chars")), 2).as("avg_chars"),
+          min(col("quality")).as("min_quality"),
+          max(col("quality")).as("max_quality"))
+    }.orderBy(col("lang"))
 
   // ------------------------------------------------------------ oracle SQL
 
@@ -2362,6 +2537,7 @@ object PipelineQueries {
          |ORDER BY rnk""".stripMargin,
     "d33_quality_classifier" -> d33OracleSql,
     "s16_stream_quality_filter" -> s16OracleSql,
+    "s20_stream_curation_funnel" -> s20OracleSql,
     "s18_stream_decontam" -> s18OracleSql,
     "d27_cdc_chunks" -> {
       val w = (0 until 8).map(k => (0 until k).foldLeft(1L)((acc, _) => acc * 31 % P))
@@ -2804,6 +2980,7 @@ object PipelineQueries {
     "d27_cdc_chunks" -> d27CdcChunks,
     "s9_stream_neardup" -> s9StreamNearDup,
     "s16_stream_quality_filter" -> s16StreamQualityFilter,
+    "s20_stream_curation_funnel" -> s20StreamCurationFunnel,
     "s18_stream_decontam" -> s18StreamDecontam,
     "c1_curation" -> c1Curation,
     "c2_contamination" -> c2Contamination,
