@@ -1109,6 +1109,12 @@ object PipelineQueries {
       val dataBatches = q.recentProgress.count(_.numInputRows > 0)
       require(dataBatches == 3,
         s"s19 gate expects 3 single-file micro-batches, saw $dataBatches")
+      // maintenance-loop hygiene (round 9): per-batch appends leave one
+      // file set per micro-batch per touched cid= partition — compact to
+      // one file per partition before serving. Results are identical
+      // (IvfIndexSpec pins compact-invariance); the gate now exercises
+      // the full ingest->maintain->OPTIMIZE->serve loop.
+      graft.ann.IvfIndex.compact(spark, p)
       p
     })
     ivfProject(graft.ann.IvfIndex.search(spark, path,

@@ -72,6 +72,47 @@ object IvfIndex {
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
 
+  /** Compact the index's data layout: rewrite every `cid=` partition down
+    * to one file — the OPTIMIZE-after-streaming-inserts step a long-running
+    * maintenance stream (s19) needs, since each micro-batch append lands
+    * one file set per touched partition and a file-per-batch layout
+    * eventually dominates scan open cost. The quantizer and the row set are
+    * untouched, so [[search]] results are IDENTICAL before and after
+    * (IvfIndexSpec pins this); only the file count drops. Staged rewrite
+    * then two renames: a crash leaves the old layout, the new layout, or
+    * the old layout under `data_old` next to the new one — never a mix of
+    * halves inside `data/`. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val staged = s"$path/data_compacting"
+    spark.read.parquet(s"$path/data")
+      .repartition(col("cid"))
+      .sortWithinPartitions(col("cid"), col("id"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("cid")
+      .parquet(staged)
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val dataP = new Path(s"$path/data")
+    val oldP = new Path(s"$path/data_old")
+    require(fs.rename(dataP, oldP), s"compact: cannot stage out $dataP")
+    require(fs.rename(new Path(staged), dataP),
+      s"compact: cannot publish $staged")
+    fs.delete(oldP, true)
+    ()
+  }
+
+  /** Data-file count of the index (diagnostics + the compaction spec). */
+  def dataFileCount(spark: SparkSession, path: String): Int = {
+    val root = new Path(s"$path/data")
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val it = fs.listFiles(root, true)
+    var n = 0
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) n += 1
+    }
+    n
+  }
+
   /** Top-k cosine search against the index: for each query (id, vec), rank
     * the vectors stored in its `nprobe` nearest centroid cells. The probed
     * cid set is collected driver-side (<= |queries| * nprobe values) and

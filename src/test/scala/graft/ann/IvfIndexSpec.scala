@@ -133,6 +133,39 @@ class IvfIndexSpec extends AnyFunSuite with Matchers with SparkTestSession {
     streamed shouldBe single
   }
 
+  test("compact: N-batch stream -> compact -> search unchanged, file count bounded") {
+    // the maintenance-loop hygiene case (round 9): micro-batch appends
+    // accumulate one file set per batch per touched partition; compact()
+    // rewrites to ONE file per cid= partition without changing a single
+    // search result (the s19 gate runs this composition against the
+    // DuckDB oracle on the real corpus)
+    val v = vectors
+    val centroids = v.where(pmod(col("id"), lit(23)) === 0)
+      .select(col("id").as("cid"), col("vec"))
+    val p = graft.util.TempDirs.create("graft_ivf_compact_spec_")
+    // 4 "micro-batches": build + 3 appends (the append path is what a
+    // foreachBatch maintenance loop calls per batch)
+    IvfIndex.build(spark, v.where(pmod(col("id"), lit(4)) === 0), centroids, p)
+    (1 to 3).foreach(i =>
+      IvfIndex.append(spark, v.where(pmod(col("id"), lit(4)) === i), p))
+    val queries = v.where(col("id") < 5)
+    val before = IvfIndex.search(spark, p, queries, 4, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val filesBefore = IvfIndex.dataFileCount(spark, p)
+    val nCids = new java.io.File(s"$p/data").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("cid="))
+    filesBefore should be > nCids // appends really did accumulate files
+    IvfIndex.compact(spark, p)
+    // bounded: exactly one file per occupied partition
+    IvfIndex.dataFileCount(spark, p) shouldBe nCids
+    new java.io.File(s"$p/data_old").exists() shouldBe false
+    new java.io.File(s"$p/data_compacting").exists() shouldBe false
+    spark.read.parquet(s"$p/data").count() shouldBe 200
+    val after = IvfIndex.search(spark, p, queries, 4, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    after shouldBe before
+  }
+
   test("index search equals ad-hoc knnIvf for the same parameters") {
     val v = vectors
     val centroids = v.where(pmod(col("id"), lit(23)) === 0)
