@@ -23,19 +23,15 @@ object TextOps {
   /** Modulus for all hashing: the Mersenne prime 2^31-1. */
   val P = 2147483647L
 
-  /** Word k-grams of a text column as an IN-ROW array — the ONE definition
-    * of the gram strings (split on whitespace, empties dropped, tokens
-    * re-joined with single spaces); docs shorter than k yield an empty
-    * array. [[wordGrams]] is its exploded form (the batch path for d9/d11
-    * and c2/c3's gram formation); the s18 streaming filter consumes the
-    * array directly (no explode, no shuffle). One definition site keeps
-    * the stream-side filter and the batch-side benchmark set in lockstep
-    * by construction. The higher-order `transform` lambda is interpreted
-    * (not codegen'd) but runs ONCE per row — unlike the per-candidate-pair
-    * recomputation the PipelineQueries performance note warns about — and
-    * the c2/c3 isolated sf0.1 bench was re-measured flat after the switch
-    * from the exploded-positions form (README, round 9). Callers hash `g`
-    * (sha2) before any shuffle. */
+  /** Word k-grams of a text column as an IN-ROW array (split on
+    * whitespace, empties dropped, tokens re-joined with single spaces);
+    * docs shorter than k yield an empty array. STREAM-SIDE form: the s18
+    * ingest filter consumes the array in-row (no explode, no shuffle).
+    * The higher-order `transform` lambda is INTERPRETED — the round-9
+    * isolated A/B measured gram formation at 2.71 s via this form vs
+    * 0.27 s via [[wordGrams]]' exploded-positions form at sf0.1 — so the
+    * BATCH path must not route through it; [[TextOpsSpec]] pins the two
+    * forms to identical (doc_id, gram) rows so they cannot drift. */
   def wordGramArray(text: Column, k: Int): Column = {
     val ws = filter(split(text, "\\s+"), x => x =!= "")
     when(size(ws) >= k,
@@ -44,10 +40,22 @@ object TextOps {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Word k-grams of a documents frame: (doc_id, g). BATCH form — the
+    * gram formation for d9/d11/c2/c3: explode window START POSITIONS and
+    * build each gram with codegen'd slice/array_join on the way out (no
+    * interpreted per-row lambda over the gram array — see
+    * [[wordGramArray]]'s 10x measurement). Docs shorter than k yield no
+    * rows. Callers hash `g` (sha2) before any shuffle. */
   def wordGrams(docs: org.apache.spark.sql.DataFrame, k: Int)
-      : org.apache.spark.sql.DataFrame =
-    docs.select(col("doc_id"),
-      explode(wordGramArray(col("text"), k)).as("g"))
+      : org.apache.spark.sql.DataFrame = {
+    val ws = filter(split(col("text"), "\\s+"), x => x =!= "")
+    docs.select(col("doc_id"), ws.as("_ws"))
+      .select(col("doc_id"), col("_ws"), explode(
+        when(size(col("_ws")) >= k, sequence(lit(1), size(col("_ws")) - (k - 1)))
+          .otherwise(array().cast("array<int>"))).as("_i"))
+      .select(col("doc_id"),
+        array_join(slice(col("_ws"), col("_i"), lit(k)), " ").as("g"))
+  }
 
   /** Hash family: h_j(x) = (x*A_j + B_j) mod P. A_j stays < 2^21 so
     * (P-1)*A_j fits comfortably in a signed 64-bit long. */

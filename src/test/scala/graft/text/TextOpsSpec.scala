@@ -109,4 +109,26 @@ class TextOpsSpec extends AnyFunSuite with Matchers with SparkTestSession {
     out(1) shouldBe "de"
     out(2) shouldBe "und" // no markers
   }
+
+  test("wordGrams (batch positions form) == wordGramArray (stream in-row form)") {
+    // the two gram definition sites must stay in lockstep: the batch form
+    // is codegen'd (10x faster, round-9 A/B), the array form feeds s18's
+    // in-row streaming filter — identical (doc_id, g) rows, all edges
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c d e f"),           // normal
+      (1L, "one two three"),         // shorter than k=4 -> no grams
+      (2L, "  x   y  z   w  q "),    // irregular whitespace
+      (3L, ""),                      // empty
+      (4L, "r r r r r r r r"))       // repeats
+      .toDF("doc_id", "text")
+    for (k <- Seq(3, 4)) {
+      val batch = graft.text.TextOps.wordGrams(docs, k)
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      val stream = docs.select(col("doc_id"),
+          explode(graft.text.TextOps.wordGramArray(col("text"), k)).as("g"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      batch shouldBe stream
+    }
+  }
 }
