@@ -255,11 +255,24 @@ object Multimodal {
       .find(_.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
       .getOrElse(sys.error("no WAVE AudioFileWriter provider on this JVM"))
   }
-  private lazy val wavReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {
+  /** The ONE provider that actually parses WAV, probe-selected once per
+    * JVM against a self-generated header. Iterating ALL providers per row
+    * re-introduces the convoy through a side door: SoftMidiAudioFileReader
+    * (earlier in ServiceLoader order) calls MidiSystem.getSequence on
+    * every rejection — the same JSSecurityManager class lock (second
+    * thread dump of the 10x decade run: all workers blocked under
+    * MidiSystem.getMidiFileReaders). */
+  private lazy val wavReader: javax.sound.sampled.spi.AudioFileReader = {
     import scala.jdk.CollectionConverters._
+    val probe = encodeWav(0L)
     java.util.ServiceLoader
       .load(classOf[javax.sound.sampled.spi.AudioFileReader])
-      .iterator().asScala.toSeq
+      .iterator().asScala
+      .find { r =>
+        try { r.getAudioInputStream(new java.io.ByteArrayInputStream(probe)); true }
+        catch { case _: Exception => false }
+      }
+      .getOrElse(sys.error("no AudioFileReader provider parses WAV on this JVM"))
   }
 
   private def encodeWav(docId: Long): Array[Byte] = {
@@ -292,14 +305,9 @@ object Multimodal {
     val rdd = df.rdd.mapPartitions { it =>
       it.map { row =>
         val bytes = row.getAs[Array[Byte]](binIdx)
-        // direct SPI call — see wavWriter's lock-convoy note
-        val ais = wavReaders.view.flatMap { r =>
-          try Some(r.getAudioInputStream(new java.io.ByteArrayInputStream(bytes)))
-          catch {
-            case _: javax.sound.sampled.UnsupportedAudioFileException => None
-          }
-        }.headOption.getOrElse(throw new javax.sound.sampled
-          .UnsupportedAudioFileException("no provider recognized the payload"))
+        // direct single-provider SPI call — see wavReader's convoy notes
+        val ais = wavReader.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
         val fmt = ais.getFormat
         require(fmt.getSampleSizeInBits == 8,
           s"audio gate expects 8-bit PCM, got ${fmt.getSampleSizeInBits}")
