@@ -381,18 +381,22 @@ object PipelineQueries {
       .limit(20)
   }
 
-  /** The decoded-image frame every m-gate shares, memoized per dir: one
+  /** The decoded-image FEATURE frame m1/m3 share, memoized per dir: one
     * synthesize (real PNG/BMP encode of the deterministic pixel lattice)
-    * plus one REAL `javax.imageio` decode pass serves m1 (metadata +
-    * histogram), m2 (frame sampling over pixel rows), and m3 (aHash
-    * near-dup). Working set: <= 768 int samples per row — at the 300x
-    * decade (1.5M docs) ~4.6 GB across partitions, which is why ScaleSmoke
-    * releases memos per dir. */
+    * plus one REAL `javax.imageio` decode pass, reduced to features before
+    * the memo — (doc_id, mime, dims, 16-bin histogram, aHash halves),
+    * ~100 B/row. The raw pixel arrays are NOT memoized: at the 300x decade
+    * (1.5M docs x <=768 int samples) the px-bearing frame is ~11 GB of
+    * checkpoint blocks and OOMed the 28g one-JVM protocol — and a 100 TB
+    * pipeline never persists decoded pixels either; featurizers re-decode
+    * in their own narrow pass (m2 does exactly that). */
   private def decodedImages(spark: SparkSession, dir: String): DataFrame =
     memo(spark, s"mimg:$dir") {
-      graft.multimodal.Multimodal.decodeImage(
-        graft.multimodal.Multimodal.synthesizeImageTable(docs(spark, dir)),
-        "content")
+      graft.multimodal.Multimodal.withImageAHash(
+        graft.multimodal.Multimodal.decodeImage(
+          graft.multimodal.Multimodal.synthesizeImageTable(docs(spark, dir)),
+          "content"))
+        .drop("px", "content")
     }
 
   /** Multimodal image pipeline end to end (m1), on REAL codecs: the
@@ -700,9 +704,14 @@ object PipelineQueries {
     * shape (binary in, per-frame slices out) with integer-exact per-frame
     * checksums: pixel count, sample sum, and a position-weighted sum that
     * pins the ORDER of the decoded samples, not just their multiset. All
-    * in-row array slicing — no shuffle, frames never leave the task. */
+    * in-row array slicing — no shuffle, frames never leave the task.
+    * Runs its OWN decode pass (the px arrays are deliberately not
+    * memoized — see [[decodedImages]]); synthesize+decode is narrow and
+    * re-paid per run, the honest operator cost. */
   def m2FrameSample(spark: SparkSession, dir: String): DataFrame = {
-    val d = decodedImages(spark, dir)
+    val d = graft.multimodal.Multimodal.decodeImage(
+      graft.multimodal.Multimodal.synthesizeImageTable(docs(spark, dir)),
+      "content")
     val rowSz = col("width") * col("channels")
     val lo = floor(col("frame_idx") * col("height") / 8).cast("int")
     val hi = floor((col("frame_idx") + 1) * col("height") / 8).cast("int")
@@ -735,8 +744,7 @@ object PipelineQueries {
     * 16-bit buckets prune ~65k x harder than the stub era's 4-bit bands. */
   def m3PhashNearDup(spark: SparkSession, dir: String): DataFrame = {
     val pairs = memo(spark, s"m3pairs:$dir") {
-      val sig = graft.multimodal.Multimodal
-        .withImageAHash(decodedImages(spark, dir))
+      val sig = decodedImages(spark, dir) // aHash is part of the feature memo
         .select(col("doc_id"), col("ahash_hi"), col("ahash_lo"))
       val bands = (0 until 2).map { j =>
         struct(lit(j).as("band"),
