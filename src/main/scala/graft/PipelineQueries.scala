@@ -734,14 +734,22 @@ object PipelineQueries {
     * the classic 64-bit average-hash — integer BT.601 luma, 8x8 block grid,
     * bit = block mean > image mean ([[graft.multimodal.Multimodal
     * .withImageAHash]], integer-exact) — and pairs within Hamming distance
-    * 3 are found with a 4-band x 16-bit banded self-join, LOSSLESS by
-    * pigeonhole (3 differing bits touch at most 3 of 4 bands, so every
-    * qualifying pair shares an intact band), which the all-pairs DuckDB
-    * oracle independently verifies. Only (band, bucket, id, two 32-bit
-    * halves) transit the shuffle — pixels never do. Real-pHash geometry:
-    * duplicates concentrate at T<=3 (the fixture plants exact-duplicate
-    * copies 0/1 and a perturbed copy 2 per group of 3 docs), so the wide
-    * 16-bit buckets prune ~65k x harder than the stub era's 4-bit bands. */
+    * 3 are found with a 4-band x 16-bit banded join, STAR-SHAPED like t2:
+    * every bucket member is paired against the bucket's min-doc_id
+    * REPRESENTATIVE (doc_a = rep, doc_b = member), never all-pairs. The
+    * band cut stays pigeonhole-lossless at T<=3 (3 differing bits touch at
+    * most 3 of 4 bands — the spec proves every true pair shares a bucket),
+    * and star pairing is what keeps the OUTPUT linear in the duplicate
+    * population: the round-9 decade run measured the all-pairs form at
+    * 295M pairs / 290 s cold at 300x (pair count quadratic in the
+    * duplication factor — 9x rows for 3x docs) vs rows linear in members
+    * here, exactly the t2 production rationale (every near-duplicate is
+    * assigned to a survivor; the pair GRAPH is not materialized). Only
+    * (band, bucket, id, two 32-bit halves) transit the shuffle — pixels
+    * never do. Real-pHash geometry: duplicates concentrate at T<=3 (the
+    * fixture plants exact-duplicate copies 0/1 and a perturbed copy 2 per
+    * group of 3 docs), so the 16-bit buckets prune ~65k x harder than the
+    * stub era's 4-bit bands. */
   def m3PhashNearDup(spark: SparkSession, dir: String): DataFrame = {
     val pairs = memo(spark, s"m3pairs:$dir") {
       val sig = decodedImages(spark, dir) // aHash is part of the feature memo
@@ -758,13 +766,15 @@ object PipelineQueries {
           explode(array(bands: _*)).as("b"))
         .select(col("doc_id"), col("ahash_hi"), col("ahash_lo"),
           col("b.band").as("band"), col("b.bucket").as("bucket"))
+      val reps = banded.groupBy(col("band"), col("bucket"))
+        .agg(min(col("doc_id")).as("doc_a"))
       banded
-        .select(col("doc_id").as("doc_a"), col("ahash_hi").as("ha"),
-          col("ahash_lo").as("la"), col("band"), col("bucket"))
-        .join(banded.select(col("doc_id").as("doc_b"), col("ahash_hi").as("hb"),
-          col("ahash_lo").as("lb"), col("band"), col("bucket")),
-          Seq("band", "bucket"))
-        .where(col("doc_a") < col("doc_b"))
+        .join(reps, Seq("band", "bucket"))
+        .where(col("doc_a") < col("doc_id"))
+        .select(col("doc_a"), col("doc_id").as("doc_b"),
+          col("ahash_hi").as("hb"), col("ahash_lo").as("lb"))
+        .join(sig.select(col("doc_id").as("doc_a"),
+          col("ahash_hi").as("ha"), col("ahash_lo").as("la")), Seq("doc_a"))
         .select(col("doc_a"), col("doc_b"),
           (bit_count(col("ha").bitwiseXOR(col("hb"))) +
             bit_count(col("la").bitwiseXOR(col("lb")))).as("hamming"))
@@ -2662,10 +2672,11 @@ object PipelineQueries {
          |  AND p.i >= f.lo*f.w*f.c AND p.i < f.hi*f.w*f.c
          |GROUP BY f.doc_id, f.k, f.hi, f.lo, f.w, f.c
          |ORDER BY f.doc_id, frame_idx""".stripMargin,
-    // m3: all-pairs re-derivation of the banded join over the REAL aHash —
-    // integer BT.601 luma, 8x8 block grid, integer mean comparison — so
-    // signatures are exact and the pigeonhole-lossless T<=3 band join is
-    // independently verified
+    // m3: independent re-derivation of the STAR-shaped banded join over
+    // the REAL aHash — integer BT.601 luma, 8x8 block grid, integer mean
+    // comparison, the same 4x16-bit band cut, bucket-min representative —
+    // so signatures, banding, and the star pairing are all re-derived
+    // relationally (losslessness of the band cut is spec-proved)
     "m3_phash_neardup" ->
       s"""WITH $imagePixelCtesSql,
          |lum AS (SELECT doc_id, w, h, c, i // c AS q,
@@ -2685,10 +2696,20 @@ object PipelineQueries {
          |sig AS (SELECT doc_id,
          |    sum(CASE WHEN b < 32 THEN bit << b::INT ELSE 0 END)::BIGINT AS lo,
          |    sum(CASE WHEN b >= 32 THEN bit << (b-32)::INT ELSE 0 END)::BIGINT AS hi
-         |  FROM bits GROUP BY doc_id)
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  FROM bits GROUP BY doc_id),
+         |mbd AS (SELECT doc_id,
+         |    CASE band WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535
+         |      WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS bucket,
+         |    band
+         |  FROM sig, range(0, 4) t(band)),
+         |reps AS (SELECT band, bucket, min(doc_id) AS rep
+         |  FROM mbd GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT r.rep AS doc_a, m.doc_id AS doc_b
+         |  FROM mbd m JOIN reps r USING (band, bucket) WHERE m.doc_id > r.rep)
+         |SELECT c.doc_a, c.doc_b,
          |  (bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)))::INT AS hamming
-         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |FROM cand c JOIN sig a ON a.doc_id = c.doc_a
+         |JOIN sig b ON b.doc_id = c.doc_b
          |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
     // m4: the PCM lattice recomputed relationally; sample_wsum pins the

@@ -123,10 +123,24 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkTestSession {
       for (a <- is; b <- is if a < b) yield (a, b)
     }.toSet
     truth.subsetOf(candidates) shouldBe true
-    // and the GATE (banded join end to end) returns exactly the truth set
+    // and the GATE (star-shaped banded join, t2's production shape) returns
+    // exactly the bucket-representative pairs within the threshold
+    val sigMap = sigs.map { case (id, h, l) => id -> (h, l) }.toMap
+    val starPairs: Set[(Long, Long)] = bands.groupBy(_._1).values.flatMap { grp =>
+      val is = grp.map(_._2).toSeq
+      val rep = is.min
+      is.filter(_ > rep).map(m => (rep, m))
+    }.toSet
+    val starTruth = starPairs.filter { case (a, b) =>
+      val ((ha, la), (hb, lb)) = (sigMap(a), sigMap(b))
+      java.lang.Long.bitCount(ha ^ hb) + java.lang.Long.bitCount(la ^ lb) <= 3
+    }
     val gate = graft.PipelineQueries.m3PhashNearDup(spark, mediaDir).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
-    gate shouldBe truth
+    gate shouldBe starTruth
+    // every exact-duplicate doc is still assigned to a survivor: copies 0/1
+    // are byte-identical, so the later copy must appear as some rep's doc_b
+    Seq(1L, 4L, 7L, 10L).foreach(c => gate.map(_._2) should contain(c))
   }
 
   // m3PhashNearDup needs a docs parquet dir; point it at a temp fixture
