@@ -87,16 +87,22 @@ object Bench {
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
-    // Also persist the full per-query map to a stable in-repo path: the
-    // driver's BENCH_rN artifact tail-truncates the query map (r8 lost the
-    // first ~95 per-query timings), so the committed file is the durable
-    // round-over-round history. Full runs only — a SPARK_GRAFT_ONLY
-    // iteration run must not overwrite the round's suite numbers.
-    if (sys.env.get("SPARK_GRAFT_ONLY").isEmpty)
-      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
-        (json + "\n").getBytes("UTF-8"))
-      catch { case e: Exception =>
-        System.err.println(s"BENCH_LOCAL.json write failed: $e") }
+    // Also persist the full per-query map next to the build (the repo
+    // root, detected by build.sbt in the cwd — sbt runs forked mains
+    // there): the driver's BENCH_rN artifact tail-truncates the query map
+    // (r8 lost the first ~95 per-query timings), so the committed file is
+    // the durable round-over-round history. Full runs only — a
+    // SPARK_GRAFT_ONLY iteration run must not overwrite the round's suite
+    // numbers. A non-repo cwd warns loudly instead of scattering files.
+    if (sys.env.get("SPARK_GRAFT_ONLY").isEmpty) {
+      if (new java.io.File("build.sbt").exists())
+        try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+          (json + "\n").getBytes("UTF-8"))
+        catch { case e: Exception =>
+          System.err.println(s"BENCH_LOCAL.json write failed: $e") }
+      else System.err.println(
+        "BENCH_LOCAL.json not written: cwd is not the repo root (no build.sbt)")
+    }
     spark.stop()
   }
 }

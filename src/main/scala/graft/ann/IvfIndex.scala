@@ -78,11 +78,32 @@ object IvfIndex {
     * one file set per touched partition and a file-per-batch layout
     * eventually dominates scan open cost. The quantizer and the row set are
     * untouched, so [[search]] results are IDENTICAL before and after
-    * (IvfIndexSpec pins this); only the file count drops. Staged rewrite
-    * then two renames: a crash leaves the old layout, the new layout, or
-    * the old layout under `data_old` next to the new one — never a mix of
+    * (IvfIndexSpec pins this); only the file count drops.
+    *
+    * Concurrency contract: the caller must QUIESCE appends around the call
+    * (s19 compacts after the stream drains; a production loop compacts
+    * between triggers). The contract is ENFORCED, not assumed: the file
+    * set is re-listed just before the swap and a concurrent append fails
+    * the compaction loudly instead of sweeping the new files into the
+    * discarded snapshot (silent data loss). Crash windows: before the
+    * first rename — old layout intact; between the renames — `data/` is
+    * momentarily ABSENT (old under `data_old`, new under
+    * `data_compacting`; recover by renaming either back); after — new
+    * layout, stale `data_old` removed on the next call. Never a mix of
     * halves inside `data/`. */
   def compact(spark: SparkSession, path: String): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val dataP = new Path(s"$path/data")
+    def listing(): Set[String] = {
+      val it = fs.listFiles(dataP, true)
+      val out = scala.collection.mutable.Set.empty[String]
+      while (it.hasNext) {
+        val f = it.next().getPath
+        if (f.getName.endsWith(".parquet")) out += f.toString
+      }
+      out.toSet
+    }
+    val before = listing()
     val staged = s"$path/data_compacting"
     spark.read.parquet(s"$path/data")
       .repartition(col("cid"))
@@ -90,9 +111,11 @@ object IvfIndex {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("cid")
       .parquet(staged)
-    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
-    val dataP = new Path(s"$path/data")
+    require(listing() == before,
+      s"compact: concurrent modification of $dataP during the staged " +
+        "rewrite — quiesce appends around compact() and retry")
     val oldP = new Path(s"$path/data_old")
+    fs.delete(oldP, true) // stale leftover from a crashed prior call
     require(fs.rename(dataP, oldP), s"compact: cannot stage out $dataP")
     require(fs.rename(new Path(staged), dataP),
       s"compact: cannot publish $staged")

@@ -153,8 +153,18 @@ object Bpe {
     val rules = trainMerges(docs)
     val words = wordsOf(docs)
     val vocab = words.select(col("w")).distinct()
-    val maxLen = vocab.agg(max(length(col("w")))).head.getInt(0)
+    // one vocab aggregate guards BOTH oracle-parity assumptions loudly:
+    // the unrolled-replacement length bound, and the '|' delimiter the
+    // oracle's string surgery reserves (a word containing '|' would
+    // corrupt the delimited rendering and silently diverge the counts).
+    // max over an EMPTY vocabulary is NULL (wordless corpus) — legal, and
+    // every document then keeps its documented (0, 0) row.
+    val stats = vocab.agg(max(length(col("w"))), max(col("w").contains("|"))).head()
+    val maxLen = if (stats.isNullAt(0)) 0 else stats.getInt(0)
     requireOracleBound(maxLen)
+    require(stats.isNullAt(1) || !stats.getBoolean(1),
+      "BPE oracle parity: the corpus vocabulary contains '|', the oracle's " +
+        "reserved token delimiter — pick a delimiter outside the alphabet")
     val wtok = vocabTokenCounts(vocab, rules)
     docs.select(col("doc_id"))
       .join(

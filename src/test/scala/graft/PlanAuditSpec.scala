@@ -297,6 +297,33 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkTestSession {
     plan should include("BroadcastHashJoin") // per-partition offsets join
   }
 
+  test("d35: BPE doc counts broadcast the tokenized vocabulary; corpus text never shuffles") {
+    // audit the pre-memo frame (the gate's own plan starts at the
+    // localCheckpoint, lineage truncated — the d14 audit convention)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = planOf(graft.text.Bpe.docTokenCounts(spark, docs))
+    plan should include("BroadcastHashJoin") // per-word counts via broadcast vocab
+    val shuffles = plan.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("Broadcast")).toSeq
+    // exchanges carry (doc_id, partial aggregates) — never document text
+    all(shuffles) should not include "text#"
+  }
+
+  test("d36: retained-text assembly broadcasts interval arrays — text never shuffles") {
+    val plan = planOf(Queries.d36DedupCorpus(spark, "/root/testdata/sf0.001"))
+    // the documents -> merged-intervals join must be a broadcast hash join:
+    // the scan side (text, word arrays) meets its removal intervals with
+    // NO exchange of ws/text; gram/survivor shuffles carry sha2 keys +
+    // positions only
+    plan should include("BroadcastHashJoin")
+    val shuffles = plan.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("Broadcast")).toSeq
+    shuffles should not be empty
+    all(shuffles) should not include "ws#"
+    all(shuffles) should not include "text#"
+    all(shuffles) should not include "array_join"
+  }
+
   test("q21: LATERAL correlated LIMIT subquery decorrelates — no nested loop per outer row") {
     val plan = planOf(Queries.q21LateralJoin(spark, "/root/testdata/sf0.001"))
     // the per-nation LIMIT 2 must become a partitioned rank filter over one

@@ -105,4 +105,18 @@ class BpeSpec extends AnyFunSuite with Matchers with PropHelper
     an[IllegalArgumentException] should be thrownBy
       Bpe.requireOracleBound(2 * Bpe.MaxMergesPerRule + 1)
   }
+
+  test("wordless corpus keeps the (0, 0) contract; '|' in vocabulary fails loudly") {
+    import spark.implicits._
+    val empty = Seq((0L, ""), (1L, "   ")).toDF("doc_id", "text")
+    val out = Bpe.docTokenCounts(spark, empty).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    out(0L) shouldBe ((0L, 0L))
+    out(1L) shouldBe ((0L, 0L))
+    // the oracle reserves '|' as the token delimiter — a corpus word
+    // containing it must fail the parity guard, never silently diverge
+    val piped = Seq((0L, "a|b ok")).toDF("doc_id", "text")
+    an[IllegalArgumentException] should be thrownBy
+      Bpe.docTokenCounts(spark, piped).collect()
+  }
 }
