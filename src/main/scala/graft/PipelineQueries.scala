@@ -805,6 +805,35 @@ object PipelineQueries {
           .as("sample_wsum"))
       .orderBy(col("doc_id"))
 
+  /** Cross-modal dedup (m6): the dedup decision a multimodal training
+    * pipeline actually needs — a document is a duplicate if its TEXT is a
+    * near-duplicate (t2's verified MinHash pairs) OR its IMAGE is
+    * (m3's star aHash pairs); evidence from either modality merges
+    * clusters the other would keep apart. Union the two edge sets,
+    * connected components ([[graft.graph.ConnectedComponents]] — one
+    * shuffle per round, checkpointed), label in t8's shape:
+    * (doc_id, cluster_id = component min, cluster_size, is_survivor).
+    * The DuckDB oracle composes the two pair chains (imageStarCtesSql +
+    * clusterCtesSqlWith) and re-closes the union transitively with the
+    * same recursive CTE t8 pins. Scale shape: both edge sets are banded
+    * (never all-pairs); components shuffle (node, label) pairs only. */
+  def m6CrossModalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val labels = memo(spark, s"m6labels:$dir") {
+      val textEdges = t2MinhashLshPairs(spark, dir)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val imgEdges = m3PhashNearDup(spark, dir)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val verts = docs(spark, dir).select(col("doc_id").as("id"))
+      graft.graph.ConnectedComponents.run(verts,
+        textEdges.unionByName(imgEdges).distinct())
+    }
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+        col("cluster_size"), (col("id") === col("label")).as("is_survivor"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Raw media byte dump (m5): the actual encoded PNG/BMP/WAV payloads,
     * persisted by Verify so tools/independent_check.py can decode them with
     * a THIRD implementation (pure-Python zlib PNG reader, BMP row parser,
@@ -2136,10 +2165,12 @@ object PipelineQueries {
        |  WHERE bit_count(xor(a.simhash31, b.simhash31)) <= 3)""".stripMargin
   }
 
-  /** Shared CTE chain (t8/c1): t2's banded candidates + exact-Jaccard pairs,
-    * symmetrized to edges, closed transitively (recursive CTE), reduced to
-    * (doc_id, cluster_id = min reachable id). Callers prefix WITH RECURSIVE. */
-  private val clusterCtesSql: String = {
+  /** Shared CTE chain (t8/c1/d24/m6): t2's banded candidates +
+    * exact-Jaccard pairs, symmetrized to edges — optionally UNIONed with
+    * extra symmetric edge terms (`extraEdges`, e.g. m6's image star
+    * pairs) — closed transitively (recursive CTE), reduced to (doc_id,
+    * cluster_id = min reachable id). Callers prefix WITH RECURSIVE. */
+  private def clusterCtesSqlWith(extraEdges: String): String = {
     val mh = (0 until 8).map(j => s"${mhSql(j)} AS mh$j").mkString(", ")
     val b0 = bandSql(Seq("mh0", "mh1", "mh2", "mh3"))
     val b1 = bandSql(Seq("mh4", "mh5", "mh6", "mh7"))
@@ -2157,13 +2188,14 @@ object PipelineQueries {
        |  FROM cand JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b
        |  WHERE $jaccSql >= 0.8),
        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |          UNION SELECT doc_b, doc_a FROM pairs$extraEdges),
        |reach(node, r) AS (
        |  SELECT doc_id, doc_id FROM documents
        |  UNION
        |  SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.node),
        |cl AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node)""".stripMargin
   }
+  private lazy val clusterCtesSql: String = clusterCtesSqlWith("")
 
   /** Shared by e4 (ad-hoc knnIvf) and e5 (persisted IvfIndex search): the
     * index layout must not change results. Explicit dot/(|a||b|) everywhere
@@ -2481,6 +2513,46 @@ object PipelineQueries {
       |     CASE WHEN cpy = 2 AND i % 7 = 0 THEN 40 ELSE 0 END) % 256 AS v
       |  FROM (SELECT *, unnest(range(0, w*h*c)) AS i FROM geo))""".stripMargin
 
+  /** Shared m3/m6 oracle CTEs: the pixel lattice -> integer BT.601 luma ->
+    * aHash signature -> STAR pairs (4x16-bit bands, bucket-min
+    * representative, hamming <= 3). Exposes `isig(doc_id, hi, lo)` and
+    * `mpairs(doc_a, doc_b, hamming)`. CTE names are i-prefixed where they
+    * would collide with [[clusterCtesSql]]'s (m6 composes both chains). */
+  private lazy val imageStarCtesSql: String =
+    s"""$imagePixelCtesSql,
+       |lum AS (SELECT doc_id, w, h, c, i // c AS q,
+       |    CASE WHEN c = 1 THEN max(v)
+       |      ELSE sum(CASE (i % c) WHEN 0 THEN 299*v WHEN 1 THEN 587*v
+       |        ELSE 114*v END) // 1000 END AS gy
+       |  FROM px GROUP BY doc_id, w, h, c, i // c),
+       |blk AS (SELECT doc_id, w, h,
+       |    ((q // w) * 8 // h) * 8 + ((q % w) * 8 // w) AS b, gy FROM lum),
+       |ibs AS (SELECT doc_id, any_value(w*h) AS n, b, sum(gy)::BIGINT AS bsum,
+       |    count(*)::BIGINT AS bcnt FROM blk GROUP BY doc_id, b),
+       |itot AS (SELECT doc_id, sum(gy)::BIGINT AS tsum FROM blk GROUP BY doc_id),
+       |ibits AS (SELECT s.doc_id, s.b,
+       |    CASE WHEN s.bsum * s.n > t.tsum * s.bcnt THEN 1::BIGINT
+       |      ELSE 0::BIGINT END AS bit
+       |  FROM ibs s JOIN itot t USING (doc_id)),
+       |isig AS (SELECT doc_id,
+       |    sum(CASE WHEN b < 32 THEN bit << b::INT ELSE 0 END)::BIGINT AS lo,
+       |    sum(CASE WHEN b >= 32 THEN bit << (b-32)::INT ELSE 0 END)::BIGINT AS hi
+       |  FROM ibits GROUP BY doc_id),
+       |mbd AS (SELECT doc_id,
+       |    CASE band WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535
+       |      WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS bucket,
+       |    band
+       |  FROM isig, range(0, 4) t(band)),
+       |ireps AS (SELECT band, bucket, min(doc_id) AS rep
+       |  FROM mbd GROUP BY 1, 2),
+       |icand AS (SELECT DISTINCT r.rep AS doc_a, m.doc_id AS doc_b
+       |  FROM mbd m JOIN ireps r USING (band, bucket) WHERE m.doc_id > r.rep),
+       |mpairs AS (SELECT c.doc_a, c.doc_b,
+       |    (bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)))::INT AS hamming
+       |  FROM icand c JOIN isig a ON a.doc_id = c.doc_a
+       |  JOIN isig b ON b.doc_id = c.doc_b
+       |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "t1_minhash_signatures" -> {
       val mh = (0 until 8).map(j => s"${mhSql(j)} AS mh$j").mkString(", ")
@@ -2678,40 +2750,22 @@ object PipelineQueries {
     // so signatures, banding, and the star pairing are all re-derived
     // relationally (losslessness of the band cut is spec-proved)
     "m3_phash_neardup" ->
-      s"""WITH $imagePixelCtesSql,
-         |lum AS (SELECT doc_id, w, h, c, i // c AS q,
-         |    CASE WHEN c = 1 THEN max(v)
-         |      ELSE sum(CASE (i % c) WHEN 0 THEN 299*v WHEN 1 THEN 587*v
-         |        ELSE 114*v END) // 1000 END AS gy
-         |  FROM px GROUP BY doc_id, w, h, c, i // c),
-         |blk AS (SELECT doc_id, w, h,
-         |    ((q // w) * 8 // h) * 8 + ((q % w) * 8 // w) AS b, gy FROM lum),
-         |bs AS (SELECT doc_id, any_value(w*h) AS n, b, sum(gy)::BIGINT AS bsum,
-         |    count(*)::BIGINT AS bcnt FROM blk GROUP BY doc_id, b),
-         |tot AS (SELECT doc_id, sum(gy)::BIGINT AS tsum FROM blk GROUP BY doc_id),
-         |bits AS (SELECT s.doc_id, s.b,
-         |    CASE WHEN s.bsum * s.n > t.tsum * s.bcnt THEN 1::BIGINT
-         |      ELSE 0::BIGINT END AS bit
-         |  FROM bs s JOIN tot t USING (doc_id)),
-         |sig AS (SELECT doc_id,
-         |    sum(CASE WHEN b < 32 THEN bit << b::INT ELSE 0 END)::BIGINT AS lo,
-         |    sum(CASE WHEN b >= 32 THEN bit << (b-32)::INT ELSE 0 END)::BIGINT AS hi
-         |  FROM bits GROUP BY doc_id),
-         |mbd AS (SELECT doc_id,
-         |    CASE band WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535
-         |      WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS bucket,
-         |    band
-         |  FROM sig, range(0, 4) t(band)),
-         |reps AS (SELECT band, bucket, min(doc_id) AS rep
-         |  FROM mbd GROUP BY 1, 2),
-         |cand AS (SELECT DISTINCT r.rep AS doc_a, m.doc_id AS doc_b
-         |  FROM mbd m JOIN reps r USING (band, bucket) WHERE m.doc_id > r.rep)
-         |SELECT c.doc_a, c.doc_b,
-         |  (bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)))::INT AS hamming
-         |FROM cand c JOIN sig a ON a.doc_id = c.doc_a
-         |JOIN sig b ON b.doc_id = c.doc_b
-         |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+      s"""WITH $imageStarCtesSql
+         |SELECT doc_a, doc_b, hamming FROM mpairs
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // m6: the union of both modality pair chains, re-closed transitively
+    // with the same recursive CTE t8 pins
+    "m6_crossmodal_dedup" -> {
+      val extra = "\n          UNION SELECT doc_a, doc_b FROM mpairs" +
+        "\n          UNION SELECT doc_b, doc_a FROM mpairs"
+      s"""WITH RECURSIVE $imageStarCtesSql,
+         |${clusterCtesSqlWith(extra)}
+         |SELECT c.doc_id, c.cluster_id, cnt.n AS cluster_size,
+         |  (c.doc_id = c.cluster_id) AS is_survivor
+         |FROM cl c JOIN (SELECT cluster_id, count(*) AS n FROM cl GROUP BY 1) cnt
+         |  USING (cluster_id)
+         |ORDER BY doc_id""".stripMargin
+    },
     // m4: the PCM lattice recomputed relationally; sample_wsum pins the
     // interleaved sample ORDER through the WAV encode+decode roundtrip
     "m4_audio_decode" ->
@@ -3025,6 +3079,7 @@ object PipelineQueries {
     "m3_phash_neardup" -> m3PhashNearDup,
     "m4_audio_decode" -> m4AudioDecode,
     "m5_media_bytes" -> m5MediaBytes,
+    "m6_crossmodal_dedup" -> m6CrossModalDedup,
     "e2_lsh_ann" -> e2LshAnn,
     "e11_lsh_multiprobe" -> e11LshMultiprobe,
     "e12_hybrid_rrf" -> e12HybridRrf,

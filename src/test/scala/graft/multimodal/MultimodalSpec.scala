@@ -150,6 +150,41 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkTestSession {
     dir
   }
 
+  test("m6: cross-modal components == independent union-find over both pair sets") {
+    val tEdges = graft.PipelineQueries.t2MinhashLshPairs(spark, mediaDir)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val iEdges = graft.PipelineQueries.m3PhashNearDup(spark, mediaDir)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    iEdges should not be empty // the planted image copies guarantee edges
+    // independent union-find over the UNION
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    (tEdges ++ iEdges).foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val label = ids.map(i => i -> find(i)).toMap
+    val sizes = label.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = ids.map(i =>
+      (i, label(i), sizes(label(i)), i == label(i))).toSet
+    val got = graft.PipelineQueries.m6CrossModalDedup(spark, mediaDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSet
+    got shouldBe expected
+    // cross-modal value: at least one multi-member cluster exists that the
+    // text edges alone would not produce (fixture texts are all distinct)
+    val textOnly = {
+      val p2 = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+      def f2(x: Long): Long = if (p2(x) == x) x else { val r = f2(p2(x)); p2(x) = r; r }
+      tEdges.foreach { case (a, b) =>
+        val (ra, rb) = (f2(a), f2(b)); if (ra != rb) p2(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      ids.count(i => f2(i) != i)
+    }
+    ids.count(i => label(i) != i) should be > textOnly
+  }
+
   test("audio: WAV roundtrip recovers channels, rate, frames, samples") {
     val out = Multimodal.decodeAudio(Multimodal.synthesizeAudioTable(docs), "content")
       .select("doc_id", "n_channels", "sample_rate", "n_frames", "samples").collect()
