@@ -743,8 +743,12 @@ object PipelineQueries {
     * population: the round-9 decade run measured the all-pairs form at
     * 295M pairs / 290 s cold at 300x (pair count quadratic in the
     * duplication factor — 9x rows for 3x docs) vs rows linear in members
-    * here, exactly the t2 production rationale (every near-duplicate is
-    * assigned to a survivor; the pair GRAPH is not materialized). Only
+    * here, exactly the t2 production rationale. Losslessness applies to
+    * CANDIDATE GENERATION (every true pair shares a bucket — pigeonhole);
+    * the star cut then trades some transitive recall for linear output:
+    * two members both within hamming<=3 of each other but not both within
+    * 3 of their shared bucket's representative emit no edge (same
+    * documented trade as t2's star pairing). Only
     * (band, bucket, id, two 32-bit halves) transit the shuffle — pixels
     * never do. Real-pHash geometry: duplicates concentrate at T<=3 (the
     * fixture plants exact-duplicate copies 0/1 and a perturbed copy 2 per
@@ -2025,6 +2029,14 @@ object PipelineQueries {
       val shares = udf((gs: Seq[String]) =>
         gs != null && gs.exists(bc.value.contains))
       val raw = docs(spark, dir)
+      // the oracle (and FunnelParitySpec) encode the arrival order as the
+      // scalar key (doc_id % 3) * 1e9 + doc_id, which collides across
+      // chunks once doc_id >= 1e9 — pin the fixture range loudly instead
+      // of letting the tie-break silently drift
+      val maxId = raw.agg(max(col("doc_id"))).head().getLong(0)
+      require(maxId < 1000000000L,
+        s"s20 arrival-key encoding requires doc_id < 1e9, saw max $maxId — " +
+          "widen the oracle/spec key encoding together")
       val staging = graft.util.Staging.stageChunks(raw, "doc_id", 3, "s20")
       val shaDir = graft.util.TempDirs.create("graft_s20_sha_")
       val bandDir = graft.util.TempDirs.create("graft_s20_band_")

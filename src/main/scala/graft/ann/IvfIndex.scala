@@ -82,10 +82,14 @@ object IvfIndex {
     *
     * Concurrency contract: the caller must QUIESCE appends around the call
     * (s19 compacts after the stream drains; a production loop compacts
-    * between triggers). The contract is ENFORCED, not assumed: the file
-    * set is re-listed just before the swap and a concurrent append fails
-    * the compaction loudly instead of sweeping the new files into the
-    * discarded snapshot (silent data loss). Crash windows: before the
+    * between triggers). The contract is ENFORCED, not assumed, and the
+    * enforcement has no unguarded window: the file set is re-listed just
+    * before the swap, and — because an append could still land between
+    * that re-listing and the `data` -> `data_old` rename — the set is
+    * verified a SECOND time after the rename, against what actually moved
+    * into `data_old`. On mismatch the rename is rolled back and the
+    * compaction fails loudly; nothing is deleted that was not in the
+    * verified snapshot. Crash windows: before the
     * first rename — old layout intact; between the renames — `data/` is
     * momentarily ABSENT (old under `data_old`, new under
     * `data_compacting`; recover by renaming either back); after — new
@@ -94,16 +98,22 @@ object IvfIndex {
   def compact(spark: SparkSession, path: String): Unit = {
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
     val dataP = new Path(s"$path/data")
-    def listing(): Set[String] = {
-      val it = fs.listFiles(dataP, true)
+    // relative suffixes so the pre-rename (data/) and post-rename
+    // (data_old/) listings are comparable
+    def listing(root: Path): Set[String] = {
+      val it = fs.listFiles(root, true)
       val out = scala.collection.mutable.Set.empty[String]
+      // listFiles returns SCHEME-QUALIFIED paths (file:/...); qualify the
+      // root the same way or the strip silently no-ops
+      val prefix = fs.makeQualified(root).toString
       while (it.hasNext) {
         val f = it.next().getPath
-        if (f.getName.endsWith(".parquet")) out += f.toString
+        if (f.getName.endsWith(".parquet"))
+          out += f.toString.stripPrefix(prefix)
       }
       out.toSet
     }
-    val before = listing()
+    val before = listing(dataP)
     val staged = s"$path/data_compacting"
     spark.read.parquet(s"$path/data")
       .repartition(col("cid"))
@@ -111,12 +121,22 @@ object IvfIndex {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("cid")
       .parquet(staged)
-    require(listing() == before,
+    require(listing(dataP) == before,
       s"compact: concurrent modification of $dataP during the staged " +
         "rewrite — quiesce appends around compact() and retry")
     val oldP = new Path(s"$path/data_old")
     fs.delete(oldP, true) // stale leftover from a crashed prior call
     require(fs.rename(dataP, oldP), s"compact: cannot stage out $dataP")
+    // second verification AFTER the rename: an append that slipped in
+    // between the re-listing above and the rename now sits under data_old
+    // — roll back and fail rather than sweep it into the delete below
+    if (listing(oldP) != before) {
+      require(fs.rename(oldP, dataP),
+        s"compact: concurrent append detected AND rollback rename failed — " +
+          s"manual recovery: restore $oldP to $dataP")
+      sys.error(s"compact: concurrent modification of $dataP detected after " +
+        "stage-out (rolled back) — quiesce appends around compact() and retry")
+    }
     require(fs.rename(new Path(staged), dataP),
       s"compact: cannot publish $staged")
     fs.delete(oldP, true)
