@@ -703,31 +703,20 @@ object PipelineQueries {
     * rows [k*h/8, (k+1)*h/8)), every 3rd sampled — the identical plumbing
     * shape (binary in, per-frame slices out) with integer-exact per-frame
     * checksums: pixel count, sample sum, and a position-weighted sum that
-    * pins the ORDER of the decoded samples, not just their multiset. All
-    * in-row array slicing — no shuffle, frames never leave the task.
-    * Runs its OWN decode pass (the px arrays are deliberately not
+    * pins the ORDER of the decoded samples, not just their multiset.
+    * Checksums are computed INSIDE the decode task ([[graft.multimodal
+    * .Multimodal.imageFrameChecksums]]) — no shuffle, frames never leave
+    * the task, and no materialized px array is re-walked by interpreted
+    * HOF lambdas (the round-9 form's measured ~10x constant; A/B in
+    * README). Runs its OWN decode pass (px arrays are deliberately not
     * memoized — see [[decodedImages]]); synthesize+decode is narrow and
-    * re-paid per run, the honest operator cost. */
-  def m2FrameSample(spark: SparkSession, dir: String): DataFrame = {
-    val d = graft.multimodal.Multimodal.decodeImage(
-      graft.multimodal.Multimodal.synthesizeImageTable(docs(spark, dir)),
-      "content")
-    val rowSz = col("width") * col("channels")
-    val lo = floor(col("frame_idx") * col("height") / 8).cast("int")
-    val hi = floor((col("frame_idx") + 1) * col("height") / 8).cast("int")
-    val fr = slice(col("px"), lo * rowSz + 1, (hi - lo) * rowSz)
-    d.select(col("doc_id"), col("width"), col("height"), col("channels"), col("px"),
-        explode(filter(sequence(lit(0), lit(7)),
-          k => pmod(k, lit(3)) === 0)).as("frame_idx"))
-      .withColumn("fr", fr)
-      .select(col("doc_id"), col("frame_idx").cast("int").as("frame_idx"),
-        size(col("fr")).as("frame_px"),
-        aggregate(col("fr"), lit(0L), (acc, v) => acc + v).as("frame_sum"),
-        aggregate(zip_with(col("fr"), sequence(lit(1), size(col("fr"))),
-          (v, j) => v.cast("long") * j), lit(0L), (acc, x) => acc + x)
-          .as("frame_wsum"))
+    * re-paid per run, the honest operator cost. For TRUE multi-frame
+    * container decode (animated GIF, per-frame delays) see m7. */
+  def m2FrameSample(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.imageFrameChecksums(
+        graft.multimodal.Multimodal.synthesizeImageTable(docs(spark, dir)),
+        "content")
       .orderBy(col("doc_id"), col("frame_idx"))
-  }
 
   /** Multimodal perceptual-hash near-duplicate pairs (m3), on REAL decoded
     * pixels: the image-dedup leg of the pipeline. Each decoded image gets
@@ -794,19 +783,16 @@ object PipelineQueries {
     * .getAudioInputStream`: container-parsed channels, sample rate, frame
     * count, plus integer sample checksums (sum + position-weighted sum —
     * the weighted sum pins interleaving order, so a channel swap or frame
-    * drop cannot hash-match). The oracle recomputes the PCM lattice
-    * relationally; only a correct WAV encode+decode roundtrip reproduces
-    * it. */
+    * drop cannot hash-match). Checksums are accumulated in the same loop
+    * that unpacks the PCM bytes ([[graft.multimodal.Multimodal
+    * .decodeAudioChecksums]]) — the sample array is never materialized
+    * into Rows and re-walked by interpreted HOF lambdas. The oracle
+    * recomputes the PCM lattice relationally; only a correct WAV
+    * encode+decode roundtrip reproduces it. */
   def m4AudioDecode(spark: SparkSession, dir: String): DataFrame =
-    graft.multimodal.Multimodal.decodeAudio(
+    graft.multimodal.Multimodal.decodeAudioChecksums(
         graft.multimodal.Multimodal.synthesizeAudioTable(docs(spark, dir)),
         "content")
-      .select(col("doc_id"), col("n_channels"), col("sample_rate"),
-        col("n_frames"),
-        aggregate(col("samples"), lit(0L), (acc, v) => acc + v).as("sample_sum"),
-        aggregate(zip_with(col("samples"), sequence(lit(1), size(col("samples"))),
-          (v, j) => v.cast("long") * j), lit(0L), (acc, x) => acc + x)
-          .as("sample_wsum"))
       .orderBy(col("doc_id"))
 
   /** Cross-modal dedup (m6): the dedup decision a multimodal training

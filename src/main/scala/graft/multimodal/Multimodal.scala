@@ -170,6 +170,65 @@ object Multimodal {
     df.sparkSession.createDataFrame(rdd, schema)
   }
 
+  /** Per-frame integer checksums emitted FROM the image decode pass — m2's
+    * operator shape with the re-walk removed: "frames" are `nBands`
+    * horizontal row bands of the decoded image, every `every`-th kept, and
+    * each kept frame's (pixel count, sample sum, position-weighted sum) is
+    * computed straight off the decoded Raster inside the same
+    * mapPartitions task. The round-9 form materialized the full px array
+    * into Rows and re-walked it with interpreted `aggregate`/`zip_with`
+    * lambdas — the repo's own A/B puts interpreted HOFs at ~10x a codegen'd
+    * or JVM-loop form, and m2's 17.0 s at 300x was attributed to exactly
+    * that. Here pixel arrays never become Rows at all; skipped bands are
+    * never even read. flatMap: one input row -> one row per kept frame
+    * (doc_id, frame_idx, frame_px, frame_sum, frame_wsum). */
+  def imageFrameChecksums(df: DataFrame, binaryCol: String,
+      nBands: Int = 8, every: Int = 3): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame_px", IntegerType, nullable = false),
+      StructField("frame_sum", LongType, nullable = false),
+      StructField("frame_wsum", LongType, nullable = false)))
+    val binIdx = df.schema.fieldIndex(binaryCol)
+    val idIdx = df.schema.fieldIndex("doc_id")
+    val rdd = df.rdd.mapPartitions { it =>
+      ImageIOInit.ensure()
+      it.flatMap { row =>
+        val docId = row.getLong(idIdx)
+        val bytes = row.getAs[Array[Byte]](binIdx)
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        require(img != null, "ImageIO.read: no reader recognized the payload")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        val c = raster.getNumBands
+        (0 until nBands).iterator.filter(_ % every == 0).map { k =>
+          val lo = k * h / nBands
+          val hi = (k + 1) * h / nBands
+          var sum = 0L
+          var wsum = 0L
+          var j = 1L // 1-based position within the frame
+          var y = lo
+          while (y < hi) {
+            var x = 0
+            while (x < w) {
+              var ch = 0
+              while (ch < c) {
+                val v = raster.getSample(x, y, ch).toLong
+                sum += v; wsum += v * j; j += 1
+                ch += 1
+              }
+              x += 1
+            }
+            y += 1
+          }
+          Row(docId, k, (hi - lo) * w * c, sum, wsum)
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
   /** 64-bit average-hash over REAL decoded pixels, as two 32-bit halves
     * (`ahash_hi` = blocks 32..63) so engines without unsigned 64-bit math
     * stay exact. Classic aHash geometry: gray = integer BT.601 luma
@@ -295,6 +354,48 @@ object Multimodal {
     * container (format chunk -> channels/rate/bits, data chunk -> frames)
     * and streams the PCM samples out as integers. Same narrow shape as
     * [[decodeImage]]. */
+  /** Container metadata + integer sample checksums emitted FROM the audio
+    * decode pass — m4's output shape with the re-walk removed (the image
+    * analogue is [[imageFrameChecksums]]): sum and position-weighted sum
+    * are accumulated in the same loop that unpacks the PCM bytes, so the
+    * sample array is never materialized into a Row and re-walked with
+    * interpreted `aggregate`/`zip_with` lambdas. The weighted sum pins the
+    * interleaved sample ORDER (channel swap / frame drop cannot match). */
+  def decodeAudioChecksums(df: DataFrame, binaryCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_channels", IntegerType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("n_frames", LongType, nullable = false),
+      StructField("sample_sum", LongType, nullable = false),
+      StructField("sample_wsum", LongType, nullable = false)))
+    val binIdx = df.schema.fieldIndex(binaryCol)
+    val idIdx = df.schema.fieldIndex("doc_id")
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { row =>
+        val bytes = row.getAs[Array[Byte]](binIdx)
+        // direct single-provider SPI call — see wavReader's convoy notes
+        val ais = wavReader.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 8,
+          s"audio gate expects 8-bit PCM, got ${fmt.getSampleSizeInBits}")
+        val pcm = ais.readAllBytes()
+        var sum = 0L
+        var wsum = 0L
+        var u = 0
+        while (u < pcm.length) {
+          val v = (pcm(u) & 0xFF).toLong
+          sum += v; wsum += v * (u + 1)
+          u += 1
+        }
+        Row(row.getLong(idIdx), fmt.getChannels, fmt.getSampleRate.toInt,
+          ais.getFrameLength, sum, wsum)
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
   def decodeAudio(df: DataFrame, binaryCol: String): DataFrame = {
     val schema = df.schema
       .add(StructField("n_channels", IntegerType, nullable = false))

@@ -185,6 +185,44 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkTestSession {
     ids.count(i => label(i) != i) should be > textOnly
   }
 
+  test("imageFrameChecksums: fused decode-pass checksums == lattice recompute") {
+    val out = Multimodal.imageFrameChecksums(
+        Multimodal.synthesizeImageTable(docs), "content").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getInt(2), r.getLong(3), r.getLong(4))).toMap
+    out.size shouldBe ids.size * 3 // frames 0, 3, 6 of 8 bands
+    ids.foreach { id =>
+      val group = Multimodal.imgGroup(id)
+      val (w, h, c) = (Multimodal.imgWidth(group), Multimodal.imgHeight(group),
+        Multimodal.imgChannels(group))
+      Seq(0, 3, 6).foreach { k =>
+        val (lo, hi) = (k * h / 8, (k + 1) * h / 8)
+        val vals = (lo * w * c until hi * w * c).map(Multimodal.pixelValue(id, _))
+        val expected = (vals.length,
+          vals.map(_.toLong).sum,
+          vals.zipWithIndex.map { case (v, j) => v.toLong * (j + 1) }.sum)
+        withClue(s"doc $id frame $k: ") { out((id, k)) shouldBe expected }
+      }
+    }
+  }
+
+  test("decodeAudioChecksums: fused decode-pass checksums == lattice recompute") {
+    val out = Multimodal.decodeAudioChecksums(
+        Multimodal.synthesizeAudioTable(docs), "content").collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    out.size shouldBe ids.size
+    ids.foreach { id =>
+      val n = Multimodal.audioFrames(id) * Multimodal.audioChannels(id)
+      val vals = (0 until n).map(Multimodal.audioSample(id, _))
+      val expected = (Multimodal.audioChannels(id), Multimodal.AudioRate,
+        Multimodal.audioFrames(id).toLong,
+        vals.map(_.toLong).sum,
+        vals.zipWithIndex.map { case (v, u) => v.toLong * (u + 1) }.sum)
+      withClue(s"doc $id: ") { out(id) shouldBe expected }
+    }
+  }
+
   test("audio: WAV roundtrip recovers channels, rate, frames, samples") {
     val out = Multimodal.decodeAudio(Multimodal.synthesizeAudioTable(docs), "content")
       .select("doc_id", "n_channels", "sample_rate", "n_frames", "samples").collect()
