@@ -2003,13 +2003,28 @@ object PipelineQueries {
     * rule over the survivors.
     *
     * Scale shape: stages 1-2 are map-only; stage 3 shuffles 32-byte sha
-    * keys within a batch plus one store anti-join (sha-bucketed store at
-    * real scale); stage 4 shuffles (band, bucket, id) triples only. State
-    * grows with DISTINCT content (shas + occupied buckets), not arrivals.
-    * Eager localCheckpoints pin each batch's read-before-append ordering
-    * against the two stores. */
+    * keys within a batch; stage 4 shuffles (band, bucket, id) triples
+    * only. The maintained stores are consulted through
+    * [[graft.streaming.MaintainedStore]]: a Bloom over the BATCH's keys
+    * prunes each store scan map-side and the surviving candidates (true
+    * matches + fpp x store, batch-bounded) are BROADCAST into the exact
+    * join — NO store row ever transits a shuffle, at any batch count
+    * (round-9 verdict #1: the full-store joins here were the one unpruned
+    * scan in an ingest hot loop; StreamFunnelPlanSpec audits the new plan
+    * shape). State grows with DISTINCT content (shas + occupied buckets),
+    * not arrivals. Eager localCheckpoints pin each batch's
+    * read-before-append ordering against the two stores. */
   def s20StreamCurationFunnel(spark: SparkSession, dir: String): DataFrame =
-    memo(spark, s"s20:$dir") {
+    streamCurationFunnel(spark, dir, 3)
+
+  /** `parts`-parametric funnel body: the GATE pins parts = 3 (the oracle
+    * and FunnelParitySpec state the %3 arrival key relationally); the
+    * decade protocol calls this directly with the micro-batch count
+    * SCALED with the data (3/9/27/81), so the per-batch store-consult
+    * term is measured rather than pinned away (r9 verdict #1). */
+  private[graft] def streamCurationFunnel(spark: SparkSession, dir: String,
+      parts: Int): DataFrame =
+    memo(spark, s"s20:$dir:$parts") {
       val bc = contamBenchSet(spark, dir) // offline benchmark set (s18)
       val wts = d33TrainWeights(spark, dir) // offline-trained model (s16)
       val shares = udf((gs: Seq[String]) =>
@@ -2023,7 +2038,7 @@ object PipelineQueries {
       require(maxId < 1000000000L,
         s"s20 arrival-key encoding requires doc_id < 1e9, saw max $maxId — " +
           "widen the oracle/spec key encoding together")
-      val staging = graft.util.Staging.stageChunks(raw, "doc_id", 3, "s20")
+      val staging = graft.util.Staging.stageChunks(raw, "doc_id", parts, "s20")
       val shaDir = graft.util.TempDirs.create("graft_s20_sha_")
       val bandDir = graft.util.TempDirs.create("graft_s20_band_")
       val outDir = graft.util.TempDirs.create("graft_s20_out_")
@@ -2047,19 +2062,30 @@ object PipelineQueries {
             .withColumn("quality", quality)
             .where(col("quality") >= 0.5)
             .withColumn("sha", sha2(col("text"), 256))
-          // stage 3: within-batch rep (min doc_id per sha), then the store
+          // stage 3: within-batch rep (min doc_id per sha), materialized
+          // once (the Bloom build + anti-join are extra traversals)
           val batchRep = p2
             .withColumn("rn", row_number().over(
               Window.partitionBy(col("sha")).orderBy(col("doc_id"))))
             .where(col("rn") === 1).drop("rn")
-          val seen = spark.read.parquet(shaDir)
-          // EAGER: the anti-join must evaluate against the PRE-append store
-          val p3 = batchRep.join(seen, Seq("sha"), "left_anti").localCheckpoint()
+            .localCheckpoint()
+          // store consult WITHOUT a store-side shuffle: batch-keyed Bloom
+          // prunes the scan map-side; candidates broadcast into the exact
+          // anti-join (no false negatives -> identical result). EAGER
+          // checkpoint: must evaluate against the PRE-append store.
+          val seenCand = graft.streaming.MaintainedStore.candidatesByString(
+            spark, shaDir, batchRep.select(col("sha")), "sha")
+          val p3 = batchRep.join(broadcast(seenCand), Seq("sha"), "left_anti")
+            .localCheckpoint()
           // stage 4: flag vs the signature store (any hit = earlier batch)
-          // and within-batch smaller ids — evaluated BEFORE the band append
-          val bands = streamBandsOf(p3)
-          val store = spark.read.parquet(bandDir)
-          val flagged = bands.join(store.select(col("band"), col("bh")),
+          // and within-batch smaller ids — evaluated BEFORE the band append.
+          // Same device: composite (band, bh) key folded into one long.
+          val bands = streamBandsOf(p3).localCheckpoint()
+          val bandKey = col("band").cast("long") * lit(P) + col("bh")
+          val storeCand = graft.streaming.MaintainedStore.candidatesByLong(
+            spark, bandDir, bands.select(bandKey.as("k")), "k", bandKey)
+          val flagged = bands.join(
+              broadcast(storeCand.select(col("band"), col("bh"))),
               Seq("band", "bh"))
             .select(col("doc_id"))
             .unionByName(bands.as("a")
@@ -2080,8 +2106,8 @@ object PipelineQueries {
         .start()
       q.awaitTermination()
       val dataBatches = q.recentProgress.count(_.numInputRows > 0)
-      require(dataBatches == 3,
-        s"s20 gate expects 3 single-file micro-batches, saw $dataBatches")
+      require(dataBatches == parts,
+        s"s20 expects $parts single-file micro-batches, saw $dataBatches")
       spark.read.parquet(outDir)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("num_docs"),
