@@ -824,21 +824,45 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
-  /** Raw media byte dump (m5): the actual encoded PNG/BMP/WAV payloads,
-    * persisted by Verify so tools/independent_check.py can decode them with
-    * a THIRD implementation (pure-Python zlib PNG reader, BMP row parser,
-    * WAV chunk parser) and compare every sample against the lattice
-    * formulas — the cross-check that would catch a matched-wrong
-    * encode/decode pair (the one bug class the m1/m3/m4 hash gates share
-    * with their oracles). No SQL oracle: DuckDB cannot re-encode PNG; the
-    * driver records the weaker rows-only check and the Python checker does
-    * the byte-level verification. */
+  /** Raw media byte dump (m5): the actual encoded PNG/BMP/WAV/GIF
+    * payloads, persisted by Verify so tools/independent_check.py can
+    * decode them with a THIRD implementation (pure-Python zlib PNG reader,
+    * BMP row parser, WAV chunk parser, GIF/LZW frame decoder) and compare
+    * every sample against the lattice formulas — the cross-check that
+    * would catch a matched-wrong encode/decode pair (the one bug class the
+    * m1/m3/m4/m7 hash gates share with their oracles). No SQL oracle:
+    * DuckDB cannot re-encode PNG; the driver records the weaker rows-only
+    * check and the Python checker does the byte-level verification. */
   def m5MediaBytes(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     graft.multimodal.Multimodal.synthesizeImageTable(d)
       .unionByName(graft.multimodal.Multimodal.synthesizeAudioTable(d))
+      .unionByName(graft.multimodal.Multimodal.synthesizeGifTable(d))
       .orderBy(col("doc_id"), col("mime"))
   }
+
+  /** TRUE multi-frame container decode (m7): deterministic N-frame
+    * animated GIFs — a real container with per-frame LZW rasters AND
+    * per-frame timing — written and read back through the JDK's built-in
+    * GIF codec ([[graft.multimodal.Multimodal.synthesizeGifTable]] /
+    * [[graft.multimodal.Multimodal.decodeGifFrames]]). This promotes the
+    * video-shaped operator from m2's pixel-row bands to an actual frame
+    * sequence: `getNumImages` + per-frame `read(i)` + the
+    * GraphicControlExtension delay, one output row per decoded frame with
+    * checksums computed in the decode loop. The oracle recomputes the
+    * frame-count/geometry/delay/pixel lattice relationally; only a correct
+    * multi-frame encode+decode roundtrip reproduces it, and
+    * tools/independent_check.py re-decodes the m5-dumped bytes with a
+    * pure-Python GIF/LZW reader (the third-implementation pattern m5
+    * established). Scale shape: narrow synthesize + narrow decode, no
+    * shuffle, frames never leave the task; the remaining absent codec
+    * family narrows to inter-frame-compressed video (H.264/VP9, native
+    * libs). */
+  def m7GifFrames(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.decodeGifFrames(
+        graft.multimodal.Multimodal.synthesizeGifTable(docs(spark, dir)),
+        "content")
+      .orderBy(col("doc_id"), col("frame_idx"))
 
   /** Benchmark decontamination (c2): flag training documents sharing any
     * word 4-gram with a benchmark/eval set (here: every 23rd doc plays the
@@ -2790,6 +2814,22 @@ object PipelineQueries {
          |  USING (cluster_id)
          |ORDER BY doc_id""".stripMargin
     },
+    // m7: the GIF fixture (frame count, geometry, per-frame delay, pixel
+    // lattice) recomputed relationally — the Spark side reproduces it only
+    // through a correct multi-frame container encode+decode roundtrip
+    "m7_gif_frames" ->
+      """WITH g AS (SELECT doc_id, 2 + doc_id % 4 AS n,
+        |    8 + doc_id % 7 AS w, 8 + (doc_id // 7) % 7 AS h FROM documents),
+        |f AS (SELECT doc_id, n, w, h, unnest(range(0, n)) AS fr FROM g),
+        |px AS (SELECT doc_id, n, w, h, fr,
+        |    4 + (doc_id + fr) % 10 AS delay, i,
+        |    (doc_id*101 + fr*61 + i*31 + ((i*i) % 251)*5) % 256 AS v
+        |  FROM (SELECT *, unnest(range(0, w*h)) AS i FROM f))
+        |SELECT doc_id, n::INT AS n_frames, fr::INT AS frame_idx,
+        |  w::INT AS width, h::INT AS height, max(delay)::INT AS delay_cs,
+        |  sum(v)::BIGINT AS frame_sum, sum(v * (i+1))::BIGINT AS frame_wsum
+        |FROM px GROUP BY doc_id, n, fr, w, h
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     // m4: the PCM lattice recomputed relationally; sample_wsum pins the
     // interleaved sample ORDER through the WAV encode+decode roundtrip
     "m4_audio_decode" ->
@@ -3104,6 +3144,7 @@ object PipelineQueries {
     "m4_audio_decode" -> m4AudioDecode,
     "m5_media_bytes" -> m5MediaBytes,
     "m6_crossmodal_dedup" -> m6CrossModalDedup,
+    "m7_gif_frames" -> m7GifFrames,
     "e2_lsh_ann" -> e2LshAnn,
     "e11_lsh_multiprobe" -> e11LshMultiprobe,
     "e12_hybrid_rrf" -> e12HybridRrf,

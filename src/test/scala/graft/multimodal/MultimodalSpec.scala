@@ -223,6 +223,36 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkTestSession {
     }
   }
 
+  test("GIF: multi-frame container roundtrip recovers frames, delays, lattice") {
+    val rows = Multimodal.decodeGifFrames(
+        Multimodal.synthesizeGifTable(docs), "content").collect()
+    // one row per (doc, frame); frame counts vary 2..5 by doc_id % 4
+    rows.length shouldBe ids.map(Multimodal.gifFrames(_)).sum
+    ids.map(Multimodal.gifFrames(_)).toSet shouldBe Set(2, 3, 4, 5)
+    rows.foreach { r =>
+      val (id, n, f) = (r.getLong(0), r.getInt(1), r.getInt(2))
+      val (w, h) = (r.getInt(3), r.getInt(4))
+      n shouldBe Multimodal.gifFrames(id)
+      w shouldBe Multimodal.gifWidth(id)
+      h shouldBe Multimodal.gifHeight(id)
+      // per-frame TIMING parsed from the container's GCE block
+      r.getInt(5) shouldBe Multimodal.gifDelayCs(id, f)
+      val vals = (0 until w * h).map(Multimodal.gifPixel(id, f, _))
+      withClue(s"doc $id frame $f: ") {
+        r.getLong(6) shouldBe vals.map(_.toLong).sum
+        r.getLong(7) shouldBe
+          vals.zipWithIndex.map { case (v, j) => v.toLong * (j + 1) }.sum
+      }
+    }
+    // container sanity: GIF magic + trailer on the raw bytes
+    val bytes = Multimodal.synthesizeGifTable(docs).collect()
+      .map(r => r.getAs[Array[Byte]]("content"))
+    bytes.foreach { b =>
+      new String(b.take(6), "US-ASCII") shouldBe "GIF89a"
+      b.last shouldBe 0x3B.toByte // GIF trailer
+    }
+  }
+
   test("audio: WAV roundtrip recovers channels, rate, frames, samples") {
     val out = Multimodal.decodeAudio(Multimodal.synthesizeAudioTable(docs), "content")
       .select("doc_id", "n_channels", "sample_rate", "n_frames", "samples").collect()

@@ -843,13 +843,128 @@ def _wav_decode(data):
     return ch, rate, list(pcm)  # 8-bit WAV is unsigned: bytes ARE samples
 
 
+def _lzw_decode(data, min_code):
+    # GIF-flavor LZW: LSB-first bitstream, variable code width starting at
+    # min_code+1, CLEAR resets the table, widths cap at 12 bits.
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    nbits = len(data) * 8
+    pos, code_size = 0, min_code + 1
+    table = {i: [i] for i in range(clear)}
+    next_code, prev, out = eoi + 1, None, []
+
+    def read_code():
+        nonlocal pos
+        v = 0
+        for k in range(code_size):
+            v |= ((data[pos >> 3] >> (pos & 7)) & 1) << k
+            pos += 1
+        return v
+
+    while pos + code_size <= nbits:
+        code = read_code()
+        if code == clear:
+            table = {i: [i] for i in range(clear)}
+            next_code, code_size, prev = eoi + 1, min_code + 1, None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+            if next_code < 4096:
+                table[next_code] = prev + [entry[0]]; next_code += 1
+        else:
+            assert code == next_code, f"LZW: code {code} beyond table"
+            entry = prev + [prev[0]]
+            if next_code < 4096:
+                table[next_code] = entry; next_code += 1
+        out.extend(entry)
+        prev = entry
+        if next_code == (1 << code_size) and code_size < 12:
+            code_size += 1
+    return out
+
+
+def _gif_decode(data):
+    # Returns [(w, h, delay_cs, gray_samples)] per frame — gray read by
+    # mapping each LZW-decoded palette INDEX through the active color
+    # table's R entry, the same palette->color path the Scala decode takes.
+    import struct
+    assert data[:6] in (b"GIF87a", b"GIF89a"), "bad GIF signature"
+    pos = 6
+    _, _, flags, _, _ = struct.unpack("<HHBBB", data[pos:pos + 7])
+    pos += 7
+    gct = None
+    if flags & 0x80:
+        size = 2 << (flags & 7)
+        gct = data[pos:pos + 3 * size]; pos += 3 * size
+    frames, delay = [], None
+    while pos < len(data):
+        b = data[pos]; pos += 1
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            label = data[pos]; pos += 1
+            if label == 0xF9:  # Graphic Control Extension
+                ln = data[pos]
+                assert ln == 4, f"bad GCE length {ln}"
+                (delay,) = struct.unpack("<H", data[pos + 2:pos + 4])
+            # skip sub-blocks (any extension type)
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            _, _, w, h, iflags = struct.unpack("<HHHHB", data[pos:pos + 9])
+            pos += 9
+            assert not (iflags & 0x40), "interlaced GIF not expected"
+            pal = gct
+            if iflags & 0x80:
+                size = 2 << (iflags & 7)
+                pal = data[pos:pos + 3 * size]; pos += 3 * size
+            assert pal is not None, "GIF frame without a color table"
+            min_code = data[pos]; pos += 1
+            lzw = bytearray()
+            while data[pos] != 0:
+                ln = data[pos]
+                lzw += data[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = _lzw_decode(bytes(lzw), min_code)
+            assert len(idx) >= w * h, f"LZW underrun: {len(idx)} < {w * h}"
+            gray = [pal[3 * i] for i in idx[:w * h]]
+            frames.append((w, h, delay, gray))
+            delay = None
+        else:
+            raise AssertionError(f"unexpected GIF block 0x{b:02x}")
+    return frames
+
+
 def check_media(out):
     if out is None:
         print("skip  m5_media_bytes (no Verify output)"); return
-    n_img, n_aud, bad = 0, 0, []
+    n_img, n_aud, n_gif, bad = 0, 0, 0, []
     for r in out.itertuples():
         did, blob = int(r.doc_id), bytes(r.content)
-        if r.mime.startswith("image/"):
+        if r.mime == "image/gif":
+            n = 2 + did % 4
+            ew, eh = 8 + did % 7, 8 + (did // 7) % 7
+            frames = _gif_decode(blob)
+            if len(frames) != n:
+                bad.append(f"doc {did}: {len(frames)} gif frames != {n}"); continue
+            ok = True
+            for f, (w, h, delay, gray) in enumerate(frames):
+                if (w, h) != (ew, eh) or delay != 4 + (did + f) % 10:
+                    bad.append(f"doc {did} frame {f}: geo/delay "
+                               f"{(w, h, delay)}"); ok = False; break
+                exp = [(did * 101 + f * 61 + i * 31 + (i * i % 251) * 5) % 256
+                       for i in range(w * h)]
+                if gray != exp:
+                    bad.append(f"doc {did} frame {f}: pixel mismatch")
+                    ok = False; break
+            if ok:
+                n_gif += 1
+        elif r.mime.startswith("image/"):
             grp = did // 3
             ew, eh = 8 + grp % 9, 8 + (grp // 9) % 9
             ec = 1 if grp % 3 == 0 else 3
@@ -872,8 +987,8 @@ def check_media(out):
             if samples != exp:
                 bad.append(f"doc {did}: sample mismatch"); continue
             n_aud += 1
-    check("m5 media decode (pure-Python PNG/BMP/WAV)", not bad,
-          f"{n_img} images + {n_aud} wavs byte-verified" +
+    check("m5 media decode (pure-Python PNG/BMP/WAV/GIF)", not bad,
+          f"{n_img} images + {n_aud} wavs + {n_gif} gifs byte-verified" +
           (f"; first bad: {bad[0]}" if bad else ""))
 
 
