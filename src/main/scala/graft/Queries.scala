@@ -1662,10 +1662,18 @@ object Queries {
     * by the doc's removal occurrences, already merged) that is BROADCAST
     * back onto the documents scan, so the TEXT never transits a shuffle:
     * scan -> broadcast hash join -> in-row filter/join of the word array.
-    * A corpus whose removal-doc set outgrows a broadcast co-locates via
-    * the doc_id-bucketed store layout (the ts17 device) instead — or
-    * accepts the one rewrite shuffle any materialized dedup pays. */
-  def d36DedupCorpus(spark: SparkSession, dir: String): DataFrame = {
+    * The broadcast is SIZE-GATED in code ([[graft.util.SizeGate]], round-9
+    * verdict #3): a corpus whose merged-interval frame outgrows
+    * `broadcastMaxRows` falls back to a plain doc_id-keyed shuffle join —
+    * the one rewrite shuffle any materialized dedup pays, with only
+    * (doc_id, intervals) structs shuffling, never text —
+    * [[graft.text.DedupGatesSpec]] forces the fallback and pins identical
+    * output. */
+  def d36DedupCorpus(spark: SparkSession, dir: String): DataFrame =
+    d36DedupCorpus(spark, dir, graft.util.SizeGate.DefaultMaxRows)
+
+  private[graft] def d36DedupCorpus(spark: SparkSession, dir: String,
+      broadcastMaxRows: Long): DataFrame = {
     val k = D11SpanWords
     val words = t(spark, dir, "documents")
       .select(col("doc_id"),
@@ -1693,7 +1701,8 @@ object Queries {
     val kept = filter(col("ws"), (_, i) =>
       !exists(col("ivs"), iv =>
         (i + 1) >= iv.getField("s") && (i + 1) <= iv.getField("e")))
-    words.join(broadcast(ivs), Seq("doc_id"), "left")
+    words.join(graft.util.SizeGate.broadcastIfSmall(ivs, broadcastMaxRows),
+        Seq("doc_id"), "left")
       .withColumn("ivs",
         coalesce(col("ivs"), array().cast("array<struct<s:bigint,e:bigint>>")))
       .withColumn("kept", kept)

@@ -148,8 +148,14 @@ object Bpe {
   /** Per-document (n_words, n_tokens) under the corpus-trained merge table
     * — the full pipeline: train (one agg pass) -> distinct vocabulary ->
     * tokenize vocabulary -> explode + broadcast-join + sum. Documents with
-    * no words keep (0, 0). */
-  def docTokenCounts(spark: SparkSession, docs: DataFrame): DataFrame = {
+    * no words keep (0, 0). The vocabulary broadcast is SIZE-GATED
+    * ([[graft.util.SizeGate]]): merge-table TRAINING is alphabet²-bounded,
+    * but the token-count frame grows with the vocabulary, which web-scale
+    * corpora make hapax-heavy — past `broadcastMaxRows` the per-doc join
+    * falls back to a plain shuffle of single words (the gram-shuffle
+    * regime), identical output ([[BpeSpec]] forces the fallback). */
+  def docTokenCounts(spark: SparkSession, docs: DataFrame,
+      broadcastMaxRows: Long = graft.util.SizeGate.DefaultMaxRows): DataFrame = {
     val rules = trainMerges(docs)
     val words = wordsOf(docs)
     val vocab = words.select(col("w")).distinct()
@@ -168,7 +174,8 @@ object Bpe {
     val wtok = vocabTokenCounts(vocab, rules)
     docs.select(col("doc_id"))
       .join(
-        words.join(broadcast(wtok), Seq("w"))
+        words.join(graft.util.SizeGate.broadcastIfSmall(wtok, broadcastMaxRows),
+            Seq("w"))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_words"),
             sum(col("n_tokens_w")).cast("long").as("n_tokens")),

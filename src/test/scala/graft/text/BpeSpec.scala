@@ -100,6 +100,18 @@ class BpeSpec extends AnyFunSuite with Matchers with PropHelper
     out(2L) shouldBe ((0L, 0L)) // wordless doc keeps (0, 0)
   }
 
+  test("size-gated vocab broadcast: forced shuffle fallback == broadcast path") {
+    import spark.implicits._
+    val docs = Seq((0L, "abab abab"), (1L, "ba cc"), (2L, "aa bb ab"))
+      .toDF("doc_id", "text")
+    val viaBroadcast = Bpe.docTokenCounts(spark, docs)
+      .collect().map(_.toSeq).toSet
+    // maxRows = 0 forces SizeGate past its ceiling -> plain shuffle join
+    val viaShuffle = Bpe.docTokenCounts(spark, docs, broadcastMaxRows = 0L)
+      .collect().map(_.toSeq).toSet
+    viaShuffle shouldBe viaBroadcast
+  }
+
   test("requireOracleBound fails loudly past 2*MaxMergesPerRule") {
     noException should be thrownBy Bpe.requireOracleBound(2 * Bpe.MaxMergesPerRule)
     an[IllegalArgumentException] should be thrownBy

@@ -72,6 +72,21 @@ class DedupGatesSpec extends AnyFunSuite with Matchers with SparkTestSession {
     r.getDouble(3) shouldBe 0.5 // ttr = 3/6
   }
 
+  test("d36 size-gated interval broadcast: forced shuffle fallback == broadcast path") {
+    // a corpus with real removals: a shared 12-word span (= D11SpanWords)
+    // duplicated across docs
+    val span = (0 until 12).map(i => s"w$i").mkString(" ")
+    val dir = corpusDir(Seq(
+      s"$span zeta", s"eta $span", s"$span theta iota", "kappa lambda"))
+    val viaBroadcast = graft.Queries.d36DedupCorpus(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val viaShuffle = graft.Queries.d36DedupCorpus(spark, dir, broadcastMaxRows = 0L)
+      .collect().map(_.toSeq).toSet
+    viaShuffle shouldBe viaBroadcast
+    // the fixture actually exercised removals (not a vacuous pass)
+    viaBroadcast.exists(r => r(1) != r(2)) shouldBe true // n_words != kept_words
+  }
+
   test("memo tolerates nested builders (regression: Recursive update flake)") {
     // c1/t6/t8 builders nest memo calls; computeIfAbsent threw
     // IllegalStateException("Recursive update") depending on which query
