@@ -930,6 +930,25 @@ object Queries {
       graft.text.Bpe.docTokenCounts(spark, t(spark, dir, "documents"))
     }
 
+  /** Per-dir memo of the ITERATIVELY trained counts — d37 (token counting)
+    * and d14 (shard packing, round 10: the budget packs what a canonical
+    * tokenizer actually consumes) share the R training rounds. */
+  private def bpeIterDocCounts(spark: SparkSession, dir: String): DataFrame =
+    PipelineQueries.memo(spark, s"bpeIter:$dir") {
+      graft.text.Bpe.docTokenCountsIterative(spark, t(spark, dir, "documents"))
+    }
+
+  /** Iteratively trained merge-table BPE token counting (d37): canonical
+    * Sennrich training — round r's rule is the most frequent adjacent
+    * TOKEN pair after merges 1..r-1, so multi-character rule sides appear
+    * from round 2 ([[graft.text.Bpe.trainMergesIterative]]; d35 keeps the
+    * one-pass char-pair variant for contrast). The oracle re-runs all
+    * [[graft.text.Bpe.NumMerges]] train+apply rounds relationally as
+    * materialized CTE pairs; BpeSpec pins the per-round sweep ==
+    * string-surgery equivalence including multi-char corners. */
+  def d37BpeIterative(spark: SparkSession, dir: String): DataFrame =
+    bpeIterDocCounts(spark, dir).orderBy(col("doc_id"))
+
   /** Merge-table BPE token counting (d35): the trained-tokenizer upgrade
     * of d5's regex estimate — [[graft.text.Bpe]] trains the merge table
     * from corpus pair counts in one aggregation pass and applies canonical
@@ -944,8 +963,10 @@ object Queries {
   /** Tokens per training shard (d14): documents packed into shards of
     * [[D14ShardBudget]] tokens in stable doc_id order — the step that turns
     * a curated corpus into bounded training files. Token counts are the
-    * REAL trained-BPE counts ([[bpeDocCounts]] — round 9; the budget packs
-    * what the model actually consumes, not a whitespace estimate). The
+    * CANONICAL iteratively-trained BPE counts ([[bpeIterDocCounts]] —
+    * round 10; round 9 used the one-pass table, which d35 still gates; the
+    * budget packs what the model actually consumes, not a whitespace
+    * estimate). The
     * running token count comes from [[graft.util.PrefixSum.runningSum]],
     * the two-phase parallel scan: a naive `sum OVER (ORDER BY doc_id)`
     * would funnel the corpus through ONE reducer (the oracle states exactly
@@ -953,7 +974,7 @@ object Queries {
     * plan audit asserts no single-partition exchange appears. */
   def d14ShardPacking(spark: SparkSession, dir: String): DataFrame =
     graft.util.PrefixSum.runningSum(
-        bpeDocCounts(spark, dir).select(col("doc_id"), col("n_tokens")),
+        bpeIterDocCounts(spark, dir).select(col("doc_id"), col("n_tokens")),
         "doc_id", "n_tokens", "cum_tokens")
       .withColumn("shard", floor((col("cum_tokens") - col("n_tokens")) / lit(D14ShardBudget)))
       .orderBy(col("doc_id"))
@@ -2445,11 +2466,11 @@ object Queries {
       "s4_stream_dedup" ->
         """SELECT DISTINCT sha256(text) AS text_sha FROM documents
           |ORDER BY text_sha""".stripMargin,
-      // d14 packs on the REAL trained-BPE counts (round 9) — the naive
-      // single-reducer window stated here is the oracle-side contrast to
-      // the gate's two-phase parallel prefix sum
+      // d14 packs on the ITERATIVELY trained BPE counts (round 10) — the
+      // naive single-reducer window stated here is the oracle-side
+      // contrast to the gate's two-phase parallel prefix sum
       "d14_shard_packing" ->
-        s"""WITH ${graft.text.Bpe.oracleCtesSql},
+        s"""WITH ${graft.text.Bpe.iterativeOracleCtesSql},
           |per AS (SELECT doc_id, sum(nt) AS n_tokens
           |  FROM wocc JOIN wtok USING (w) GROUP BY doc_id),
           |tk AS (SELECT d.doc_id, coalesce(per.n_tokens, 0)::BIGINT AS n_tokens
@@ -2464,6 +2485,16 @@ object Queries {
           |FROM c ORDER BY doc_id""".stripMargin,
       "d35_bpe_tokens" ->
         s"""WITH ${graft.text.Bpe.oracleCtesSql},
+          |per AS (SELECT doc_id, count(*) AS nw, sum(nt) AS ntk
+          |  FROM wocc JOIN wtok USING (w) GROUP BY doc_id)
+          |SELECT d.doc_id, coalesce(per.nw, 0)::BIGINT AS n_words,
+          |  coalesce(per.ntk, 0)::BIGINT AS n_tokens
+          |FROM documents d LEFT JOIN per USING (doc_id)
+          |ORDER BY d.doc_id""".stripMargin,
+      // d37: the same per-doc counting under the CANONICAL iterative
+      // trainer — the oracle re-runs every train+apply round relationally
+      "d37_bpe_iterative" ->
+        s"""WITH ${graft.text.Bpe.iterativeOracleCtesSql},
           |per AS (SELECT doc_id, count(*) AS nw, sum(nt) AS ntk
           |  FROM wocc JOIN wtok USING (w) GROUP BY doc_id)
           |SELECT d.doc_id, coalesce(per.nw, 0)::BIGINT AS n_words,
@@ -2634,6 +2665,7 @@ object Queries {
     "d13_pii_redact" -> d13PiiRedact,
     "d14_shard_packing" -> d14ShardPacking,
     "d35_bpe_tokens" -> d35BpeTokens,
+    "d37_bpe_iterative" -> d37BpeIterative,
     "d36_dedup_corpus" -> d36DedupCorpus,
     "d15_lm_quality" -> d15LmQuality,
     "d16_gopher_rules" -> d16GopherRules,

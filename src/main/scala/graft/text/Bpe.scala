@@ -78,9 +78,13 @@ object Bpe {
       .map(r => (r.getString(0), r.getString(1))).toSeq
 
   /** Canonical application over one word: one left-to-right sweep per rule
-    * in rank order (exhaustive for single-char-pair rules — see object
-    * scaladoc). Returns the token count. */
-  def tokenCount(word: String, rules: Seq[(String, String)]): Int = {
+    * in rank order. A sweep is exhaustive per rule even for MULTI-char
+    * rules (iterative training produces them): the merged token a+b is
+    * strictly longer than a and than b, so a merge can never create a new
+    * occurrence of the SAME rule to its left or right — (prev, ab) would
+    * need b == ab and (ab, next) would need a == ab, both impossible.
+    * Returns the tokens. */
+  def tokenize(word: String, rules: Seq[(String, String)]): Array[String] = {
     var tokens = word.map(_.toString).toArray
     var n = tokens.length
     rules.foreach { case (a, b) =>
@@ -96,7 +100,56 @@ object Bpe {
       }
       n = out
     }
-    n
+    tokens.take(n)
+  }
+
+  /** Token count under [[tokenize]]. */
+  def tokenCount(word: String, rules: Seq[(String, String)]): Int =
+    tokenize(word, rules).length
+
+  /** CANONICAL iterative BPE training (Sennrich's actual loop): round r's
+    * rule is the most frequent adjacent TOKEN pair of the corpus AFTER
+    * merges 1..r-1 are applied — so rules gain multi-character sides from
+    * round 2 on, unlike [[trainMerges]]'s one-pass char-pair variant
+    * (kept: d35 documents it as the single-aggregation form). Counting
+    * runs over the distinct VOCABULARY weighted by word-occurrence counts
+    * — the classic word-frequency-table training — so each round is one
+    * vocab-sized job: tokenize under the rules so far (narrow mapPartitions,
+    * rule table on the closure), explode adjacent pairs x weight, one
+    * map-side-combined aggregation, take the (count DESC, a, b) argmax.
+    * The per-round winner is collected driver-side (model-not-data: ONE
+    * row/round, the d33 re-inject pattern); training stops early when no
+    * adjacent pair remains. R rounds = R vocab-sized jobs at any corpus
+    * scale; the corpus itself is touched once (the occurrence count). */
+  def trainMergesIterative(spark: SparkSession, docs: DataFrame,
+      numMerges: Int = NumMerges): Seq[(String, String)] = {
+    val wc = wordsOf(docs).groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // vocab-sized; re-swept once per round
+    val rules = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var r = 0
+    var exhausted = false
+    while (r < numMerges && !exhausted) {
+      val frozen = rules.toSeq
+      val pairSchema = StructType(Seq(
+        StructField("a", StringType, nullable = false),
+        StructField("b", StringType, nullable = false),
+        StructField("cnt", LongType, nullable = false)))
+      val pairs = spark.createDataFrame(
+        wc.rdd.mapPartitions { it =>
+          it.flatMap { row =>
+            val toks = tokenize(row.getString(0), frozen)
+            val n = row.getLong(1)
+            (0 until toks.length - 1).iterator.map(i => Row(toks(i), toks(i + 1), n))
+          }
+        }, pairSchema)
+      val top = pairs.groupBy(col("a"), col("b"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else { rules += ((top(0).getString(0), top(0).getString(1))); r += 1 }
+    }
+    rules.toSeq
   }
 
   /** The oracle's string-surgery form of one merge step: replace the FIRST
@@ -155,8 +208,18 @@ object Bpe {
     * falls back to a plain shuffle of single words (the gram-shuffle
     * regime), identical output ([[BpeSpec]] forces the fallback). */
   def docTokenCounts(spark: SparkSession, docs: DataFrame,
-      broadcastMaxRows: Long = graft.util.SizeGate.DefaultMaxRows): DataFrame = {
-    val rules = trainMerges(docs)
+      broadcastMaxRows: Long = graft.util.SizeGate.DefaultMaxRows): DataFrame =
+    docTokenCountsWith(spark, docs, trainMerges(docs), broadcastMaxRows)
+
+  /** [[docTokenCounts]] under the CANONICAL iterative table
+    * ([[trainMergesIterative]]) — the d37 gate's pipeline. */
+  def docTokenCountsIterative(spark: SparkSession, docs: DataFrame,
+      broadcastMaxRows: Long = graft.util.SizeGate.DefaultMaxRows): DataFrame =
+    docTokenCountsWith(spark, docs, trainMergesIterative(spark, docs),
+      broadcastMaxRows)
+
+  private def docTokenCountsWith(spark: SparkSession, docs: DataFrame,
+      rules: Seq[(String, String)], broadcastMaxRows: Long): DataFrame = {
     val words = wordsOf(docs)
     val vocab = words.select(col("w")).distinct()
     // one vocab aggregate guards BOTH oracle-parity assumptions loudly:
@@ -232,5 +295,64 @@ object Bpe {
          |    (length(cur) - length(w) - 1)::BIGINT AS nt
          |  FROM $last)""".stripMargin
     (Seq(train) ++ steps ++ Seq(wtok)).mkString(",\n")
+  }
+
+  /** The ITERATIVE trainer's oracle mirror ([[trainMergesIterative]] /
+    * [[docTokenCountsIterative]], gate d37): per round, re-derive the
+    * current tokenization's adjacent-pair counts over the delimited
+    * vocabulary WEIGHTED by word-occurrence counts, take the
+    * (count DESC, a, b) argmax as that round's rule, and apply it with
+    * [[MaxMergesPerRule]] unrolled first-occurrence replacements — the
+    * train-inside-the-loop the one-pass [[oracleCtesSql]] hoists out.
+    * String surgery stays exact for MULTI-char tokens: the pattern
+    * '|a|b|' is delimiter-anchored on both sides and tokens cannot
+    * contain '|' (guarded in [[docTokenCounts]]), so a match can never
+    * start or end mid-token. Exposes `wocc(doc_id, w)` and
+    * `wtok(w, nt)`; every iteration CTE is MATERIALIZED (the unrolled-CTE
+    * rule: DuckDB would otherwise inline the chain exponentially). An
+    * exhausted round (no adjacent pair anywhere) yields an EMPTY winner
+    * CTE, the LEFT JOIN hands every word a NULL pattern, and the round is
+    * an identity — matching the Scala trainer's early stop. */
+  val iterativeOracleCtesSql: String = {
+    val head =
+      s"""wocc AS MATERIALIZED (SELECT doc_id,
+         |    unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS w
+         |  FROM documents),
+         |wcnt AS MATERIALIZED (SELECT w, count(*) AS cnt FROM wocc GROUP BY w),
+         |it_s0 AS MATERIALIZED (SELECT w,
+         |    '|' || regexp_replace(w, '(.)', '\\1|', 'g') AS cur
+         |  FROM (SELECT DISTINCT w FROM wocc))""".stripMargin
+    val rounds = (1 to NumMerges).flatMap { r =>
+      val prev = if (r == 1) "it_s0" else s"it_s${r - 1}_$MaxMergesPerRule"
+      // NOTE: no generated line may BEGIN with '|' — gate oracles embed
+      // this block inside their own stripMargin template
+      val winner =
+        s"""it_r$r AS MATERIALIZED (SELECT a, b,
+           |    '|' || a || '|' || b || '|' AS pat, '|' || a || b || '|' AS rep
+           |  FROM (SELECT a, b, sum(cnt) AS c FROM (
+           |      SELECT tl[i::INT] AS a, tl[(i+1)::INT] AS b, cnt FROM (
+           |        SELECT tl, cnt, unnest(range(1, length(tl))) AS i FROM (
+           |          SELECT list_filter(string_split(cur, chr(124)), x -> x != '') AS tl,
+           |            cnt
+           |          FROM $prev JOIN wcnt USING (w))))
+           |    GROUP BY a, b)
+           |  ORDER BY c DESC, a, b LIMIT 1)""".stripMargin
+      val steps = (1 to MaxMergesPerRule).map { k =>
+        val p = if (k == 1) prev else s"it_s${r}_${k - 1}"
+        s"""it_s${r}_$k AS MATERIALIZED (SELECT w,
+           |    CASE WHEN ru.pat IS NOT NULL AND strpos(cur, ru.pat) > 0
+           |      THEN substr(cur, 1, strpos(cur, ru.pat) - 1) || ru.rep ||
+           |        substr(cur, strpos(cur, ru.pat) + length(ru.pat))
+           |      ELSE cur END AS cur
+           |  FROM $p LEFT JOIN (SELECT pat, rep FROM it_r$r) ru ON true)""".stripMargin
+      }
+      winner +: steps
+    }
+    val last = s"it_s${NumMerges}_$MaxMergesPerRule"
+    val wtok =
+      s"""wtok AS MATERIALIZED (SELECT w,
+         |    (length(cur) - length(w) - 1)::BIGINT AS nt
+         |  FROM $last)""".stripMargin
+    (Seq(head) ++ rounds ++ Seq(wtok)).mkString(",\n")
   }
 }

@@ -100,6 +100,57 @@ class BpeSpec extends AnyFunSuite with Matchers with PropHelper
     out(2L) shouldBe ((0L, 0L)) // wordless doc keeps (0, 0)
   }
 
+  test("iterative training: retrained counts produce MULTI-char rules") {
+    import spark.implicits._
+    // "abab" x3: one-pass char pairs are (a,b):6, (b,a):3 — it can never
+    // emit a rule with a multi-char side. The canonical loop retrains
+    // after each merge: round 1 (a,b) -> [ab, ab]; round 2's most frequent
+    // adjacent TOKEN pair is (ab, ab).
+    val docs = Seq((0L, "abab abab"), (1L, "abab")).toDF("doc_id", "text")
+    val rules = Bpe.trainMergesIterative(spark, docs, numMerges = 2)
+    rules.head shouldBe (("a", "b"))
+    rules(1) shouldBe (("ab", "ab"))
+    // and the one-pass table on the same corpus stays single-char
+    Bpe.trainMerges(docs, 2).foreach { case (a, b) =>
+      a.length shouldBe 1; b.length shouldBe 1
+    }
+  }
+
+  test("iterative application: sweep == string surgery for multi-char rules") {
+    // the delimiter-anchored pattern '|a|b|' cannot match mid-token, so
+    // first-occurrence surgery == leftmost token merge even when rule
+    // sides are multi-char — incl. the same-token run corner
+    val rules = Seq(("a", "b"), ("ab", "ab"), ("abab", "c"))
+    Seq("abab", "ababab", "abababab", "ababc", "ababcc", "ba", "c", "")
+      .foreach { w =>
+        withClue(s"word '$w': ") {
+          Bpe.tokenCount(w, rules) shouldBe Bpe.tokenCountStringForm(w, rules)
+        }
+      }
+  }
+
+  test("iterative training: early stop when no adjacent pair remains") {
+    import spark.implicits._
+    val docs = Seq((0L, "a b c"), (1L, "d e")).toDF("doc_id", "text")
+    Bpe.trainMergesIterative(spark, docs) shouldBe empty
+    val out = Bpe.docTokenCountsIterative(spark, docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    out(0L) shouldBe ((3L, 3L))
+    out(1L) shouldBe ((2L, 2L))
+  }
+
+  test("docTokenCountsIterative: end-to-end counts on a tiny corpus") {
+    import spark.implicits._
+    val docs = Seq((0L, "abab abab"), (1L, "ba cc"), (2L, "")).toDF("doc_id", "text")
+    val rules = Bpe.trainMergesIterative(spark, docs)
+    val out = Bpe.docTokenCountsIterative(spark, docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    out(0L) shouldBe ((2L, 2L * Bpe.tokenCount("abab", rules)))
+    out(1L) shouldBe ((2L,
+      (Bpe.tokenCount("ba", rules) + Bpe.tokenCount("cc", rules)).toLong))
+    out(2L) shouldBe ((0L, 0L))
+  }
+
   test("size-gated vocab broadcast: forced shuffle fallback == broadcast path") {
     import spark.implicits._
     val docs = Seq((0L, "abab abab"), (1L, "ba cc"), (2L, "aa bb ab"))
