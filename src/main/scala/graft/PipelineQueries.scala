@@ -777,6 +777,64 @@ object PipelineQueries {
     pairs.orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Memoized audio feature frame: one REAL WAV synthesize+decode pass,
+    * reduced to the 64-bit audio signature BEFORE the memo — (doc_id,
+    * asig_hi, asig_lo), ~24 B/row (the [[decodedImages]] rule: features
+    * are memoized, raw samples never are). Shared by m8 and m6. */
+  private def decodedAudioSigs(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, s"maud:$dir") {
+      graft.multimodal.Multimodal.audioSignatures(
+        graft.multimodal.Multimodal.synthesizeAudioTable(docs(spark, dir)),
+        "content")
+    }
+
+  /** Audio near-duplicate pairs (m8), on REAL decoded PCM: the audio-dedup
+    * leg of the cross-modal pipeline. Each decoded clip gets a 64-bit
+    * windowed-energy signature ([[graft.multimodal.Multimodal
+    * .audioSignatures]] — 64 contiguous sample windows, bit = window mean >
+    * clip mean, integer-exact), and pairs within Hamming distance 3 are
+    * found with m3's exact machinery: 4-band x 16-bit banded join,
+    * STAR-SHAPED (every bucket member paired against the bucket's
+    * min-doc_id representative, never all-pairs — output linear in the
+    * duplicate population), pigeonhole-lossless candidate generation at
+    * T<=3. The fixture plants copies in groups of FOUR (copies 0/1 exact,
+    * copy 2 a first-window perturbation = near, copy 3 a half-clip shift =
+    * far), offset from the image fixture's groups of three, so audio
+    * evidence links documents no other modality pairs. Only
+    * (band, bucket, id, two longs) transit the shuffle — samples never do. */
+  def m8AudioNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = memo(spark, s"m8pairs:$dir") {
+      val sig = decodedAudioSigs(spark, dir)
+      val bands = (0 until 2).map { j =>
+        struct(lit(j).as("band"),
+          shiftright(col("asig_lo"), 16 * j).bitwiseAND(lit(0xFFFFL)).as("bucket"))
+      } ++ (2 until 4).map { j =>
+        struct(lit(j).as("band"),
+          shiftright(col("asig_hi"), 16 * (j - 2)).bitwiseAND(lit(0xFFFFL)).as("bucket"))
+      }
+      val banded = sig
+        .select(col("doc_id"), col("asig_hi"), col("asig_lo"),
+          explode(array(bands: _*)).as("b"))
+        .select(col("doc_id"), col("asig_hi"), col("asig_lo"),
+          col("b.band").as("band"), col("b.bucket").as("bucket"))
+      val reps = banded.groupBy(col("band"), col("bucket"))
+        .agg(min(col("doc_id")).as("doc_a"))
+      banded
+        .join(reps, Seq("band", "bucket"))
+        .where(col("doc_a") < col("doc_id"))
+        .select(col("doc_a"), col("doc_id").as("doc_b"),
+          col("asig_hi").as("hb"), col("asig_lo").as("lb"))
+        .join(sig.select(col("doc_id").as("doc_a"),
+          col("asig_hi").as("ha"), col("asig_lo").as("la")), Seq("doc_a"))
+        .select(col("doc_a"), col("doc_b"),
+          (bit_count(col("ha").bitwiseXOR(col("hb"))) +
+            bit_count(col("la").bitwiseXOR(col("lb")))).as("hamming"))
+        .where(col("hamming") <= 3)
+        .distinct()
+    }
+    pairs.orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** REAL audio decode (m4): deterministic unsigned 8-bit PCM WAV payloads
     * (written through `javax.sound.sampled.AudioSystem` — JDK-built-in, no
     * external codecs) decoded BACK through `AudioSystem
@@ -798,24 +856,28 @@ object PipelineQueries {
   /** Cross-modal dedup (m6): the dedup decision a multimodal training
     * pipeline actually needs — a document is a duplicate if its TEXT is a
     * near-duplicate (t2's verified MinHash pairs) OR its IMAGE is
-    * (m3's star aHash pairs); evidence from either modality merges
-    * clusters the other would keep apart. Union the two edge sets,
-    * connected components ([[graft.graph.ConnectedComponents]] — one
-    * shuffle per round, checkpointed), label in t8's shape:
+    * (m3's star aHash pairs) OR its AUDIO is (m8's star windowed-energy
+    * pairs); evidence from any modality merges clusters the others would
+    * keep apart. Union the three edge sets, connected components
+    * ([[graft.graph.ConnectedComponents]] — one shuffle per round,
+    * checkpointed), label in t8's shape:
     * (doc_id, cluster_id = component min, cluster_size, is_survivor).
-    * The DuckDB oracle composes the two pair chains (imageStarCtesSql +
-    * clusterCtesSqlWith) and re-closes the union transitively with the
-    * same recursive CTE t8 pins. Scale shape: both edge sets are banded
-    * (never all-pairs); components shuffle (node, label) pairs only. */
+    * The DuckDB oracle composes the three pair chains (imageStarCtesSql +
+    * audioStarCtesSql + clusterCtesSqlWith) and re-closes the union
+    * transitively with the same recursive CTE t8 pins. Scale shape: all
+    * three edge sets are banded (never all-pairs); components shuffle
+    * (node, label) pairs only. */
   def m6CrossModalDedup(spark: SparkSession, dir: String): DataFrame = {
     val labels = memo(spark, s"m6labels:$dir") {
       val textEdges = t2MinhashLshPairs(spark, dir)
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       val imgEdges = m3PhashNearDup(spark, dir)
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val audEdges = m8AudioNearDup(spark, dir)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       val verts = docs(spark, dir).select(col("doc_id").as("id"))
       graft.graph.ConnectedComponents.run(verts,
-        textEdges.unionByName(imgEdges).distinct())
+        textEdges.unionByName(imgEdges).unionByName(audEdges).distinct())
     }
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")
@@ -2601,6 +2663,55 @@ object PipelineQueries {
        |  JOIN isig b ON b.doc_id = c.doc_b
        |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3)""".stripMargin
 
+  /** Shared m4/m8/m6 audio-lattice CTE: the planted-copy PCM fixture
+    * (groups of four, copy 2 first-window-perturbed, copy 3 half-shifted)
+    * recomputed relationally. Exposes `apx(doc_id, ch, nf, n, u, v)`. */
+  private lazy val audioPcmCtesSql: String =
+    """aud AS (SELECT doc_id, doc_id // 4 AS grp, doc_id % 4 AS cpy
+      |  FROM documents),
+      |ageo AS (SELECT doc_id, grp, cpy, 1 + grp % 2 AS ch,
+      |    64 + (grp*7) % 129 AS nf FROM aud),
+      |apx AS (SELECT doc_id, ch, nf, nf*ch AS n, u,
+      |    (grp*173 + u*37 + ((u*u) % 127)*3
+      |     + CASE WHEN cpy = 2 AND (u*64) // (nf*ch) = 0 THEN 40 ELSE 0 END
+      |     + CASE WHEN cpy = 3 AND u >= (nf*ch) // 2 THEN 80 ELSE 0 END)
+      |      % 256 AS v
+      |  FROM (SELECT *, unnest(range(0, nf*ch)) AS u FROM ageo))""".stripMargin
+
+  /** Shared m8/m6 oracle CTEs: the PCM lattice -> 64-window energy
+    * signature -> STAR pairs (4x16-bit bands, bucket-min representative,
+    * hamming <= 3) — the audio mirror of [[imageStarCtesSql]]. Exposes
+    * `asig(doc_id, hi, lo)` and `apairs(doc_a, doc_b, hamming)`; CTE names
+    * are a-prefixed to compose with the image and cluster chains. */
+  private lazy val audioStarCtesSql: String =
+    s"""$audioPcmCtesSql,
+       |awin AS (SELECT doc_id, any_value(n) AS n, (u*64) // n AS k,
+       |    sum(v)::BIGINT AS wsum, count(*)::BIGINT AS wcnt
+       |  FROM apx GROUP BY doc_id, (u*64) // n),
+       |atot AS (SELECT doc_id, sum(v)::BIGINT AS tsum FROM apx GROUP BY doc_id),
+       |abit AS (SELECT w.doc_id, w.k,
+       |    CASE WHEN w.wsum * w.n > t.tsum * w.wcnt THEN 1::BIGINT
+       |      ELSE 0::BIGINT END AS bit
+       |  FROM awin w JOIN atot t USING (doc_id)),
+       |asig AS (SELECT doc_id,
+       |    sum(CASE WHEN k < 32 THEN bit << k::INT ELSE 0 END)::BIGINT AS lo,
+       |    sum(CASE WHEN k >= 32 THEN bit << (k-32)::INT ELSE 0 END)::BIGINT AS hi
+       |  FROM abit GROUP BY doc_id),
+       |abd AS (SELECT doc_id,
+       |    CASE band WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535
+       |      WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS bucket,
+       |    band
+       |  FROM asig, range(0, 4) t(band)),
+       |areps AS (SELECT band, bucket, min(doc_id) AS rep
+       |  FROM abd GROUP BY 1, 2),
+       |acand AS (SELECT DISTINCT r.rep AS doc_a, m.doc_id AS doc_b
+       |  FROM abd m JOIN areps r USING (band, bucket) WHERE m.doc_id > r.rep),
+       |apairs AS (SELECT c.doc_a, c.doc_b,
+       |    (bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)))::INT AS hamming
+       |  FROM acand c JOIN asig a ON a.doc_id = c.doc_a
+       |  JOIN asig b ON b.doc_id = c.doc_b
+       |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "t1_minhash_signatures" -> {
       val mh = (0 until 8).map(j => s"${mhSql(j)} AS mh$j").mkString(", ")
@@ -2801,12 +2912,15 @@ object PipelineQueries {
       s"""WITH $imageStarCtesSql
          |SELECT doc_a, doc_b, hamming FROM mpairs
          |ORDER BY doc_a, doc_b""".stripMargin,
-    // m6: the union of both modality pair chains, re-closed transitively
-    // with the same recursive CTE t8 pins
+    // m6: the union of all three modality pair chains, re-closed
+    // transitively with the same recursive CTE t8 pins
     "m6_crossmodal_dedup" -> {
       val extra = "\n          UNION SELECT doc_a, doc_b FROM mpairs" +
-        "\n          UNION SELECT doc_b, doc_a FROM mpairs"
+        "\n          UNION SELECT doc_b, doc_a FROM mpairs" +
+        "\n          UNION SELECT doc_a, doc_b FROM apairs" +
+        "\n          UNION SELECT doc_b, doc_a FROM apairs"
       s"""WITH RECURSIVE $imageStarCtesSql,
+         |$audioStarCtesSql,
          |${clusterCtesSqlWith(extra)}
          |SELECT c.doc_id, c.cluster_id, cnt.n AS cluster_size,
          |  (c.doc_id = c.cluster_id) AS is_survivor
@@ -2830,18 +2944,22 @@ object PipelineQueries {
         |  sum(v)::BIGINT AS frame_sum, sum(v * (i+1))::BIGINT AS frame_wsum
         |FROM px GROUP BY doc_id, n, fr, w, h
         |ORDER BY doc_id, frame_idx""".stripMargin,
-    // m4: the PCM lattice recomputed relationally; sample_wsum pins the
-    // interleaved sample ORDER through the WAV encode+decode roundtrip
+    // m4: the PCM lattice (planted-copy geometry) recomputed relationally;
+    // sample_wsum pins the interleaved sample ORDER through the WAV
+    // encode+decode roundtrip
     "m4_audio_decode" ->
-      """WITH a AS (SELECT doc_id, 1 + doc_id % 2 AS ch,
-        |    64 + (doc_id*7) % 129 AS nf FROM documents),
-        |s AS (SELECT doc_id, ch, nf, u,
-        |    (doc_id*173 + u*37 + ((u*u) % 127)*3) % 256 AS v
-        |  FROM (SELECT doc_id, ch, nf, unnest(range(0, nf*ch)) AS u FROM a))
-        |SELECT doc_id, ch::INT AS n_channels, 8000::INT AS sample_rate,
-        |  nf::BIGINT AS n_frames, sum(v)::BIGINT AS sample_sum,
-        |  sum(v * (u+1))::BIGINT AS sample_wsum
-        |FROM s GROUP BY doc_id, ch, nf ORDER BY doc_id""".stripMargin,
+      s"""WITH $audioPcmCtesSql
+         |SELECT doc_id, ch::INT AS n_channels, 8000::INT AS sample_rate,
+         |  nf::BIGINT AS n_frames, sum(v)::BIGINT AS sample_sum,
+         |  sum(v * (u+1))::BIGINT AS sample_wsum
+         |FROM apx GROUP BY doc_id, ch, nf ORDER BY doc_id""".stripMargin,
+    // m8: independent re-derivation of the audio signature + the same
+    // star-shaped banded join m3 pins (signature, banding, star pairing
+    // all re-derived relationally from the PCM lattice)
+    "m8_audio_neardup" ->
+      s"""WITH $audioStarCtesSql
+         |SELECT doc_a, doc_b, hamming FROM apairs
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "c2_contamination" -> contamOracleSql,
     // c3 = c2 with a Bloom prefilter + exact verify — Bloom false positives
     // are removed by the verify join, so the expected output is IDENTICAL
@@ -3145,6 +3263,7 @@ object PipelineQueries {
     "m5_media_bytes" -> m5MediaBytes,
     "m6_crossmodal_dedup" -> m6CrossModalDedup,
     "m7_gif_frames" -> m7GifFrames,
+    "m8_audio_neardup" -> m8AudioNearDup,
     "e2_lsh_ann" -> e2LshAnn,
     "e11_lsh_multiprobe" -> e11LshMultiprobe,
     "e12_hybrid_rrf" -> e12HybridRrf,

@@ -2,10 +2,22 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * With a trailing `--check` argument, the dump is followed by the full
+  * local gate in one command (fails loudly on any mismatch):
+  *   1. tools/compare_oracle.py — every oracle SQL re-run in DuckDB and
+  *      hash-compared against the Spark parquet (the driver's gate, local);
+  *   2. tools/independent_check.py — the third-implementation checks
+  *      (formulas re-derived from their published definitions, media bytes
+  *      re-decoded with pure-Python codecs).
+  * Both tools skip gates whose output is absent, so `--check` composes
+  * with SPARK_GRAFT_ONLY-filtered sweeps. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (Array(sfDir, outDir), runCheck) =
+      if (args.lastOption.contains("--check")) (args.dropRight(1), true)
+      else (args, false)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -41,5 +53,15 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (runCheck) {
+      import scala.sys.process._
+      // driver-side python3 (duckdb/pandas) — the same tools the round
+      // gate runs; inherit stdio so per-gate ok/FAIL lines stay visible
+      val compare = Seq("python3", "tools/compare_oracle.py", sfDir, outDir).!
+      val indep = Seq("python3", "tools/independent_check.py", sfDir, outDir).!
+      if (compare != 0 || indep != 0)
+        sys.error(s"--check FAILED (compare_oracle=$compare, independent_check=$indep)")
+      println("[verify] --check: oracle compare + independent checks PASS")
+    }
   }
 }

@@ -61,15 +61,35 @@ object Multimodal {
     ((group * 131L + i * 31L + (i.toLong * i % 251L) * 5L + perturb) % 256L).toInt
   }
 
-  /** Deterministic audio fixture: unsigned 8-bit PCM at 8000 Hz,
-    *   channels = 1 + doc_id % 2, frames = 64 + (doc_id*7) % 129,
-    *   sample u (interleaved, u = frame*channels + ch):
-    *     s = (doc_id*173 + u*37 + (u*u mod 127)*3) mod 256. */
+  /** Deterministic audio fixture: unsigned 8-bit PCM at 8000 Hz, with the
+    * image fixture's planted-copy geometry so the AUDIO modality carries
+    * its own near-duplicate structure (m8/m6) — groups of FOUR (vs the
+    * image fixture's three) so audio evidence crosses image-group
+    * boundaries and can merge clusters the other modalities keep apart:
+    *   group = doc_id / 4, copy = doc_id % 4
+    *   channels = 1 + group % 2, frames = 64 + (group*7) % 129
+    *   sample u (interleaved, u = frame*channels + ch, N = frames*channels):
+    *     s = (group*173 + u*37 + (u*u mod 127)*3 + perturb) mod 256
+    *   copies 0,1: perturb 0  — byte-identical WAVs (exact duplicates)
+    *   copy 2: perturb 40 iff u*64/N == 0 — only the FIRST of the 64
+    *     signature windows is touched, so few aHash bits flip (NEAR-dup)
+    *   copy 3: perturb 80 iff u >= N/2 — the whole second half shifts, so
+    *     roughly half the signature flips (FAR: outside the hamming<=3 cut)
+    */
   val AudioRate = 8000
-  def audioChannels(docId: Long): Int = (1 + docId % 2).toInt
-  def audioFrames(docId: Long): Int = (64 + (docId * 7) % 129).toInt
-  def audioSample(docId: Long, u: Int): Int =
-    ((docId * 173L + u * 37L + (u.toLong * u % 127L) * 3L) % 256L).toInt
+  def audioGroup(docId: Long): Long = docId / 4
+  def audioChannels(docId: Long): Int = (1 + audioGroup(docId) % 2).toInt
+  def audioFrames(docId: Long): Int = (64 + (audioGroup(docId) * 7) % 129).toInt
+  def audioSample(docId: Long, u: Int): Int = {
+    val n = audioFrames(docId) * audioChannels(docId)
+    val perturb = (docId % 4) match {
+      case 2 if u * 64 / n == 0 => 40L
+      case 3 if u >= n / 2      => 80L
+      case _                    => 0L
+    }
+    ((audioGroup(docId) * 173L + u * 37L + (u.toLong * u % 127L) * 3L
+      + perturb) % 256L).toInt
+  }
 
   /** Build the media table — REAL encoded image bytes per document:
     * (doc_id, mime, content). The pixel lattice is generated, loaded into a
@@ -589,6 +609,59 @@ object Multimodal {
         }
         Row(row.getLong(idIdx), fmt.getChannels, fmt.getSampleRate.toInt,
           ais.getFrameLength, sum, wsum)
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** 64-bit "audio aHash" over REAL decoded PCM, as two 32-bit halves
+    * (`asig_hi` = windows 32..63) — the audio analogue of
+    * [[withImageAHash]]: the interleaved sample stream is cut into 64
+    * contiguous windows (window of sample u = u*64/N, sizes differing by
+    * at most one), bit k set iff window k's mean strictly exceeds the
+    * whole-clip mean, compared in INTEGERS (windowSum * N > totalSum *
+    * windowCount) so no float rounding can diverge between engines. A
+    * localized edit moves only the windows it touches (plus the global
+    * mean slightly), so near-identical clips land within a small Hamming
+    * distance — the property m8's banded join exploits. Computed INSIDE
+    * the WAV decode loop (the fused m4 shape): samples are walked once,
+    * never materialized into Rows; output is (doc_id, asig_hi, asig_lo),
+    * ~24 B/row, safe to memoize. */
+  def audioSignatures(df: DataFrame, binaryCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("asig_hi", LongType, nullable = false),
+      StructField("asig_lo", LongType, nullable = false)))
+    val binIdx = df.schema.fieldIndex(binaryCol)
+    val idIdx = df.schema.fieldIndex("doc_id")
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { row =>
+        val bytes = row.getAs[Array[Byte]](binIdx)
+        // direct single-provider SPI call — see wavReader's convoy notes
+        val ais = wavReader.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        require(ais.getFormat.getSampleSizeInBits == 8,
+          s"audio gate expects 8-bit PCM, got ${ais.getFormat.getSampleSizeInBits}")
+        val pcm = ais.readAllBytes()
+        val n = pcm.length
+        val sums = new Array[Long](64)
+        val cnts = new Array[Long](64)
+        var total = 0L
+        var u = 0
+        while (u < n) {
+          val v = (pcm(u) & 0xFF).toLong
+          val k = (u.toLong * 64 / n).toInt
+          sums(k) += v; cnts(k) += 1; total += v
+          u += 1
+        }
+        var hi = 0L; var lo = 0L; var k = 0
+        while (k < 64) {
+          if (cnts(k) > 0 && sums(k) * n > total * cnts(k)) {
+            if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+          }
+          k += 1
+        }
+        Row(row.getLong(idIdx), hi, lo)
       }
     }
     df.sparkSession.createDataFrame(rdd, schema)

@@ -8,8 +8,10 @@ import graft.SparkTestSession
 
 class MultimodalSpec extends AnyFunSuite with Matchers with SparkTestSession {
 
-  // doc_ids chosen to cover every format/copy combination: groups 0..3
-  // (PNG gray, PNG RGB, BMP RGB, PNG gray again) x copies 0/1/2
+  // doc_ids chosen to cover every format/copy combination: image groups
+  // 0..3 (PNG gray, PNG RGB, BMP RGB, PNG gray again) x copies 0/1/2, and
+  // audio groups 0..2 (1ch/2ch/1ch) x copies 0/1/2/3 — the offset strides
+  // (3 vs 4) are what the m6 audio-only-merge assertion exercises
   private val ids: Seq[Long] = (0L until 12L)
 
   private lazy val docs = {
@@ -150,17 +152,96 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkTestSession {
     dir
   }
 
-  test("m6: cross-modal components == independent union-find over both pair sets") {
+  test("audio signatures: integer window signature; exact copies collide; near copy is close") {
+    val sig = Multimodal.audioSignatures(
+        Multimodal.synthesizeAudioTable(docs), "content")
+      .select("doc_id", "asig_hi", "asig_lo").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    sig.values.foreach { case (hi, lo) =>
+      hi should (be >= 0L and be < (1L << 32))
+      lo should (be >= 0L and be < (1L << 32))
+    }
+    // copies 0 and 1 of each audio group are byte-identical WAVs
+    Seq(0L, 4L, 8L).foreach(g => sig(g) shouldBe sig(g + 1))
+    // independent scalar recomputation for one 2-channel doc (id 4: group 1)
+    val id = 4L
+    val n = Multimodal.audioFrames(id) * Multimodal.audioChannels(id)
+    val sums = new Array[Long](64); val cnts = new Array[Long](64); var tot = 0L
+    (0 until n).foreach { u =>
+      val v = Multimodal.audioSample(id, u).toLong
+      val k = (u.toLong * 64 / n).toInt
+      sums(k) += v; cnts(k) += 1; tot += v
+    }
+    var hi = 0L; var lo = 0L
+    (0 until 64).foreach { k =>
+      if (cnts(k) > 0 && sums(k) * n > tot * cnts(k)) {
+        if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+      }
+    }
+    sig(id) shouldBe ((hi, lo))
+    // planted geometry: the first-window perturbation (copy 2) moves FEW
+    // bits; the half-clip shift (copy 3) moves MANY (outside the T=3 cut)
+    def ham(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    Seq(0L, 4L, 8L).foreach { g =>
+      withClue(s"group ${g / 4} near copy: ") { ham(sig(g), sig(g + 2)) should be <= 3 }
+      withClue(s"group ${g / 4} far copy: ") { ham(sig(g), sig(g + 3)) should be > 3 }
+    }
+  }
+
+  test("m8: star-shaped banded audio join == brute-force star truth; pigeonhole lossless") {
+    val sigs = Multimodal.audioSignatures(
+        Multimodal.synthesizeAudioTable(docs), "content")
+      .select("doc_id", "asig_hi", "asig_lo").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val truth = (for {
+      (a, ha, la) <- sigs; (b, hb, lb) <- sigs if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) + java.lang.Long.bitCount(la ^ lb)
+      if d <= 3
+    } yield (a, b)).toSet
+    truth should not be empty // copies 0/1 guarantee distance-0 pairs
+    val bands = sigs.flatMap { case (id, hi2, lo2) =>
+      Seq((0, lo2 & 0xFFFFL), (1, (lo2 >> 16) & 0xFFFFL),
+        (2, hi2 & 0xFFFFL), (3, (hi2 >> 16) & 0xFFFFL)).map { case (bd, bk) => ((bd, bk), id) }
+    }
+    // pigeonhole: every true pair (hamming <= 3 over 4 bands) shares a band
+    val candidates = bands.groupBy(_._1).values.flatMap { grp =>
+      val is = grp.map(_._2).toSeq
+      for (a <- is; b <- is if a < b) yield (a, b)
+    }.toSet
+    truth.subsetOf(candidates) shouldBe true
+    // the gate returns exactly the bucket-representative pairs in the cut
+    val sigMap = sigs.map { case (id, h, l) => id -> (h, l) }.toMap
+    val starPairs: Set[(Long, Long)] = bands.groupBy(_._1).values.flatMap { grp =>
+      val is = grp.map(_._2).toSeq
+      val rep = is.min
+      is.filter(_ > rep).map(m => (rep, m))
+    }.toSet
+    val starTruth = starPairs.filter { case (a, b) =>
+      val ((ha, la), (hb, lb)) = (sigMap(a), sigMap(b))
+      java.lang.Long.bitCount(ha ^ hb) + java.lang.Long.bitCount(la ^ lb) <= 3
+    }
+    val gate = graft.PipelineQueries.m8AudioNearDup(spark, mediaDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    gate shouldBe starTruth
+    // every exact-duplicate clip is assigned to a survivor
+    Seq(1L, 5L, 9L).foreach(c => gate.map(_._2) should contain(c))
+  }
+
+  test("m6: cross-modal components == independent union-find over all three pair sets") {
     val tEdges = graft.PipelineQueries.t2MinhashLshPairs(spark, mediaDir)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
     val iEdges = graft.PipelineQueries.m3PhashNearDup(spark, mediaDir)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val aEdges = graft.PipelineQueries.m8AudioNearDup(spark, mediaDir)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
     iEdges should not be empty // the planted image copies guarantee edges
+    aEdges should not be empty // the planted audio copies guarantee edges
     // independent union-find over the UNION
     val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
     def find(x: Long): Long =
       if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
-    (tEdges ++ iEdges).foreach { case (a, b) =>
+    (tEdges ++ iEdges ++ aEdges).foreach { case (a, b) =>
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
     }
@@ -174,15 +255,23 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkTestSession {
     got shouldBe expected
     // cross-modal value: at least one multi-member cluster exists that the
     // text edges alone would not produce (fixture texts are all distinct)
-    val textOnly = {
+    def closure(edges: Seq[(Long, Long)]): Map[Long, Long] = {
       val p2 = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
       def f2(x: Long): Long = if (p2(x) == x) x else { val r = f2(p2(x)); p2(x) = r; r }
-      tEdges.foreach { case (a, b) =>
+      edges.foreach { case (a, b) =>
         val (ra, rb) = (f2(a), f2(b)); if (ra != rb) p2(math.max(ra, rb)) = math.min(ra, rb)
       }
-      ids.count(i => f2(i) != i)
+      ids.map(i => i -> f2(i)).toMap
     }
-    ids.count(i => label(i) != i) should be > textOnly
+    val textOnly = closure(tEdges)
+    ids.count(i => label(i) != i) should be > ids.count(i => textOnly(i) != i)
+    // AUDIO-only merge: audio groups of FOUR cross image groups of THREE —
+    // docs 8 and 9 are exact audio copies (group 2, copies 0/1) but live in
+    // different image groups ({6,7,8} vs {9,10,11}) and have distinct
+    // texts, so only the audio leg links them
+    val textImage = closure(tEdges ++ iEdges)
+    textImage(8L) should not be textImage(9L)
+    label(8L) shouldBe label(9L)
   }
 
   test("imageFrameChecksums: fused decode-pass checksums == lattice recompute") {

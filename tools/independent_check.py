@@ -978,12 +978,16 @@ def check_media(out):
                 bad.append(f"doc {did}: pixel mismatch"); continue
             n_img += 1
         else:
-            ech, enf = 1 + did % 2, 64 + (did * 7) % 129
+            grp, cpy = did // 4, did % 4
+            ech, enf = 1 + grp % 2, 64 + (grp * 7) % 129
+            n = enf * ech
             ch, rate, samples = _wav_decode(blob)
-            if (ch, rate, len(samples)) != (ech, 8000, enf * ech):
+            if (ch, rate, len(samples)) != (ech, 8000, n):
                 bad.append(f"doc {did}: wav meta {(ch, rate, len(samples))}"); continue
-            exp = [(did * 173 + u * 37 + (u * u % 127) * 3) % 256
-                   for u in range(enf * ech)]
+            exp = [(grp * 173 + u * 37 + (u * u % 127) * 3
+                    + (40 if cpy == 2 and u * 64 // n == 0 else 0)
+                    + (80 if cpy == 3 and u >= n // 2 else 0)) % 256
+                   for u in range(n)]
             if samples != exp:
                 bad.append(f"doc {did}: sample mismatch"); continue
             n_aud += 1
