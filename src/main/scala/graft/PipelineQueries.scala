@@ -1963,10 +1963,10 @@ object PipelineQueries {
        |bands20 AS (SELECT doc_id, 0 AS band, $b0 AS bh FROM sg20
        |            UNION ALL SELECT doc_id, 1, $b1 FROM sg20),
        |mb20 AS (SELECT band, bh,
-       |    min((doc_id % 3) * 1000000000 + doc_id) AS mkey
+       |    min({'c': doc_id % 3, 'i': doc_id}) AS mkey
        |  FROM bands20 GROUP BY 1, 2),
        |fl20 AS (SELECT DISTINCT b.doc_id FROM bands20 b JOIN mb20 USING (band, bh)
-       |  WHERE mb20.mkey < (b.doc_id % 3) * 1000000000 + b.doc_id),
+       |  WHERE mb20.mkey < {'c': b.doc_id % 3, 'i': b.doc_id}),
        |pass4 AS (SELECT * FROM pass3
        |  WHERE doc_id NOT IN (SELECT doc_id FROM fl20))
        |SELECT lang, count(*) AS num_docs, round(avg(n_chars), 2) AS avg_chars,
@@ -2117,13 +2117,10 @@ object PipelineQueries {
         gs != null && gs.exists(bc.value.contains))
       val raw = docs(spark, dir)
       // the oracle (and FunnelParitySpec) encode the arrival order as the
-      // scalar key (doc_id % 3) * 1e9 + doc_id, which collides across
-      // chunks once doc_id >= 1e9 — pin the fixture range loudly instead
-      // of letting the tie-break silently drift
-      val maxId = raw.agg(max(col("doc_id"))).head().getLong(0)
-      require(maxId < 1000000000L,
-        s"s20 arrival-key encoding requires doc_id < 1e9, saw max $maxId — " +
-          "widen the oracle/spec key encoding together")
+      // composite key (doc_id % 3, doc_id) — struct/ROW ordering in both
+      // engines, collision-free for ANY doc_id range (the earlier scalar
+      // (doc_id % 3)*1e9 + doc_id encoding collided past 1e9, which would
+      // have silently broken the tie-break on Inflate-remapped ids)
       val staging = graft.util.Staging.stageChunks(raw, "doc_id", parts, "s20")
       val shaDir = graft.util.TempDirs.create("graft_s20_sha_")
       val bandDir = graft.util.TempDirs.create("graft_s20_band_")

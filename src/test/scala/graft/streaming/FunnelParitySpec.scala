@@ -35,8 +35,8 @@ class FunnelParitySpec extends AnyFunSuite with Matchers with SparkTestSession {
     val p2 = p1.withColumn("quality", PipelineQueries.d33QualityCol(w))
       .where(col("quality") >= 0.5)
       .withColumn("sha", sha2(col("text"), 256))
-      .withColumn("akey",
-        pmod(col("doc_id"), lit(3)) * 1000000000L + col("doc_id"))
+      .withColumn("akey", // struct ordering: collision-free for any id range
+        struct(pmod(col("doc_id"), lit(3)).as("c"), col("doc_id").as("i")))
     // stage 3: first arrival per sha (arrival key = (chunk, doc_id))
     val p3 = p2.withColumn("rn", row_number().over(
         Window.partitionBy(col("sha")).orderBy(col("akey"))))
