@@ -52,11 +52,19 @@ object MaintainedStore {
   /** Store rows whose STRING `keyCol` might equal some batch key.
     * `batchKeys` must be small-ish and cheap to re-traverse
     * (localCheckpoint'd): it is counted once and swept once for the Bloom
-    * build. Returns a frame safe to `broadcast()` into the exact join. */
+    * build. Returns a frame safe to `broadcast()` into the exact join.
+    *
+    * An EMPTY batch short-circuits to an empty candidate frame without
+    * touching the store or building a filter: upstream filters (decontam,
+    * quality) can legitimately empty a micro-batch once batch counts
+    * scale with arrivals, and `DataFrameStatFunctions.bloomFilter` NPEs
+    * on zero rows (its aggregate returns a null buffer) — found by the
+    * scaled-batch decade run at 100x/27 parts. */
   def candidatesByString(spark: SparkSession, storeDir: String,
       batchKeys: DataFrame, keyCol: String,
       fpp: Double = DefaultFpp): DataFrame = {
-    val n = math.max(batchKeys.count(), 1L)
+    val n = batchKeys.count()
+    if (n == 0L) return spark.read.parquet(storeDir).where(lit(false))
     val bf = batchKeys.stat.bloomFilter(keyCol, n, fpp)
     val bc = spark.sparkContext.broadcast(bf)
     val might = udf((s: String) => s != null && bc.value.mightContainString(s))
@@ -65,11 +73,13 @@ object MaintainedStore {
 
   /** Store rows whose LONG key (an arbitrary Column over the store schema,
     * e.g. `band * P + bh` for a composite signature key) might equal some
-    * batch key. `batchKeys` carries the same derived key under `keyCol`. */
+    * batch key. `batchKeys` carries the same derived key under `keyCol`.
+    * Same empty-batch short-circuit as [[candidatesByString]]. */
   def candidatesByLong(spark: SparkSession, storeDir: String,
       batchKeys: DataFrame, keyCol: String, storeKey: Column,
       fpp: Double = DefaultFpp): DataFrame = {
-    val n = math.max(batchKeys.count(), 1L)
+    val n = batchKeys.count()
+    if (n == 0L) return spark.read.parquet(storeDir).where(lit(false))
     val bf = batchKeys.stat.bloomFilter(keyCol, n, fpp)
     val bc = spark.sparkContext.broadcast(bf)
     val might = udf((l: Long) => bc.value.mightContainLong(l))

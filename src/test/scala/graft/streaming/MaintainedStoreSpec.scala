@@ -63,6 +63,24 @@ class MaintainedStoreSpec extends AnyFunSuite with Matchers with SparkTestSessio
     hit shouldBe (0 until 5).map(i => (i % 2, (i / 2).toLong)).toSet
   }
 
+  test("empty batch short-circuits: no Bloom build, empty candidates, exact joins hold") {
+    import spark.implicits._
+    // upstream filters can legitimately empty a micro-batch once batch
+    // counts scale with arrivals; stat.bloomFilter NPEs on zero rows
+    // (found by the scaled-batch s20 decade run at 100x/27 parts)
+    val emptyS = Seq.empty[String].toDF("sha").localCheckpoint()
+    val candS = MaintainedStore.candidatesByString(
+      spark, s"$storeDir/sha", emptyS, "sha")
+    candS.count() shouldBe 0L
+    emptyS.join(broadcast(candS), Seq("sha"), "left_anti").count() shouldBe 0L
+    val P = graft.text.TextOps.P
+    val key = col("band").cast("long") * lit(P) + col("bh")
+    val emptyL = Seq.empty[(Int, Long)].toDF("band", "bh").localCheckpoint()
+    val candL = MaintainedStore.candidatesByLong(
+      spark, s"$storeDir/band", emptyL.select(key.as("k")), "k", key)
+    candL.count() shouldBe 0L
+  }
+
   test("plan audit: no shuffle Exchange anywhere in the per-batch consult") {
     import spark.implicits._
     val batch = (0 until 50).map(i => f"k$i%04d").toDF("sha").localCheckpoint()
