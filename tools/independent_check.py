@@ -940,6 +940,52 @@ def _gif_decode(data):
     return frames
 
 
+def check_m8(media, pairs):
+    """Third implementation of the FULL m8 chain: decode the m5-dumped WAV
+    bytes with the pure-Python chunk parser, re-derive the 64-window
+    energy signature (integer window-mean vs clip-mean), re-band (4x16
+    bits), re-star-pair (bucket-min representative), re-cut at hamming<=3
+    — and compare the resulting pair set with the gate's output. Shares
+    no constants with the Scala code beyond the published design
+    (aHash-style windowed signature, banded LSH star pairing)."""
+    if media is None or pairs is None:
+        print("skip  m8 audio chain (no Verify output)"); return
+    sig = {}
+    for r in media.itertuples():
+        if not r.mime.startswith("audio/"):
+            continue
+        did = int(r.doc_id)
+        _, _, samples = _wav_decode(bytes(r.content))
+        n = len(samples)
+        total = sum(samples)
+        wsum = [0] * 64
+        wcnt = [0] * 64
+        for u, v in enumerate(samples):
+            k = u * 64 // n
+            wsum[k] += v; wcnt[k] += 1
+        bits = 0
+        for k in range(64):
+            if wcnt[k] and wsum[k] * n > total * wcnt[k]:
+                bits |= 1 << k
+        sig[did] = bits
+    buckets = defaultdict(list)
+    for did, s in sig.items():
+        for band in range(4):
+            buckets[(band, (s >> (16 * band)) & 0xFFFF)].append(did)
+    expected = set()
+    for ids in buckets.values():
+        rep = min(ids)
+        for m in ids:
+            if m > rep and bin(sig[rep] ^ sig[m]).count("1") <= 3:
+                expected.add((rep, m))
+    got = set(zip(pairs.doc_a.astype(int), pairs.doc_b.astype(int)))
+    check("m8 audio near-dup chain (pure-Python signature+band+star)",
+          got == expected,
+          f"{len(got)} pairs re-derived independently" if got == expected
+          else f"gate {len(got)} pairs != re-derived {len(expected)}; "
+               f"diff {sorted(got ^ expected)[:3]}")
+
+
 def check_media(out):
     if out is None:
         print("skip  m5_media_bytes (no Verify output)"); return
@@ -1023,6 +1069,8 @@ def main(sf_dir, out_dir):
     check_d29_d30(docs, load_out(out_dir, "d29_hll_distinct"),
                   load_out(out_dir, "d30_count_min"))
     check_media(load_out(out_dir, "m5_media_bytes"))
+    check_m8(load_out(out_dir, "m5_media_bytes"),
+             load_out(out_dir, "m8_audio_neardup"))
     exact_money(sf_dir, out_dir)
     print(f"\n{'ALL INDEPENDENT CHECKS PASS' if not FAILURES else f'{len(FAILURES)} FAILURES:'}")
     for f in FAILURES:
