@@ -2199,6 +2199,85 @@ object PipelineQueries {
           max(col("quality")).as("max_quality"))
     }.orderBy(col("lang"))
 
+  /** Streaming MULTIMODAL ingest dedup (s21): media payloads arrive as a
+    * file stream and each micro-batch runs a REAL codec decode INSIDE the
+    * batch — WAV bytes through `javax.sound.sampled`, reduced to m8's
+    * 64-bit windowed-energy signature in the same decode loop
+    * ([[graft.multimodal.Multimodal.audioSignatures]]) — then consults a
+    * maintained (band, bucket) signature store with the Bloom-pruned
+    * broadcast device ([[graft.streaming.MaintainedStore]]: no store row
+    * ever shuffles, per batch or ever). Verdict: a clip is a near-dup if
+    * any of its 4 signature bands hits a bucket seen in an EARLIER batch
+    * (store hit) or held by a smaller doc_id in the SAME batch — i.e.
+    * first-arrival-wins survivorship under the arrival key
+    * (chunk, doc_id), decided FINAL at ingest, never revised. State grows
+    * with occupied buckets (distinct audio content), not arrivals. The
+    * oracle re-derives the signature from the PCM lattice and flags via
+    * min-arrival-key per bucket — batch-composition-independent because
+    * min over the arrival-key struct is associative (s9's rationale).
+    * This composes the round's two devices (real per-batch media decode +
+    * consult-pruned maintained store) into the ingest loop a multimodal
+    * training pipeline actually runs. */
+  def s21StreamAudioDedup(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, s"s21:$dir") {
+      val raw = docs(spark, dir)
+      val staging = graft.util.Staging.stageChunks(
+        raw.select(col("doc_id")), "doc_id", 3, "s21", dropKey = false)
+      val storeDir = graft.util.TempDirs.create("graft_s21_band_")
+      val outDir = graft.util.TempDirs.create("graft_s21_out_")
+      val ckpt = graft.util.TempDirs.create("graft_s21_ckpt_")
+      spark.range(0).select(lit(0).as("band"), lit(0L).as("bucket"),
+        lit(0L).as("doc_id")).write.mode("overwrite").parquet(storeDir)
+      val srcSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = true)))
+      val src = spark.readStream.schema(srcSchema)
+        .option("maxFilesPerTrigger", 1).parquet(staging)
+      val q = src.writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // REAL codec work inside the micro-batch: synthesize the WAV
+          // payload (fixture stand-in for the arriving media bytes) and
+          // decode it back to the 64-bit signature in one JVM loop
+          val sigs = graft.multimodal.Multimodal.audioSignatures(
+            graft.multimodal.Multimodal.synthesizeAudioTable(batch), "content")
+          val bandCols = (0 until 2).map { j =>
+            struct(lit(j).as("band"),
+              shiftright(col("asig_lo"), 16 * j).bitwiseAND(lit(0xFFFFL)).as("bucket"))
+          } ++ (2 until 4).map { j =>
+            struct(lit(j).as("band"),
+              shiftright(col("asig_hi"), 16 * (j - 2)).bitwiseAND(lit(0xFFFFL)).as("bucket"))
+          }
+          val bands = sigs
+            .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+            .select(col("doc_id"), col("b.band").as("band"), col("b.bucket").as("bucket"))
+            .localCheckpoint() // evaluate against the PRE-append store
+          val key = col("band").cast("long") * lit(1L << 16) + col("bucket")
+          val storeCand = graft.streaming.MaintainedStore.candidatesByLong(
+            spark, storeDir, bands.select(key.as("k")), "k", key)
+          val flagged = bands.join(
+              broadcast(storeCand.select(col("band"), col("bucket"))),
+              Seq("band", "bucket"))
+            .select(col("doc_id"))
+            .unionByName(bands.as("a")
+              .join(bands.select(col("band"), col("bucket"),
+                col("doc_id").as("other")), Seq("band", "bucket"))
+              .where(col("other") < col("doc_id"))
+              .select(col("doc_id")))
+            .distinct().localCheckpoint()
+          bands.write.mode("append").parquet(storeDir)
+          batch.select(col("doc_id"))
+            .join(flagged.withColumn("f", lit(true)), Seq("doc_id"), "left")
+            .select(col("doc_id"), coalesce(col("f"), lit(false)).as("is_near_dup"))
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(outDir)
+    }.orderBy(col("doc_id"))
+
   // ------------------------------------------------------------ oracle SQL
 
   private[graft] val codesSql =
@@ -2957,6 +3036,20 @@ object PipelineQueries {
       s"""WITH $audioStarCtesSql
          |SELECT doc_a, doc_b, hamming FROM apairs
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // s21: first-arrival-wins survivorship under the (chunk, doc_id)
+    // arrival key — min over the struct key per signature bucket is
+    // associative, so the expected verdicts are independent of the
+    // micro-batch composition (s9's rationale, m8's signature chain)
+    "s21_stream_audio_dedup" ->
+      s"""WITH $audioStarCtesSql,
+         |amin AS (SELECT band, bucket,
+         |    min({'c': doc_id % 3, 'i': doc_id}) AS mkey
+         |  FROM abd GROUP BY 1, 2),
+         |afl AS (SELECT DISTINCT b.doc_id
+         |  FROM abd b JOIN amin USING (band, bucket)
+         |  WHERE amin.mkey < {'c': b.doc_id % 3, 'i': b.doc_id})
+         |SELECT doc_id, doc_id IN (SELECT doc_id FROM afl) AS is_near_dup
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "c2_contamination" -> contamOracleSql,
     // c3 = c2 with a Bloom prefilter + exact verify — Bloom false positives
     // are removed by the verify join, so the expected output is IDENTICAL
@@ -3261,6 +3354,7 @@ object PipelineQueries {
     "m6_crossmodal_dedup" -> m6CrossModalDedup,
     "m7_gif_frames" -> m7GifFrames,
     "m8_audio_neardup" -> m8AudioNearDup,
+    "s21_stream_audio_dedup" -> s21StreamAudioDedup,
     "e2_lsh_ann" -> e2LshAnn,
     "e11_lsh_multiprobe" -> e11LshMultiprobe,
     "e12_hybrid_rrf" -> e12HybridRrf,
