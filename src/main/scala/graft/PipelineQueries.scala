@@ -2167,14 +2167,20 @@ object PipelineQueries {
           val bandKey = col("band").cast("long") * lit(P) + col("bh")
           val storeCand = graft.streaming.MaintainedStore.candidatesByLong(
             spark, bandDir, bands.select(bandKey.as("k")), "k", bandKey)
+          // within-batch check via per-bucket MIN, not a bands x bands
+          // self-join: "some smaller id shares my bucket" == "my id > the
+          // bucket min" — output linear in band rows where the pairwise
+          // join is quadratic in bucket occupancy (measured superlinear at
+          // the 300x decade on s21's identical shape before this form)
+          val batchMins = bands.groupBy(col("band"), col("bh"))
+            .agg(min(col("doc_id")).as("mn"))
           val flagged = bands.join(
               broadcast(storeCand.select(col("band"), col("bh"))),
               Seq("band", "bh"))
             .select(col("doc_id"))
-            .unionByName(bands.as("a")
-              .join(bands.select(col("band"), col("bh"),
-                col("doc_id").as("other")), Seq("band", "bh"))
-              .where(col("other") < col("doc_id"))
+            .unionByName(bands
+              .join(batchMins, Seq("band", "bh"))
+              .where(col("doc_id") > col("mn"))
               .select(col("doc_id")))
             .distinct().localCheckpoint()
           // state + output appends (order no longer matters: p3/flagged
@@ -2256,14 +2262,18 @@ object PipelineQueries {
           val key = col("band").cast("long") * lit(1L << 16) + col("bucket")
           val storeCand = graft.streaming.MaintainedStore.candidatesByLong(
             spark, storeDir, bands.select(key.as("k")), "k", key)
+          // within-batch check via per-bucket MIN (linear), not a
+          // bands x bands self-join (quadratic in bucket occupancy — the
+          // 300x decade measured the pairwise form superlinear here)
+          val batchMins = bands.groupBy(col("band"), col("bucket"))
+            .agg(min(col("doc_id")).as("mn"))
           val flagged = bands.join(
               broadcast(storeCand.select(col("band"), col("bucket"))),
               Seq("band", "bucket"))
             .select(col("doc_id"))
-            .unionByName(bands.as("a")
-              .join(bands.select(col("band"), col("bucket"),
-                col("doc_id").as("other")), Seq("band", "bucket"))
-              .where(col("other") < col("doc_id"))
+            .unionByName(bands
+              .join(batchMins, Seq("band", "bucket"))
+              .where(col("doc_id") > col("mn"))
               .select(col("doc_id")))
             .distinct().localCheckpoint()
           bands.write.mode("append").parquet(storeDir)
