@@ -2210,76 +2210,74 @@ object PipelineQueries {
     * batch — WAV bytes through `javax.sound.sampled`, reduced to m8's
     * 64-bit windowed-energy signature in the same decode loop
     * ([[graft.multimodal.Multimodal.audioSignatures]]) — then consults a
-    * maintained (band, bucket) signature store with the Bloom-pruned
-    * broadcast device ([[graft.streaming.MaintainedStore]]: no store row
-    * ever shuffles, per batch or ever). Verdict: a clip is a near-dup if
-    * any of its 4 signature bands hits a bucket seen in an EARLIER batch
-    * (store hit) or held by a smaller doc_id in the SAME batch — i.e.
-    * first-arrival-wins survivorship under the arrival key
-    * (chunk, doc_id), decided FINAL at ingest, never revised. State grows
-    * with occupied buckets (distinct audio content), not arrivals. The
-    * oracle re-derives the signature from the PCM lattice and flags via
-    * min-arrival-key per bucket — batch-composition-independent because
-    * min over the arrival-key struct is associative (s9's rationale).
-    * This composes the round's two devices (real per-batch media decode +
-    * consult-pruned maintained store) into the ingest loop a multimodal
-    * training pipeline actually runs. */
+    * maintained signature store with the Bloom-pruned broadcast device
+    * ([[graft.streaming.MaintainedStore]]: no store row ever shuffles,
+    * per batch or ever). Verdict: a clip is a duplicate if its FULL
+    * 64-bit signature was seen in an EARLIER batch (store hit) or is held
+    * by a smaller doc_id in the SAME batch (per-signature min, one
+    * map-side-combined aggregate) — first-arrival-wins under the arrival
+    * key (chunk, doc_id), decided FINAL at ingest, never revised.
+    *
+    * The store is keyed on the WHOLE signature, not its 16-bit bands, and
+    * that is the scale design: banded buckets saturate (4 x 65536 buckets
+    * — at the 300x decade nearly every bucket is occupied by every batch,
+    * so the Bloom prunes nothing and the consult degrades toward
+    * broadcast-the-store; measured 6.8x cold for 3x data before this
+    * form), while distinct signatures grow with distinct CONTENT at any
+    * corpus size. Exact-signature dedup is the streaming leg (the s4/s20
+    * sha pattern applied to DECODED MEDIA content — robust to container
+    * re-encoding, unlike byte hashes); hamming-tolerant NEAR-dup pairing
+    * stays m8's banded batch job, which is linear because it pairs
+    * against bucket representatives rather than flagging bucket
+    * collisions. The Bloom key folds (hi, lo) with shift/xor — no
+    * overflow under ANSI mode, false positives removed by the exact
+    * (hi, lo) join. Oracle: min arrival-key struct per signature over the
+    * relationally re-derived PCM lattice — batch-composition-independent
+    * because min over the struct key is associative (s9's rationale). */
   def s21StreamAudioDedup(spark: SparkSession, dir: String): DataFrame =
     memo(spark, s"s21:$dir") {
       val raw = docs(spark, dir)
       val staging = graft.util.Staging.stageChunks(
         raw.select(col("doc_id")), "doc_id", 3, "s21", dropKey = false)
-      val storeDir = graft.util.TempDirs.create("graft_s21_band_")
+      val storeDir = graft.util.TempDirs.create("graft_s21_sig_")
       val outDir = graft.util.TempDirs.create("graft_s21_out_")
       val ckpt = graft.util.TempDirs.create("graft_s21_ckpt_")
-      spark.range(0).select(lit(0).as("band"), lit(0L).as("bucket"),
-        lit(0L).as("doc_id")).write.mode("overwrite").parquet(storeDir)
+      spark.range(0).select(lit(0L).as("asig_hi"), lit(0L).as("asig_lo"))
+        .write.mode("overwrite").parquet(storeDir)
       val srcSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_id",
           org.apache.spark.sql.types.LongType, nullable = true)))
       val src = spark.readStream.schema(srcSchema)
         .option("maxFilesPerTrigger", 1).parquet(staging)
+      val sigKey = shiftleft(col("asig_hi"), 21).bitwiseXOR(col("asig_lo"))
       val q = src.writeStream
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, _: Long) =>
           // REAL codec work inside the micro-batch: synthesize the WAV
           // payload (fixture stand-in for the arriving media bytes) and
-          // decode it back to the 64-bit signature in one JVM loop
+          // decode it back to the 64-bit signature in one JVM loop;
+          // eager checkpoint: evaluate against the PRE-append store
           val sigs = graft.multimodal.Multimodal.audioSignatures(
             graft.multimodal.Multimodal.synthesizeAudioTable(batch), "content")
-          val bandCols = (0 until 2).map { j =>
-            struct(lit(j).as("band"),
-              shiftright(col("asig_lo"), 16 * j).bitwiseAND(lit(0xFFFFL)).as("bucket"))
-          } ++ (2 until 4).map { j =>
-            struct(lit(j).as("band"),
-              shiftright(col("asig_hi"), 16 * (j - 2)).bitwiseAND(lit(0xFFFFL)).as("bucket"))
-          }
-          val bands = sigs
-            .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
-            .select(col("doc_id"), col("b.band").as("band"), col("b.bucket").as("bucket"))
-            .localCheckpoint() // evaluate against the PRE-append store
-          val key = col("band").cast("long") * lit(1L << 16) + col("bucket")
+            .localCheckpoint()
           val storeCand = graft.streaming.MaintainedStore.candidatesByLong(
-            spark, storeDir, bands.select(key.as("k")), "k", key)
-          // within-batch check via per-bucket MIN (linear), not a
-          // bands x bands self-join (quadratic in bucket occupancy — the
-          // 300x decade measured the pairwise form superlinear here)
-          val batchMins = bands.groupBy(col("band"), col("bucket"))
+            spark, storeDir, sigs.select(sigKey.as("k")), "k", sigKey)
+          val batchMins = sigs.groupBy(col("asig_hi"), col("asig_lo"))
             .agg(min(col("doc_id")).as("mn"))
-          val flagged = bands.join(
-              broadcast(storeCand.select(col("band"), col("bucket"))),
-              Seq("band", "bucket"))
+          val flagged = sigs.join(broadcast(storeCand),
+              Seq("asig_hi", "asig_lo"))
             .select(col("doc_id"))
-            .unionByName(bands
-              .join(batchMins, Seq("band", "bucket"))
+            .unionByName(sigs
+              .join(batchMins, Seq("asig_hi", "asig_lo"))
               .where(col("doc_id") > col("mn"))
               .select(col("doc_id")))
             .distinct().localCheckpoint()
-          bands.write.mode("append").parquet(storeDir)
+          sigs.select(col("asig_hi"), col("asig_lo"))
+            .distinct().write.mode("append").parquet(storeDir)
           batch.select(col("doc_id"))
             .join(flagged.withColumn("f", lit(true)), Seq("doc_id"), "left")
-            .select(col("doc_id"), coalesce(col("f"), lit(false)).as("is_near_dup"))
+            .select(col("doc_id"), coalesce(col("f"), lit(false)).as("is_dup"))
             .write.mode("append").parquet(outDir)
           ()
         }
@@ -3047,18 +3045,18 @@ object PipelineQueries {
          |SELECT doc_a, doc_b, hamming FROM apairs
          |ORDER BY doc_a, doc_b""".stripMargin,
     // s21: first-arrival-wins survivorship under the (chunk, doc_id)
-    // arrival key — min over the struct key per signature bucket is
+    // arrival key — min over the struct key per FULL 64-bit signature is
     // associative, so the expected verdicts are independent of the
     // micro-batch composition (s9's rationale, m8's signature chain)
     "s21_stream_audio_dedup" ->
       s"""WITH $audioStarCtesSql,
-         |amin AS (SELECT band, bucket,
+         |amin AS (SELECT hi, lo,
          |    min({'c': doc_id % 3, 'i': doc_id}) AS mkey
-         |  FROM abd GROUP BY 1, 2),
-         |afl AS (SELECT DISTINCT b.doc_id
-         |  FROM abd b JOIN amin USING (band, bucket)
-         |  WHERE amin.mkey < {'c': b.doc_id % 3, 'i': b.doc_id})
-         |SELECT doc_id, doc_id IN (SELECT doc_id FROM afl) AS is_near_dup
+         |  FROM asig GROUP BY 1, 2),
+         |afl AS (SELECT a.doc_id
+         |  FROM asig a JOIN amin USING (hi, lo)
+         |  WHERE amin.mkey < {'c': a.doc_id % 3, 'i': a.doc_id})
+         |SELECT doc_id, doc_id IN (SELECT doc_id FROM afl) AS is_dup
          |FROM documents ORDER BY doc_id""".stripMargin,
     "c2_contamination" -> contamOracleSql,
     // c3 = c2 with a Bloom prefilter + exact verify — Bloom false positives

@@ -9,9 +9,11 @@ import graft.{PipelineQueries, SparkTestSession}
 
 /** s21 (streaming multimodal ingest dedup): the stream's
   * first-arrival-wins verdicts must equal an independent batch
-  * derivation — min arrival key (chunk, doc_id) per signature bucket,
-  * flag everyone above the minimum — because min over the struct key is
-  * associative (the s9 rationale applied to m8's audio signature chain). */
+  * derivation — min arrival key (chunk, doc_id) per FULL 64-bit decoded
+  * signature, flag everyone above the minimum — because min over the
+  * struct key is associative (the s9 rationale applied to m8's audio
+  * signature chain; full-signature keys rather than 16-bit bands are the
+  * scale design — see the s21 scaladoc). */
 class S21ParitySpec extends AnyFunSuite with Matchers with SparkTestSession {
 
   private val dir = "/root/testdata/sf0.001"
@@ -22,29 +24,20 @@ class S21ParitySpec extends AnyFunSuite with Matchers with SparkTestSession {
     val sigs = graft.multimodal.Multimodal.audioSignatures(
       graft.multimodal.Multimodal.synthesizeAudioTable(d.select(col("doc_id"))),
       "content")
-    val bandCols = (0 until 2).map { j =>
-      struct(lit(j).as("band"),
-        shiftright(col("asig_lo"), 16 * j).bitwiseAND(lit(0xFFFFL)).as("bucket"))
-    } ++ (2 until 4).map { j =>
-      struct(lit(j).as("band"),
-        shiftright(col("asig_hi"), 16 * (j - 2)).bitwiseAND(lit(0xFFFFL)).as("bucket"))
-    }
     val akey = struct(pmod(col("doc_id"), lit(3)).as("c"), col("doc_id").as("i"))
-    val bands = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.bucket").as("bucket"))
-      .withColumn("akey", akey)
-    val mins = bands.groupBy(col("band"), col("bucket"))
+    val keyed = sigs.withColumn("akey", akey)
+    val mins = keyed.groupBy(col("asig_hi"), col("asig_lo"))
       .agg(min(col("akey")).as("mkey"))
-    val flagged = bands.join(mins, Seq("band", "bucket"))
+    val flagged = keyed.join(mins, Seq("asig_hi", "asig_lo"))
       .where(col("mkey") < col("akey"))
-      .select(col("doc_id")).distinct()
+      .select(col("doc_id"))
     d.select(col("doc_id"))
       .join(flagged.withColumn("f", lit(true)), Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("f"), lit(false)).as("is_near_dup"))
+      .select(col("doc_id"), coalesce(col("f"), lit(false)).as("is_dup"))
       .orderBy(col("doc_id"))
   }
 
-  test("s21 stream verdicts == independent batch min-per-bucket derivation") {
+  test("s21 stream verdicts == independent batch min-per-signature derivation") {
     val stream = PipelineQueries.s21StreamAudioDedup(spark, dir)
       .collect().map(r => (r.getLong(0), r.getBoolean(1)))
     val batch = batchDerivation
@@ -52,9 +45,10 @@ class S21ParitySpec extends AnyFunSuite with Matchers with SparkTestSession {
     stream should not be empty
     stream shouldBe batch
     // the planted audio copies guarantee positive verdicts: copies 0 and
-    // 1 of each group of four are byte-identical WAVs, so whichever of
-    // the pair arrives LATER (arrival key = (doc_id % 3, doc_id) —
-    // first-arrival-wins, not smallest-id-wins) must be flagged
+    // 1 of each group of four are byte-identical WAVs (identical
+    // signatures), so whichever of the pair arrives LATER (arrival key =
+    // (doc_id % 3, doc_id) — first-arrival-wins, not smallest-id-wins)
+    // must be flagged
     val flags = stream.toMap
     def akey(id: Long): (Long, Long) = (id % 3, id)
     stream.map(_._1).filter(id => id % 4 == 0 && flags.contains(id + 1))
