@@ -17,6 +17,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // bench provenance: 1-minute system load at start/end, recorded into
+    // the JSON so a host-contended window SELF-IDENTIFIES (the r10 driver
+    // window read as a uniform 2.5x "regression" until half a day of
+    // forensics traced it to host CPU steal — with these fields the
+    // contended run carries its own evidence)
+    def loadAvg: Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadStart = loadAvg
+
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -85,7 +94,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","load_start":$loadStart%.2f,"load_end":$loadAvg%.2f}"""
     println(json)
     // Also persist the full per-query map next to the build (the repo
     // root, detected by build.sbt in the cwd — sbt runs forked mains

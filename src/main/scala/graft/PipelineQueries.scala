@@ -390,12 +390,39 @@ object PipelineQueries {
     * checkpoint blocks and OOMed the 28g one-JVM protocol — and a 100 TB
     * pipeline never persists decoded pixels either; featurizers re-decode
     * in their own narrow pass (m2 does exactly that). */
+  /** Memoized synthesized media frames (doc_id, mime, content), one per
+    * family — the [[decodedImages]] rule applied one level EARLIER: the
+    * fixture's real-codec ENCODE is ~90% of the multimodal bench bill
+    * (round-10 verdict #4 measured m5 re-paying the 500-GIF encode m7 had
+    * just paid), and the encoded bytes are small (compressed — the point
+    * of real codecs), so one encode pass per family serves every gate
+    * that decodes it (m1/m2/m3 images, m4/m8 audio, m7 GIFs, m9 TIFFs,
+    * m5's byte dump). ScaleSmoke evicts between decades (the OOM lesson
+    * applies to these exactly as to the feature memos). In a production
+    * pipeline these ARE the ingested media table — paid once at ingest,
+    * not per featurizer. */
+  private def mediaImages(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, s"msyn:img:$dir") {
+      graft.multimodal.Multimodal.synthesizeImageTable(docs(spark, dir))
+    }
+  private def mediaAudio(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, s"msyn:aud:$dir") {
+      graft.multimodal.Multimodal.synthesizeAudioTable(docs(spark, dir))
+    }
+  private def mediaGifs(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, s"msyn:gif:$dir") {
+      graft.multimodal.Multimodal.synthesizeGifTable(docs(spark, dir))
+    }
+  private def mediaTiffs(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, s"msyn:tif:$dir") {
+      graft.multimodal.Multimodal.synthesizeTiffTable(docs(spark, dir))
+    }
+
   private def decodedImages(spark: SparkSession, dir: String): DataFrame =
     memo(spark, s"mimg:$dir") {
       graft.multimodal.Multimodal.withImageAHash(
         graft.multimodal.Multimodal.decodeImage(
-          graft.multimodal.Multimodal.synthesizeImageTable(docs(spark, dir)),
-          "content"))
+          mediaImages(spark, dir), "content"))
         .drop("px", "content")
     }
 
@@ -714,8 +741,7 @@ object PipelineQueries {
     * container decode (animated GIF, per-frame delays) see m7. */
   def m2FrameSample(spark: SparkSession, dir: String): DataFrame =
     graft.multimodal.Multimodal.imageFrameChecksums(
-        graft.multimodal.Multimodal.synthesizeImageTable(docs(spark, dir)),
-        "content")
+        mediaImages(spark, dir), "content")
       .orderBy(col("doc_id"), col("frame_idx"))
 
   /** Multimodal perceptual-hash near-duplicate pairs (m3), on REAL decoded
@@ -784,8 +810,7 @@ object PipelineQueries {
   private def decodedAudioSigs(spark: SparkSession, dir: String): DataFrame =
     memo(spark, s"maud:$dir") {
       graft.multimodal.Multimodal.audioSignatures(
-        graft.multimodal.Multimodal.synthesizeAudioTable(docs(spark, dir)),
-        "content")
+        mediaAudio(spark, dir), "content")
     }
 
   /** Audio near-duplicate pairs (m8), on REAL decoded PCM: the audio-dedup
@@ -849,8 +874,7 @@ object PipelineQueries {
     * encode+decode roundtrip reproduces it. */
   def m4AudioDecode(spark: SparkSession, dir: String): DataFrame =
     graft.multimodal.Multimodal.decodeAudioChecksums(
-        graft.multimodal.Multimodal.synthesizeAudioTable(docs(spark, dir)),
-        "content")
+        mediaAudio(spark, dir), "content")
       .orderBy(col("doc_id"))
 
   /** Cross-modal dedup (m6): the dedup decision a multimodal training
@@ -895,13 +919,12 @@ object PipelineQueries {
     * m1/m3/m4/m7 hash gates share with their oracles). No SQL oracle:
     * DuckDB cannot re-encode PNG; the driver records the weaker rows-only
     * check and the Python checker does the byte-level verification. */
-  def m5MediaBytes(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
-    graft.multimodal.Multimodal.synthesizeImageTable(d)
-      .unionByName(graft.multimodal.Multimodal.synthesizeAudioTable(d))
-      .unionByName(graft.multimodal.Multimodal.synthesizeGifTable(d))
+  def m5MediaBytes(spark: SparkSession, dir: String): DataFrame =
+    mediaImages(spark, dir)
+      .unionByName(mediaAudio(spark, dir))
+      .unionByName(mediaGifs(spark, dir))
+      .unionByName(mediaTiffs(spark, dir))
       .orderBy(col("doc_id"), col("mime"))
-  }
 
   /** TRUE multi-frame container decode (m7): deterministic N-frame
     * animated GIFs — a real container with per-frame LZW rasters AND
@@ -922,9 +945,30 @@ object PipelineQueries {
     * libs). */
   def m7GifFrames(spark: SparkSession, dir: String): DataFrame =
     graft.multimodal.Multimodal.decodeGifFrames(
-        graft.multimodal.Multimodal.synthesizeGifTable(docs(spark, dir)),
-        "content")
+        mediaGifs(spark, dir), "content")
       .orderBy(col("doc_id"), col("frame_idx"))
+
+  /** Second TRUE multi-frame container family (m9): deterministic
+    * multi-PAGE TIFFs — per-page IFDs each carrying their OWN geometry,
+    * ZLib(deflate)-compressed strips — written and read back through the
+    * JDK's built-in TIFF plugin (ImageIO, JDK 9+;
+    * [[graft.multimodal.Multimodal.synthesizeTiffTable]] /
+    * [[graft.multimodal.Multimodal.decodeTiffPages]]). Where m7's GIF
+    * pins a frame SEQUENCE with per-frame timing, TIFF pins the
+    * multi-IFD directory walk: page count and per-page (width, height)
+    * all vary per document AND per page, so a decoder that reads only the
+    * first IFD — or walks the chain but reuses page 0's geometry —
+    * cannot hash-match. The oracle recomputes the page/geometry/pixel
+    * lattice relationally; tools/independent_check.py re-reads the
+    * m5-dumped bytes with a pure-Python TIFF directory walker +
+    * zlib strip decode (third implementation). With m7+m9 green the
+    * absent-codec-family claim narrows to inter-frame-compressed video
+    * only (H.264/VP9 — native libs). Scale shape: narrow synthesize +
+    * narrow decode, no shuffle, pages never leave the task. */
+  def m9TiffPages(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.decodeTiffPages(
+        mediaTiffs(spark, dir), "content")
+      .orderBy(col("doc_id"), col("page_idx"))
 
   /** Benchmark decontamination (c2): flag training documents sharing any
     * word 4-gram with a benchmark/eval set (here: every 23rd doc plays the
@@ -2096,10 +2140,18 @@ object PipelineQueries {
     * matches + fpp x store, batch-bounded) are BROADCAST into the exact
     * join — NO store row ever transits a shuffle, at any batch count
     * (round-9 verdict #1: the full-store joins here were the one unpruned
-    * scan in an ingest hot loop; StreamFunnelPlanSpec audits the new plan
-    * shape). State grows with DISTINCT content (shas + occupied buckets),
-    * not arrivals. Eager localCheckpoints pin each batch's
-    * read-before-append ordering against the two stores. */
+    * scan in an ingest hot loop; MaintainedStoreSpec audits the plan
+    * shape, FunnelParitySpec the batch-composition semantics). State grows
+    * with DISTINCT content (shas + occupied buckets), not arrivals.
+    *
+    * Every append is IDEMPOTENT under foreachBatch's at-least-once
+    * contract ([[graft.streaming.BatchStore]]: per-batch subdirectories,
+    * overwrite on retry), and each batch consults only batches committed
+    * strictly BEFORE it — a retried batch can neither double-append nor
+    * see its own failed attempt's partial store rows (round-10 ADVICE on
+    * the s21 twin of this loop; the readBefore scope also makes the
+    * read-before-append ordering structural rather than relying on eager
+    * checkpoint evaluation order). */
   def s20StreamCurationFunnel(spark: SparkSession, dir: String): DataFrame =
     streamCurationFunnel(spark, dir, 3)
 
@@ -2127,18 +2179,24 @@ object PipelineQueries {
       val outDir = graft.util.TempDirs.create("graft_s20_out_")
       val ckpt = graft.util.TempDirs.create("graft_s20_ckpt_")
       // seed the stores so per-batch reads have a schema before batch 0
-      // (overwrite: TempDirs.create already made the empty directories)
-      spark.range(0).select(lit("").as("sha"))
-        .write.mode("overwrite").parquet(shaDir)
-      spark.range(0).select(lit(0).as("band"), lit(0L).as("bh"),
-        lit(0L).as("doc_id")).write.mode("overwrite").parquet(bandDir)
+      graft.streaming.BatchStore.seed(
+        spark.range(0).select(lit("").as("sha")), shaDir)
+      graft.streaming.BatchStore.seed(
+        spark.range(0).select(lit(0).as("band"), lit(0L).as("bh"),
+          lit(0L).as("doc_id")), bandDir)
       val quality = d33QualityCol(wts)
+      // out seed derived from the REAL source columns + the quality
+      // expression, so every batch file agrees with it type-for-type
+      graft.streaming.BatchStore.seed(
+        raw.withColumn("quality", quality)
+          .select(col("doc_id"), col("lang"), col("n_chars"), col("quality"))
+          .where(lit(false)), outDir)
       val src = spark.readStream.schema(raw.schema)
         .option("maxFilesPerTrigger", 1).parquet(staging)
       val q = src.writeStream
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
           // stages 1+2: stateless decontam + frozen-model quality filter
           val p2 = batch
             .where(!shares(TextOps.wordGramArray(col("text"), 4)))
@@ -2154,19 +2212,25 @@ object PipelineQueries {
             .localCheckpoint()
           // store consult WITHOUT a store-side shuffle: batch-keyed Bloom
           // prunes the scan map-side; candidates broadcast into the exact
-          // anti-join (no false negatives -> identical result). EAGER
-          // checkpoint: must evaluate against the PRE-append store.
+          // anti-join (no false negatives -> identical result). The store
+          // view is batches COMMITTED before this one — retry-safe.
+          val shaStore = graft.streaming.BatchStore.readBefore(
+            spark, shaDir, batchId)
           val seenCand = graft.streaming.MaintainedStore.candidatesByString(
-            spark, shaDir, batchRep.select(col("sha")), "sha")
+            shaStore, batchRep.select(col("sha")), "sha",
+            graft.streaming.MaintainedStore.DefaultFpp)
           val p3 = batchRep.join(broadcast(seenCand), Seq("sha"), "left_anti")
             .localCheckpoint()
           // stage 4: flag vs the signature store (any hit = earlier batch)
-          // and within-batch smaller ids — evaluated BEFORE the band append.
-          // Same device: composite (band, bh) key folded into one long.
+          // and within-batch smaller ids — evaluated against the same
+          // committed-batches-only view of the band store.
           val bands = streamBandsOf(p3).localCheckpoint()
           val bandKey = col("band").cast("long") * lit(P) + col("bh")
+          val bandStore = graft.streaming.BatchStore.readBefore(
+            spark, bandDir, batchId)
           val storeCand = graft.streaming.MaintainedStore.candidatesByLong(
-            spark, bandDir, bands.select(bandKey.as("k")), "k", bandKey)
+            bandStore, bands.select(bandKey.as("k")), "k", bandKey,
+            graft.streaming.MaintainedStore.DefaultFpp)
           // within-batch check via per-bucket MIN, not a bands x bands
           // self-join: "some smaller id shares my bucket" == "my id > the
           // bucket min" — output linear in band rows where the pairwise
@@ -2183,13 +2247,16 @@ object PipelineQueries {
               .where(col("doc_id") > col("mn"))
               .select(col("doc_id")))
             .distinct().localCheckpoint()
-          // state + output appends (order no longer matters: p3/flagged
-          // are materialized)
-          p3.select(col("sha")).write.mode("append").parquet(shaDir)
-          bands.write.mode("append").parquet(bandDir)
-          p3.join(flagged, Seq("doc_id"), "left_anti")
-            .select(col("doc_id"), col("lang"), col("n_chars"), col("quality"))
-            .write.mode("append").parquet(outDir)
+          // state + output appends: per-batch subdirs, overwrite —
+          // idempotent on a foreachBatch retry (a replayed batch REPLACES
+          // its failed attempt's files instead of appending next to them)
+          graft.streaming.BatchStore.append(
+            p3.select(col("sha")), shaDir, batchId)
+          graft.streaming.BatchStore.append(bands, bandDir, batchId)
+          graft.streaming.BatchStore.append(
+            p3.join(flagged, Seq("doc_id"), "left_anti")
+              .select(col("doc_id"), col("lang"), col("n_chars"), col("quality")),
+            outDir, batchId)
           ()
         }
         .start()
@@ -2197,7 +2264,7 @@ object PipelineQueries {
       val dataBatches = q.recentProgress.count(_.numInputRows > 0)
       require(dataBatches == parts,
         s"s20 expects $parts single-file micro-batches, saw $dataBatches")
-      spark.read.parquet(outDir)
+      graft.streaming.BatchStore.readAll(spark, outDir)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("num_docs"),
           round(avg(col("n_chars")), 2).as("avg_chars"),
@@ -2235,15 +2302,34 @@ object PipelineQueries {
     * relationally re-derived PCM lattice — batch-composition-independent
     * because min over the struct key is associative (s9's rationale). */
   def s21StreamAudioDedup(spark: SparkSession, dir: String): DataFrame =
-    memo(spark, s"s21:$dir") {
+    streamAudioDedup(spark, dir, 3)._1.orderBy(col("doc_id"))
+
+  /** `parts`-parametric s21 body (the s20 shape): the GATE pins parts = 3
+    * (the oracle's %3 arrival key); ScaleS20's decade protocol calls this
+    * with the micro-batch count SCALED with the data (3/9/27/81), so the
+    * per-batch store-consult AND store-append terms are measured rather
+    * than pinned away (round-10 verdict #2). Returns (result, storeDir) so
+    * the store-growth contract — store rows == distinct signatures SEEN,
+    * not arrivals — is assertable from outside (S21ParitySpec). */
+  private val s21StoreDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def streamAudioDedup(spark: SparkSession, dir: String,
+      parts: Int): (DataFrame, String) = {
+    val dirKey = s"${spark.sparkContext.applicationId}:s21:$dir:$parts"
+    val out = memo(spark, s"s21:$dir:$parts") {
       val raw = docs(spark, dir)
       val staging = graft.util.Staging.stageChunks(
-        raw.select(col("doc_id")), "doc_id", 3, "s21", dropKey = false)
+        raw.select(col("doc_id")), "doc_id", parts, "s21", dropKey = false)
       val storeDir = graft.util.TempDirs.create("graft_s21_sig_")
       val outDir = graft.util.TempDirs.create("graft_s21_out_")
       val ckpt = graft.util.TempDirs.create("graft_s21_ckpt_")
-      spark.range(0).select(lit(0L).as("asig_hi"), lit(0L).as("asig_lo"))
-        .write.mode("overwrite").parquet(storeDir)
+      s21StoreDirs.put(dirKey, storeDir)
+      graft.streaming.BatchStore.seed(
+        spark.range(0).select(lit(0L).as("asig_hi"), lit(0L).as("asig_lo")),
+        storeDir)
+      graft.streaming.BatchStore.seed(
+        spark.range(0).select(lit(0L).as("doc_id"), lit(false).as("is_dup")),
+        outDir)
       val srcSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_id",
           org.apache.spark.sql.types.LongType, nullable = true)))
@@ -2253,16 +2339,22 @@ object PipelineQueries {
       val q = src.writeStream
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
           // REAL codec work inside the micro-batch: synthesize the WAV
           // payload (fixture stand-in for the arriving media bytes) and
-          // decode it back to the 64-bit signature in one JVM loop;
-          // eager checkpoint: evaluate against the PRE-append store
+          // decode it back to the 64-bit signature in one JVM loop; the
+          // store view is batches COMMITTED before this one (BatchStore),
+          // so a foreachBatch retry neither double-appends nor consults
+          // its own failed attempt's partial rows
           val sigs = graft.multimodal.Multimodal.audioSignatures(
             graft.multimodal.Multimodal.synthesizeAudioTable(batch), "content")
             .localCheckpoint()
+          val store = graft.streaming.BatchStore.readBefore(
+            spark, storeDir, batchId)
           val storeCand = graft.streaming.MaintainedStore.candidatesByLong(
-            spark, storeDir, sigs.select(sigKey.as("k")), "k", sigKey)
+            store, sigs.select(sigKey.as("k")), "k", sigKey,
+            graft.streaming.MaintainedStore.DefaultFpp)
+            .localCheckpoint()
           val batchMins = sigs.groupBy(col("asig_hi"), col("asig_lo"))
             .agg(min(col("doc_id")).as("mn"))
           val flagged = sigs.join(broadcast(storeCand),
@@ -2273,18 +2365,113 @@ object PipelineQueries {
               .where(col("doc_id") > col("mn"))
               .select(col("doc_id")))
             .distinct().localCheckpoint()
-          sigs.select(col("asig_hi"), col("asig_lo"))
-            .distinct().write.mode("append").parquet(storeDir)
-          batch.select(col("doc_id"))
-            .join(flagged.withColumn("f", lit(true)), Seq("doc_id"), "left")
-            .select(col("doc_id"), coalesce(col("f"), lit(false)).as("is_dup"))
-            .write.mode("append").parquet(outDir)
+          // append only signatures NOT already in the store — the exact
+          // store matches are ALREADY IN HAND (storeCand: Bloom has no
+          // false negatives, so every stored signature in this batch is a
+          // candidate), so the anti-join costs one broadcast probe of a
+          // batch-bounded set, no extra store traversal. Without it the
+          // store grows with per-batch distinct ARRIVALS, not distinct
+          // content (round-10 verdict #1: a duplicate-heavy stream —
+          // dedup's own workload — re-appends every stored signature it
+          // keeps receiving, linear store growth in batch count worst
+          // case, every later consult scanning the bloat).
+          graft.streaming.BatchStore.append(
+            sigs.select(col("asig_hi"), col("asig_lo")).distinct()
+              .join(broadcast(storeCand.select(col("asig_hi"), col("asig_lo"))),
+                Seq("asig_hi", "asig_lo"), "left_anti"),
+            storeDir, batchId)
+          graft.streaming.BatchStore.append(
+            batch.select(col("doc_id"))
+              .join(flagged.withColumn("f", lit(true)), Seq("doc_id"), "left")
+              .select(col("doc_id"), coalesce(col("f"), lit(false)).as("is_dup")),
+            outDir, batchId)
           ()
         }
         .start()
       q.awaitTermination()
-      spark.read.parquet(outDir)
-    }.orderBy(col("doc_id"))
+      graft.streaming.BatchStore.readAll(spark, outDir)
+    }
+    (out, s21StoreDirs.get(dirKey))
+  }
+
+  /** s21 on the KEYED-STREAMING-STATE backend (s22): the same streaming
+    * multimodal ingest dedup — real per-arrival WAV synthesize + decode,
+    * first-arrival-wins per full 64-bit signature — with the maintained
+    * parquet store replaced by transformWithState ValueState on RocksDB
+    * ([[graft.streaming.KeyedDedup]]). This is the documented migration
+    * path past the parquet store's honest residual: the per-batch
+    * single-column store SCAN (O(|store|) I/O per batch even Bloom-pruned)
+    * becomes point lookups of exactly the batch's keys — per-batch cost
+    * O(batch), FLAT as the store grows (ScaleS20 s21-vs-s22 decade rows).
+    * Parquet stays the default backend (replayable, inspectable,
+    * takedown-capable — s17's rationale); same verdicts by construction,
+    * pinned three ways: the shared s21 oracle, S22ParitySpec (stream ≡
+    * parquet-store form ≡ batch derivation), and this gate's hash.
+    *
+    * Plumbing notes: a STREAMING Dataset cannot drop to RDD mapPartitions,
+    * so the codec runs in a typed `map` (object-serialized hop into the
+    * stateful operator — acceptable here because the stateful shuffle is
+    * 24-byte signatures, not media); the verdict stream lands through the
+    * same idempotent per-batch BatchStore layout, and the keyed state
+    * itself is exactly-once via the streaming checkpoint (a retried batch
+    * re-reads its input and overwrites its output — state writes are
+    * versioned by the checkpoint, the engine's own contract). */
+  private[graft] def streamAudioDedupKeyed(spark: SparkSession, dir: String,
+      parts: Int): DataFrame =
+    memo(spark, s"s22:$dir:$parts") {
+      import spark.implicits._
+      val prevProvider =
+        spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val raw = docs(spark, dir)
+        val staging = graft.util.Staging.stageChunks(
+          raw.select(col("doc_id")), "doc_id", parts, "s22", dropKey = false)
+        val outDir = graft.util.TempDirs.create("graft_s22_out_")
+        val ckpt = graft.util.TempDirs.create("graft_s22_ckpt_")
+        graft.streaming.BatchStore.seed(
+          spark.range(0).select(lit(0L).as("doc_id"), lit(false).as("is_dup")),
+          outDir)
+        val srcSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType, nullable = true)))
+        val sigs = spark.readStream.schema(srcSchema)
+          .option("maxFilesPerTrigger", 1).parquet(staging)
+          .select(col("doc_id")).as[Long]
+          .map { id => // REAL codec work per arrival, inside the stream
+            val (hi, lo) = graft.multimodal.Multimodal.audioSignatureFor(id)
+            graft.streaming.KeyedDedup.SigArrival(id, hi, lo)
+          }
+        val verdicts = sigs
+          .groupByKey(r => (r.asig_hi, r.asig_lo))
+          .transformWithState(new graft.streaming.KeyedDedup.FirstArrivalBySig,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Update())
+        val q = verdicts.toDF().writeStream
+          .option("checkpointLocation", ckpt)
+          .outputMode("update")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            graft.streaming.BatchStore.append(
+              batch.select(col("doc_id"), col("is_dup")), outDir, batchId)
+            ()
+          }
+          .start()
+        q.awaitTermination()
+        graft.streaming.BatchStore.readAll(spark, outDir)
+      } finally prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+
+  /** Gate form of the keyed backend (same oracle as s21 — the verdicts are
+    * batch-composition-independent, so the two backends must agree). */
+  def s22StreamAudioDedupKeyed(spark: SparkSession, dir: String): DataFrame =
+    streamAudioDedupKeyed(spark, dir, 3).orderBy(col("doc_id"))
 
   // ------------------------------------------------------------ oracle SQL
 
@@ -2796,6 +2983,19 @@ object PipelineQueries {
        |  JOIN asig b ON b.doc_id = c.doc_b
        |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3)""".stripMargin
 
+  /** Shared s21/s22 oracle: first-arrival-wins per full 64-bit signature
+    * under the (chunk, doc_id) arrival key — backend-independent. */
+  private lazy val s21OracleSqlShared: String =
+    s"""WITH $audioStarCtesSql,
+       |amin AS (SELECT hi, lo,
+       |    min({'c': doc_id % 3, 'i': doc_id}) AS mkey
+       |  FROM asig GROUP BY 1, 2),
+       |afl AS (SELECT a.doc_id
+       |  FROM asig a JOIN amin USING (hi, lo)
+       |  WHERE amin.mkey < {'c': a.doc_id % 3, 'i': a.doc_id})
+       |SELECT doc_id, doc_id IN (SELECT doc_id FROM afl) AS is_dup
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "t1_minhash_signatures" -> {
       val mh = (0 until 8).map(j => s"${mhSql(j)} AS mh$j").mkString(", ")
@@ -3028,6 +3228,23 @@ object PipelineQueries {
         |  sum(v)::BIGINT AS frame_sum, sum(v * (i+1))::BIGINT AS frame_wsum
         |FROM px GROUP BY doc_id, n, fr, w, h
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    // m9: the TIFF fixture (page count, PER-PAGE geometry, pixel lattice)
+    // recomputed relationally — only a correct multi-IFD encode+decode
+    // roundtrip reproduces it (m7's device on the second container family)
+    "m9_tiff_pages" ->
+      """WITH g AS (SELECT doc_id, 2 + doc_id % 3 AS n FROM documents),
+        |pg AS (SELECT doc_id, n, unnest(range(0, n)) AS p FROM g),
+        |geo AS (SELECT doc_id, n, p,
+        |    8 + (doc_id + 5*p) % 7 AS w,
+        |    8 + (doc_id // 7 + 3*p) % 7 AS h FROM pg),
+        |px AS (SELECT doc_id, n, p, w, h, i,
+        |    (doc_id*97 + p*53 + i*31 + ((i*i) % 251)*5) % 256 AS v
+        |  FROM (SELECT *, unnest(range(0, w*h)) AS i FROM geo))
+        |SELECT doc_id, n::INT AS n_pages, p::INT AS page_idx,
+        |  w::INT AS width, h::INT AS height,
+        |  sum(v)::BIGINT AS page_sum, sum(v * (i+1))::BIGINT AS page_wsum
+        |FROM px GROUP BY doc_id, n, p, w, h
+        |ORDER BY doc_id, page_idx""".stripMargin,
     // m4: the PCM lattice (planted-copy geometry) recomputed relationally;
     // sample_wsum pins the interleaved sample ORDER through the WAV
     // encode+decode roundtrip
@@ -3048,16 +3265,10 @@ object PipelineQueries {
     // arrival key — min over the struct key per FULL 64-bit signature is
     // associative, so the expected verdicts are independent of the
     // micro-batch composition (s9's rationale, m8's signature chain)
-    "s21_stream_audio_dedup" ->
-      s"""WITH $audioStarCtesSql,
-         |amin AS (SELECT hi, lo,
-         |    min({'c': doc_id % 3, 'i': doc_id}) AS mkey
-         |  FROM asig GROUP BY 1, 2),
-         |afl AS (SELECT a.doc_id
-         |  FROM asig a JOIN amin USING (hi, lo)
-         |  WHERE amin.mkey < {'c': a.doc_id % 3, 'i': a.doc_id})
-         |SELECT doc_id, doc_id IN (SELECT doc_id FROM afl) AS is_dup
-         |FROM documents ORDER BY doc_id""".stripMargin,
+    "s21_stream_audio_dedup" -> s21OracleSqlShared,
+    // s22: the SAME expected verdicts — the keyed-state backend must
+    // agree with the parquet-store backend on any arrival composition
+    "s22_stream_audio_dedup_keyed" -> s21OracleSqlShared,
     "c2_contamination" -> contamOracleSql,
     // c3 = c2 with a Bloom prefilter + exact verify — Bloom false positives
     // are removed by the verify join, so the expected output is IDENTICAL
@@ -3362,7 +3573,9 @@ object PipelineQueries {
     "m6_crossmodal_dedup" -> m6CrossModalDedup,
     "m7_gif_frames" -> m7GifFrames,
     "m8_audio_neardup" -> m8AudioNearDup,
+    "m9_tiff_pages" -> m9TiffPages,
     "s21_stream_audio_dedup" -> s21StreamAudioDedup,
+    "s22_stream_audio_dedup_keyed" -> s22StreamAudioDedupKeyed,
     "e2_lsh_ann" -> e2LshAnn,
     "e11_lsh_multiprobe" -> e11LshMultiprobe,
     "e12_hybrid_rrf" -> e12HybridRrf,

@@ -2,29 +2,37 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Decade runner for the s20 streaming curation funnel with the
-  * micro-batch count SCALED with the data — the honest form of the s20
-  * decade row: the per-batch store-consult term is measured, not pinned
-  * away by running 3 batches at every scale (round-9 verdict #1; the
-  * consult itself is Bloom-pruned + broadcast via
-  * [[graft.streaming.MaintainedStore]], so the expected shape is ~linear
-  * in arrivals even as batches multiply).
+/** Decade runner for the streaming ingest funnels (s20 curation, s21
+  * multimodal audio dedup — parquet-store and keyed-state backends) with
+  * the micro-batch count SCALED with the data — the honest form of the
+  * decade rows: the per-batch store-consult and store-append terms are
+  * measured, not pinned away by running 3 batches at every scale
+  * (round-9 verdict #1 for s20, round-10 verdict #2 for s21; the consult
+  * is Bloom-pruned + broadcast via [[graft.streaming.MaintainedStore]],
+  * so the expected shape is ~linear in arrivals even as batches
+  * multiply).
   *
-  *   runMain graft.ScaleS20 <dir>:<parts> [<dir>:<parts> ...]
-  *   e.g. runMain graft.ScaleS20 /root/testdata/sf0.1:3 /tmp/graft_sf10x:9 \
-  *        /tmp/graft_sf100x:27 /tmp/graft_sf300x:81
+  *   runMain graft.ScaleS20 [<gate>:]<dir>:<parts> [...]
+  *   gate = s20 (default) | s21 | s22 (keyed-state s21)
+  *   e.g. runMain graft.ScaleS20 /root/testdata/sf0.1:3 /tmp/graft_sf10x:9
+  *        s21:/tmp/graft_sf100x:27 s22:/tmp/graft_sf300x:81
   *
-  * Reports the COLD end-to-end ingest per (dir, parts) — staging, d33
-  * model training, decontam set build, and every micro-batch including
-  * its store consults and appends — in ONE JVM (ScaleSmoke's same-host
-  * rationale), releasing memoized frames and cached blocks between
-  * decades so each scale is measured against its own working set. */
+  * Reports the COLD end-to-end ingest per (gate, dir, parts) — staging,
+  * model training/decontam set build (s20), per-batch codec decode
+  * (s21/s22), every micro-batch's store consults and appends — in ONE
+  * JVM (ScaleSmoke's same-host rationale), releasing memoized frames and
+  * cached blocks between decades so each scale is measured against its
+  * own working set. */
 object ScaleS20 {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: ScaleS20 <dir>:<parts> [<dir>:<parts> ...]")
+    require(args.nonEmpty,
+      "usage: ScaleS20 [<gate>:]<dir>:<parts> [...]  (gate = s20|s21|s22)")
     val runs = args.toSeq.map { a =>
-      val Array(dir, parts) = a.split(":")
-      (dir, parts.toInt)
+      a.split(":") match {
+        case Array(gate, dir, parts) => (gate, dir, parts.toInt)
+        case Array(dir, parts)       => ("s20", dir, parts.toInt)
+        case _ => sys.error(s"bad arg '$a': want [<gate>:]<dir>:<parts>")
+      }
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -35,19 +43,24 @@ object ScaleS20 {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val results = runs.map { case (dir, parts) =>
+    val results = runs.map { case (gate, dir, parts) =>
       val t0 = System.nanoTime()
-      PipelineQueries.streamCurationFunnel(spark, dir, parts)
-        .write.format("noop").mode("overwrite").save()
+      val frame = gate match {
+        case "s20" => PipelineQueries.streamCurationFunnel(spark, dir, parts)
+        case "s21" => PipelineQueries.streamAudioDedup(spark, dir, parts)._1
+        case "s22" => PipelineQueries.streamAudioDedupKeyed(spark, dir, parts)
+        case g => sys.error(s"unknown gate '$g' (want s20|s21|s22)")
+      }
+      frame.write.format("noop").mode("overwrite").save()
       val t = (System.nanoTime() - t0) / 1e9
-      println(f"""S20 {"dir":"$dir","parts":$parts,"cold_sec":$t%.1f}""")
+      println(f"""${gate.toUpperCase} {"dir":"$dir","parts":$parts,"cold_sec":$t%.1f}""")
       PipelineQueries.evictMemos()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       spark.catalog.clearCache()
-      (dir, parts, t)
+      (gate, dir, parts, t)
     }
-    println("\ndir\tparts\tcold_sec")
-    results.foreach { case (d, p, t) => println(f"$d\t$p\t$t%.1f") }
+    println("\ngate\tdir\tparts\tcold_sec")
+    results.foreach { case (g, d, p, t) => println(f"$g\t$d\t$p\t$t%.1f") }
     spark.stop()
   }
 }

@@ -55,10 +55,23 @@ object Verify {
     spark.stop()
     if (runCheck) {
       import scala.sys.process._
+      // resolve tools/ against the REPO ROOT, not the cwd: sbt forks mains
+      // in the repo root but a bare java/spark-submit launch may not, and a
+      // cwd-relative path would then fail — or worse, run a DIFFERENT
+      // checkout's checkers (round-10 ADVICE). Override with
+      // GRAFT_REPO_ROOT; otherwise walk up from the cwd to build.sbt.
+      val root = sys.env.get("GRAFT_REPO_ROOT").getOrElse {
+        Iterator.iterate(new java.io.File(".").getCanonicalFile)(_.getParentFile)
+          .takeWhile(_ != null)
+          .find(d => new java.io.File(d, "build.sbt").exists())
+          .getOrElse(sys.error("--check: no build.sbt above the cwd — run " +
+            "from inside the repo or set GRAFT_REPO_ROOT"))
+          .getPath
+      }
       // driver-side python3 (duckdb/pandas) — the same tools the round
       // gate runs; inherit stdio so per-gate ok/FAIL lines stay visible
-      val compare = Seq("python3", "tools/compare_oracle.py", sfDir, outDir).!
-      val indep = Seq("python3", "tools/independent_check.py", sfDir, outDir).!
+      val compare = Seq("python3", s"$root/tools/compare_oracle.py", sfDir, outDir).!
+      val indep = Seq("python3", s"$root/tools/independent_check.py", sfDir, outDir).!
       if (compare != 0 || indep != 0)
         sys.error(s"--check FAILED (compare_oracle=$compare, independent_check=$indep)")
       println("[verify] --check: oracle compare + independent checks PASS")

@@ -499,6 +499,156 @@ object Multimodal {
     df.sparkSession.createDataFrame(rdd, schema)
   }
 
+  // ---------------------------------------------------------------------
+  // Multi-page TIFF fixture (m9) — the SECOND true multi-frame container
+  // family: a real TIFF with one IFD (directory entry) per page, each IFD
+  // carrying its OWN geometry, pixel data ZLib(deflate)-compressed, written
+  // and read through the JDK's built-in TIFF plugin (ImageIO, JDK 9+).
+  // Geometry (mirrored in the DuckDB oracle and
+  // tools/independent_check.py, all integer arithmetic):
+  //   pages   n = 2 + doc_id % 3
+  //   page p: w = 8 + (doc_id + 5*p) % 7, h = 8 + (doc_id / 7 + 3*p) % 7
+  //     (PER-PAGE dims: a decoder that walks the IFD chain but reuses
+  //     page 0's geometry cannot hash-match)
+  //   sample i (= y*w + x) of page p:
+  //     v = (doc_id*97 + p*53 + i*31 + (i*i mod 251)*5) mod 256
+  // Gray 8-bit (PhotometricInterpretation BlackIsZero) — the roundtrip is
+  // lossless by construction (deflate); JPEG-in-TIFF is deliberately NOT
+  // used (lossy IDCT breaks bit-exact oracles).
+  // ---------------------------------------------------------------------
+
+  def tiffPages(docId: Long): Int = (2 + docId % 3).toInt
+  def tiffWidth(docId: Long, p: Int): Int = (8 + (docId + 5L * p) % 7).toInt
+  def tiffHeight(docId: Long, p: Int): Int =
+    (8 + (docId / 7 + 3L * p) % 7).toInt
+  def tiffPixel(docId: Long, p: Int, i: Int): Int =
+    ((docId * 97L + p * 53L + i * 31L + (i.toLong * i % 251L) * 5L) % 256L).toInt
+
+  /** TIFF writer/reader SPIs resolved ONCE per JVM (the m4/m7 convoy
+    * lesson: registry walks serialize executor threads; SPI instances are
+    * stateless factories). */
+  private lazy val tiffWriterSpi: javax.imageio.spi.ImageWriterSpi = {
+    val it = javax.imageio.ImageIO.getImageWritersByFormatName("tiff")
+    require(it.hasNext, "no TIFF ImageWriter on this JVM (JDK 9+ ships one)")
+    it.next().getOriginatingProvider
+  }
+  private lazy val tiffReaderSpi: javax.imageio.spi.ImageReaderSpi = {
+    val it = javax.imageio.ImageIO.getImageReadersByFormatName("tiff")
+    require(it.hasNext, "no TIFF ImageReader on this JVM (JDK 9+ ships one)")
+    it.next().getOriginatingProvider
+  }
+
+  /** Build the multi-page TIFF table: (doc_id, mime, content) with REAL
+    * multi-IFD TIFF bytes per document (narrow pass). */
+  def synthesizeTiffTable(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("mime", StringType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    val rdd = docs.select(col("doc_id")).rdd.mapPartitions { it =>
+      ImageIOInit.ensure()
+      it.map { r =>
+        val id = r.getLong(0)
+        Row(id, "image/tiff", encodeTiff(id))
+      }
+    }
+    docs.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** Encode one document's page sequence through the real TIFF writer:
+    * prepareWriteSequence / writeToSequence, one IFD per page with its own
+    * geometry, ZLib-compressed strips (lossless zlib — also what keeps the
+    * pure-Python third implementation a directory walker + inflate, not an
+    * LZW re-implementation). */
+  private def encodeTiff(docId: Long): Array[Byte] = {
+    val n = tiffPages(docId)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    val writer = tiffWriterSpi.createWriterInstance()
+    writer.setOutput(ios)
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionType("ZLib")
+    writer.prepareWriteSequence(null)
+    var p = 0
+    while (p < n) {
+      val (w, h) = (tiffWidth(docId, p), tiffHeight(docId, p))
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0, tiffPixel(docId, p, y * w + x))
+          x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), param)
+      p += 1
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    bos.toByteArray
+  }
+
+  /** REAL multi-page container decode: `ImageReader.getNumImages` + per-IFD
+    * `read(p)` — [[decodeGifFrames]]'s operator shape on the second
+    * container family. One input row -> one row per page, with the page's
+    * OWN decoded geometry and integer checksums (gray sum +
+    * position-weighted sum pinning sample order) computed in the decode
+    * loop. Narrow pass; pages never leave the task. */
+  def decodeTiffPages(df: DataFrame, binaryCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_pages", IntegerType, nullable = false),
+      StructField("page_idx", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("page_sum", LongType, nullable = false),
+      StructField("page_wsum", LongType, nullable = false)))
+    val binIdx = df.schema.fieldIndex(binaryCol)
+    val idIdx = df.schema.fieldIndex("doc_id")
+    val rdd = df.rdd.mapPartitions { it =>
+      ImageIOInit.ensure()
+      it.flatMap { row =>
+        val docId = row.getLong(idIdx)
+        val bytes = row.getAs[Array[Byte]](binIdx)
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val reader = tiffReaderSpi.createReaderInstance()
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        val out = (0 until n).map { p =>
+          val img = reader.read(p)
+          val (w, h) = (img.getWidth, img.getHeight)
+          val raster = img.getRaster
+          require(raster.getNumBands == 1,
+            s"TIFF page decoded to ${raster.getNumBands} bands, expected gray")
+          var sum = 0L
+          var wsum = 0L
+          var j = 1L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = raster.getSample(x, y, 0).toLong
+              sum += v; wsum += v * j; j += 1
+              x += 1
+            }
+            y += 1
+          }
+          Row(docId, n, p, w, h, sum, wsum)
+        }
+        reader.dispose()
+        out
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
   /** Build the audio table — REAL PCM WAV bytes per document:
     * (doc_id, mime, content), written through `javax.sound.sampled`
     * (unsigned 8-bit PCM, the WAV-native 8-bit convention). */
@@ -636,36 +786,48 @@ object Multimodal {
     val idIdx = df.schema.fieldIndex("doc_id")
     val rdd = df.rdd.mapPartitions { it =>
       it.map { row =>
-        val bytes = row.getAs[Array[Byte]](binIdx)
-        // direct single-provider SPI call — see wavReader's convoy notes
-        val ais = wavReader.getAudioInputStream(
-          new java.io.ByteArrayInputStream(bytes))
-        require(ais.getFormat.getSampleSizeInBits == 8,
-          s"audio gate expects 8-bit PCM, got ${ais.getFormat.getSampleSizeInBits}")
-        val pcm = ais.readAllBytes()
-        val n = pcm.length
-        val sums = new Array[Long](64)
-        val cnts = new Array[Long](64)
-        var total = 0L
-        var u = 0
-        while (u < n) {
-          val v = (pcm(u) & 0xFF).toLong
-          val k = (u.toLong * 64 / n).toInt
-          sums(k) += v; cnts(k) += 1; total += v
-          u += 1
-        }
-        var hi = 0L; var lo = 0L; var k = 0
-        while (k < 64) {
-          if (cnts(k) > 0 && sums(k) * n > total * cnts(k)) {
-            if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
-          }
-          k += 1
-        }
+        val (hi, lo) = signatureOfWav(row.getAs[Array[Byte]](binIdx))
         Row(row.getLong(idIdx), hi, lo)
       }
     }
     df.sparkSession.createDataFrame(rdd, schema)
   }
+
+  /** One clip's signature, WAV bytes in: real container decode (the same
+    * single-provider SPI path) + the windowed-energy hash in one loop. */
+  def signatureOfWav(bytes: Array[Byte]): (Long, Long) = {
+    // direct single-provider SPI call — see wavReader's convoy notes
+    val ais = wavReader.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    require(ais.getFormat.getSampleSizeInBits == 8,
+      s"audio gate expects 8-bit PCM, got ${ais.getFormat.getSampleSizeInBits}")
+    val pcm = ais.readAllBytes()
+    val n = pcm.length
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var total = 0L
+    var u = 0
+    while (u < n) {
+      val v = (pcm(u) & 0xFF).toLong
+      val k = (u.toLong * 64 / n).toInt
+      sums(k) += v; cnts(k) += 1; total += v
+      u += 1
+    }
+    var hi = 0L; var lo = 0L; var k = 0
+    while (k < 64) {
+      if (cnts(k) > 0 && sums(k) * n > total * cnts(k)) {
+        if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+      }
+      k += 1
+    }
+    (hi, lo)
+  }
+
+  /** Synthesize + sign one document (the full fixture codec roundtrip) —
+    * the per-row body of the keyed-state streaming backend's typed map,
+    * where a streaming Dataset cannot drop to RDD mapPartitions. */
+  def audioSignatureFor(docId: Long): (Long, Long) =
+    signatureOfWav(encodeWav(docId))
 
   def decodeAudio(df: DataFrame, binaryCol: String): DataFrame = {
     val schema = df.schema

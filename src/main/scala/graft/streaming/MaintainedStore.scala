@@ -62,13 +62,21 @@ object MaintainedStore {
     * scaled-batch decade run at 100x/27 parts. */
   def candidatesByString(spark: SparkSession, storeDir: String,
       batchKeys: DataFrame, keyCol: String,
-      fpp: Double = DefaultFpp): DataFrame = {
+      fpp: Double = DefaultFpp): DataFrame =
+    candidatesByString(spark.read.parquet(storeDir), batchKeys, keyCol, fpp)
+
+  /** Frame-based form: `store` is any pre-filtered view of the maintained
+    * store (e.g. [[BatchStore.readBefore]]'s committed-batches-only read,
+    * which is what makes a RETRIED foreachBatch idempotent — the retry
+    * must not consult its own failed attempt's partial append). */
+  def candidatesByString(store: DataFrame, batchKeys: DataFrame,
+      keyCol: String, fpp: Double): DataFrame = {
     val n = batchKeys.count()
-    if (n == 0L) return spark.read.parquet(storeDir).where(lit(false))
+    if (n == 0L) return store.where(lit(false))
     val bf = batchKeys.stat.bloomFilter(keyCol, n, fpp)
-    val bc = spark.sparkContext.broadcast(bf)
+    val bc = store.sparkSession.sparkContext.broadcast(bf)
     val might = udf((s: String) => s != null && bc.value.mightContainString(s))
-    spark.read.parquet(storeDir).where(might(col(keyCol)))
+    store.where(might(col(keyCol)))
   }
 
   /** Store rows whose LONG key (an arbitrary Column over the store schema,
@@ -77,12 +85,80 @@ object MaintainedStore {
     * Same empty-batch short-circuit as [[candidatesByString]]. */
   def candidatesByLong(spark: SparkSession, storeDir: String,
       batchKeys: DataFrame, keyCol: String, storeKey: Column,
-      fpp: Double = DefaultFpp): DataFrame = {
+      fpp: Double = DefaultFpp): DataFrame =
+    candidatesByLong(spark.read.parquet(storeDir), batchKeys, keyCol,
+      storeKey, fpp)
+
+  /** Frame-based form of [[candidatesByLong]] (see
+    * [[candidatesByString(store:org\.apache\.spark\.sql\.DataFrame*]]). */
+  def candidatesByLong(store: DataFrame, batchKeys: DataFrame,
+      keyCol: String, storeKey: Column, fpp: Double): DataFrame = {
     val n = batchKeys.count()
-    if (n == 0L) return spark.read.parquet(storeDir).where(lit(false))
+    if (n == 0L) return store.where(lit(false))
     val bf = batchKeys.stat.bloomFilter(keyCol, n, fpp)
-    val bc = spark.sparkContext.broadcast(bf)
+    val bc = store.sparkSession.sparkContext.broadcast(bf)
     val might = udf((l: Long) => bc.value.mightContainLong(l))
-    spark.read.parquet(storeDir).where(might(storeKey))
+    store.where(might(storeKey))
   }
+}
+
+/**
+ * Idempotent per-micro-batch layout for a maintained parquet store (or any
+ * per-batch output) under foreachBatch's AT-LEAST-ONCE contract: Spark's
+ * checkpoint replays a micro-batch whose foreachBatch body failed mid-way,
+ * and a flat `mode("append")` directory then (a) double-appends the batch's
+ * rows and (b) lets the retry SEE its own failed attempt's partial append —
+ * for a dedup store that falsely flags every first-arrival in the retried
+ * batch as a duplicate (round-10 ADVICE).
+ *
+ * The fix is the lakehouse one (the same idea as CellStore's atomic
+ * publish): each batch writes its rows to its OWN subdirectory with
+ * `mode("overwrite")`, so a retry REPLACES the failed attempt instead of
+ * appending to it, and reads scope themselves to COMMITTED batches only:
+ *
+ *   <dir>/seed/       schema-bearing empty frame (readable before batch 0)
+ *   <dir>/batch-<id>/ exactly batch <id>'s rows (overwrite-idempotent)
+ *
+ * [[readBefore]] (batch `b`'s store consult) reads seed + batch-k for
+ * k < b: batches run in order, so every k < b was fully committed before b
+ * first started, and b's own partial leftovers are never visible to its
+ * retry. [[readAll]] (the post-stream result read) reads everything — by
+ * then the query has terminated and every batch directory is complete.
+ * Listing is driver-local (the staging contract Staging.stageChunks
+ * already pins); a production deployment swaps the listing for the object
+ * store's, keeping the same layout.
+ */
+object BatchStore {
+
+  /** Write the schema-bearing empty seed (read paths need a schema before
+    * any batch commits). `base` must exist (TempDirs.create). */
+  def seed(empty: DataFrame, base: String): Unit =
+    empty.write.mode("overwrite").parquet(s"$base/seed")
+
+  /** Idempotent per-batch write: overwrite this batch's own subdirectory. */
+  def append(df: DataFrame, base: String, batchId: Long): Unit =
+    df.write.mode("overwrite").parquet(s"$base/batch-$batchId")
+
+  private def parts(base: String): Seq[String] = {
+    val entries = Option(new java.io.File(base).listFiles()).getOrElse(
+      sys.error(s"BatchStore: cannot list $base (non-local/URI-form path? " +
+        "BatchStore stages on the driver-local filesystem)"))
+    entries.toSeq.map(_.getName)
+      .filter(n => n == "seed" || n.startsWith("batch-"))
+      .map(n => s"$base/$n")
+  }
+
+  /** Every batch directory COMMITTED strictly before `batchId`, plus the
+    * seed — the store view a retried batch `batchId` must consult. */
+  def readBefore(spark: SparkSession, base: String, batchId: Long): DataFrame = {
+    val paths = parts(base).filter { p =>
+      val n = p.substring(p.lastIndexOf('/') + 1)
+      n == "seed" || n.stripPrefix("batch-").toLong < batchId
+    }
+    spark.read.parquet(paths: _*)
+  }
+
+  /** Everything (seed + all batches) — for AFTER the query terminates. */
+  def readAll(spark: SparkSession, base: String): DataFrame =
+    spark.read.parquet(parts(base): _*)
 }

@@ -940,6 +940,63 @@ def _gif_decode(data):
     return frames
 
 
+def _tiff_decode(data):
+    # Multi-page TIFF directory walker: both byte orders, SHORT/LONG tag
+    # values (inline or offset), ZLib/Deflate-compressed strips (tags 8 and
+    # 32946 — both plain zlib streams), optional horizontal predictor.
+    # Returns [(w, h, gray_samples)] per IFD, in chain order.
+    import struct, zlib
+    if data[:2] == b"II":
+        e = "<"
+    elif data[:2] == b"MM":
+        e = ">"
+    else:
+        raise AssertionError("bad TIFF byte-order mark")
+    (magic,) = struct.unpack(e + "H", data[2:4])
+    assert magic == 42, f"bad TIFF magic {magic}"
+    (ifd_off,) = struct.unpack(e + "I", data[4:8])
+    type_size = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+    pages = []
+    while ifd_off:
+        (n_ent,) = struct.unpack(e + "H", data[ifd_off:ifd_off + 2])
+        tags = {}
+        for k in range(n_ent):
+            off = ifd_off + 2 + 12 * k
+            tag, typ, cnt = struct.unpack(e + "HHI", data[off:off + 8])
+            size = type_size.get(typ, 1) * cnt
+            voff = off + 8 if size <= 4 else struct.unpack(e + "I", data[off + 8:off + 12])[0]
+            if typ == 3:
+                vals = struct.unpack(e + f"{cnt}H", data[voff:voff + 2 * cnt])
+            elif typ == 4:
+                vals = struct.unpack(e + f"{cnt}I", data[voff:voff + 4 * cnt])
+            else:
+                vals = (0,)
+            tags[tag] = vals
+        (next_off,) = struct.unpack(
+            e + "I", data[ifd_off + 2 + 12 * n_ent:ifd_off + 6 + 12 * n_ent])
+        w, h = tags[256][0], tags[257][0]
+        assert tags.get(258, (8,))[0] == 8, "expected 8-bit samples"
+        assert tags.get(277, (1,))[0] == 1, "expected 1 sample/pixel (gray)"
+        comp = tags.get(259, (1,))[0]
+        assert comp in (8, 32946), f"expected deflate compression, got {comp}"
+        assert tags.get(262, (1,))[0] == 1, "expected BlackIsZero gray"
+        predictor = tags.get(317, (1,))[0]
+        offs, cnts = tags[273], tags[279]
+        raw = bytearray()
+        for so, sc in zip(offs, cnts):
+            raw += zlib.decompress(data[so:so + sc])
+        assert len(raw) == w * h, f"strip underrun: {len(raw)} != {w*h}"
+        if predictor == 2:  # horizontal differencing, per row
+            for y in range(h):
+                for x in range(1, w):
+                    raw[y * w + x] = (raw[y * w + x] + raw[y * w + x - 1]) & 0xFF
+        else:
+            assert predictor == 1, f"unsupported predictor {predictor}"
+        pages.append((w, h, list(raw)))
+        ifd_off = next_off
+    return pages
+
+
 def check_m8(media, pairs):
     """Third implementation of the FULL m8 chain: decode the m5-dumped WAV
     bytes with the pure-Python chunk parser, re-derive the 64-window
@@ -989,10 +1046,29 @@ def check_m8(media, pairs):
 def check_media(out):
     if out is None:
         print("skip  m5_media_bytes (no Verify output)"); return
-    n_img, n_aud, n_gif, bad = 0, 0, 0, []
+    n_img, n_aud, n_gif, n_tif, bad = 0, 0, 0, 0, []
     for r in out.itertuples():
         did, blob = int(r.doc_id), bytes(r.content)
-        if r.mime == "image/gif":
+        if r.mime == "image/tiff":
+            n = 2 + did % 3
+            pages = _tiff_decode(blob)
+            if len(pages) != n:
+                bad.append(f"doc {did}: {len(pages)} tiff pages != {n}"); continue
+            ok = True
+            for p, (w, h, gray) in enumerate(pages):
+                ew = 8 + (did + 5 * p) % 7
+                eh = 8 + (did // 7 + 3 * p) % 7
+                if (w, h) != (ew, eh):
+                    bad.append(f"doc {did} page {p}: dims {(w, h)} != "
+                               f"{(ew, eh)}"); ok = False; break
+                exp = [(did * 97 + p * 53 + i * 31 + (i * i % 251) * 5) % 256
+                       for i in range(w * h)]
+                if gray != exp:
+                    bad.append(f"doc {did} page {p}: pixel mismatch")
+                    ok = False; break
+            if ok:
+                n_tif += 1
+        elif r.mime == "image/gif":
             n = 2 + did % 4
             ew, eh = 8 + did % 7, 8 + (did // 7) % 7
             frames = _gif_decode(blob)
@@ -1037,9 +1113,9 @@ def check_media(out):
             if samples != exp:
                 bad.append(f"doc {did}: sample mismatch"); continue
             n_aud += 1
-    check("m5 media decode (pure-Python PNG/BMP/WAV/GIF)", not bad,
-          f"{n_img} images + {n_aud} wavs + {n_gif} gifs byte-verified" +
-          (f"; first bad: {bad[0]}" if bad else ""))
+    check("m5 media decode (pure-Python PNG/BMP/WAV/GIF/TIFF)", not bad,
+          f"{n_img} images + {n_aud} wavs + {n_gif} gifs + {n_tif} tiffs "
+          "byte-verified" + (f"; first bad: {bad[0]}" if bad else ""))
 
 
 def main(sf_dir, out_dir):
