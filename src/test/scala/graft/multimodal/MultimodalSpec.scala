@@ -358,4 +358,52 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkTestSession {
       }
     }
   }
+
+  test("TIFF: multi-page container roundtrip recovers per-page geometry + lattice") {
+    val rows = Multimodal.decodeTiffPages(
+        Multimodal.synthesizeTiffTable(docs), "content").collect()
+    // one row per (doc, page); page counts vary 2..4 by doc_id % 3
+    rows.length shouldBe ids.map(Multimodal.tiffPages(_)).sum
+    ids.map(Multimodal.tiffPages(_)).toSet shouldBe Set(2, 3, 4)
+    // the fixture's point: pages of ONE document differ in geometry, so a
+    // decoder that reuses page 0's IFD cannot pass (pin it on the data)
+    ids.exists { id =>
+      (0 until Multimodal.tiffPages(id)).map(p =>
+        (Multimodal.tiffWidth(id, p), Multimodal.tiffHeight(id, p))).distinct.size > 1
+    } shouldBe true
+    rows.foreach { r =>
+      val (id, n, p) = (r.getLong(0), r.getInt(1), r.getInt(2))
+      val (w, h) = (r.getInt(3), r.getInt(4))
+      n shouldBe Multimodal.tiffPages(id)
+      w shouldBe Multimodal.tiffWidth(id, p)
+      h shouldBe Multimodal.tiffHeight(id, p)
+      val vals = (0 until w * h).map(Multimodal.tiffPixel(id, p, _))
+      withClue(s"doc $id page $p: ") {
+        r.getLong(5) shouldBe vals.map(_.toLong).sum
+        r.getLong(6) shouldBe
+          vals.zipWithIndex.map { case (v, j) => v.toLong * (j + 1) }.sum
+      }
+    }
+    // container sanity: TIFF byte-order mark + magic 42 on the raw bytes
+    val bytes = Multimodal.synthesizeTiffTable(docs).collect()
+      .map(r => r.getAs[Array[Byte]]("content"))
+    bytes.foreach { b =>
+      val bom = new String(b.take(2), "US-ASCII")
+      Set("II", "MM") should contain(bom)
+      val magic = if (bom == "II") (b(2) & 0xFF) | ((b(3) & 0xFF) << 8)
+                  else ((b(2) & 0xFF) << 8) | (b(3) & 0xFF)
+      magic shouldBe 42
+    }
+  }
+
+  test("audioSignatureFor (keyed-backend per-doc path) == audioSignatures (batch path)") {
+    val batch = Multimodal.audioSignatures(
+        Multimodal.synthesizeAudioTable(docs), "content").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    ids.foreach { id =>
+      withClue(s"doc $id: ") {
+        Multimodal.audioSignatureFor(id) shouldBe batch(id)
+      }
+    }
+  }
 }
