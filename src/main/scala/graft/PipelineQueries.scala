@@ -910,15 +910,18 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
-  /** Raw media byte dump (m5): the actual encoded PNG/BMP/WAV/GIF
+  /** Raw media byte dump (m5): the actual encoded PNG/BMP/WAV/GIF/TIFF
     * payloads, persisted by Verify so tools/independent_check.py can
     * decode them with a THIRD implementation (pure-Python zlib PNG reader,
-    * BMP row parser, WAV chunk parser, GIF/LZW frame decoder) and compare
-    * every sample against the lattice formulas — the cross-check that
-    * would catch a matched-wrong encode/decode pair (the one bug class the
-    * m1/m3/m4/m7 hash gates share with their oracles). No SQL oracle:
-    * DuckDB cannot re-encode PNG; the driver records the weaker rows-only
-    * check and the Python checker does the byte-level verification. */
+    * BMP row parser, WAV chunk parser, GIF/LZW frame decoder, TIFF
+    * directory walker + inflate) and compare every sample against the
+    * lattice formulas — the cross-check that would catch a matched-wrong
+    * encode/decode pair (the one bug class the m1/m3/m4/m7/m9 hash gates
+    * share with their oracles). The per-family synthesized frames are
+    * memoized ([[mediaImages]] etc.), so this dump reuses — not re-pays —
+    * the encode m7/m9 already paid (r10 verdict #4). No SQL oracle: DuckDB
+    * cannot re-encode PNG; the driver records the weaker rows-only check
+    * and the Python checker does the byte-level verification. */
   def m5MediaBytes(spark: SparkSession, dir: String): DataFrame =
     mediaImages(spark, dir)
       .unionByName(mediaAudio(spark, dir))
