@@ -135,9 +135,20 @@ object BatchStore {
   def seed(empty: DataFrame, base: String): Unit =
     empty.write.mode("overwrite").parquet(s"$base/seed")
 
-  /** Idempotent per-batch write: overwrite this batch's own subdirectory. */
-  def append(df: DataFrame, base: String, batchId: Long): Unit =
-    df.write.mode("overwrite").parquet(s"$base/batch-$batchId")
+  /** Idempotent per-batch write: overwrite this batch's own subdirectory.
+    * Coalesced to ONE file by default — per-batch appends are
+    * batch-bounded (a store append is the batch's NEW distinct keys), and
+    * without the coalesce every tiny append fans out into
+    * shuffle-partition-many files, so a long stream's store becomes
+    * batches x partitions small files and every later consult pays the
+    * listing (the classic streaming small-files problem; one file per
+    * commit is the lakehouse default, cf. CellStore.compactFiles for the
+    * offline repair when appends DO need parallel writers — pass
+    * coalesceTo = 0 to keep the plan's partitioning for those). */
+  def append(df: DataFrame, base: String, batchId: Long,
+      coalesceTo: Int = 1): Unit =
+    (if (coalesceTo > 0) df.coalesce(coalesceTo) else df)
+      .write.mode("overwrite").parquet(s"$base/batch-$batchId")
 
   private def parts(base: String): Seq[String] = {
     val entries = Option(new java.io.File(base).listFiles()).getOrElse(
