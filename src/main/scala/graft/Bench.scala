@@ -17,14 +17,25 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // bench provenance: 1-minute system load at start/end, recorded into
-    // the JSON so a host-contended window SELF-IDENTIFIES (the r10 driver
+    // bench provenance: 1-minute system load at start/end PLUS the
+    // /proc/stat steal-tick share across the window, recorded into the
+    // JSON so a host-contended window SELF-IDENTIFIES (the r10 driver
     // window read as a uniform 2.5x "regression" until half a day of
-    // forensics traced it to host CPU steal — with these fields the
-    // contended run carries its own evidence)
+    // forensics traced it to host CPU steal). loadavg alone is NOT the
+    // signal — local[32] drives its own load to ~15; steal is the part
+    // the guest didn't run, i.e. the neighbors.
     def loadAvg: Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    // (steal, total) jiffies from the aggregate cpu line; (0, 0) off-Linux
+    def cpuTicks: (Long, Long) =
+      try {
+        val f = scala.io.Source.fromFile("/proc/stat")
+        val parts = try f.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+        finally f.close()
+        (if (parts.length > 7) parts(7) else 0L, parts.sum)
+      } catch { case _: Exception => (0L, 0L) }
     val loadStart = loadAvg
+    val (stealStart, totalStart) = cpuTicks
 
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -93,8 +104,12 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val (stealEnd, totalEnd) = cpuTicks
+    val stealPct =
+      if (totalEnd > totalStart) 100.0 * (stealEnd - stealStart) / (totalEnd - totalStart)
+      else 0.0
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","load_start":$loadStart%.2f,"load_end":$loadAvg%.2f}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","load_start":$loadStart%.2f,"load_end":$loadAvg%.2f,"steal_pct":$stealPct%.2f}"""
     println(json)
     // Also persist the full per-query map next to the build (the repo
     // root, detected by build.sbt in the cwd — sbt runs forked mains
