@@ -953,10 +953,14 @@ object PipelineQueries {
 
   /** Second TRUE multi-frame container family (m9): deterministic
     * multi-PAGE TIFFs — per-page IFDs each carrying their OWN geometry,
-    * ZLib(deflate)-compressed strips — written and read back through the
-    * JDK's built-in TIFF plugin (ImageIO, JDK 9+;
-    * [[graft.multimodal.Multimodal.synthesizeTiffTable]] /
-    * [[graft.multimodal.Multimodal.decodeTiffPages]]). Where m7's GIF
+    * ZLib(deflate)-compressed strips — DECODED through the JDK's built-in
+    * TIFF plugin (ImageIO, JDK 9+;
+    * [[graft.multimodal.Multimodal.decodeTiffPages]]); the fixture encode
+    * is a hand-written standard baseline container
+    * ([[graft.multimodal.Multimodal.synthesizeTiffTable]] — the JDK
+    * TIFFImageWriter measured ~200 ms/doc single-threaded, hours of
+    * fixture synthesis at the 300x decade for an operator whose product
+    * surface is the decode). Where m7's GIF
     * pins a frame SEQUENCE with per-frame timing, TIFF pins the
     * multi-IFD directory walk: page count and per-page (width, height)
     * all vary per document AND per page, so a decoder that reads only the

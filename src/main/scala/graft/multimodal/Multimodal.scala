@@ -502,9 +502,11 @@ object Multimodal {
   // ---------------------------------------------------------------------
   // Multi-page TIFF fixture (m9) — the SECOND true multi-frame container
   // family: a real TIFF with one IFD (directory entry) per page, each IFD
-  // carrying its OWN geometry, pixel data ZLib(deflate)-compressed, written
-  // and read through the JDK's built-in TIFF plugin (ImageIO, JDK 9+).
-  // Geometry (mirrored in the DuckDB oracle and
+  // carrying its OWN geometry, pixel data ZLib(deflate)-compressed. The
+  // DECODE — the operator a media pipeline actually runs per payload —
+  // goes through the JDK's built-in TIFF plugin (ImageIO, JDK 9+); the
+  // fixture ENCODE is a hand-written baseline container (see encodeTiff
+  // for the measured reason). Geometry (mirrored in the DuckDB oracle and
   // tools/independent_check.py, all integer arithmetic):
   //   pages   n = 2 + doc_id % 3
   //   page p: w = 8 + (doc_id + 5*p) % 7, h = 8 + (doc_id / 7 + 3*p) % 7
@@ -524,22 +526,19 @@ object Multimodal {
   def tiffPixel(docId: Long, p: Int, i: Int): Int =
     ((docId * 97L + p * 53L + i * 31L + (i.toLong * i % 251L) * 5L) % 256L).toInt
 
-  /** TIFF writer/reader SPIs resolved ONCE per JVM (the m4/m7 convoy
-    * lesson: registry walks serialize executor threads; SPI instances are
-    * stateless factories). */
-  private lazy val tiffWriterSpi: javax.imageio.spi.ImageWriterSpi = {
-    val it = javax.imageio.ImageIO.getImageWritersByFormatName("tiff")
-    require(it.hasNext, "no TIFF ImageWriter on this JVM (JDK 9+ ships one)")
-    it.next().getOriginatingProvider
-  }
+  /** TIFF reader SPI resolved ONCE per JVM (the m4/m7 convoy lesson:
+    * registry walks serialize executor threads; SPI instances are
+    * stateless factories). The ENCODER is hand-written ([[encodeTiff]]) —
+    * no writer SPI needed. */
   private lazy val tiffReaderSpi: javax.imageio.spi.ImageReaderSpi = {
     val it = javax.imageio.ImageIO.getImageReadersByFormatName("tiff")
     require(it.hasNext, "no TIFF ImageReader on this JVM (JDK 9+ ships one)")
     it.next().getOriginatingProvider
   }
 
-  /** Build the multi-page TIFF table: (doc_id, mime, content) with REAL
-    * multi-IFD TIFF bytes per document (narrow pass). */
+  /** Build the multi-page TIFF table: (doc_id, mime, content) with
+    * standard baseline multi-IFD TIFF bytes per document (narrow pass;
+    * hand-written container, real-JDK-decoded — see [[encodeTiff]]). */
   def synthesizeTiffTable(docs: DataFrame): DataFrame = {
     val schema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
@@ -555,43 +554,78 @@ object Multimodal {
     docs.sparkSession.createDataFrame(rdd, schema)
   }
 
-  /** Encode one document's page sequence through the real TIFF writer:
-    * prepareWriteSequence / writeToSequence, one IFD per page with its own
-    * geometry, ZLib-compressed strips (lossless zlib — also what keeps the
-    * pure-Python third implementation a directory walker + inflate, not an
-    * LZW re-implementation). */
+  /** Encode one document's page sequence as a baseline multi-IFD TIFF —
+    * HAND-WRITTEN container bytes (little-endian header, one IFD per page
+    * with its own geometry, one ZLib/deflate strip per page via
+    * `java.util.zip.Deflater`), NOT the JDK's TIFFImageWriter. The JDK
+    * writer measured ~200 ms per small multi-page document single-threaded
+    * (its per-page metadata machinery; the GIF writer is ~1.5 ms) — at the
+    * 300x decade that is hours of fixture synthesis for an operator whose
+    * product surface is the DECODE. The decode path stays the real JDK
+    * ImageIO TIFF reader; the bytes here are a fully standard baseline
+    * TIFF (tags 256/257/258/259=8/262/273/277/278/279), so the roundtrip
+    * claim is unchanged — three independent implementations (this writer,
+    * the JDK reader, the pure-Python walker) must agree on every sample,
+    * and a container-layout mistake here fails BOTH decoders. Deflate is
+    * setLevel(6) with a fresh Deflater per strip: bit-deterministic for a
+    * given zlib version, but no gate ever hashes ENCODED bytes (the m5
+    * rule) — gates hash decoded samples. */
   private def encodeTiff(docId: Long): Array[Byte] = {
     val n = tiffPages(docId)
     val bos = new java.io.ByteArrayOutputStream()
-    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
-    val writer = tiffWriterSpi.createWriterInstance()
-    writer.setOutput(ios)
-    val param = writer.getDefaultWriteParam
-    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-    param.setCompressionType("ZLib")
-    writer.prepareWriteSequence(null)
-    var p = 0
-    while (p < n) {
+    def w16(v: Int): Unit = { bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF) }
+    def w32(v: Int): Unit = { w16(v & 0xFFFF); w16((v >>> 16) & 0xFFFF) }
+    // header: "II" little-endian, magic 42, first-IFD offset patched below
+    bos.write('I'); bos.write('I'); w16(42)
+    // strips first (so IFD offsets are known), IFD chain after
+    val strips = (0 until n).map { p =>
       val (w, h) = (tiffWidth(docId, p), tiffHeight(docId, p))
-      val img = new java.awt.image.BufferedImage(
-        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-      val raster = img.getRaster
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          raster.setSample(x, y, 0, tiffPixel(docId, p, y * w + x))
-          x += 1
-        }
-        y += 1
-      }
-      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), param)
-      p += 1
+      val raw = new Array[Byte](w * h)
+      var i = 0
+      while (i < raw.length) { raw(i) = tiffPixel(docId, p, i).toByte; i += 1 }
+      val d = new java.util.zip.Deflater(6)
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](raw.length + 64)
+      val len = d.deflate(buf)
+      require(d.finished(), s"deflate buffer too small for page $p")
+      d.end()
+      java.util.Arrays.copyOf(buf, len)
     }
-    writer.endWriteSequence()
-    writer.dispose()
-    ios.close()
-    bos.toByteArray
+    val stripOff = new Array[Int](n)
+    w32(0) // first-IFD offset placeholder (patched at the end)
+    (0 until n).foreach { p =>
+      stripOff(p) = bos.size()
+      bos.write(strips(p))
+      if (bos.size() % 2 == 1) bos.write(0) // IFDs must be word-aligned
+    }
+    val firstIfd = bos.size()
+    (0 until n).foreach { p =>
+      val (w, h) = (tiffWidth(docId, p), tiffHeight(docId, p))
+      def entry(tag: Int, typ: Int, value: Int): Unit = {
+        w16(tag); w16(typ); w32(1)
+        if (typ == 3) { w16(value); w16(0) } else w32(value)
+      }
+      w16(9) // entry count
+      entry(256, 3, w)                 // ImageWidth
+      entry(257, 3, h)                 // ImageLength
+      entry(258, 3, 8)                 // BitsPerSample
+      entry(259, 3, 8)                 // Compression: ZLib/Adobe deflate
+      entry(262, 3, 1)                 // Photometric: BlackIsZero
+      entry(273, 4, stripOff(p))       // StripOffsets
+      entry(277, 3, 1)                 // SamplesPerPixel
+      entry(278, 3, h)                 // RowsPerStrip (one strip per page)
+      entry(279, 4, strips(p).length)  // StripByteCounts
+      // next-IFD pointer: the next IFD starts right after these 4 bytes
+      val next = if (p == n - 1) 0 else bos.size() + 4
+      w32(next)
+    }
+    val out = bos.toByteArray
+    // patch the first-IFD offset (bytes 4..7, little-endian)
+    out(4) = (firstIfd & 0xFF).toByte
+    out(5) = ((firstIfd >> 8) & 0xFF).toByte
+    out(6) = ((firstIfd >> 16) & 0xFF).toByte
+    out(7) = ((firstIfd >> 24) & 0xFF).toByte
+    out
   }
 
   /** REAL multi-page container decode: `ImageReader.getNumImages` + per-IFD
