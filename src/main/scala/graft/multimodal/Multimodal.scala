@@ -653,7 +653,11 @@ object Multimodal {
         val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
           new java.io.ByteArrayInputStream(bytes))
         val reader = tiffReaderSpi.createReaderInstance()
-        reader.setInput(iis)
+        // ignoreMetadata = true: unlike the GIF decode (which must parse
+        // per-frame GraphicControlExtension timing), the TIFF page walk
+        // needs no IIOMetadata — and the JDK TIFF reader's per-read
+        // metadata materialization is most of its per-page cost
+        reader.setInput(iis, false, true)
         val n = reader.getNumImages(true)
         val out = (0 until n).map { p =>
           val img = reader.read(p)
