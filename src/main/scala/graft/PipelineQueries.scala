@@ -2480,6 +2480,94 @@ object PipelineQueries {
   def s22StreamAudioDedupKeyed(spark: SparkSession, dir: String): DataFrame =
     streamAudioDedupKeyed(spark, dir, 3).orderBy(col("doc_id"))
 
+  /** Backend MIGRATION (s23): switch a RUNNING dedup deployment from the
+    * maintained parquet store to keyed streaming state WITHOUT
+    * re-ingesting the already-processed corpus. The scenario this gate
+    * replays: chunks 0 and 1 (doc_id % 3 != 2) were ingested under the
+    * parquet backend, leaving exactly its contract on disk — one store
+    * row per distinct signature SEEN (the round's store-growth assert);
+    * the deployment then migrates by reading that store ONCE, seeding
+    * each stored signature as already-seen keyed state
+    * (transformWithState's initial-state dataset,
+    * [[graft.streaming.KeyedDedup.FirstArrivalBySigMigrated]] — Spark
+    * feeds it through handleInitialState before the first batch), and
+    * streaming ONLY the remaining arrivals (chunk 2). Verdicts must equal
+    * what the never-migrated parquet funnel says for those same docs —
+    * which is also what the oracle states relationally (the s21 min
+    * arrival-key derivation restricted to chunk-2 docs: every chunk-0/1
+    * holder of a signature outranks every chunk-2 arrival, so "stored
+    * signature" ≡ "smaller arrival key exists"). Scale shape: the store
+    * is read once at migration (not per batch), the stream processes only
+    * new arrivals, per-batch cost O(batch) thereafter — the handoff a
+    * real deployment needs to adopt the flat-cost backend mid-stream. */
+  def s23StreamDedupMigrated(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, s"s23:$dir") {
+      import spark.implicits._
+      val prevProvider =
+        spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val raw = docs(spark, dir)
+        // the pre-migration deployment's store: distinct signatures of the
+        // chunk-0/1 corpus — written and READ BACK through parquet so the
+        // handoff is the real on-disk artifact, not an in-memory shortcut
+        val storeDir = graft.util.TempDirs.create("graft_s23_store_")
+        graft.multimodal.Multimodal.audioSignatures(
+            graft.multimodal.Multimodal.synthesizeAudioTable(
+              raw.where(pmod(col("doc_id"), lit(3)) =!= 2).select(col("doc_id"))),
+            "content")
+          .select(col("asig_hi"), col("asig_lo")).distinct()
+          .coalesce(1).write.mode("overwrite").parquet(storeDir)
+        val initState = spark.read.parquet(storeDir)
+          .as[(Long, Long)].map(k => (k, true))
+          .groupByKey(_._1).mapValues(_._2)
+        // the post-migration stream: ONLY the not-yet-ingested arrivals
+        val staging = graft.util.Staging.stageChunks(
+          raw.where(pmod(col("doc_id"), lit(3)) === 2).select(col("doc_id")),
+          "doc_id", 1, "s23", dropKey = false)
+        val outDir = graft.util.TempDirs.create("graft_s23_out_")
+        val ckpt = graft.util.TempDirs.create("graft_s23_ckpt_")
+        graft.streaming.BatchStore.seed(
+          spark.range(0).select(lit(0L).as("doc_id"), lit(false).as("is_dup")),
+          outDir)
+        val srcSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType, nullable = true)))
+        val sigs = spark.readStream.schema(srcSchema)
+          .option("maxFilesPerTrigger", 1).parquet(staging)
+          .select(col("doc_id")).as[Long]
+          .map { id =>
+            val (hi, lo) = graft.multimodal.Multimodal.audioSignatureFor(id)
+            graft.streaming.KeyedDedup.SigArrival(id, hi, lo)
+          }
+        val verdicts = sigs
+          .groupByKey(r => (r.asig_hi, r.asig_lo))
+          .transformWithState(
+            new graft.streaming.KeyedDedup.FirstArrivalBySigMigrated,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Update(),
+            initState)
+        val q = verdicts.toDF().writeStream
+          .option("checkpointLocation", ckpt)
+          .outputMode("update")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            graft.streaming.BatchStore.append(
+              batch.select(col("doc_id"), col("is_dup")), outDir, batchId)
+            ()
+          }
+          .start()
+        q.awaitTermination()
+        graft.streaming.BatchStore.readAll(spark, outDir)
+      } finally prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }.orderBy(col("doc_id"))
+
   // ------------------------------------------------------------ oracle SQL
 
   private[graft] val codesSql =
@@ -3276,6 +3364,20 @@ object PipelineQueries {
     // s22: the SAME expected verdicts — the keyed-state backend must
     // agree with the parquet-store backend on any arrival composition
     "s22_stream_audio_dedup_keyed" -> s21OracleSqlShared,
+    // s23: the s21 derivation restricted to the POST-migration arrivals
+    // (chunk 2) — every chunk-0/1 signature holder outranks every chunk-2
+    // arrival under the struct key, so seeding the store as already-seen
+    // state must reproduce exactly these rows
+    "s23_stream_dedup_migrated" ->
+      s"""WITH $audioStarCtesSql,
+         |amin AS (SELECT hi, lo,
+         |    min({'c': doc_id % 3, 'i': doc_id}) AS mkey
+         |  FROM asig GROUP BY 1, 2),
+         |afl AS (SELECT a.doc_id
+         |  FROM asig a JOIN amin USING (hi, lo)
+         |  WHERE amin.mkey < {'c': a.doc_id % 3, 'i': a.doc_id})
+         |SELECT doc_id, doc_id IN (SELECT doc_id FROM afl) AS is_dup
+         |FROM documents WHERE doc_id % 3 = 2 ORDER BY doc_id""".stripMargin,
     "c2_contamination" -> contamOracleSql,
     // c3 = c2 with a Bloom prefilter + exact verify — Bloom false positives
     // are removed by the verify join, so the expected output is IDENTICAL
@@ -3583,6 +3685,7 @@ object PipelineQueries {
     "m9_tiff_pages" -> m9TiffPages,
     "s21_stream_audio_dedup" -> s21StreamAudioDedup,
     "s22_stream_audio_dedup_keyed" -> s22StreamAudioDedupKeyed,
+    "s23_stream_dedup_migrated" -> s23StreamDedupMigrated,
     "e2_lsh_ann" -> e2LshAnn,
     "e11_lsh_multiprobe" -> e11LshMultiprobe,
     "e12_hybrid_rrf" -> e12HybridRrf,

@@ -1,8 +1,9 @@
 package graft.streaming
 
 import org.apache.spark.sql.Encoders
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode,
-  TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor,
+  StatefulProcessorWithInitialState, TimeMode, TimerValues, TTLConfig,
+  ValueState}
 
 /**
  * Keyed-STREAMING-STATE backend for a maintained dedup store — the
@@ -53,6 +54,38 @@ object KeyedDedup {
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       seen = getHandle.getValueState[Boolean]("seen",
         Encoders.scalaBoolean, TTLConfig.NONE)
+
+    override def handleInputRows(key: (Long, Long), rows: Iterator[SigArrival],
+        timers: TimerValues): Iterator[Verdict] = {
+      val ids = rows.map(_.doc_id).toArray
+      val already = seen.exists()
+      if (!already) seen.update(true)
+      val mn = ids.min
+      ids.iterator.map(d => Verdict(d, already || d != mn))
+    }
+  }
+
+  /** [[FirstArrivalBySig]] with INITIAL state — the backend MIGRATION
+    * device: a deployment switching from the parquet store to keyed state
+    * seeds each stored signature as an already-seen key on the stream's
+    * FIRST batch (Spark feeds the initial-state dataset through
+    * [[handleInitialState]] before any input rows), then processes only
+    * the remaining arrivals — the already-ingested corpus is never
+    * re-decoded or re-streamed, and every verdict matches what the
+    * parquet-store funnel would have said (S23 gate + MigrationParitySpec
+    * pin it). */
+  class FirstArrivalBySigMigrated
+      extends StatefulProcessorWithInitialState[(Long, Long), SigArrival,
+        Verdict, Boolean] {
+    @transient private var seen: ValueState[Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean]("seen",
+        Encoders.scalaBoolean, TTLConfig.NONE)
+
+    override def handleInitialState(key: (Long, Long), initial: Boolean,
+        timers: TimerValues): Unit =
+      if (initial) seen.update(true)
 
     override def handleInputRows(key: (Long, Long), rows: Iterator[SigArrival],
         timers: TimerValues): Iterator[Verdict] = {

@@ -36,4 +36,30 @@ class S22ParitySpec extends AnyFunSuite with Matchers with SparkTestSession {
     val store = verdicts(PipelineQueries.streamAudioDedup(spark, dir, 4)._1)
     keyed shouldBe store
   }
+
+  test("migration (s23): store-seeded keyed state == the never-migrated funnel") {
+    // the never-migrated parquet funnel's verdicts for the post-migration
+    // arrivals (chunk 2) must be REPRODUCED by the keyed stream that was
+    // seeded from the store and never saw chunks 0/1 — the contract that
+    // lets a deployment switch backends mid-stream without re-ingesting
+    val migrated = verdicts(PipelineQueries.s23StreamDedupMigrated(spark, dir))
+    val full = verdicts(PipelineQueries.streamAudioDedup(spark, dir, 3)._1)
+      .filter(_._1 % 3 == 2)
+    migrated should not be empty
+    migrated shouldBe full
+    // the seed matters: at least one chunk-2 doc is flagged ONLY because
+    // its signature sits in the migrated store (no smaller chunk-2 doc
+    // shares it) — delete-the-seed would flip it, so the parity above
+    // genuinely exercises handleInitialState
+    val sigs = graft.multimodal.Multimodal.audioSignatures(
+        graft.multimodal.Multimodal.synthesizeAudioTable(
+          spark.read.parquet(s"$dir/documents.parquet").select(col("doc_id"))),
+        "content")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val flagged = migrated.filter(_._2).map(_._1).toSet
+    val onlyViaSeed = flagged.filter { d =>
+      !sigs.exists { case (o, s) => o % 3 == 2 && o < d && s == sigs(d) }
+    }
+    onlyViaSeed should not be empty
+  }
 }
