@@ -2185,12 +2185,14 @@ object PipelineQueries {
       val bandDir = graft.util.TempDirs.create("graft_s20_band_")
       val outDir = graft.util.TempDirs.create("graft_s20_out_")
       val ckpt = graft.util.TempDirs.create("graft_s20_ckpt_")
-      // seed the stores so per-batch reads have a schema before batch 0
-      graft.streaming.BatchStore.seed(
-        spark.range(0).select(lit("").as("sha")), shaDir)
-      graft.streaming.BatchStore.seed(
-        spark.range(0).select(lit(0).as("band"), lit(0L).as("bh"),
-          lit(0L).as("doc_id")), bandDir)
+      // seed the stores so per-batch reads have a schema before batch 0;
+      // the seed schemas are passed to every consult (skip per-batch
+      // footer inference — the stores' schemas never change)
+      val shaSeed = spark.range(0).select(lit("").as("sha"))
+      val bandSeed = spark.range(0).select(lit(0).as("band"),
+        lit(0L).as("bh"), lit(0L).as("doc_id"))
+      graft.streaming.BatchStore.seed(shaSeed, shaDir)
+      graft.streaming.BatchStore.seed(bandSeed, bandDir)
       val quality = d33QualityCol(wts)
       // out seed derived from the REAL source columns + the quality
       // expression, so every batch file agrees with it type-for-type
@@ -2222,7 +2224,7 @@ object PipelineQueries {
           // anti-join (no false negatives -> identical result). The store
           // view is batches COMMITTED before this one — retry-safe.
           val shaStore = graft.streaming.BatchStore.readBefore(
-            spark, shaDir, batchId)
+            spark, shaDir, batchId, shaSeed.schema)
           val seenCand = graft.streaming.MaintainedStore.candidatesByString(
             shaStore, batchRep.select(col("sha")), "sha",
             graft.streaming.MaintainedStore.DefaultFpp)
@@ -2234,7 +2236,7 @@ object PipelineQueries {
           val bands = streamBandsOf(p3).localCheckpoint()
           val bandKey = col("band").cast("long") * lit(P) + col("bh")
           val bandStore = graft.streaming.BatchStore.readBefore(
-            spark, bandDir, batchId)
+            spark, bandDir, batchId, bandSeed.schema)
           val storeCand = graft.streaming.MaintainedStore.candidatesByLong(
             bandStore, bands.select(bandKey.as("k")), "k", bandKey,
             graft.streaming.MaintainedStore.DefaultFpp)
@@ -2331,9 +2333,9 @@ object PipelineQueries {
       val outDir = graft.util.TempDirs.create("graft_s21_out_")
       val ckpt = graft.util.TempDirs.create("graft_s21_ckpt_")
       s21StoreDirs.put(dirKey, storeDir)
-      graft.streaming.BatchStore.seed(
-        spark.range(0).select(lit(0L).as("asig_hi"), lit(0L).as("asig_lo")),
-        storeDir)
+      val sigSeed = spark.range(0)
+        .select(lit(0L).as("asig_hi"), lit(0L).as("asig_lo"))
+      graft.streaming.BatchStore.seed(sigSeed, storeDir)
       graft.streaming.BatchStore.seed(
         spark.range(0).select(lit(0L).as("doc_id"), lit(false).as("is_dup")),
         outDir)
@@ -2357,7 +2359,7 @@ object PipelineQueries {
             graft.multimodal.Multimodal.synthesizeAudioTable(batch), "content")
             .localCheckpoint()
           val store = graft.streaming.BatchStore.readBefore(
-            spark, storeDir, batchId)
+            spark, storeDir, batchId, sigSeed.schema)
           val storeCand = graft.streaming.MaintainedStore.candidatesByLong(
             store, sigs.select(sigKey.as("k")), "k", sigKey,
             graft.streaming.MaintainedStore.DefaultFpp)

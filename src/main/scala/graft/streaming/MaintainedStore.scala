@@ -160,16 +160,24 @@ object BatchStore {
   }
 
   /** Every batch directory COMMITTED strictly before `batchId`, plus the
-    * seed — the store view a retried batch `batchId` must consult. */
-  def readBefore(spark: SparkSession, base: String, batchId: Long): DataFrame = {
+    * seed — the store view a retried batch `batchId` must consult.
+    * `schema`: pass the store's known schema (the seed frame's) to skip
+    * per-consult footer-based inference — a consult runs EVERY batch, and
+    * the schema never changes after the seed (measured: the inference job
+    * is a visible share of the per-batch fixed cost at decade batch
+    * counts). */
+  def readBefore(spark: SparkSession, base: String, batchId: Long,
+      schema: org.apache.spark.sql.types.StructType = null): DataFrame = {
     val paths = parts(base).filter { p =>
       val n = p.substring(p.lastIndexOf('/') + 1)
       n == "seed" || n.stripPrefix("batch-").toLong < batchId
     }
-    spark.read.parquet(paths: _*)
+    val reader = spark.read
+    (if (schema != null) reader.schema(schema) else reader).parquet(paths: _*)
   }
 
-  /** Everything (seed + all batches) — for AFTER the query terminates. */
+  /** Everything (seed + all batches) — for AFTER the query terminates
+    * (one-time read; inference cost is irrelevant here). */
   def readAll(spark: SparkSession, base: String): DataFrame =
     spark.read.parquet(parts(base): _*)
 }
