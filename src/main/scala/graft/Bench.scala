@@ -26,13 +26,16 @@ object Bench {
     // the guest didn't run, i.e. the neighbors.
     def loadAvg: Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    // (steal, total) jiffies from the aggregate cpu line; (0, 0) off-Linux
+    // (steal, total) jiffies from the aggregate cpu line; (0, 0) off-Linux.
+    // Total sums ONLY user..steal (first 8 fields): guest/guest_nice are
+    // already folded into user/nice by the kernel, so including them
+    // double-counts guest time and understates steal on guest-running hosts
     def cpuTicks: (Long, Long) =
       try {
         val f = scala.io.Source.fromFile("/proc/stat")
         val parts = try f.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
         finally f.close()
-        (if (parts.length > 7) parts(7) else 0L, parts.sum)
+        (if (parts.length > 7) parts(7) else 0L, parts.take(8).sum)
       } catch { case _: Exception => (0L, 0L) }
     val loadStart = loadAvg
     val (stealStart, totalStart) = cpuTicks

@@ -2323,9 +2323,9 @@ object PipelineQueries {
   private val s21StoreDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[graft] def streamAudioDedup(spark: SparkSession, dir: String,
-      parts: Int): (DataFrame, String) = {
-    val dirKey = s"${spark.sparkContext.applicationId}:s21:$dir:$parts"
-    val out = memo(spark, s"s21:$dir:$parts") {
+      parts: Int, foldEvery: Int = 16): (DataFrame, String) = {
+    val dirKey = s"${spark.sparkContext.applicationId}:s21:$dir:$parts:$foldEvery"
+    val out = memo(spark, s"s21:$dir:$parts:$foldEvery") {
       val raw = docs(spark, dir)
       val staging = graft.util.Staging.stageChunks(
         raw.select(col("doc_id")), "doc_id", parts, "s21", dropKey = false)
@@ -2358,6 +2358,14 @@ object PipelineQueries {
           val sigs = graft.multimodal.Multimodal.audioSignatures(
             graft.multimodal.Multimodal.synthesizeAudioTable(batch), "content")
             .localCheckpoint()
+          // bound the manifest: every foldEvery batches, collapse the
+          // committed store prefix into one checkpoint dir so this
+          // consult plans O(foldEvery) paths forever instead of
+          // O(batches-so-far) — fold-invariant by BatchStoreSpec, so the
+          // verdicts (and the gate hash) cannot depend on WHEN folds run
+          if (foldEvery > 0 && batchId > 0 && batchId % foldEvery == 0)
+            graft.streaming.BatchStore.fold(spark, storeDir, batchId,
+              sigSeed.schema)
           val store = graft.streaming.BatchStore.readBefore(
             spark, storeDir, batchId, sigSeed.schema)
           val storeCand = graft.streaming.MaintainedStore.candidatesByLong(
@@ -2426,55 +2434,58 @@ object PipelineQueries {
     * re-reads its input and overwrites its output — state writes are
     * versioned by the checkpoint, the engine's own contract). */
   private[graft] def streamAudioDedupKeyed(spark: SparkSession, dir: String,
-      parts: Int): DataFrame =
-    memo(spark, s"s22:$dir:$parts") {
-      import spark.implicits._
-      val prevProvider =
-        spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      parts: Int, stateParts: Int = 0): DataFrame =
+    memo(spark, s"s22:$dir:$parts:$stateParts") {
+      // conf isolation (round-11 ADVICE): the RocksDB provider — and a
+      // workload-sized state partition count — are set on a CHILD session
+      // (same SparkContext, own SQLConf), so nothing leaks into or out of
+      // any other gate's streams, concurrent or not. stateParts > 0
+      // overrides spark.sql.shuffle.partitions for THIS stream only: the
+      // stateful operator freezes its partition count at the first
+      // checkpoint, and 32 RocksDB instances paying per-micro-batch
+      // maintenance for a few-thousand-row batch is measured fixed-cost
+      // bloat (ScaleCrossover's backend economics; README table).
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
-        val raw = docs(spark, dir)
-        val staging = graft.util.Staging.stageChunks(
-          raw.select(col("doc_id")), "doc_id", parts, "s22", dropKey = false)
-        val outDir = graft.util.TempDirs.create("graft_s22_out_")
-        val ckpt = graft.util.TempDirs.create("graft_s22_ckpt_")
-        graft.streaming.BatchStore.seed(
-          spark.range(0).select(lit(0L).as("doc_id"), lit(false).as("is_dup")),
-          outDir)
-        val srcSchema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("doc_id",
-            org.apache.spark.sql.types.LongType, nullable = true)))
-        val sigs = spark.readStream.schema(srcSchema)
-          .option("maxFilesPerTrigger", 1).parquet(staging)
-          .select(col("doc_id")).as[Long]
-          .map { id => // REAL codec work per arrival, inside the stream
-            val (hi, lo) = graft.multimodal.Multimodal.audioSignatureFor(id)
-            graft.streaming.KeyedDedup.SigArrival(id, hi, lo)
-          }
-        val verdicts = sigs
-          .groupByKey(r => (r.asig_hi, r.asig_lo))
-          .transformWithState(new graft.streaming.KeyedDedup.FirstArrivalBySig,
-            org.apache.spark.sql.streaming.TimeMode.None(),
-            org.apache.spark.sql.streaming.OutputMode.Update())
-        val q = verdicts.toDF().writeStream
-          .option("checkpointLocation", ckpt)
-          .outputMode("update")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .foreachBatch { (batch: DataFrame, batchId: Long) =>
-            graft.streaming.BatchStore.append(
-              batch.select(col("doc_id"), col("is_dup")), outDir, batchId)
-            ()
-          }
-          .start()
-        q.awaitTermination()
-        graft.streaming.BatchStore.readAll(spark, outDir)
-      } finally prevProvider match {
-        case Some(p) =>
-          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None =>
-          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
+      if (stateParts > 0)
+        ss.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
+      import ss.implicits._
+      val raw = docs(spark, dir)
+      val staging = graft.util.Staging.stageChunks(
+        raw.select(col("doc_id")), "doc_id", parts, "s22", dropKey = false)
+      val outDir = graft.util.TempDirs.create("graft_s22_out_")
+      val ckpt = graft.util.TempDirs.create("graft_s22_ckpt_")
+      graft.streaming.BatchStore.seed(
+        ss.range(0).select(lit(0L).as("doc_id"), lit(false).as("is_dup")),
+        outDir)
+      val srcSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = true)))
+      val sigs = ss.readStream.schema(srcSchema)
+        .option("maxFilesPerTrigger", 1).parquet(staging)
+        .select(col("doc_id")).as[Long]
+        .map { id => // REAL codec work per arrival, inside the stream
+          val (hi, lo) = graft.multimodal.Multimodal.audioSignatureFor(id)
+          graft.streaming.KeyedDedup.SigArrival(id, hi, lo)
+        }
+      val verdicts = sigs
+        .groupByKey(r => (r.asig_hi, r.asig_lo))
+        .transformWithState(new graft.streaming.KeyedDedup.FirstArrivalBySig,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+      val q = verdicts.toDF().writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.streaming.BatchStore.append(
+            batch.select(col("doc_id"), col("is_dup")), outDir, batchId)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      graft.streaming.BatchStore.readAll(spark, outDir)
     }
 
   /** Gate form of the keyed backend (same oracle as s21 — the verdicts are
@@ -2493,81 +2504,155 @@ object PipelineQueries {
     * (transformWithState's initial-state dataset,
     * [[graft.streaming.KeyedDedup.FirstArrivalBySigMigrated]] — Spark
     * feeds it through handleInitialState before the first batch), and
-    * streaming ONLY the remaining arrivals (chunk 2). Verdicts must equal
-    * what the never-migrated parquet funnel says for those same docs —
-    * which is also what the oracle states relationally (the s21 min
-    * arrival-key derivation restricted to chunk-2 docs: every chunk-0/1
-    * holder of a signature outranks every chunk-2 arrival, so "stored
-    * signature" ≡ "smaller arrival key exists"). Scale shape: the store
-    * is read once at migration (not per batch), the stream processes only
-    * new arrivals, per-batch cost O(batch) thereafter — the handoff a
-    * real deployment needs to adopt the flat-cost backend mid-stream. */
+    * streaming the remaining arrivals (chunk 2) in TWO micro-batches
+    * (sub-chunk = doc_id % 2 — plural batches, so the gate checks what
+    * migration actually sells: state written by the FIRST post-migration
+    * batch composes with the seeded state when the SECOND batch consults
+    * it, round-11 verdict #2). Verdicts: a chunk-2 arrival is a duplicate
+    * iff its signature is STORED (some chunk-0/1 holder — the seed) or a
+    * chunk-2 holder with a smaller post-migration arrival key
+    * (doc_id % 2, doc_id) exists — exactly the oracle's relational
+    * restatement. Scale shape: the store is read once at migration (not
+    * per batch), the stream processes only new arrivals, per-batch cost
+    * O(batch) thereafter — the handoff a real deployment needs to adopt
+    * the flat-cost backend mid-stream. */
   def s23StreamDedupMigrated(spark: SparkSession, dir: String): DataFrame =
     memo(spark, s"s23:$dir") {
-      import spark.implicits._
-      val prevProvider =
-        spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      // child session: RocksDB provider scoped to this stream only
+      // (round-11 ADVICE — no conf leak into concurrent gates)
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
-        val raw = docs(spark, dir)
-        // the pre-migration deployment's store: distinct signatures of the
-        // chunk-0/1 corpus — written and READ BACK through parquet so the
-        // handoff is the real on-disk artifact, not an in-memory shortcut
-        val storeDir = graft.util.TempDirs.create("graft_s23_store_")
-        graft.multimodal.Multimodal.audioSignatures(
-            graft.multimodal.Multimodal.synthesizeAudioTable(
-              raw.where(pmod(col("doc_id"), lit(3)) =!= 2).select(col("doc_id"))),
-            "content")
-          .select(col("asig_hi"), col("asig_lo")).distinct()
-          .coalesce(1).write.mode("overwrite").parquet(storeDir)
-        val initState = spark.read.parquet(storeDir)
-          .as[(Long, Long)].map(k => (k, true))
-          .groupByKey(_._1).mapValues(_._2)
-        // the post-migration stream: ONLY the not-yet-ingested arrivals
-        val staging = graft.util.Staging.stageChunks(
-          raw.where(pmod(col("doc_id"), lit(3)) === 2).select(col("doc_id")),
-          "doc_id", 1, "s23", dropKey = false)
-        val outDir = graft.util.TempDirs.create("graft_s23_out_")
-        val ckpt = graft.util.TempDirs.create("graft_s23_ckpt_")
-        graft.streaming.BatchStore.seed(
-          spark.range(0).select(lit(0L).as("doc_id"), lit(false).as("is_dup")),
-          outDir)
-        val srcSchema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("doc_id",
-            org.apache.spark.sql.types.LongType, nullable = true)))
-        val sigs = spark.readStream.schema(srcSchema)
-          .option("maxFilesPerTrigger", 1).parquet(staging)
-          .select(col("doc_id")).as[Long]
-          .map { id =>
-            val (hi, lo) = graft.multimodal.Multimodal.audioSignatureFor(id)
-            graft.streaming.KeyedDedup.SigArrival(id, hi, lo)
-          }
-        val verdicts = sigs
-          .groupByKey(r => (r.asig_hi, r.asig_lo))
-          .transformWithState(
-            new graft.streaming.KeyedDedup.FirstArrivalBySigMigrated,
-            org.apache.spark.sql.streaming.TimeMode.None(),
-            org.apache.spark.sql.streaming.OutputMode.Update(),
-            initState)
-        val q = verdicts.toDF().writeStream
-          .option("checkpointLocation", ckpt)
-          .outputMode("update")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .foreachBatch { (batch: DataFrame, batchId: Long) =>
-            graft.streaming.BatchStore.append(
-              batch.select(col("doc_id"), col("is_dup")), outDir, batchId)
-            ()
-          }
-          .start()
-        q.awaitTermination()
-        graft.streaming.BatchStore.readAll(spark, outDir)
-      } finally prevProvider match {
-        case Some(p) =>
-          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None =>
-          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
+      import ss.implicits._
+      val raw = docs(spark, dir)
+      // the pre-migration deployment's store: distinct signatures of the
+      // chunk-0/1 corpus — written and READ BACK through parquet so the
+      // handoff is the real on-disk artifact, not an in-memory shortcut
+      val storeDir = graft.util.TempDirs.create("graft_s23_store_")
+      graft.multimodal.Multimodal.audioSignatures(
+          graft.multimodal.Multimodal.synthesizeAudioTable(
+            raw.where(pmod(col("doc_id"), lit(3)) =!= 2).select(col("doc_id"))),
+          "content")
+        .select(col("asig_hi"), col("asig_lo")).distinct()
+        .coalesce(1).write.mode("overwrite").parquet(storeDir)
+      val initState = ss.read.parquet(storeDir)
+        .as[(Long, Long)].map(k => (k, true))
+        .groupByKey(_._1).mapValues(_._2)
+      // the post-migration stream: ONLY the not-yet-ingested arrivals,
+      // in two micro-batches (chunk = doc_id % 2 — all streamed ids are
+      // ≡ 2 mod 3, so % 3 would collapse to one chunk)
+      val staging = graft.util.Staging.stageChunks(
+        raw.where(pmod(col("doc_id"), lit(3)) === 2).select(col("doc_id")),
+        "doc_id", 2, "s23", dropKey = false)
+      val outDir = graft.util.TempDirs.create("graft_s23_out_")
+      val ckpt = graft.util.TempDirs.create("graft_s23_ckpt_")
+      graft.streaming.BatchStore.seed(
+        ss.range(0).select(lit(0L).as("doc_id"), lit(false).as("is_dup")),
+        outDir)
+      val srcSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = true)))
+      val sigs = ss.readStream.schema(srcSchema)
+        .option("maxFilesPerTrigger", 1).parquet(staging)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val (hi, lo) = graft.multimodal.Multimodal.audioSignatureFor(id)
+          graft.streaming.KeyedDedup.SigArrival(id, hi, lo)
+        }
+      val verdicts = sigs
+        .groupByKey(r => (r.asig_hi, r.asig_lo))
+        .transformWithState(
+          new graft.streaming.KeyedDedup.FirstArrivalBySigMigrated,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update(),
+          initState)
+      val q = verdicts.toDF().writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.streaming.BatchStore.append(
+            batch.select(col("doc_id"), col("is_dup")), outDir, batchId)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      graft.streaming.BatchStore.readAll(spark, outDir)
+    }.orderBy(col("doc_id"))
+
+  /** Takedown/content-removal on the KEYED dedup backend (s24): the
+    * parquet store's headline advantage was that an operator can DELETE a
+    * signature (content-removal request) and the next arrival is admitted
+    * as a first-arrival (the s15/s17 delete-capture semantics); keyed
+    * state had no removal path, blocking the scale backend for any corpus
+    * subject to removal (round-11 verdict Next #4). This gate streams the
+    * SAME multimodal arrivals as s22 INTERLEAVED with tombstone events —
+    * a control-plane record on the data stream (the CDC pattern: deletes
+    * ride the same keyed shuffle as upserts, q22/s15) — through
+    * [[graft.streaming.KeyedDedup.FirstArrivalWithTakedown]], which
+    * `clear()`s the signature's ValueState at the tombstone's position in
+    * event order. Event lattice: every doc arrives at eid = 2·doc_id;
+    * docs with doc_id % 8 == 0 also issue a tombstone for their OWN
+    * signature at eid = 2·doc_id + 1; chunk = eid % 3 (three
+    * micro-batches, so clears and re-admissions cross batch boundaries
+    * both ways). The oracle restates the state machine relationally:
+    * segment each signature's event sequence at its tombstones (running
+    * takedown count), first arrival in each segment is admitted, the rest
+    * are duplicates. Scale shape: tombstones are ordinary keyed rows —
+    * O(batch) per batch, no rebuild, no full-state sweep. */
+  def s24StreamDedupTakedown(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, s"s24:$dir") {
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      import ss.implicits._
+      val raw = docs(spark, dir)
+      val arrivals = raw.select((col("doc_id") * 2).as("eid"),
+        col("doc_id"), lit(false).as("takedown"))
+      val tombstones = raw.where(pmod(col("doc_id"), lit(8)) === 0)
+        .select((col("doc_id") * 2 + 1).as("eid"),
+          col("doc_id"), lit(true).as("takedown"))
+      val staging = graft.util.Staging.stageChunks(
+        arrivals.unionByName(tombstones), "eid", 3, "s24", dropKey = false)
+      val outDir = graft.util.TempDirs.create("graft_s24_out_")
+      val ckpt = graft.util.TempDirs.create("graft_s24_ckpt_")
+      graft.streaming.BatchStore.seed(
+        ss.range(0).select(lit(0L).as("doc_id"), lit(false).as("is_dup")),
+        outDir)
+      val srcSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("eid",
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField("takedown",
+          org.apache.spark.sql.types.BooleanType, nullable = true)))
+      val events = ss.readStream.schema(srcSchema)
+        .option("maxFilesPerTrigger", 1).parquet(staging)
+        .as[(Long, Long, Boolean)]
+        .map { case (eid, id, takedown) =>
+          // real codec work per event — a tombstone also names content,
+          // not a raw key (a removal request arrives as media too)
+          val (hi, lo) = graft.multimodal.Multimodal.audioSignatureFor(id)
+          graft.streaming.KeyedDedup.SigEvent(eid, id, hi, lo, takedown)
+        }
+      val verdicts = events
+        .groupByKey(r => (r.asig_hi, r.asig_lo))
+        .transformWithState(
+          new graft.streaming.KeyedDedup.FirstArrivalWithTakedown,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+      val q = verdicts.toDF().writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.streaming.BatchStore.append(
+            batch.select(col("doc_id"), col("is_dup")), outDir, batchId)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      graft.streaming.BatchStore.readAll(spark, outDir)
     }.orderBy(col("doc_id"))
 
   // ------------------------------------------------------------ oracle SQL
@@ -3366,20 +3451,50 @@ object PipelineQueries {
     // s22: the SAME expected verdicts — the keyed-state backend must
     // agree with the parquet-store backend on any arrival composition
     "s22_stream_audio_dedup_keyed" -> s21OracleSqlShared,
-    // s23: the s21 derivation restricted to the POST-migration arrivals
-    // (chunk 2) — every chunk-0/1 signature holder outranks every chunk-2
-    // arrival under the struct key, so seeding the store as already-seen
-    // state must reproduce exactly these rows
+    // s23: first-arrival-wins across the MIGRATION boundary — a chunk-2
+    // (post-migration) arrival is a duplicate iff its signature is STORED
+    // (some chunk-0/1 holder exists: the migrated seed) or a chunk-2
+    // holder with a smaller POST-migration arrival key (doc_id % 2,
+    // doc_id) exists — the stream replays chunk 2 in two micro-batches
+    // keyed on doc_id % 2, so this second clause is what checks that
+    // state written by post-migration batch 0 composes with the seeded
+    // state when batch 1 consults it
     "s23_stream_dedup_migrated" ->
       s"""WITH $audioStarCtesSql,
          |amin AS (SELECT hi, lo,
-         |    min({'c': doc_id % 3, 'i': doc_id}) AS mkey
+         |    bool_or(doc_id % 3 <> 2) AS stored,
+         |    min(CASE WHEN doc_id % 3 = 2
+         |        THEN {'c': doc_id % 2, 'i': doc_id} END) AS mkey
          |  FROM asig GROUP BY 1, 2),
          |afl AS (SELECT a.doc_id
          |  FROM asig a JOIN amin USING (hi, lo)
-         |  WHERE amin.mkey < {'c': a.doc_id % 3, 'i': a.doc_id})
+         |  WHERE a.doc_id % 3 = 2 AND (amin.stored
+         |     OR amin.mkey < {'c': a.doc_id % 2, 'i': a.doc_id}))
          |SELECT doc_id, doc_id IN (SELECT doc_id FROM afl) AS is_dup
          |FROM documents WHERE doc_id % 3 = 2 ORDER BY doc_id""".stripMargin,
+    // s24: takedown-capable keyed dedup, restated as a relational state
+    // machine — segment each signature's event sequence (arrivals at
+    // eid = 2·doc_id, tombstones at eid = 2·doc_id + 1 for doc_id % 8 = 0,
+    // ordered by the (eid % 3, eid) stream key) at its tombstones; the
+    // first arrival in each segment is admitted, the rest are duplicates
+    "s24_stream_dedup_takedown" ->
+      s"""WITH $audioStarCtesSql,
+         |ev AS (SELECT doc_id * 2 AS eid, doc_id, false AS takedown
+         |    FROM documents
+         |  UNION ALL
+         |  SELECT doc_id * 2 + 1, doc_id, true FROM documents
+         |    WHERE doc_id % 8 = 0),
+         |evk AS (SELECT e.eid, e.doc_id, e.takedown, s.hi, s.lo,
+         |    {'c': e.eid % 3, 'i': e.eid} AS k
+         |  FROM ev e JOIN asig s USING (doc_id)),
+         |seg AS (SELECT *, count(*) FILTER (WHERE takedown) OVER
+         |    (PARTITION BY hi, lo ORDER BY k
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sg
+         |  FROM evk),
+         |vd AS (SELECT doc_id, row_number() OVER
+         |    (PARTITION BY hi, lo, sg ORDER BY k) > 1 AS is_dup
+         |  FROM seg WHERE NOT takedown)
+         |SELECT doc_id, is_dup FROM vd ORDER BY doc_id""".stripMargin,
     "c2_contamination" -> contamOracleSql,
     // c3 = c2 with a Bloom prefilter + exact verify — Bloom false positives
     // are removed by the verify join, so the expected output is IDENTICAL
@@ -3688,6 +3803,7 @@ object PipelineQueries {
     "s21_stream_audio_dedup" -> s21StreamAudioDedup,
     "s22_stream_audio_dedup_keyed" -> s22StreamAudioDedupKeyed,
     "s23_stream_dedup_migrated" -> s23StreamDedupMigrated,
+    "s24_stream_dedup_takedown" -> s24StreamDedupTakedown,
     "e2_lsh_ann" -> e2LshAnn,
     "e11_lsh_multiprobe" -> e11LshMultiprobe,
     "e12_hybrid_rrf" -> e12HybridRrf,

@@ -48,7 +48,13 @@ object ScaleS20 {
       val frame = gate match {
         case "s20" => PipelineQueries.streamCurationFunnel(spark, dir, parts)
         case "s21" => PipelineQueries.streamAudioDedup(spark, dir, parts)._1
-        case "s22" => PipelineQueries.streamAudioDedupKeyed(spark, dir, parts)
+        // SPARK_GRAFT_STATE_PARTS sizes the stateful operator's partition
+        // count to the workload (it freezes at the first checkpoint; 32
+        // RocksDB instances paying per-batch maintenance for a
+        // few-thousand-row batch is the measured fixed-cost term the
+        // round-11 verdict asked to attribute)
+        case "s22" => PipelineQueries.streamAudioDedupKeyed(spark, dir, parts,
+          sys.env.get("SPARK_GRAFT_STATE_PARTS").map(_.toInt).getOrElse(0))
         case g => sys.error(s"unknown gate '$g' (want s20|s21|s22)")
       }
       frame.write.format("noop").mode("overwrite").save()

@@ -20,11 +20,16 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor,
  * keyed state at 100 TB no longer fits a HashMap.
  *
  * Trade (why parquet stays the DEFAULT backend, s17's rationale): the
- * parquet store is replayable and takedown-capable — an operator can
- * inspect it, delete a signature (content removal), or rebuild it offline;
- * RocksDB state is opaque to everything but the query that owns it. A
- * deployment picks per stream: parquet while the store fits the per-batch
- * scan budget, keyed state past it.
+ * parquet store is replayable and inspectable — an operator can audit it
+ * or rebuild it offline; RocksDB state is opaque to everything but the
+ * query that owns it. Content REMOVAL, the other parquet headline, now has
+ * a keyed-state answer too: [[FirstArrivalWithTakedown]] accepts tombstone
+ * events on the same stream and `clear()`s the signature's state, so the
+ * next arrival of a taken-down signature is admitted as a first-arrival —
+ * parity with deleting the signature's row from the parquet store (the
+ * s15/s17 delete-capture semantics), without a rebuild. A deployment picks
+ * per stream: parquet while the store fits the per-batch scan budget,
+ * keyed state past it (ScaleCrossover measures the handoff point).
  *
  * Semantics — FIRST-ARRIVAL-WINS, identical to the parquet-store funnels:
  * a row is a duplicate iff its key was seen in an EARLIER micro-batch
@@ -40,41 +45,29 @@ object KeyedDedup {
   /** One decoded arrival: the 64-bit media signature as two halves. */
   case class SigArrival(doc_id: Long, asig_hi: Long, asig_lo: Long)
 
+  /** One CONTROL-OR-DATA event for the takedown-capable stream (s24):
+    * `takedown = false` is an arrival of document `doc_id` carrying the
+    * signature; `takedown = true` is a tombstone for the signature (its
+    * `doc_id` names the removal request's subject, used only for event
+    * ordering). `eid` totally orders events within a micro-batch —
+    * a streaming shuffle does not preserve arrival order per key, so the
+    * processor re-sorts each key's batch slice by it. */
+  case class SigEvent(eid: Long, doc_id: Long, asig_hi: Long, asig_lo: Long,
+      takedown: Boolean)
+
   /** The ingest-time verdict, FINAL at emission (never revised). */
   case class Verdict(doc_id: Long, is_dup: Boolean)
 
   /** First-arrival-wins per 64-bit signature: ValueState[Boolean] "seen".
     * State grows with distinct CONTENT by construction — a key's state is
     * written once, ever (the property the parquet store needed an
-    * anti-join append to keep). */
+    * anti-join append to keep).
+    *
+    * Declared WITH initial-state support so the migration variant shares
+    * this exact verdict logic (one definition site — a drifting copy would
+    * silently fork the within-batch rule): used WITHOUT an initial state
+    * (s22) `handleInitialState` is simply never invoked. */
   class FirstArrivalBySig
-      extends StatefulProcessor[(Long, Long), SigArrival, Verdict] {
-    @transient private var seen: ValueState[Boolean] = _
-
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      seen = getHandle.getValueState[Boolean]("seen",
-        Encoders.scalaBoolean, TTLConfig.NONE)
-
-    override def handleInputRows(key: (Long, Long), rows: Iterator[SigArrival],
-        timers: TimerValues): Iterator[Verdict] = {
-      val ids = rows.map(_.doc_id).toArray
-      val already = seen.exists()
-      if (!already) seen.update(true)
-      val mn = ids.min
-      ids.iterator.map(d => Verdict(d, already || d != mn))
-    }
-  }
-
-  /** [[FirstArrivalBySig]] with INITIAL state — the backend MIGRATION
-    * device: a deployment switching from the parquet store to keyed state
-    * seeds each stored signature as an already-seen key on the stream's
-    * FIRST batch (Spark feeds the initial-state dataset through
-    * [[handleInitialState]] before any input rows), then processes only
-    * the remaining arrivals — the already-ingested corpus is never
-    * re-decoded or re-streamed, and every verdict matches what the
-    * parquet-store funnel would have said (S23 gate + MigrationParitySpec
-    * pin it). */
-  class FirstArrivalBySigMigrated
       extends StatefulProcessorWithInitialState[(Long, Long), SigArrival,
         Verdict, Boolean] {
     @transient private var seen: ValueState[Boolean] = _
@@ -83,6 +76,8 @@ object KeyedDedup {
       seen = getHandle.getValueState[Boolean]("seen",
         Encoders.scalaBoolean, TTLConfig.NONE)
 
+    /** Migration seeding (the s23 device): each stored signature arrives
+      * as an already-seen key BEFORE the first input batch. */
     override def handleInitialState(key: (Long, Long), initial: Boolean,
         timers: TimerValues): Unit =
       if (initial) seen.update(true)
@@ -94,6 +89,59 @@ object KeyedDedup {
       if (!already) seen.update(true)
       val mn = ids.min
       ids.iterator.map(d => Verdict(d, already || d != mn))
+    }
+  }
+
+  /** [[FirstArrivalBySig]] under its backend-MIGRATION name — the s23
+    * gate's processor. All logic inherited; the subclass exists so call
+    * sites state which scenario they run (a deployment switching from the
+    * parquet store to keyed state seeds each stored signature through
+    * `handleInitialState`, then processes only the remaining arrivals —
+    * the already-ingested corpus is never re-decoded or re-streamed;
+    * S23 gate + S22ParitySpec pin verdict parity with the never-migrated
+    * funnel). */
+  class FirstArrivalBySigMigrated extends FirstArrivalBySig
+
+  /** First-arrival-wins WITH CONTENT-REMOVAL (s24): the same seen-state
+    * verdict, plus tombstone events that `clear()` the signature's state
+    * mid-stream. Events for a key are processed in `eid` order (the
+    * stream's total event order — the shuffle into the stateful operator
+    * does not preserve it), so a batch may carry arrival(s), a takedown,
+    * and a re-arrival of one signature and still resolve exactly: seen
+    * before the tombstone → duplicate; first arrival after it → admitted.
+    * Tombstones emit no verdict. Supports initial state for parity with
+    * the migrated backend (a takedown-capable deployment that migrated
+    * from parquet seeds the same way). */
+  class FirstArrivalWithTakedown
+      extends StatefulProcessorWithInitialState[(Long, Long), SigEvent,
+        Verdict, Boolean] {
+    @transient private var seen: ValueState[Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean]("seen",
+        Encoders.scalaBoolean, TTLConfig.NONE)
+
+    override def handleInitialState(key: (Long, Long), initial: Boolean,
+        timers: TimerValues): Unit =
+      if (initial) seen.update(true)
+
+    override def handleInputRows(key: (Long, Long), rows: Iterator[SigEvent],
+        timers: TimerValues): Iterator[Verdict] = {
+      val evs = rows.toArray.sortBy(_.eid)
+      var isSeen = seen.exists()
+      val out = Array.newBuilder[Verdict]
+      var i = 0
+      while (i < evs.length) {
+        val e = evs(i)
+        if (e.takedown) {
+          if (isSeen) { seen.clear(); isSeen = false }
+        } else {
+          out += Verdict(e.doc_id, isSeen)
+          if (!isSeen) { seen.update(true); isSeen = true }
+        }
+        i += 1
+      }
+      out.result().iterator
     }
   }
 }

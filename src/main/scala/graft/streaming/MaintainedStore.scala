@@ -116,8 +116,9 @@ object MaintainedStore {
  * `mode("overwrite")`, so a retry REPLACES the failed attempt instead of
  * appending to it, and reads scope themselves to COMMITTED batches only:
  *
- *   <dir>/seed/       schema-bearing empty frame (readable before batch 0)
- *   <dir>/batch-<id>/ exactly batch <id>'s rows (overwrite-idempotent)
+ *   <dir>/seed/            schema-bearing empty frame (readable before batch 0)
+ *   <dir>/batch-<id>/      exactly batch <id>'s rows (overwrite-idempotent)
+ *   <dir>/checkpoint-<b>/  [[fold]]: all rows committed strictly before b
  *
  * [[readBefore]] (batch `b`'s store consult) reads seed + batch-k for
  * k < b: batches run in order, so every k < b was fully committed before b
@@ -127,8 +128,28 @@ object MaintainedStore {
  * Listing is driver-local (the staging contract Staging.stageChunks
  * already pins); a production deployment swaps the listing for the object
  * store's, keeping the same layout.
+ *
+ * Without [[fold]], a consult plans O(batches-so-far) directories — one
+ * parquet footer open per committed batch, every batch: O(batches²) file
+ * opens over a stream's lifetime, the classic manifest problem at 1e4+
+ * micro-batches on an object store (round-11 verdict #3). [[fold]] is the
+ * bounded-manifest move (CellStore.compactFiles applied to the store):
+ * collapse everything committed strictly before batch b into ONE
+ * `checkpoint-<b>` directory, after which consults plan
+ * 1 + (batches since the fold) paths. Folding every K batches holds the
+ * consult's path count under K + 1 forever. Crash-safe by construction:
+ * the checkpoint is written to a dot-hidden temp dir (invisible to
+ * [[parts]]) and atomically renamed into place, and only THEN are the
+ * folded batch directories removed — a crash at any point leaves either
+ * the old layout intact or the new checkpoint authoritative
+ * ([[parts]] ignores batch-k < the newest checkpoint's bound, so a
+ * half-finished removal sweep is invisible to readers). A retry of batch
+ * b that re-runs `fold(b)` sees the bound already at b and no-ops.
  */
 object BatchStore {
+
+  private val BatchName = "^batch-(\\d+)$".r
+  private val CkptName = "^checkpoint-(\\d+)$".r
 
   /** Write the schema-bearing empty seed (read paths need a schema before
     * any batch commits). `base` must exist (TempDirs.create). */
@@ -150,13 +171,46 @@ object BatchStore {
     (if (coalesceTo > 0) df.coalesce(coalesceTo) else df)
       .write.mode("overwrite").parquet(s"$base/batch-$batchId")
 
-  private def parts(base: String): Seq[String] = {
-    val entries = Option(new java.io.File(base).listFiles()).getOrElse(
+  /** (name, batchId-or-checkpoint-bound) per recognized entry. Dot-hidden
+    * entries (fold temp dirs, filesystem droppings) are ignored; anything
+    * ELSE in the store directory is loudly rejected rather than silently
+    * skipped or crashed on with a bare NumberFormatException — the store
+    * layout is exclusively BatchStore's, so a stray `batch-3_tmp` means a
+    * writer outside this contract (round-11 ADVICE). */
+  private def entries(base: String): Seq[(String, Option[Long], Boolean)] = {
+    val files = Option(new java.io.File(base).listFiles()).getOrElse(
       sys.error(s"BatchStore: cannot list $base (non-local/URI-form path? " +
         "BatchStore stages on the driver-local filesystem)"))
-    entries.toSeq.map(_.getName)
-      .filter(n => n == "seed" || n.startsWith("batch-"))
-      .map(n => s"$base/$n")
+    files.toSeq.map(_.getName).filterNot(_.startsWith(".")).map {
+      case "seed"          => ("seed", None, false)
+      case n @ BatchName(k) => (n, Some(k.toLong), false)
+      case n @ CkptName(b)  => (n, Some(b.toLong), true)
+      case other => sys.error(s"BatchStore: unrecognized entry '$other' in " +
+        s"$base — not seed/batch-<id>/checkpoint-<id>; refusing to guess " +
+        "whether it holds store rows")
+    }
+  }
+
+  /** The newest checkpoint's bound: all rows committed strictly before
+    * this batch id live in `checkpoint-<bound>`; batch-k < bound are
+    * folded remnants (possibly mid-removal) and must be ignored. */
+  private def ckptBound(es: Seq[(String, Option[Long], Boolean)]): Option[Long] =
+    es.collect { case (_, Some(b), true) => b }.maxOption
+
+  /** Paths for the committed-strictly-before-`limit` view (limit = None:
+    * everything). Seed always included (schema-bearing, empty). */
+  private def viewPaths(base: String, limit: Option[Long]): Seq[String] = {
+    val es = entries(base)
+    val bound = ckptBound(es)
+    for (b <- bound; l <- limit if l < b) sys.error(
+      s"BatchStore: consult for batch $l behind the fold bound $b in $base " +
+        "— fold must only run from the batch it folds up to (batches " +
+        "ascend, so no later consult can target a pre-fold batch)")
+    es.collect {
+      case ("seed", None, _) => "seed"
+      case (n, Some(b), true) if bound.contains(b) && limit.forall(b <= _) => n
+      case (n, Some(k), false) if bound.forall(k >= _) && limit.forall(k < _) => n
+    }.map(n => s"$base/$n")
   }
 
   /** Every batch directory COMMITTED strictly before `batchId`, plus the
@@ -168,16 +222,55 @@ object BatchStore {
     * counts). */
   def readBefore(spark: SparkSession, base: String, batchId: Long,
       schema: org.apache.spark.sql.types.StructType = null): DataFrame = {
-    val paths = parts(base).filter { p =>
-      val n = p.substring(p.lastIndexOf('/') + 1)
-      n == "seed" || n.stripPrefix("batch-").toLong < batchId
-    }
     val reader = spark.read
-    (if (schema != null) reader.schema(schema) else reader).parquet(paths: _*)
+    (if (schema != null) reader.schema(schema) else reader)
+      .parquet(viewPaths(base, Some(batchId)): _*)
   }
 
-  /** Everything (seed + all batches) — for AFTER the query terminates
-    * (one-time read; inference cost is irrelevant here). */
+  /** Everything (seed + checkpoint + all batches since) — for AFTER the
+    * query terminates (one-time read; inference cost is irrelevant). */
   def readAll(spark: SparkSession, base: String): DataFrame =
-    spark.read.parquet(parts(base): _*)
+    spark.read.parquet(viewPaths(base, None): _*)
+
+  /** Fold everything committed strictly before `uptoBatchId` into one
+    * `checkpoint-<uptoBatchId>` directory and remove the folded batch
+    * directories (and the superseded older checkpoint). Call from batch
+    * `uptoBatchId`'s foreachBatch BEFORE its consult — at that point every
+    * k < uptoBatchId is fully committed, and a retry of the same batch
+    * re-running the fold no-ops (bound already advanced). Readers are
+    * unaffected at every crash point; see the object scaladoc. Returns
+    * true iff a fold was performed. */
+  def fold(spark: SparkSession, base: String, uptoBatchId: Long,
+      schema: org.apache.spark.sql.types.StructType = null): Boolean = {
+    val es = entries(base)
+    val bound = ckptBound(es)
+    if (bound.exists(_ >= uptoBatchId)) return false
+    val folded = es.collect {
+      case (n, Some(b), true) if bound.contains(b) => n
+      case (n, Some(k), false) if bound.forall(k >= _) && k < uptoBatchId => n
+    }
+    // superseded remnants a crashed earlier removal sweep left behind:
+    // readers already ignore them (bound rules), reclaim the space now
+    val stale = es.collect {
+      case (n, Some(b), true) if bound.exists(b < _) => n
+      case (n, Some(k), false) if bound.exists(k < _) => n
+    }
+    stale.foreach(n => deleteRecursively(new java.io.File(base, n)))
+    if (folded.isEmpty) return false
+    val tmp = s"$base/.fold-$uptoBatchId"
+    val reader = spark.read
+    (if (schema != null) reader.schema(schema) else reader)
+      .parquet(folded.map(n => s"$base/$n"): _*)
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val dst = new java.io.File(base, s"checkpoint-$uptoBatchId")
+    java.nio.file.Files.move(new java.io.File(tmp).toPath, dst.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    folded.foreach { n => deleteRecursively(new java.io.File(base, n)) }
+    true
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
 }

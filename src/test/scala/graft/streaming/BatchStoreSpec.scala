@@ -62,6 +62,58 @@ class BatchStoreSpec extends AnyFunSuite with Matchers with SparkTestSession {
       Array(10L, 20L, 99L)
   }
 
+  test("fold invariance: readBefore/readAll identical across a fold") {
+    val dir = freshStore()
+    (0L to 5L).foreach(b => BatchStore.append(Seq(b * 10, b * 10 + 1).toDF("k"), dir, b))
+    val before4 = BatchStore.readBefore(spark, dir, 4L).as[Long].collect().sorted
+    val all = BatchStore.readAll(spark, dir).as[Long].collect().sorted
+    BatchStore.fold(spark, dir, 4L) shouldBe true
+    // the folded prefix now lives in checkpoint-4; views are unchanged
+    BatchStore.readBefore(spark, dir, 4L).as[Long].collect().sorted shouldBe before4
+    BatchStore.readBefore(spark, dir, 5L).as[Long].collect().sorted shouldBe
+      (before4 ++ Array(40L, 41L)).sorted
+    BatchStore.readAll(spark, dir).as[Long].collect().sorted shouldBe all
+    // the folded batch directories are gone — the consult plans O(1) +
+    // batches-since-fold paths, the bounded-manifest contract
+    val names = new java.io.File(dir).listFiles().map(_.getName).toSet
+    names should contain("checkpoint-4")
+    names.count(_.startsWith("batch-")) shouldBe 2 // batch-4, batch-5
+    // appends continue past the fold; a second fold subsumes the first
+    BatchStore.append(Seq(60L).toDF("k"), dir, 6L)
+    BatchStore.fold(spark, dir, 6L) shouldBe true
+    BatchStore.readAll(spark, dir).as[Long].collect().sorted shouldBe
+      (all ++ Array(60L)).sorted
+    new java.io.File(dir).listFiles().map(_.getName).toSet should not contain "checkpoint-4"
+  }
+
+  test("fold is retry-idempotent and loud on a consult behind the bound") {
+    val dir = freshStore()
+    (0L to 2L).foreach(b => BatchStore.append(Seq(b).toDF("k"), dir, b))
+    BatchStore.fold(spark, dir, 2L) shouldBe true
+    // the RETRY of batch 2 re-runs its fold: bound already at 2 -> no-op,
+    // and its consult still sees exactly batches 0 and 1
+    BatchStore.fold(spark, dir, 2L) shouldBe false
+    BatchStore.readBefore(spark, dir, 2L).as[Long].collect().sorted shouldBe
+      Array(0L, 1L)
+    // a consult for a batch BEHIND the fold bound is a contract violation
+    // (folds only run from the batch they fold up to) — loud, not silent
+    val e = intercept[RuntimeException](BatchStore.readBefore(spark, dir, 1L))
+    e.getMessage should include("behind the fold bound")
+  }
+
+  test("stray non-layout entries are loudly rejected, dot-hidden ignored") {
+    val dir = freshStore()
+    BatchStore.append(Seq(1L).toDF("k"), dir, 0L)
+    // a crashed fold's temp dir is dot-hidden -> invisible to readers
+    new java.io.File(dir, ".fold-7").mkdir()
+    BatchStore.readAll(spark, dir).as[Long].collect() shouldBe Array(1L)
+    // anything else means a writer outside the layout contract: refuse
+    // rather than guess (or crash with a bare NumberFormatException)
+    new java.io.File(dir, "batch-3_tmp").mkdir()
+    val e = intercept[RuntimeException](BatchStore.readAll(spark, dir))
+    e.getMessage should include("unrecognized entry")
+  }
+
   test("MaintainedStore consult composes with a readBefore store view") {
     val dir = freshStore()
     BatchStore.append((1L to 100L).toDF("k"), dir, 0L)
