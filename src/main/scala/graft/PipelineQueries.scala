@@ -2448,6 +2448,13 @@ object PipelineQueries {
       val ss = spark.newSession()
       ss.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // state DELTA per commit, not a full RocksDB snapshot — the default
+      // (false) silently re-introduces an O(|state|)-per-batch term, which
+      // is what made the keyed backend lose every measured decade before
+      // ScaleCrossover attributed it (round-12; README backend economics)
+      ss.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
       if (stateParts > 0)
         ss.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
       import ss.implicits._
@@ -2523,6 +2530,13 @@ object PipelineQueries {
       val ss = spark.newSession()
       ss.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // state DELTA per commit, not a full RocksDB snapshot — the default
+      // (false) silently re-introduces an O(|state|)-per-batch term, which
+      // is what made the keyed backend lose every measured decade before
+      // ScaleCrossover attributed it (round-12; README backend economics)
+      ss.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
       import ss.implicits._
       val raw = docs(spark, dir)
       // the pre-migration deployment's store: distinct signatures of the
@@ -2605,6 +2619,13 @@ object PipelineQueries {
       val ss = spark.newSession()
       ss.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // state DELTA per commit, not a full RocksDB snapshot — the default
+      // (false) silently re-introduces an O(|state|)-per-batch term, which
+      // is what made the keyed backend lose every measured decade before
+      // ScaleCrossover attributed it (round-12; README backend economics)
+      ss.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
       import ss.implicits._
       val raw = docs(spark, dir)
       val arrivals = raw.select((col("doc_id") * 2).as("eid"),

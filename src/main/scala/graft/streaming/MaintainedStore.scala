@@ -36,9 +36,10 @@ import org.apache.spark.sql.functions._
  * candidate rows (default fpp 0.1% -> ~1M candidate rows per 1e9-row
  * store, ~32 MB of sha keys). The scan itself remains O(|store|) I/O per
  * batch — the honest residual; a deployment whose store outgrows even the
- * single-column scan budget moves to keyed streaming state
- * (dropDuplicatesWithinWatermark, the s4 device) or an LSM-style keyed
- * index, trading exact replayable parquet state for point lookups.
+ * single-column scan budget moves to the keyed-streaming-state backend
+ * ([[KeyedDedup]], the s22 device — point lookups of exactly the batch's
+ * keys, migration via s23's initial-state seeding, takedown via s24's
+ * tombstones; README "backend economics" has the measured crossover).
  * [[graft.streaming.MaintainedStoreSpec]] audits the plan (no shuffle
  * Exchange over the store scan) and forces a false-positive through the
  * Bloom to pin that the exact join removes it.
