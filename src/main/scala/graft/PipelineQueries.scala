@@ -2322,8 +2322,16 @@ object PipelineQueries {
     * not arrivals — is assertable from outside (S21ParitySpec). */
   private val s21StoreDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** `foldEvery` amortization (measured, 300x decade, 81 batches): each
+    * fold rewrites the whole committed prefix — O(|store|), ~6 s at the
+    * 1.1M-row 300x store — so K=16 costs 5 rewrites (+31% cold) while
+    * K=64 costs one (~6%); K=64 still bounds the consult's planned path
+    * count at K+1 forever, which is the point (on an object store at
+    * ~10 ms/footer-open an UNfolded 1e4-batch stream pays ~100 s of
+    * footer opens per consult; locally listing is nearly free and fold
+    * is pure insurance). Results are fold-invariant (BatchStoreSpec). */
   private[graft] def streamAudioDedup(spark: SparkSession, dir: String,
-      parts: Int, foldEvery: Int = 16): (DataFrame, String) = {
+      parts: Int, foldEvery: Int = 64): (DataFrame, String) = {
     val dirKey = s"${spark.sparkContext.applicationId}:s21:$dir:$parts:$foldEvery"
     val out = memo(spark, s"s21:$dir:$parts:$foldEvery") {
       val raw = docs(spark, dir)

@@ -43,7 +43,20 @@ object ScaleS20 {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // per-run host-steal provenance (Bench's device): a contended decade
+    // self-identifies instead of reading as a backend regression — the
+    // round-12 decade rows measured 2.2x window-to-window swings on
+    // UNCHANGED code before this field existed here
+    def cpuTicks: (Long, Long) =
+      try {
+        val f = scala.io.Source.fromFile("/proc/stat")
+        val parts = try f.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+        finally f.close()
+        (if (parts.length > 7) parts(7) else 0L, parts.take(8).sum)
+      } catch { case _: Exception => (0L, 0L) }
+
     val results = runs.map { case (gate, dir, parts) =>
+      val (st0, tt0) = cpuTicks
       val t0 = System.nanoTime()
       val frame = gate match {
         case "s20" => PipelineQueries.streamCurationFunnel(spark, dir, parts)
@@ -59,7 +72,9 @@ object ScaleS20 {
       }
       frame.write.format("noop").mode("overwrite").save()
       val t = (System.nanoTime() - t0) / 1e9
-      println(f"""${gate.toUpperCase} {"dir":"$dir","parts":$parts,"cold_sec":$t%.1f}""")
+      val (st1, tt1) = cpuTicks
+      val steal = if (tt1 > tt0) 100.0 * (st1 - st0) / (tt1 - tt0) else 0.0
+      println(f"""${gate.toUpperCase} {"dir":"$dir","parts":$parts,"cold_sec":$t%.1f,"steal_pct":$steal%.2f}""")
       PipelineQueries.evictMemos()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       spark.catalog.clearCache()

@@ -134,11 +134,16 @@ object Multimodal {
       }
       y += 1
     }
-    val fmt = if (imgMime(group) == "image/bmp") "bmp" else "png"
-    val bos = new java.io.ByteArrayOutputStream()
-    require(javax.imageio.ImageIO.write(img, fmt, bos),
-      s"no ImageIO writer for format '$fmt'")
-    bos.toByteArray
+    // direct SPI writer + Disposer-free stream: ImageIO.write would walk
+    // the writer registry AND construct a MemoryCacheImageOutputStream
+    // (one JVM-global Disposer lock acquisition) per encoded document
+    val writer = (if (imgMime(group) == "image/bmp") bmpWriterSpi
+                  else pngWriterSpi).createWriterInstance()
+    val ios = new ByteArrayImageOutputStream
+    writer.setOutput(ios)
+    writer.write(img)
+    writer.dispose()
+    ios.toByteArray
   }
 
   /** REAL image decode: `javax.imageio.ImageIO.read` over the binary
@@ -162,8 +167,7 @@ object Multimodal {
       ImageIOInit.ensure() // executor-local too, not just the driver JVM
       it.map { row =>
         val bytes = row.getAs[Array[Byte]](binIdx)
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-        require(img != null, "ImageIO.read: no reader recognized the payload")
+        val img = readStill(bytes)
         val (w, h) = (img.getWidth, img.getHeight)
         val raster = img.getRaster
         val c = raster.getNumBands
@@ -217,8 +221,7 @@ object Multimodal {
       it.flatMap { row =>
         val docId = row.getLong(idIdx)
         val bytes = row.getAs[Array[Byte]](binIdx)
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-        require(img != null, "ImageIO.read: no reader recognized the payload")
+        val img = readStill(bytes)
         val (w, h) = (img.getWidth, img.getHeight)
         val raster = img.getRaster
         val c = raster.getNumBands
@@ -348,6 +351,46 @@ object Multimodal {
     require(it.hasNext, "no GIF ImageReader on this JVM")
     it.next().getOriginatingProvider
   }
+  private lazy val pngReaderSpi: javax.imageio.spi.ImageReaderSpi = {
+    val it = javax.imageio.ImageIO.getImageReadersByFormatName("png")
+    require(it.hasNext, "no PNG ImageReader on this JVM")
+    it.next().getOriginatingProvider
+  }
+  private lazy val bmpReaderSpi: javax.imageio.spi.ImageReaderSpi = {
+    val it = javax.imageio.ImageIO.getImageReadersByFormatName("bmp")
+    require(it.hasNext, "no BMP ImageReader on this JVM")
+    it.next().getOriginatingProvider
+  }
+  private lazy val pngWriterSpi: javax.imageio.spi.ImageWriterSpi = {
+    val it = javax.imageio.ImageIO.getImageWritersByFormatName("png")
+    require(it.hasNext, "no PNG ImageWriter on this JVM")
+    it.next().getOriginatingProvider
+  }
+  private lazy val bmpWriterSpi: javax.imageio.spi.ImageWriterSpi = {
+    val it = javax.imageio.ImageIO.getImageWritersByFormatName("bmp")
+    require(it.hasNext, "no BMP ImageWriter on this JVM")
+    it.next().getOriginatingProvider
+  }
+
+  /** Decode one still image (PNG or BMP, sniffed by magic) through a
+    * per-JVM SPI reader and a Disposer-free input stream — the lock-free
+    * replacement for `ImageIO.read(InputStream)`, which walks the reader
+    * registry AND takes the JVM-global Disposer monitor once per call
+    * (the m9 decode convoy; see [[ByteArrayImageInputStream]]). */
+  private def readStill(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    val spi =
+      if (bytes.length > 1 && bytes(0) == 0x89.toByte && bytes(1) == 'P'.toByte)
+        pngReaderSpi
+      else if (bytes.length > 1 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte)
+        bmpReaderSpi
+      else sys.error("readStill: payload is neither PNG nor BMP by magic")
+    val iis = new ByteArrayImageInputStream(bytes)
+    val reader = spi.createReaderInstance()
+    try {
+      reader.setInput(iis, true, true)
+      reader.read(0)
+    } finally { reader.dispose(); iis.close() }
+  }
 
   /** Build the animated-GIF table: (doc_id, mime, content) with REAL
     * multi-frame GIF bytes per document (narrow pass, same shape as
@@ -372,8 +415,7 @@ object Multimodal {
     * GraphicControlExtension carrying the fixture delay. */
   private def encodeGif(docId: Long): Array[Byte] = {
     val (w, h, n) = (gifWidth(docId), gifHeight(docId), gifFrames(docId))
-    val bos = new java.io.ByteArrayOutputStream()
-    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    val ios = new ByteArrayImageOutputStream
     val writer = gifWriterSpi.createWriterInstance()
     writer.setOutput(ios)
     writer.prepareWriteSequence(null)
@@ -422,8 +464,9 @@ object Multimodal {
     }
     writer.endWriteSequence()
     writer.dispose()
+    val out = ios.toByteArray
     ios.close()
-    bos.toByteArray
+    out
   }
 
   /** REAL multi-frame container decode: `ImageReader.getNumImages` +
@@ -452,8 +495,7 @@ object Multimodal {
       it.flatMap { row =>
         val docId = row.getLong(idIdx)
         val bytes = row.getAs[Array[Byte]](binIdx)
-        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
-          new java.io.ByteArrayInputStream(bytes))
+        val iis = new ByteArrayImageInputStream(bytes)
         val reader = gifReaderSpi.createReaderInstance()
         reader.setInput(iis)
         val n = reader.getNumImages(true)
@@ -566,10 +608,22 @@ object Multimodal {
     * TIFF (tags 256/257/258/259=8/262/273/277/278/279), so the roundtrip
     * claim is unchanged — three independent implementations (this writer,
     * the JDK reader, the pure-Python walker) must agree on every sample,
-    * and a container-layout mistake here fails BOTH decoders. Deflate is
-    * setLevel(6) with a fresh Deflater per strip: bit-deterministic for a
-    * given zlib version, but no gate ever hashes ENCODED bytes (the m5
-    * rule) — gates hash decoded samples. */
+    * and a container-layout mistake here fails BOTH decoders. Strips are
+    * PackBits (tag 259 = 32773, the TIFF 6.0 BASELINE codec, packets
+    * restarted per row as the spec requires; encoded bytes are
+    * bit-deterministic, but no gate ever hashes ENCODED bytes — the m5
+    * rule — gates hash decoded samples). The round-11 fixture used
+    * ZLib/deflate strips, and that choice was a measured scale bug in the
+    * DECODER'S JVM: the JDK's TIFFDeflateDecompressor constructs a NATIVE
+    * `java.util.zip.Inflater` per `read(page)` and never `end()`s it,
+    * leaving millions of native zlib streams to the JVM's single
+    * Common-Cleaner thread — the 100x decade's decode pass degraded from
+    * 39.7 s (first pass) to 322 s (later passes, same JVM) with every
+    * executor thread in `Inflater.init` and the Cleaner pegged in
+    * `Inflater.end` (thread-dump-attributed; the same backlog
+    * retro-explains round-11's "warm above cold" m9 row that was
+    * blamed on host steal). PackBits decodes in pure Java with zero
+    * native allocation, so the JVM no longer ages with pages decoded. */
   private def encodeTiff(docId: Long): Array[Byte] = {
     val n = tiffPages(docId)
     val bos = new java.io.ByteArrayOutputStream()
@@ -583,13 +637,10 @@ object Multimodal {
       val raw = new Array[Byte](w * h)
       var i = 0
       while (i < raw.length) { raw(i) = tiffPixel(docId, p, i).toByte; i += 1 }
-      val d = new java.util.zip.Deflater(6)
-      d.setInput(raw); d.finish()
-      val buf = new Array[Byte](raw.length + 64)
-      val len = d.deflate(buf)
-      require(d.finished(), s"deflate buffer too small for page $p")
-      d.end()
-      java.util.Arrays.copyOf(buf, len)
+      val sb = new java.io.ByteArrayOutputStream()
+      var r = 0
+      while (r < h) { packBitsRow(raw, r * w, w, sb); r += 1 }
+      sb.toByteArray
     }
     val stripOff = new Array[Int](n)
     w32(0) // first-IFD offset placeholder (patched at the end)
@@ -609,7 +660,7 @@ object Multimodal {
       entry(256, 3, w)                 // ImageWidth
       entry(257, 3, h)                 // ImageLength
       entry(258, 3, 8)                 // BitsPerSample
-      entry(259, 3, 8)                 // Compression: ZLib/Adobe deflate
+      entry(259, 3, 32773)             // Compression: PackBits (baseline)
       entry(262, 3, 1)                 // Photometric: BlackIsZero
       entry(273, 4, stripOff(p))       // StripOffsets
       entry(277, 3, 1)                 // SamplesPerPixel
@@ -626,6 +677,34 @@ object Multimodal {
     out(6) = ((firstIfd >> 16) & 0xFF).toByte
     out(7) = ((firstIfd >> 24) & 0xFF).toByte
     out
+  }
+
+  /** PackBits-encode one pixel row (TIFF 6.0 §9: control byte 0..127 =
+    * copy next count+1 literals; 129..255 = repeat next byte 257-count
+    * times; packets never straddle a row boundary — the spec's
+    * per-row-restart rule). Greedy: emit a run packet for any repeat of
+    * length >= 2, literal packets otherwise. */
+  private def packBitsRow(buf: Array[Byte], off: Int, len: Int,
+      out: java.io.ByteArrayOutputStream): Unit = {
+    val end = off + len
+    var i = off
+    while (i < end) {
+      var j = i
+      while (j + 1 < end && buf(j + 1) == buf(j) && (j - i) < 127) j += 1
+      val run = j - i + 1
+      if (run >= 2) {
+        out.write(257 - run) // -(run-1) as unsigned
+        out.write(buf(i))
+        i = j + 1
+      } else {
+        var k = i + 1 // literal stretch: stop at a >=2 repeat or 128 bytes
+        while (k < end && (k - i) < 128 &&
+            !(k + 1 < end && buf(k + 1) == buf(k))) k += 1
+        out.write(k - i - 1)
+        out.write(buf, i, k - i)
+        i = k
+      }
+    }
   }
 
   /** REAL multi-page container decode: `ImageReader.getNumImages` + per-IFD
@@ -650,8 +729,7 @@ object Multimodal {
       it.flatMap { row =>
         val docId = row.getLong(idIdx)
         val bytes = row.getAs[Array[Byte]](binIdx)
-        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
-          new java.io.ByteArrayInputStream(bytes))
+        val iis = new ByteArrayImageInputStream(bytes)
         val reader = tiffReaderSpi.createReaderInstance()
         // ignoreMetadata = true: unlike the GIF decode (which must parse
         // per-frame GraphicControlExtension timing), the TIFF page walk
@@ -893,6 +971,87 @@ object Multimodal {
     }
     df.sparkSession.createDataFrame(rdd, schema)
   }
+}
+
+/** Array-backed [[javax.imageio.stream.ImageInputStream]] that never
+  * touches `sun.java2d.Disposer`: the JDK's
+  * `MemoryCacheImageInputStream` registers its cache with the Disposer in
+  * its CONSTRUCTOR, under a JVM-GLOBAL monitor — one lock acquisition per
+  * decoded document, which convoys all 32 executor threads exactly like
+  * the audio SPI-registry lock did (m4's lesson). Measured before this
+  * class existed: the m9 100x decode pass ran 39.7 s cold but 322 s warm
+  * (thread dumps showed every worker BLOCKED on `Disposer.add`; the same
+  * convoy retro-explains round-11's "warm above cold" 300x row that was
+  * misattributed to host steal). The payload is already a byte array, so
+  * the stream is trivial: positions delegate to
+  * [[javax.imageio.stream.ImageInputStreamImpl]], whose constructor
+  * registers nothing. */
+private[multimodal] final class ByteArrayImageInputStream(buf: Array[Byte])
+    extends javax.imageio.stream.ImageInputStreamImpl {
+  override def read(): Int = {
+    checkClosed(); bitOffset = 0
+    if (streamPos >= buf.length) -1
+    else { val v = buf(streamPos.toInt) & 0xFF; streamPos += 1; v }
+  }
+  override def read(b: Array[Byte], off: Int, len: Int): Int = {
+    checkClosed(); bitOffset = 0
+    if (streamPos >= buf.length) -1
+    else {
+      val n = math.min(len, buf.length - streamPos.toInt)
+      System.arraycopy(buf, streamPos.toInt, b, off, n)
+      streamPos += n; n
+    }
+  }
+  override def length(): Long = buf.length.toLong
+  override def isCached: Boolean = true
+  override def isCachedMemory: Boolean = true
+}
+
+/** Growable-array [[javax.imageio.stream.ImageOutputStream]] — the encode
+  * twin of [[ByteArrayImageInputStream]] (`MemoryCacheImageOutputStream`
+  * takes the same Disposer lock per constructed stream, i.e. once per
+  * ENCODED document in the media memo builds). Supports the seek-back
+  * header patching the PNG/GIF writers do (writes at any position grow
+  * the logical length monotonically). */
+private[multimodal] final class ByteArrayImageOutputStream
+    extends javax.imageio.stream.ImageOutputStreamImpl {
+  private var buf = new Array[Byte](4096)
+  private var len = 0
+  private def ensure(cap: Int): Unit = if (cap > buf.length) {
+    var n = buf.length
+    while (n < cap) n <<= 1
+    buf = java.util.Arrays.copyOf(buf, n)
+  }
+  override def write(b: Int): Unit = {
+    checkClosed(); flushBits()
+    ensure(streamPos.toInt + 1)
+    buf(streamPos.toInt) = b.toByte
+    streamPos += 1
+    if (streamPos > len) len = streamPos.toInt
+  }
+  override def write(b: Array[Byte], off: Int, l: Int): Unit = {
+    checkClosed(); flushBits()
+    ensure(streamPos.toInt + l)
+    System.arraycopy(b, off, buf, streamPos.toInt, l)
+    streamPos += l
+    if (streamPos > len) len = streamPos.toInt
+  }
+  override def read(): Int = {
+    checkClosed(); bitOffset = 0
+    if (streamPos >= len) -1
+    else { val v = buf(streamPos.toInt) & 0xFF; streamPos += 1; v }
+  }
+  override def read(b: Array[Byte], off: Int, l: Int): Int = {
+    checkClosed(); bitOffset = 0
+    if (streamPos >= len) -1
+    else {
+      val n = math.min(l, len - streamPos.toInt)
+      System.arraycopy(buf, streamPos.toInt, b, off, n)
+      streamPos += n; n
+    }
+  }
+  override def length(): Long = len.toLong
+  def toByteArray: Array[Byte] = java.util.Arrays.copyOf(buf, len)
 }
 
 /** One-time executor/driver-local ImageIO configuration: disable the

@@ -942,10 +942,26 @@ def _gif_decode(data):
 
 def _tiff_decode(data):
     # Multi-page TIFF directory walker: both byte orders, SHORT/LONG tag
-    # values (inline or offset), ZLib/Deflate-compressed strips (tags 8 and
-    # 32946 — both plain zlib streams), optional horizontal predictor.
+    # values (inline or offset), PackBits strips (tag 32773 — the TIFF 6.0
+    # baseline codec the fixture now writes) plus ZLib/Deflate (8/32946,
+    # plain zlib streams), optional horizontal predictor.
     # Returns [(w, h, gray_samples)] per IFD, in chain order.
     import struct, zlib
+
+    def _unpackbits(src):
+        out = bytearray()
+        i = 0
+        while i < len(src):
+            c = src[i]
+            i += 1
+            if c < 128:            # copy next c+1 literals
+                out += src[i:i + c + 1]
+                i += c + 1
+            elif c > 128:          # repeat next byte 257-c times
+                out += bytes([src[i]]) * (257 - c)
+                i += 1
+            # c == 128: no-op
+        return out
     if data[:2] == b"II":
         e = "<"
     elif data[:2] == b"MM":
@@ -978,13 +994,17 @@ def _tiff_decode(data):
         assert tags.get(258, (8,))[0] == 8, "expected 8-bit samples"
         assert tags.get(277, (1,))[0] == 1, "expected 1 sample/pixel (gray)"
         comp = tags.get(259, (1,))[0]
-        assert comp in (8, 32946), f"expected deflate compression, got {comp}"
+        assert comp in (8, 32946, 32773), \
+            f"expected deflate/PackBits compression, got {comp}"
         assert tags.get(262, (1,))[0] == 1, "expected BlackIsZero gray"
         predictor = tags.get(317, (1,))[0]
         offs, cnts = tags[273], tags[279]
         raw = bytearray()
         for so, sc in zip(offs, cnts):
-            raw += zlib.decompress(data[so:so + sc])
+            if comp == 32773:
+                raw += _unpackbits(data[so:so + sc])
+            else:
+                raw += zlib.decompress(data[so:so + sc])
         assert len(raw) == w * h, f"strip underrun: {len(raw)} != {w*h}"
         if predictor == 2:  # horizontal differencing, per row
             for y in range(h):
