@@ -2091,11 +2091,16 @@ object PipelineQueries {
       .agg(min(col("doc_id")).as("min_id"))
     val sink = "s9_stream_sink"
     spark.catalog.dropTempView(sink) // idempotent across bench passes
-    val q = minPerBucket.writeStream.format("memory").queryName(sink)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // stateful ((band, bh) agg state store): sized like s10/s12 — each
+    // state partition carries fixed per-batch commit/maintenance cost
+    Queries.withGateStreamingPartitions(spark,
+        Queries.tableBytes(spark, dir, "documents")) {
+      val q = minPerBucket.writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     val state = spark.table(sink)
     // static tail reuses the memoized exploded/codegen'd band frame — the
     // interpreted Column-API formulation exists only where streaming needs

@@ -602,11 +602,15 @@ object Queries {
       .withColumn("total_value", round(col("total_value"), 2))
     val sink = "s3_stream_sink"
     spark.catalog.dropTempView(sink) // idempotent across bench passes
-    val q = agg.writeStream.format("memory").queryName(sink)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // stateful (windowed-agg state store): sized like s10/s12 — each state
+    // partition carries fixed per-batch commit/maintenance cost
+    withGateStreamingPartitions(spark, tableBytes(spark, dir, "events")) {
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(sink).orderBy(col("window_start"), col("event_type"))
   }
 
@@ -631,11 +635,15 @@ object Queries {
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
     val sink = "s7_stream_sink"
     spark.catalog.dropTempView(sink) // idempotent across bench passes
-    val q = agg.writeStream.format("memory").queryName(sink)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // the join is stateless (broadcast static dim) but the running agg is
+    // not — size its state store like s10/s12
+    withGateStreamingPartitions(spark, tableBytes(spark, dir, "events")) {
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(sink).orderBy(col("n_name"))
   }
 
@@ -677,7 +685,7 @@ object Queries {
     * was traded for), while sizing one partition per ~16 MB of compressed source (state inflates well past parquet size)
     * restores the linear regime. Output is partitioning-independent, so
     * the oracles are untouched. Restores the session setting afterwards. */
-  private def withGateStreamingPartitions[T](spark: SparkSession,
+  private[graft] def withGateStreamingPartitions[T](spark: SparkSession,
       sourceBytes: Long)(f: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
@@ -697,7 +705,7 @@ object Queries {
     * correctly (a java.io.File of "file:///..." silently reports 0, which
     * would collapse the sizing back to the 8-partition clamp — round-8
     * review); a missing table fails loudly rather than under-sizing. */
-  private def tableBytes(spark: SparkSession, dir: String, table: String): Long = {
+  private[graft] def tableBytes(spark: SparkSession, dir: String, table: String): Long = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.exists(p), s"tableBytes: $p does not exist")
@@ -913,11 +921,15 @@ object Queries {
       .select(col("text_sha"))
     val sink = "s4_stream_sink"
     spark.catalog.dropTempView(sink) // idempotent across bench passes
-    val q = dedup.writeStream.format("memory").queryName(sink)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // stateful (dropDuplicatesWithinWatermark keyed state): sized like
+    // s10/s12 — partitions ~ state volume, not CPU count
+    withGateStreamingPartitions(spark, tableBytes(spark, dir, "documents")) {
+      val q = dedup.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(sink).orderBy(col("text_sha"))
   }
 
