@@ -1139,6 +1139,92 @@ object Queries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Scoped session-conf override: set, run, restore (unset keys that had
+    * no explicit value). The body must MATERIALIZE anything that should
+    * execute under the overrides — a lazily-returned frame executes after
+    * the restore. */
+  private[graft] def withConfs[T](spark: SparkSession,
+      kvs: (String, String)*)(f: => T): T = {
+    val prev = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  /** The q28 join under its skew shape, pre-materialization: sentinel-key
+    * skew — every fifth user's events collapse onto uid 0 (the canonical
+    * production hot key: unresolved traffic bucketed on a catch-all
+    * account, here customer 0), so one shuffle partition carries ~20% of
+    * the fact side. LEFT join + coalesce(-1) keep rows visible even where
+    * a dir's sentinel has no dim row; DECIMAL accumulation because the hot
+    * group's total crosses the double-sum order-independence boundary at
+    * decade corpus sizes (q8's rule). Factored out so Q28SkewSpec can
+    * execute it under test-scale thresholds and assert on the FINAL
+    * adaptive plan. */
+  /** The q28 fact side, staged as a MULTI-FILE parquet once per dir: the
+    * synthetic corpus is a single parquet row group, so a direct scan
+    * yields ONE map task — and AQE's skew split is per MAP OUTPUT, so a
+    * one-map partition can never split, regardless of thresholds
+    * (measured: left max 20 KB vs median 2.7 KB and 0 partitions deemed
+    * skewed). Production fact tables have thousands of row groups; the
+    * 16-file staging restores that multi-map shuffle shape WITHOUT
+    * touching the measured plan (the gate query is a plain scan of the
+    * staged dir — no extra exchange inside the join). */
+  private val q28StageCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q28Events(spark: SparkSession, dir: String): DataFrame = {
+    val path = q28StageCache.computeIfAbsent(dir, _ => {
+      val p = graft.util.TempDirs.create("graft_q28_ev_")
+      events(spark, dir).select(col("user_id"), col("value"))
+        .repartition(16).write.mode("overwrite").parquet(p)
+      p
+    })
+    spark.read.parquet(path)
+  }
+
+  private[graft] def q28Frame(spark: SparkSession, dir: String): DataFrame = {
+    val ev = q28Events(spark, dir).select(
+      when(pmod(col("user_id"), lit(5)) === 0, lit(0L))
+        .otherwise(col("user_id")).as("uid"),
+      col("value"))
+    val dim = t(spark, dir, "customer")
+      .select(col("c_custkey").as("uid"), col("c_nationkey"))
+    ev.join(dim, Seq("uid"), "left")
+      .groupBy(coalesce(col("c_nationkey").cast("long"), lit(-1L)).as("nation"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(30,6)")).cast("double"), 2)
+          .as("total_value"))
+  }
+
+  /** AQE skew-join gate (q28): the RUNTIME remedy for the hot key q13
+    * handles explicitly with salting — Spark's adaptive skew-join split.
+    * The dim joins WITHOUT broadcast (autoBroadcastJoinThreshold=-1: at
+    * 100 TB the dim side doesn't fit a broadcast either), forcing the
+    * shuffled sort-merge join AQE then repairs at runtime: the oversized
+    * fact partition is split into advisory-sized chunks, the matching dim
+    * partition replicated per chunk — same remedy as q13's salt, decided
+    * from MEASURED map output sizes instead of a hand-chosen bucket count.
+    * Thresholds are lowered to gate scale (the 256 MB default IS the
+    * production setting); Q28SkewSpec pins that the executed plan carries
+    * skew=true under them, and that the result equals the un-tuned plain
+    * join. Materialized to parquet INSIDE the conf scope — the confs are
+    * scoped-and-restored, so the lazily-returned frame must not execute
+    * after the restore. */
+  def q28AqeSkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val outDir = graft.util.TempDirs.create("graft_q28_out_")
+    withConfs(spark,
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.files.maxPartitionBytes" -> "65536",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32768",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "32768") {
+      q28Frame(spark, dir).write.mode("overwrite").parquet(outDir)
+    }
+    spark.read.parquet(outDir).orderBy(col("nation"))
+  }
+
   /** Semi-structured extraction gate (q14): the events table carries a JSON
     * `props` column; parse it with a SCHEMA'D `from_json` (a single codegen
     * JsonToStructs evaluation — the idiomatic Spark shape; repeated
@@ -2077,6 +2163,14 @@ object Queries {
           |  count(*) AS n_items
           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
           |GROUP BY 1 ORDER BY 1""".stripMargin,
+      "q28_aqe_skew_join" ->
+        """SELECT coalesce(c_nationkey, -1)::BIGINT AS nation,
+          |  count(*) AS n_events,
+          |  round(sum(value::DECIMAL(30,6))::DOUBLE, 2) AS total_value
+          |FROM (SELECT CASE WHEN user_id % 5 = 0 THEN 0 ELSE user_id END AS uid,
+          |        value FROM events) e
+          |LEFT JOIN customer ON uid = c_custkey
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
       "q15_running_window" ->
         """SELECT user_id, event_id, ts, value,
           |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -2658,6 +2752,7 @@ object Queries {
     "q11_asof_join" -> q11AsofJoin,
     "q12_range_join" -> q12RangeJoin,
     "q13_salted_join" -> q13SaltedJoin,
+    "q28_aqe_skew_join" -> q28AqeSkewJoin,
     "q14_json_props" -> q14JsonProps,
     "q15_running_window" -> q15RunningWindow,
     "q16_set_ops" -> q16SetOps,
