@@ -1225,6 +1225,45 @@ object Queries {
     spark.read.parquet(outDir).orderBy(col("nation"))
   }
 
+  /** The q29 join pre-materialization: fact events against the PILOT
+    * slice of the dim (a constant 50 accounts at every scale). Without
+    * CBO stats a Filter reports its CHILD's size, so static planning sees
+    * the full customer file and must pick the shuffle join; the slice's
+    * true size only exists once its shuffle stage materializes. Factored
+    * out so Q29ReplanSpec can pin both plans. */
+  private[graft] def q29Frame(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select(col("user_id"), col("value"))
+    val pilot = t(spark, dir, "customer")
+      .where(col("c_custkey") < 50)
+      .select(col("c_custkey").as("uid"), col("c_nationkey"))
+    ev.join(pilot, col("user_id") === col("uid"))
+      .groupBy(col("c_nationkey").cast("long").as("nation"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(30,6)")).cast("double"), 2)
+          .as("total_value"))
+  }
+
+  /** AQE join-strategy replan gate (q29): the OTHER runtime repair q28's
+    * skew split belongs to — a join statically planned as sort-merge
+    * (the un-CBO'd filter estimate is the full dim file, above the
+    * broadcast threshold at every SF) converted to a BROADCAST hash join
+    * at runtime, once the filtered dim's materialized shuffle stage
+    * proves it tiny (50 rows — below the threshold at every SF, so the
+    * conversion fires at gate scale AND decades). The local-shuffle-read
+    * conversion reuses the already-written map outputs: no extra
+    * exchange, the probe side never shuffles. Q29ReplanSpec pins
+    * SortMergeJoin in the INITIAL plan + BroadcastHashJoin in the FINAL
+    * plan + parity with the statically-broadcast default run; the DuckDB
+    * oracle states the plain filtered equi-join. Materialized inside the
+    * conf scope (q28's rule). */
+  def q29AqeReplan(spark: SparkSession, dir: String): DataFrame = {
+    val outDir = graft.util.TempDirs.create("graft_q29_out_")
+    withConfs(spark, "spark.sql.autoBroadcastJoinThreshold" -> "4096") {
+      q29Frame(spark, dir).write.mode("overwrite").parquet(outDir)
+    }
+    spark.read.parquet(outDir).orderBy(col("nation"))
+  }
+
   /** Semi-structured extraction gate (q14): the events table carries a JSON
     * `props` column; parse it with a SCHEMA'D `from_json` (a single codegen
     * JsonToStructs evaluation — the idiomatic Spark shape; repeated
@@ -2171,6 +2210,12 @@ object Queries {
           |        value FROM events) e
           |LEFT JOIN customer ON uid = c_custkey
           |GROUP BY 1 ORDER BY 1""".stripMargin,
+      "q29_aqe_replan" ->
+        """SELECT c_nationkey::BIGINT AS nation, count(*) AS n_events,
+          |  round(sum(value::DECIMAL(30,6))::DOUBLE, 2) AS total_value
+          |FROM events JOIN customer ON user_id = c_custkey
+          |WHERE c_custkey < 50
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
       "q15_running_window" ->
         """SELECT user_id, event_id, ts, value,
           |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -2753,6 +2798,7 @@ object Queries {
     "q12_range_join" -> q12RangeJoin,
     "q13_salted_join" -> q13SaltedJoin,
     "q28_aqe_skew_join" -> q28AqeSkewJoin,
+    "q29_aqe_replan" -> q29AqeReplan,
     "q14_json_props" -> q14JsonProps,
     "q15_running_window" -> q15RunningWindow,
     "q16_set_ops" -> q16SetOps,
