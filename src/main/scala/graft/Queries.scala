@@ -1174,18 +1174,24 @@ object Queries {
     * staged dir — no extra exchange inside the join). */
   private val q28StageCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def q28Events(spark: SparkSession, dir: String): DataFrame = {
-    val path = q28StageCache.computeIfAbsent(dir, _ => {
+  private def q28EventsPath(spark: SparkSession, dir: String): String =
+    q28StageCache.computeIfAbsent(dir, _ => {
       val p = graft.util.TempDirs.create("graft_q28_ev_")
       events(spark, dir).select(col("user_id"), col("value"))
         .repartition(16).write.mode("overwrite").parquet(p)
       p
     })
-    spark.read.parquet(path)
+
+  /** On-disk bytes of an arbitrary parquet dir (tableBytes without the
+    * `<table>.parquet` naming convention). */
+  private def pathBytes(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+      .getContentSummary(p).getLength
   }
 
   private[graft] def q28Frame(spark: SparkSession, dir: String): DataFrame = {
-    val ev = q28Events(spark, dir).select(
+    val ev = spark.read.parquet(q28EventsPath(spark, dir)).select(
       when(pmod(col("user_id"), lit(5)) === 0, lit(0L))
         .otherwise(col("user_id")).as("uid"),
       col("value"))
@@ -1214,12 +1220,21 @@ object Queries {
     * after the restore. */
   def q28AqeSkewJoin(spark: SparkSession, dir: String): DataFrame = {
     val outDir = graft.util.TempDirs.create("graft_q28_out_")
+    // knobs scale with the staged source, floored at gate scale — the
+    // first cut pinned 64 KB/32 KB absolutes, and the decade sweep
+    // measured the over-split (300x: 7k scan splits + ~2800 skew chunks,
+    // 45.6 s warm; size-relative: ~32 maps and ~25 chunks at every scale)
+    val bytes = pathBytes(spark, q28EventsPath(spark, dir))
     withConfs(spark,
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
-      "spark.sql.files.maxPartitionBytes" -> "65536",
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32768",
-      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "32768") {
+      "spark.sql.files.maxPartitionBytes" ->
+        math.max(65536L, bytes / 32).toString,
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" ->
+        math.max(65536L, bytes / 64).toString,
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" ->
+        math.max(32768L, bytes / 128).toString,
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" ->
+        math.max(32768L, bytes / 128).toString) {
       q28Frame(spark, dir).write.mode("overwrite").parquet(outDir)
     }
     spark.read.parquet(outDir).orderBy(col("nation"))
