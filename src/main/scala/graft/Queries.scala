@@ -20,7 +20,7 @@ import graft.h3.expr.functions._
 object Queries {
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    spark.read.parquet(graft.util.Restage.tablePath(spark, dir, name))
 
   /** Normalize `events.ts` to a session-TZ TIMESTAMP whatever the parquet
     * file declares — the ONE conversion shared by the batch reader, the
@@ -45,6 +45,26 @@ object Queries {
   private def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     convertEventTs(t(spark, dir, "events"))
+  }
+
+  /** File-stream source over a base table, reading the [[graft.util.Restage]]
+    * copy when one exists: a single-file table otherwise streams its one
+    * file as a ONE-TASK micro-batch (a parquet row group is the split unit),
+    * serializing the whole batch's per-row work — measured 4.4 s of s18's
+    * 5.4 s in one task on 32 cores. Multi-file sources (production shape,
+    * decade dirs) stream exactly as before. Semantics are unchanged either
+    * way: AvailableNow still sees every row in the same micro-batch set, and
+    * the s-gates are arrival-order-independent by contract (event-time
+    * logic, or projections that drop the order-dependent part — s4's rule).
+    * Callers needing the nanosAsLong conf must set it BEFORE calling (the
+    * schema probe here reads the same staged/original footer either way). */
+  private[graft] def streamTable(spark: SparkSession, dir: String,
+      table: String): DataFrame = {
+    val path = graft.util.Restage.tablePath(spark, dir, table)
+    val schema = spark.read.parquet(path).schema
+    if (path == s"$dir/$table.parquet") // not staged: original glob form
+      spark.readStream.schema(schema).parquet(s"$dir/$table.*")
+    else spark.readStream.schema(schema).parquet(path)
   }
 
   // ------------------------------------------------------------- relational
@@ -371,14 +391,28 @@ object Queries {
   def c4QualityNtile(spark: SparkSession, dir: String): DataFrame = {
     val quality = qualityScore
     val w = Window.partitionBy(col("lang")).orderBy(col("quality").desc, col("doc_id"))
+    // avg_q is INTEGER-exact, not a rounded double avg: quality is a
+    // 4dp-rounded score, so each value is exactly an integer count of
+    // 1e-4 units (qi); the 4dp-rounded mean is then the pure-integer
+    // half-up division floor((2*sum + n) / (2n)) — bit-identical in any
+    // engine and under ANY partitioning / summation order. The double
+    // formulation put a decile's sum ON the 4th-decimal rounding boundary
+    // at sf0.001 (0.73635: Spark rounded up, DuckDB's last-ulp-lower sum
+    // rounded down) — a latent cross-engine flake this formulation removes
+    // rather than re-tunes. min is a passthrough of an exact value; it
+    // stays a plain round.
+    val qi = round(col("quality") * 10000).cast("long")
     t(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), quality.as("quality"))
       .withColumn("decile", ntile(10).over(w))
       .where(col("decile") <= 2)
       .groupBy(col("lang"), col("decile"))
       .agg(count(lit(1)).as("n_docs"),
-        round(avg(col("quality")), 4).as("avg_q"),
+        sum(qi).as("sq"),
         round(min(col("quality")), 4).as("min_q"))
+      .select(col("lang"), col("decile"), col("n_docs"),
+        (expr("(sq * 2 + n_docs) div (n_docs * 2)") / lit(10000.0)).as("avg_q"),
+        col("min_q"))
       .orderBy(col("lang"), col("decile"))
   }
 
@@ -592,11 +626,7 @@ object Queries {
     * just the plan shape. */
   def s3StreamWindowed(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
-    // glob (not the bare file path): FileStreamSource requires the glob's
-    // base path to be a directory it can list for new files
-    val src = convertEventTs(
-      spark.readStream.schema(raw.schema).parquet(s"$dir/events.*"))
+    val src = convertEventTs(streamTable(spark, dir, "events"))
     val agg = graft.streaming.StreamOps
       .windowedEventStats(src, "1 hour", "1 hour", "30 minutes")
       .withColumn("total_value", round(col("total_value"), 2))
@@ -624,8 +654,7 @@ object Queries {
     * the streaming machinery must equal the batch join exactly. */
   def s7StreamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
-    val src = spark.readStream.schema(raw.schema).parquet(s"$dir/events.*")
+    val src = streamTable(spark, dir, "events")
     val dim = broadcast(
       t(spark, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
         .join(t(spark, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
@@ -663,9 +692,7 @@ object Queries {
     * self-join downstream). */
   private def attributionSides(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
-    val src = convertEventTs(
-      spark.readStream.schema(raw.schema).parquet(s"$dir/events.*"))
+    val src = convertEventTs(streamTable(spark, dir, "events"))
     (src.where(col("event_type") === "view")
         .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts")),
       src.where(col("event_type") === "purchase")
@@ -754,9 +781,7 @@ object Queries {
     * input). */
   def s12StreamSessions(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
-    val src = convertEventTs(
-      spark.readStream.schema(raw.schema).parquet(s"$dir/events.*"))
+    val src = convertEventTs(streamTable(spark, dir, "events"))
     val agg = graft.streaming.StreamOps.sessionWindows(
         src.withWatermark("ts", "1 hour"), "30 minutes")
       .select(col("user_id"), col("session_start"), col("session_end"),
@@ -840,9 +865,8 @@ object Queries {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = spark.read.parquet(s"$dir/events.parquet")
-      val src = convertEventTs(
-          spark.readStream.schema(raw.schema).parquet(s"$dir/events.*"))
+      val src = streamTable(spark, dir, "events")
+        .transform(convertEventTs)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
           col("value"))
         .as[graft.streaming.StreamOps.Event]
@@ -911,11 +935,10 @@ object Queries {
     * order under parallel file reads, so the gate projects the
     * deterministic part: the surviving distinct hash set. */
   def s4StreamDedup(spark: SparkSession, dir: String): DataFrame = {
-    val raw = spark.read.parquet(s"$dir/documents.parquet")
     // +1 day: an event time equal to epoch 0 — the engine's INITIAL
     // watermark value — is filtered as late data before reaching the
     // dedup state store, silently dropping doc_id 0
-    val src = spark.readStream.schema(raw.schema).parquet(s"$dir/documents.*")
+    val src = streamTable(spark, dir, "documents")
       .withColumn("ts", timestamp_micros(col("doc_id") + lit(86400000000L)))
     val dedup = graft.streaming.StreamOps.dedupStream(src, "10 minutes")
       .select(col("text_sha"))
@@ -2514,7 +2537,9 @@ object Queries {
           |                    ORDER BY quality DESC, doc_id) AS decile
           |  FROM q)
           |SELECT lang, decile, count(*) AS n_docs,
-          |  round(avg(quality), 4) AS avg_q, round(min(quality), 4) AS min_q
+          |  ((2 * sum(CAST(round(quality * 10000) AS BIGINT))::BIGINT + count(*))
+          |     // (2 * count(*))) / 10000.0 AS avg_q,
+          |  round(min(quality), 4) AS min_q
           |FROM b WHERE decile <= 2
           |GROUP BY lang, decile ORDER BY lang, decile""".stripMargin,
       // sum(BIGINT) is HUGEINT in DuckDB -> ::BIGINT (the t5 lesson)
