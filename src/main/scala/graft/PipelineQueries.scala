@@ -18,9 +18,9 @@ object PipelineQueries {
   import TextOps.P
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    spark.read.parquet(graft.util.Restage.tablePath(spark, dir, "documents"))
   private def emb(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/embeddings.parquet")
+    spark.read.parquet(graft.util.Restage.tablePath(spark, dir, "embeddings"))
 
   /**
    * PERFORMANCE NOTE: Spark's higher-order array functions (transform /
@@ -1106,8 +1106,7 @@ object PipelineQueries {
     val bc = contamBenchSet(spark, dir)
     val shares = udf((gs: Seq[String]) =>
       gs != null && gs.exists(bc.value.contains))
-    val raw = docs(spark, dir)
-    val src = spark.readStream.schema(raw.schema).parquet(s"$dir/documents.*")
+    val src = Queries.streamTable(spark, dir, "documents")
     // the SAME gram definition the benchmark set was built from
     // (TextOps.wordGramArray is wordGrams' pre-explode form — one
     // definition site, no stream/batch drift), kept in-row: no explode,
@@ -1916,8 +1915,7 @@ object PipelineQueries {
     * predicate) verifies end to end. */
   def s16StreamQualityFilter(spark: SparkSession, dir: String): DataFrame = {
     val w = d33TrainWeights(spark, dir)
-    val raw = docs(spark, dir)
-    val src = spark.readStream.schema(raw.schema).parquet(s"$dir/documents.*")
+    val src = Queries.streamTable(spark, dir, "documents")
     val q = round(d33SigmoidOf(w), 4)
     val scored = d33Features(src)
       .select(col("doc_id"), q.as("quality"))
@@ -2084,9 +2082,8 @@ object PipelineQueries {
       .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
 
   def s9StreamNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val raw = docs(spark, dir)
     def bandsOf(df: DataFrame): DataFrame = streamBandsOf(df)
-    val src = spark.readStream.schema(raw.schema).parquet(s"$dir/documents.*")
+    val src = Queries.streamTable(spark, dir, "documents")
     val minPerBucket = bandsOf(src).groupBy(col("band"), col("bh"))
       .agg(min(col("doc_id")).as("min_id"))
     val sink = "s9_stream_sink"
@@ -2108,7 +2105,7 @@ object PipelineQueries {
     val flags = bandsFrame(spark, dir).join(state, Seq("band", "bh"))
       .groupBy(col("doc_id"))
       .agg(max((col("min_id") < col("doc_id")).cast("int")).as("f"))
-    raw.select(col("doc_id")).join(flags, Seq("doc_id"), "left")
+    docs(spark, dir).select(col("doc_id")).join(flags, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("f") === 1, lit(false)).as("is_near_dup"))
       .orderBy(col("doc_id"))
   }

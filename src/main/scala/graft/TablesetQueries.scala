@@ -32,7 +32,7 @@ object TablesetQueries {
   private val builtRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def lineitem(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/lineitem.parquet")
+    spark.read.parquet(graft.util.Restage.tablePath(spark, dir, "lineitem"))
 
   /** Root dir holding the tablesets for one sfDir (created lazily, removed
     * best-effort at JVM exit). */
@@ -612,7 +612,7 @@ object TablesetQueries {
   private def ts38Store(spark: SparkSession, dir: String): CellStore = {
     val store = CellStore(spark, rootFor(dir))
     if (!store.listTablesets().contains("gate_retention")) {
-      val input = spark.read.parquet(s"$dir/orders.parquet").select(
+      val input = spark.read.parquet(graft.util.Restage.tablePath(spark, dir, "orders")).select(
         synthOrderCell.as("h3index"),
         col("o_orderdate").as("d"),
         col("o_totalprice").as("v"))
@@ -635,7 +635,7 @@ object TablesetQueries {
   private def ts8Store(spark: SparkSession, dir: String): CellStore = {
     val store = CellStore(spark, rootFor(dir))
     if (!store.listTablesets().contains("gate_temporal")) {
-      val input = spark.read.parquet(s"$dir/orders.parquet").select(
+      val input = spark.read.parquet(graft.util.Restage.tablePath(spark, dir, "orders")).select(
         synthOrderCell.as("h3index"),
         col("o_orderdate").as("d"),
         col("o_totalprice").as("v"))
@@ -1591,7 +1591,7 @@ object TablesetQueries {
     val live = store.scanForResolution("gate_sig", 9)
       .groupBy(col("band"), col("bh"))
       .agg(min(col("doc_id")).as("min_id"))
-    val docsDf = spark.read.parquet(s"$dir/documents.parquet")
+    val docsDf = spark.read.parquet(graft.util.Restage.tablePath(spark, dir, "documents"))
     val flags = s17BandsOf(docsDf).join(live, Seq("band", "bh"), "left")
       .groupBy(col("doc_id"))
       .agg(max((col("min_id") < col("doc_id")).cast("int")).as("f"))
