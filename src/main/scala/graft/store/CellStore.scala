@@ -77,6 +77,11 @@ class CellStore(spark: SparkSession, rootPath: String) {
     listingCache.remove(cacheKey(name))
     coverageCache.remove(cacheKey(name))
     deletesCache.remove(cacheKey(name))
+    // declared-read frames are keyed cacheKey + NUL + appId (any
+    // session of this JVM): drop them all — they plan from the listing
+    val prefix = cacheKey(name) + "\u0000"
+    CellStore.declaredCache.keySet.filter(_.startsWith(prefix))
+      .foreach(CellStore.declaredCache.remove)
     ()
   }
 
@@ -321,6 +326,12 @@ class CellStore(spark: SparkSession, rootPath: String) {
       try out.write(schema.toJson.getBytes("UTF-8")) finally out.close()
       publishAtomic(tmp, schemaPath(name), s"schema of '$name'")
     }
+    // schema evolution (addColumn/dropColumn) changes the DECLARED read
+    // shape without touching a data file — cached declared-read frames
+    // must re-plan under the new schema
+    val prefix = cacheKey(name) + "\u0000"
+    CellStore.declaredCache.keySet.filter(_.startsWith(prefix))
+      .foreach(CellStore.declaredCache.remove)
   }
 
   /** Publish a fully-written temp file at `dst`, preferring the ATOMIC
@@ -778,16 +789,55 @@ class CellStore(spark: SparkSession, rootPath: String) {
     else readFilesMasked(name, listDataFilesCached(name), dels)
   }
 
-  /** The declared-schema directory read WITHOUT the lightweight-delete mask —
+  /** The declared-schema read WITHOUT the lightweight-delete mask —
     * validation probes and the masked reader's own schema prototype. A
     * tableset with ZERO live data files (possible once [[applyDeletes]] can
     * unlink a fully-masked store) still reads as an empty frame with the
     * partition columns a directory read would have inferred — downstream
-    * resolution/kind/ph3 predicates must keep resolving. */
-  private def readDeclaredRaw(name: String): DataFrame =
-    if (listDataFilesCached(name).isEmpty) emptyDeclared(name)
-    else spark.read.schema(getTableset(name).toStructType)
-      .parquet(dataPath(name).toString)
+    * resolution/kind/ph3 predicates must keep resolving.
+    *
+    * Plans from the CACHED file listing (explicit file set + basePath, the
+    * [[manifestScan]] read shape) instead of handing Spark the directory:
+    * a directory read re-walks the partition tree through a fresh
+    * InMemoryFileIndex on EVERY query — measured as recurring
+    * 122-153-task "Listing leaf files" jobs per ts-gate execution — while
+    * the store already owns the canonical listing ([[listDataFilesCached]],
+    * invalidated by every same-JVM mutator). The built frame is itself
+    * cached per (session, tableset) and dropped by [[invalidateFileCaches]]
+    * with the listing, so reads after a mutation re-plan from the fresh
+    * list exactly as before. */
+  private def readDeclaredRaw(name: String): DataFrame = {
+    val k = cacheKey(name) + "\u0000" + spark.sparkContext.applicationId
+    CellStore.declaredCache.getOrElseUpdate(k, {
+      val files = listDataFilesCached(name)
+      if (files.isEmpty) emptyDeclared(name)
+      else withDriverSideFileStats {
+        spark.read.schema(getTableset(name).toStructType)
+          .option("basePath", qualifiedDataDir(name))
+          .parquet(files: _*)
+      }
+    })
+  }
+
+  /** Scope for relation construction over an EXPLICIT, driver-known file
+    * list: Spark still stats the given paths through InMemoryFileIndex, and
+    * past `parallelPartitionDiscovery.threshold` (default 32) it launches a
+    * whole Spark JOB to do so — one job launch + N tiny tasks per query to
+    * re-stat files the store just listed. Raising the threshold keeps the
+    * stat loop on the driver's listing thread pool, which is strictly
+    * cheaper for the bounded path counts the store's caches/manifest
+    * produce (the manifest fold and compaction keep file counts sane; a
+    * deployment with 100k+ files per tableset tunes this down again via
+    * the session conf, which this scope restores on exit). */
+  private def withDriverSideFileStats[T](f: => T): T = {
+    val key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "10000")
+    try f finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
 
   /** Empty frame in the shape a nonempty directory read infers: declared
     * columns, then kind (string) / resolution (int) / ph3 (int for BaseCell
@@ -1766,8 +1816,10 @@ class CellStore(spark: SparkSession, rootPath: String) {
       dels.collect { case d if d.fileSet(rel) => d.id }
     }
     groups.map { case (ids, files) =>
-      val df = spark.read.schema(proto.schema)
-        .option("basePath", base).parquet(files: _*)
+      val df = withDriverSideFileStats {
+        spark.read.schema(proto.schema)
+          .option("basePath", base).parquet(files: _*)
+      }
       if (ids.isEmpty) df
       else {
         val keep = dels.filter(d => ids.contains(d.id))
@@ -2079,10 +2131,11 @@ class CellStore(spark: SparkSession, rootPath: String) {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], proto.schema)
     else {
       val dels = pendingDeletes(name)
-      if (dels.isEmpty)
+      if (dels.isEmpty) withDriverSideFileStats {
         spark.read.schema(proto.schema)
           .option("basePath", qualifiedDataDir(name))
           .parquet(sel.paths: _*)
+      }
       else readFilesMasked(name, sel.paths, dels)
     }
   }
@@ -2447,6 +2500,12 @@ object CellStore {
   private val listingCache = scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
   private val coverageCache = scala.collection.concurrent.TrieMap.empty[String, (Long, Seq[String])]
   private val deletesCache = scala.collection.concurrent.TrieMap.empty[String, Seq[DeleteMutation]]
+  /** Cached declared-schema reads (readDeclaredRaw), keyed
+    * cacheKey + NUL + appId — a DataFrame is session-bound, so frames
+    * of stopped contexts are unusable; entries are dropped with the listing
+    * on mutation, and stale-session entries are harmless (never hit: the
+    * key embeds the live appId). */
+  private val declaredCache = scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
 
   /** A pending lightweight-delete mutation ([[CellStore.deleteWhere]]): rows
     * of `files` (paths RELATIVE to the data dir, like snapshot lists — a
