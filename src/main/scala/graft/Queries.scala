@@ -468,14 +468,19 @@ object Queries {
   /** Multi-resolution aggregation pyramid over synthesized cells: counts per
     * resolution 3/5/7 via parent projection (partition-pruning shape of D7). */
   def h3ResolutionPyramid(spark: SparkSession, dir: String): DataFrame = {
+    // one scan + one shuffle, not three: the union-of-3-aggregations form
+    // scanned lineitem and recomputed synthCell once PER RESOLUTION (three
+    // concurrent 32-task jobs in the profile, 2 extra Exchanges). The
+    // per-resolution parents are columns of ONE pass, exploded to
+    // (res, parent) rows and aggregated under a single exchange — same
+    // (res, cell_at_res, num_children) rows (guide §2.4, share the
+    // exchange). At 100 TB this is 1/3 the scan IO and 1/3 the shuffles.
     val cells = t(spark, dir, "lineitem").select(synthCell.as("cell"))
-    val perRes = Seq(3, 5, 7).map { r =>
-      cells.groupBy(h3_to_parent(col("cell"), lit(r)).as("cell_at_res"))
-        .agg(count(lit(1)).as("num_children"))
-        .withColumn("res", lit(r))
-    }
-    perRes.reduce(_ unionByName _)
-      .select(col("res"), col("cell_at_res"), col("num_children"))
+    cells.select(explode(array(Seq(3, 5, 7).map { r =>
+        struct(lit(r).as("res"), h3_to_parent(col("cell"), lit(r)).as("cell_at_res"))
+      }: _*)).as("x"))
+      .groupBy(col("x.res").as("res"), col("x.cell_at_res").as("cell_at_res"))
+      .agg(count(lit(1)).as("num_children"))
       .orderBy(col("res"), col("cell_at_res"))
   }
 
@@ -1807,20 +1812,39 @@ object Queries {
     * interval merge is a per-document window (partitionBy doc_id — state
     * is one running max per doc, no global sort); the word arrays never
     * leave their rows. */
-  def d28DupSpanRemoval(spark: SparkSession, dir: String): DataFrame = {
-    val k = D11SpanWords
-    val words = t(spark, dir, "documents")
+  /** d28/d36 shared per-position span-gram frame: (doc_id, s, h) for every
+    * k-word window occurrence — sha2-keyed (32-byte shuffle keys, the
+    * substring-dedup scale contract). Memoized like [[termsFrame]]/d11's
+    * grams: the frame feeds TWO consumers inside each gate (the duplicate
+    * count/survivor aggregate AND the interval join) and both d28 and d36
+    * consume the identical expression — uncached it executed the gram
+    * explode + per-window sha2 four times per bench pass across the two
+    * gates (profiled at 0.3-0.5 s per execution post-restage). */
+  private def spanWordsFrame(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
       .select(col("doc_id"),
         filter(split(col("text"), "\\s+"), x => x =!= "").as("ws"))
+
+  private def spanGramsFrame(spark: SparkSession, dir: String): DataFrame = {
+    val k = D11SpanWords
+    PipelineQueries.memo(spark, s"posgrams:$dir") {
+      spanWordsFrame(spark, dir)
+        .select(col("doc_id"), explode(
+          when(size(col("ws")) >= k, sequence(lit(1), size(col("ws")) - (k - 1)))
+            .otherwise(array().cast("array<int>"))).as("i"),
+          col("ws"))
+        .select(col("doc_id"), col("i").cast("long").as("s"),
+          sha2(array_join(slice(col("ws"), col("i"), lit(k)), " "), 256).as("h"))
+    }
+  }
+
+  def d28DupSpanRemoval(spark: SparkSession, dir: String): DataFrame = {
+    val k = D11SpanWords
+    val words = spanWordsFrame(spark, dir)
     // per-POSITION windows (d11's frame is per-doc-distinct — wrong here:
-    // removal needs every occurrence's interval, including repeats)
-    val grams = words
-      .select(col("doc_id"), explode(
-        when(size(col("ws")) >= k, sequence(lit(1), size(col("ws")) - (k - 1)))
-          .otherwise(array().cast("array<int>"))).as("i"),
-        col("ws"))
-      .select(col("doc_id"), col("i").cast("long").as("s"),
-        sha2(array_join(slice(col("ws"), col("i"), lit(k)), " "), 256).as("h"))
+    // removal needs every occurrence's interval, including repeats);
+    // shared with d36 via the memoized [[spanGramsFrame]]
+    val grams = spanGramsFrame(spark, dir)
     val dup = grams.groupBy(col("h"))
       .agg(count(lit(1)).as("n")).where(col("n") >= 2).select(col("h"))
     val iv = grams.join(dup, Seq("h"))
@@ -1871,17 +1895,10 @@ object Queries {
   private[graft] def d36DedupCorpus(spark: SparkSession, dir: String,
       broadcastMaxRows: Long): DataFrame = {
     val k = D11SpanWords
-    val words = t(spark, dir, "documents")
-      .select(col("doc_id"),
-        filter(split(col("text"), "\\s+"), x => x =!= "").as("ws"))
-    // every occurrence's (doc_id, start, hash) — d28's per-position frame
-    val grams = words
-      .select(col("doc_id"), explode(
-        when(size(col("ws")) >= k, sequence(lit(1), size(col("ws")) - (k - 1)))
-          .otherwise(array().cast("array<int>"))).as("i"),
-        col("ws"))
-      .select(col("doc_id"), col("i").cast("long").as("s"),
-        sha2(array_join(slice(col("ws"), col("i"), lit(k)), " "), 256).as("h"))
+    val words = spanWordsFrame(spark, dir)
+    // every occurrence's (doc_id, start, hash) — d28's per-position frame,
+    // shared via the memoized [[spanGramsFrame]]
+    val grams = spanGramsFrame(spark, dir)
     // survivor per duplicated window: lexicographic min (doc_id, s)
     val surv = grams.groupBy(col("h"))
       .agg(count(lit(1)).as("n"), min(struct(col("doc_id"), col("s"))).as("sv"))

@@ -92,17 +92,23 @@ object TablesetQueries {
     store
   }
 
+  /** ts2/ts16/ts18 shared probe set: the distinct res-8 parents of the
+    * gate_compact input. Memoized (PipelineQueries.memo precedent — the
+    * sibling-explosion + distinct otherwise re-executed per consumption
+    * AND per gate per bench pass: ts2 consumes it up to three times inside
+    * queryCells, ts16/ts18 collect driver-side subsets of it). */
+  private def ts2Parents(spark: SparkSession, dir: String): DataFrame =
+    PipelineQueries.memo(spark, s"ts2parents:$dir") {
+      ts2Input(spark, dir)
+        .select(h3_to_parent(col("h3index"), lit(8)).as("p")).distinct()
+    }
+
   /** Compaction round-trip through the full query path: res-8 parent probes,
     * uncompacted back to res 9 — must equal the distinct input rows. */
   def ts2CompactRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val store = ts2Store(spark, dir)
-    // probe set stays a DataFrame end to end — no .collect() to the driver.
-    // localCheckpoint: the probe frame is consumed up to three times inside
-    // queryCells (resolution discovery, semi-join, uncompaction restriction);
-    // without it each consumption would recompute the sibling explosion
-    val parents = ts2Input(spark, dir)
-      .select(h3_to_parent(col("h3index"), lit(8)).as("p")).distinct()
-      .localCheckpoint()
+    // probe set stays a DataFrame end to end — no .collect() to the driver
+    val parents = ts2Parents(spark, dir)
     store.queryCells("gate_compact", parents, 9, doUncompact = true, template = None)
       .select(col("h3index"), col("v"))
       .orderBy(col("h3index"))
@@ -1725,8 +1731,7 @@ object TablesetQueries {
   def ts16SqlCells(spark: SparkSession, dir: String): DataFrame = {
     ts2Store(spark, dir) // ensure gate_compact exists
     Graft.register(spark)
-    val probes = ts2Input(spark, dir)
-      .select(h3_to_parent(col("h3index"), lit(8)).as("p")).distinct()
+    val probes = ts2Parents(spark, dir)
       .where(pmod(col("p"), lit(97)) === 0)
       .orderBy(col("p")).collect().map(_.getLong(0))
     require(probes.nonEmpty, "ts16 probe subset is empty at this scale factor")
@@ -1747,8 +1752,7 @@ object TablesetQueries {
   def ts18ManifestQuery(spark: SparkSession, dir: String): DataFrame = {
     val store = ts2Store(spark, dir)
     if (!store.hasManifest("gate_compact")) store.buildManifest("gate_compact")
-    val probes = ts2Input(spark, dir)
-      .select(h3_to_parent(col("h3index"), lit(8)).as("p")).distinct()
+    val probes = ts2Parents(spark, dir)
       .collect().map(_.getLong(0)).toSeq
     store.queryCells("gate_compact", probes, 9, doUncompact = true, template = None)
       .select(col("h3index"), col("v"))

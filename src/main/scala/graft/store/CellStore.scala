@@ -82,6 +82,7 @@ class CellStore(spark: SparkSession, rootPath: String) {
     val prefix = cacheKey(name) + "\u0000"
     CellStore.declaredCache.keySet.filter(_.startsWith(prefix))
       .foreach(CellStore.declaredCache.remove)
+    dropManifestFrame(name)
     ()
   }
 
@@ -1861,6 +1862,7 @@ class CellStore(spark: SparkSession, rootPath: String) {
       .partitionBy("kind", "resolution", "bc")
       .parquet(manifestPath(name).toString)
     coverageCache.remove(cacheKey(name))
+    dropManifestFrame(name)
     ()
   }
 
@@ -1896,6 +1898,7 @@ class CellStore(spark: SparkSession, rootPath: String) {
       .partitionBy("kind", "resolution", "bc")
       .parquet(manifestPath(name).toString)
     coverageCache.remove(cacheKey(name))
+    dropManifestFrame(name)
     ()
   }
 
@@ -2014,13 +2017,32 @@ class CellStore(spark: SparkSession, rootPath: String) {
     * [[resolutionFilter]] and the h3index envelope disjunction lands in
     * `PushedFilters` (row-group skipping on the manifest's own files).
     * Exposed for the spec that audits exactly that plan. */
+  /** The manifest directory read, cached per (session, tableset) like the
+    * declared read: partition DISCOVERY over the manifest's own
+    * kind/resolution/bc tree re-listed 122+ directories as a dedicated
+    * Spark job on EVERY probe query (the manifest exists to avoid
+    * per-query file work, and was itself costing a listing job per
+    * query). Dropped by [[invalidateFileCaches]] and by the manifest
+    * writers (buildManifest / refreshManifest). */
+  private def manifestFrame(name: String): DataFrame = {
+    val k = cacheKey(name) + "\u0000" + spark.sparkContext.applicationId
+    CellStore.manifestFrameCache.getOrElseUpdate(k, withDriverSideFileStats {
+      spark.read.parquet(manifestPath(name).toString)
+    })
+  }
+  private def dropManifestFrame(name: String): Unit = {
+    val prefix = cacheKey(name) + "\u0000"
+    CellStore.manifestFrameCache.keySet.filter(_.startsWith(prefix))
+      .foreach(CellStore.manifestFrameCache.remove)
+  }
+
   private[graft] def manifestCandidates(name: String, targetRes: Int,
       cells: Seq[Long]): DataFrame = {
     val envs = probeEnvelopes(cells, (0 to targetRes).toSeq)
     val bcs = cells.map(H3.getBaseCell(_).toLong).distinct
     val envOk = envs.map { case (lo, hi) =>
       col("min_h3") <= lit(hi) && col("max_h3") >= lit(lo) }.reduce(_ || _)
-    spark.read.parquet(manifestPath(name).toString)
+    manifestFrame(name)
       .where(col("bc").isin(bcs: _*))
       .where(resolutionFilter(targetRes))
       .where(envOk)
@@ -2076,7 +2098,7 @@ class CellStore(spark: SparkSession, rootPath: String) {
     * stats. */
   private[graft] def valueRangeCandidates(name: String, targetRes: Int,
       lo: Any, hi: Any): Option[DataFrame] = {
-    val m = spark.read.parquet(manifestPath(name).toString)
+    val m = manifestFrame(name)
     if (!m.columns.contains("k2_min")) return None
     Some(m
       .where(resolutionFilter(targetRes))
@@ -2506,6 +2528,8 @@ object CellStore {
     * on mutation, and stale-session entries are harmless (never hit: the
     * key embeds the live appId). */
   private val declaredCache = scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+  /** Cached manifest-directory reads, same keying/lifecycle as declaredCache. */
+  private val manifestFrameCache = scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
 
   /** A pending lightweight-delete mutation ([[CellStore.deleteWhere]]): rows
     * of `files` (paths RELATIVE to the data dir, like snapshot lists — a
