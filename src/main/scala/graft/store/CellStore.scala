@@ -1055,12 +1055,32 @@ class CellStore(spark: SparkSession, rootPath: String) {
         // probes (now always small — keys, not expansions), AQE-decided
         // for DataFrame probes
         val p = probeResSet.head
-        val keys = physRes.map { r =>
-          struct(lit(r).as("_pr"),
-            (if (r < p) h3_to_parent(col("qcell"), lit(r)) else col("qcell")).as("_pk"))
+        val probeKeys = knownCells match {
+          case Some(cs) if cs.nonEmpty && cs.length * physRes.length <= 8192 =>
+            // driver-known SMALL probe sets: the (res, key) rows are a pure
+            // function of the probe Seq, so build them AT PLAN TIME as a
+            // local relation — the distributed explode + distinct + its
+            // exchange cost one extra Spark job per probe query for keys
+            // the driver already holds. H3ExprUtil.toParentTotal IS the
+            // h3_to_parent expression's eval, so the keys are bit-identical
+            // to the Column form this replaces. Size-gated (measured): a
+            // 30k-row local relation costs more in per-pass plan
+            // serialization than the job it saves (ts18 2.3 -> 2.7 s),
+            // while small sets win (ts5 1.5 -> 1.1 s) — past the gate the
+            // distributed form below stays the right shape.
+            import spark.implicits._
+            physRes.flatMap { r =>
+              cs.map(c =>
+                (r, if (r < p) graft.h3.expr.H3ExprUtil.toParentTotal(c, r) else c))
+            }.distinct.toDF("_pr", "_pk")
+          case _ =>
+            val keys = physRes.map { r =>
+              struct(lit(r).as("_pr"),
+                (if (r < p) h3_to_parent(col("qcell"), lit(r)) else col("qcell")).as("_pk"))
+            }
+            cellsDf.select(explode(array(keys: _*)).as("_x"))
+              .select(col("_x._pr").as("_pr"), col("_x._pk").as("_pk")).distinct()
         }
-        val probeKeys = cellsDf.select(explode(array(keys: _*)).as("_x"))
-          .select(col("_x._pr").as("_pr"), col("_x._pk").as("_pk")).distinct()
         val probeSide = if (broadcastProbes) broadcast(probeKeys) else probeKeys
         val sres = h3_get_resolution(col(h3Col))
         val skey = when(sres >= p, h3_to_parent(col(h3Col), lit(p))).otherwise(col(h3Col))
