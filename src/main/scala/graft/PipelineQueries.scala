@@ -506,12 +506,18 @@ object PipelineQueries {
       .select(col("embedding").cast("array<double>").as("qe"))
     val cosine = graft.ann.expr.functions.vec_cosine(col("qe"),
       col("embedding").cast("array<double>"))
+    // top-20 via orderBy+limit (TakeOrderedAndProject: per-partition
+    // partial top-k, no exchange), NOT a global row_number window — the
+    // window form moved the WHOLE scored corpus to one partition (Spark's
+    // own WindowExec warning; guide §2.5 single-giant-partition). The
+    // (cos desc, vec_id) order is total, so the limited set and the ranks
+    // assigned over it are identical to the window form's.
     val w = Window.orderBy(col("cos").desc, col("vec_id"))
     val vec = e.where(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
       .withColumn("cos", cosine)
+      .orderBy(col("cos").desc, col("vec_id")).limit(20)
       .withColumn("vrnk", row_number().over(w))
-      .where(col("vrnk") <= 20)
       .select(col("vec_id").as("doc_id"), col("vrnk").as("cos_rnk"))
     val rrf = coalesce(lit(1.0) / (lit(60.0) + col("bm25_rnk").cast("double")), lit(0.0)) +
       coalesce(lit(1.0) / (lit(60.0) + col("cos_rnk").cast("double")), lit(0.0))

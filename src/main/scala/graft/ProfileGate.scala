@@ -16,11 +16,12 @@ import org.apache.spark.sql.SparkSession
   */
 object ProfileGate {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: ProfileGate <query> [sfDir] [passes]")
-    val name = args(0)
+    require(args.nonEmpty, "usage: ProfileGate <query>[,<query>...] [sfDir] [passes]")
+    val gateNames = args(0).split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val passes = if (args.length > 2) args(2).toInt else 2
-    require(SparkEntry.queries.contains(name), s"unknown query: $name")
+    gateNames.foreach(n =>
+      require(SparkEntry.queries.contains(n), s"unknown query: $n"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -37,6 +38,24 @@ object ProfileGate {
 
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String, Int)]()
     val rows = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Double, Int, String)]()
+    // streaming gates: per-trigger durationMs breakdown (walCommit,
+    // stateStoreCommit, queryPlanning, addBatch, ...) — the fixed-cost
+    // attribution §1 asks for before touching any stream machinery
+    val progress = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit =
+        progress.add(f"  stream START  ${e.timestamp}")
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val p = e.progress
+        import scala.jdk.CollectionConverters._
+        val dur = p.durationMs.asScala.toSeq.sortBy(-_._2)
+          .map { case (k, v) => s"$k=${v}ms" }.mkString(" ")
+        progress.add(f"  trigger batch=${p.batchId} rows=${p.numInputRows} $dur")
+      }
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        progress.add(s"  stream END")
+    })
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
         val desc = Option(js.properties)
@@ -48,23 +67,40 @@ object ProfileGate {
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
         Option(starts.remove(je.jobId)).foreach { case (t0, desc, nTasks) =>
-          rows.add((je.jobId, (je.time - t0) / 1e3, nTasks, desc))
+          rows.add((je.jobId, (je.time - t0) / 1e3, nTasks,
+            f"t0=$t0%d t1=${je.time}%d " + desc))
         }
       }
     })
 
-    (1 to passes).foreach { p =>
-      rows.clear()
-      val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      val sec = (System.nanoTime() - t0) / 1e9
-      // listener bus is async; give it a moment to drain before printing
-      Thread.sleep(300)
-      println(f"\n=== pass $p: $name = $sec%.3f s, ${rows.size} jobs ===")
-      import scala.jdk.CollectionConverters._
-      rows.asScala.toSeq.sortBy(_._1).foreach { case (id, d, nt, desc) =>
-        println(f"  job $id%4d  $d%7.3f s  tasks=$nt%4d  ${desc.take(110)}")
+    gateNames.foreach { name =>
+      (1 to passes).foreach { p =>
+        rows.clear()
+        progress.clear()
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        // listener bus is async; give it a moment to drain before printing
+        Thread.sleep(300)
+        println(f"\n=== pass $p: $name = $sec%.3f s, ${rows.size} jobs ===")
+        import scala.jdk.CollectionConverters._
+        // print each job with the driver-side GAP since the previous job's
+        // end — the wall-minus-job-sum attribution §1 asks for
+        var prevEnd = 0L
+        rows.asScala.toSeq.sortBy(_._1).foreach { case (id, d, nt, desc) =>
+          val (t0, t1, rest) = {
+            val m = "t0=(\\d+) t1=(\\d+) (.*)".r
+            desc match {
+              case m(a, b, r) => (a.toLong, b.toLong, r)
+              case _          => (0L, 0L, desc)
+            }
+          }
+          val gap = if (prevEnd == 0L || t0 == 0L) 0.0 else (t0 - prevEnd) / 1e3
+          prevEnd = math.max(prevEnd, t1)
+          println(f"  job $id%4d  $d%7.3f s  gap=$gap%6.3f s  tasks=$nt%4d  ${rest.take(90)}")
+        }
+        progress.asScala.foreach(println)
       }
     }
     spark.stop()

@@ -1699,6 +1699,11 @@ object Queries {
       .groupBy(when(col("_cand") === 1, col("term")).as("gterm"))
       .agg(count(lit(1)).as("cnt"))
     val everything = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // localCheckpoint the 10-row result BEFORE the completeness assert:
+    // the assert's collect() and the caller's own action otherwise each
+    // execute the full DAG — the Misra-Gries sketch pass and the exact
+    // recount ran TWICE per gate invocation (profiled: 4x ~0.35 s corpus
+    // jobs per pass, guide §1 "don't compute things you throw away")
     val top = grouped
       .withColumn("total", sum(col("cnt")).over(everything))
       .where(col("gterm").isNotNull)
@@ -1706,6 +1711,7 @@ object Queries {
       .select(row_number().over(Window.orderBy(col("cnt").desc, col("gterm"))).as("rnk"),
         col("gterm").as("term"), col("cnt"), col("total"))
       .orderBy(col("rnk"))
+      .localCheckpoint()
     val rows = top.collect()
     require(rows.length == 10 && rows.last.getLong(2) > rows.last.getLong(3) / (D23Sketch + 1),
       s"d23: Misra-Gries completeness bound not met (10th count ${rows.lastOption

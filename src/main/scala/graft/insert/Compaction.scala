@@ -138,31 +138,72 @@ object Compaction {
     * rows compute the key via `h3_to_parent` — one hash join per distinct
     * probe resolution (one, in practice). Output duplicates can only arise
     * from NESTED probes (impossible within one resolution), so the dedup
-    * shuffle runs only for mixed-resolution probe sets. */
+    * shuffle runs only for mixed-resolution probe sets.
+    *
+    * `includeTargetRes = true` extends the key set to `targetRes`
+    * INCLUSIVE, so rows already AT the target resolution ride the SAME
+    * join — their ancestor match is exact-key equality and their
+    * children-explosion at equal resolution is themselves — which lets a
+    * doUncompact cell query run as ONE pass over the scan instead of a
+    * fine/coarse union that scans the store twice and builds the probe
+    * relation per branch (round 12, guide §2.4: the join IS the semi-join
+    * predicate, so the separate probe semi-join is redundant work).
+    *
+    * `driverCells`: when the caller holds the probe set on the driver and
+    * it is SMALL, the (q, res, key) relation is a pure function of it —
+    * built at plan time as a local relation instead of a distributed
+    * explode+distinct (the queryCells probe-key device, same 8192-row
+    * gate, same [[graft.h3.expr.H3ExprUtil]] evals so keys are
+    * bit-identical to the Column form). */
   def uncompactCoarseToProbes(coarse: DataFrame, targetRes: Int,
       probes: DataFrame, h3Col: String = "h3index",
-      knownProbeRes: Option[Seq[Int]] = None): DataFrame = {
+      knownProbeRes: Option[Seq[Int]] = None,
+      includeTargetRes: Boolean = false,
+      driverCells: Option[Seq[Long]] = None): DataFrame = {
+    import graft.h3.H3
+    val keyResBound = if (includeTargetRes) targetRes + 1 else targetRes
     val q0 = probes.columns.head
-    val pn = probes.select(
+    lazy val pn = probes.select(
         when(h3_get_resolution(col(q0)) > targetRes,
           h3_to_parent(col(q0), lit(targetRes))).otherwise(col(q0)).as("_q"))
       .distinct()
+    // driver-known SMALL probe sets: normalize + key-expand driver-side
+    val localCells: Option[Seq[Long]] = driverCells
+      .filter(cs => cs.length.toLong * keyResBound <= 8192)
+      .map(_.map(c =>
+          if (H3.getResolution(c) > targetRes)
+            graft.h3.expr.H3ExprUtil.toParentTotal(c, targetRes) else c)
+        .distinct)
     // callers that KNOW the probe resolutions (traversal: one fixed res;
     // Seq probes: driver-computed) skip the per-execution discovery job —
     // clamped to targetRes exactly as the pn normalization clamps the cells
     val pRes = knownProbeRes
       .map(_.map(r => math.min(r, targetRes)).distinct.sorted)
-      .getOrElse(pn.select(h3_get_resolution(col("_q")).as("p")).distinct()
-        .collect().map(_.getInt(0)).toSeq.sorted)
+      .getOrElse(localCells
+        .map(_.map(H3.getResolution).distinct.sorted.toSeq)
+        .getOrElse(pn.select(h3_get_resolution(col("_q")).as("p")).distinct()
+          .collect().map(_.getInt(0)).toSeq.sorted))
+    val spark = coarse.sparkSession
+    import spark.implicits._
     val parts = pRes.map { p =>
-      val keys = (0 until targetRes).map { r =>
-        struct(lit(r).as("_r"),
-          (if (r < p) h3_to_parent(col("_q"), lit(r)) else col("_q")).as("_key"))
+      val qside = localCells match {
+        case Some(cs) =>
+          cs.filter(H3.getResolution(_) == p).flatMap { q =>
+            (0 until keyResBound).map { r =>
+              (q, r,
+                if (r < p) graft.h3.expr.H3ExprUtil.toParentTotal(q, r) else q)
+            }
+          }.distinct.toDF("_q", "_r", "_key")
+        case None =>
+          val keys = (0 until keyResBound).map { r =>
+            struct(lit(r).as("_r"),
+              (if (r < p) h3_to_parent(col("_q"), lit(r)) else col("_q")).as("_key"))
+          }
+          pn.where(h3_get_resolution(col("_q")) === p)
+            .select(col("_q"), explode(array(keys: _*)).as("_x"))
+            .select(col("_q"), col("_x._r").as("_r"), col("_x._key").as("_key"))
+            .distinct()
       }
-      val qside = pn.where(h3_get_resolution(col("_q")) === p)
-        .select(col("_q"), explode(array(keys: _*)).as("_x"))
-        .select(col("_q"), col("_x._r").as("_r"), col("_x._key").as("_key"))
-        .distinct()
       val sres = h3_get_resolution(col(h3Col))
       val skey = when(sres >= p, h3_to_parent(col(h3Col), lit(p))).otherwise(col(h3Col))
       coarse.join(qside, sres === col("_r") && skey === col("_key"))

@@ -1110,10 +1110,25 @@ class CellStore(spark: SparkSession, rootPath: String) {
     // to uncompact — pass its result through untouched
     if (!doUncompact || !projected.columns.contains(h3Col)) projected
     else if (!hasCompactedBelow(name, targetRes)) projected
-    else {
-      // A7: rows already AT targetRes pass through untouched (the semi-join
-      // proved probe coverage); only COARSER (compacted) rows take the
-      // uncompaction join, sized by its actual output
+    else if (template.isEmpty && probeResSet.lengthCompare(1) == 0) {
+      // A7, ONE-pass form (round 12): the uncompaction inner join applies
+      // EXACTLY the semi-join's (res, parent-key) predicate, and with the
+      // key set extended to targetRes inclusive, rows already AT the target
+      // resolution ride the same join (equal-res children-explosion is the
+      // row itself). The previous fine/coarse union scanned the store TWICE
+      // and built the probe relation once per branch (plan-audited: 2 scans
+      // + 3 probe builds -> 1 + 1); results are identical — same predicate,
+      // same expansion, re-verified against the DuckDB oracles at
+      // sf0.001/0.01 (guide §1.2/§2.4).
+      val rows = scan.select(schema.columns.keys.map(col).toIndexedSeq: _*)
+      Compaction.uncompactCoarseToProbes(rows, targetRes, cellsDf, h3Col,
+        knownProbeRes = Some(probeResSet), includeTargetRes = true,
+        driverCells = knownCells)
+    } else {
+      // A7, template / mixed-resolution form: rows already AT targetRes pass
+      // through untouched (the semi-join / template proved probe coverage);
+      // only COARSER (compacted) rows take the uncompaction join, sized by
+      // its actual output
       val fine = projected.where(h3_get_resolution(col(h3Col)) === targetRes)
       val coarse = projected.where(h3_get_resolution(col(h3Col)) < targetRes)
       fine.unionByName(

@@ -36,26 +36,45 @@ object Restage {
   /** Tables below this size stay on their original single file: the scan is
     * trivially cheap and the dimensions are broadcast anyway. */
   private val MinBytes = 256L * 1024
-  /** Per-file target for the staged copy — small enough that gate-scale
-    * tables (0.5-11 MB) fan out to the full core count. */
-  private val TargetSplit = 64L * 1024
+  /** Per-file target for the staged copy of tables whose consumers do
+    * HEAVY per-byte work — text gram explosion / per-window hashing and
+    * vector arithmetic run one to two orders of magnitude more CPU per
+    * input byte than a columnar scan, so their task granularity must be
+    * finer for the same task DURATION target. Small enough that the
+    * gate-scale text/vector tables (0.5-0.8 MB) fan out near the core
+    * count. */
+  private val HeavySplit = 64L * 1024
+  /** Per-file target for relational/columnar tables (scan + codegen'd
+    * arithmetic): measured (round 12), a 64 KB split over-fans these —
+    * 32 tasks x several stages of pure scheduling overhead on CPU-light
+    * gates cost +0.3-0.5 s each (q16/q17/q20/q26/s2, reproducible across
+    * windows) while no relational gate was scan-bound. 256 KB keeps
+    * multi-task parallelism (events 8 / orders 10 / lineitem core-capped)
+    * at a quarter of the per-stage task count. */
+  private val ColumnarSplit = 256L * 1024
+  /** The per-byte-HEAVY tables: documents feeds the d/t/s-family text
+    * operators (word-gram explosion, sha2 per window, regex passes),
+    * embeddings the e-family vector math. Everything else is columnar. */
+  private val HeavyPerByte = Set("documents", "embeddings")
 
   /** The path batch readers should scan for `$dir/$table.parquet`:
     * the original path, or the staged multi-file copy for single-file
     * tables large enough to matter. Staged once per JVM per table. */
   def tablePath(spark: SparkSession, dir: String, table: String): String = {
     val src = s"$dir/$table.parquet"
-    staged.computeIfAbsent(src, _ => stageIfNeeded(spark, src))
+    staged.computeIfAbsent(src, _ => stageIfNeeded(spark, src,
+      if (HeavyPerByte(table)) HeavySplit else ColumnarSplit))
   }
 
-  private def stageIfNeeded(spark: SparkSession, src: String): String = {
+  private def stageIfNeeded(spark: SparkSession, src: String,
+      targetSplit: Long): String = {
     val p = new org.apache.hadoop.fs.Path(src)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) return src // missing tables fail in the reader, loudly
     val st = fs.getFileStatus(p)
     if (st.isDirectory || st.getLen < MinBytes) return src
     val n = math.min(spark.sparkContext.defaultParallelism.toLong,
-      math.max(2L, st.getLen / TargetSplit)).toInt
+      math.max(2L, st.getLen / targetSplit)).toInt
     val out = TempDirs.create("graft_stage_")
     // scoped nanosAsLong: one fixture SF stores event timestamps as
     // TIMESTAMP(NANOS), which Spark 4 refuses to read without the legacy
