@@ -1617,7 +1617,13 @@ object Queries {
   def d18Bm25Topk(spark: SparkSession, dir: String): DataFrame = {
     val words = termsFrame(spark, dir)
     val nDocs = t(spark, dir, "documents").count()
-    val dl = words.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    // per-doc length frame memoized (termsFrame precedent): each d18
+    // invocation consumes it TWICE (the sumDl scalar below and the perTerm
+    // join) and e12 re-runs d18 as its sparse retriever — uncached, the
+    // full terms pass ran twice per gate per bench pass (guide §1.2)
+    val dl = PipelineQueries.memo(spark, s"doclens:$dir") {
+      words.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    }
     val sumDl = dl.agg(sum(col("dl"))).first().getLong(0)
     val avgdl = sumDl.toDouble / nDocs.toDouble
     val tf = words.where(col("term").isin(Bm25Terms: _*))
