@@ -109,6 +109,48 @@ class CompactionSpec extends AnyFunSuite with Matchers with SparkTestSession {
     out.length shouldBe 8
   }
 
+  test("one-pass (includeTargetRes) == fine pass-through UNION coarse uncompaction") {
+    import spark.implicits._
+    // store mixing resolutions: a res-2 compacted cell, a res-3 compacted
+    // cell, rows AT the target res 4 (one probe-covered, one not), and an
+    // unrelated res-2 cell no probe touches
+    val c2 = H3.fromParts(20, 2, Seq(1, 1))
+    val c3 = H3.toChildren(c2, 3).last
+    val fineIn = H3.centerChild(c2, 4)
+    val fineOut = H3.fromParts(21, 4, Seq(2, 2, 2, 2)) // outside every probe
+    val other2 = H3.fromParts(22, 2, Seq(0, 3))
+    val rows = df(Seq(c2, c3, fineIn, fineOut, other2), Seq(1, 2, 3, 4, 5))
+    // single-res probe set (res 3): covers c2's subtree partially, c3
+    // exactly, fineIn via its res-3 parent
+    val probeCells = Seq(H3.toParent(fineIn, 3), c3)
+    val probes = probeCells.toDF("cell")
+
+    val onePass = Compaction.uncompactCoarseToProbes(rows, 4, probes,
+        knownProbeRes = Some(Seq(3)), includeTargetRes = true)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).sorted
+    // the two-pass form the one-pass replaces: target-res rows that match
+    // a probe ancestor pass through; coarser rows take the probe join
+    val fine = rows.where(h3_get_resolution(col("h3index")) === 4)
+      .where(h3_to_parent(col("h3index"), lit(3)).isin(probeCells: _*))
+    val coarse = rows.where(h3_get_resolution(col("h3index")) < 4)
+    val twoPass = fine.unionByName(
+        Compaction.uncompactCoarseToProbes(coarse, 4, probes,
+          knownProbeRes = Some(Seq(3))))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).sorted
+    onePass shouldBe twoPass
+    // sanity on content: fineIn survives with its own value, fineOut and
+    // other2 are gone, c2/c3 expand only under the probes
+    onePass.map(_._2).toSet shouldBe Set(1, 2, 3)
+    onePass.count(_._2 == 3) shouldBe 1
+    // the driver-side probe relation (small driver-known sets) is
+    // bit-identical to the Column form
+    val onePassLocal = Compaction.uncompactCoarseToProbes(rows, 4, probes,
+        knownProbeRes = Some(Seq(3)), includeTargetRes = true,
+        driverCells = Some(probeCells))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).sorted
+    onePassLocal shouldBe onePass
+  }
+
   test("uncompactRestricted mixes stored resolutions correctly") {
     import spark.implicits._
     // stored: one cell at res 2 (value 1) and one unrelated at res 4 (value 2)
