@@ -1626,27 +1626,39 @@ object PipelineQueries {
   private val E9ClusterSize = 250
   private val E9Tau = 0.4
   def e9SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ann.expr.functions.vec_dot
     val v = emb(spark, dir).select(col("vec_id").as("id"),
       transform(col("embedding"), _.cast("double")).as("v"))
     val k = math.max(7L, math.ceil(
       emb(spark, dir).count().toDouble / E9ClusterSize).toLong)
-    // the exploded frame feeds centroids, norms, centroid-cosines AND both
-    // sides of the pair join — memoize it once (n·dim rows; at corpus
-    // scale a written intermediate, like the shingle frame)
-    val ex = memo(spark, s"e9ex:$dir") {
-      v.select(col("id"), pmod(col("id"), lit(k)).as("cl"),
-        posexplode(col("v")))
+    val vc = v.withColumn("cl", pmod(col("id"), lit(k)))
+    // ROUND 13 (guide §1.2/§2.4): the exploded (id, cl, pos, col) frame used
+    // to feed centroids, norms AND centroid-cosines — three corpus-scale
+    // shuffles of n·dim rows per execution. Only the CENTROIDS genuinely
+    // need the explosion (a per-(cl,pos) mean); per-id norms and
+    // centroid-cosines are sequential folds over each COMPACT vector row,
+    // i.e. codegen'd vec_dot map work with ZERO exchange. The memo now
+    // holds the k-row centroid-ARRAY table (at corpus scale: the written
+    // centroid table an IVF/SemDeDup index maintains — k rows, not n·dim).
+    // Numerics are bit-identical: the old exploded sums accumulated each
+    // id's rows in pos order within one map partition (posexplode emits
+    // them contiguously), which is exactly vec_dot's strict left-to-right
+    // fold; array_sort orders the collected (pos, c) structs by pos, so the
+    // centroid array reproduces the old per-(cl,pos) join values in the
+    // same order. Oracle-verified identical at sf0.001/0.01.
+    val centArr = memo(spark, s"e9cent:$dir") {
+      vc.select(col("cl"), posexplode(col("v")))
+        .groupBy(col("cl"), col("pos"))
+        .agg((sum(col("col")) / count(lit(1))).as("c"))
+        .groupBy(col("cl"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          x => x.getField("c")).as("carr"))
     }
-    val cent = ex.groupBy(col("cl"), col("pos"))
-      .agg((sum(col("col")) / count(lit(1))).as("c"))
-    val norms = ex.groupBy(col("id"), col("cl"))
-      .agg(sum(col("col") * col("col")).as("nn"))
-    val centCos = ex.join(broadcast(cent), Seq("cl", "pos"))
-      .groupBy(col("id"))
-      .agg(sum(col("col") * col("c")).as("vc"), sum(col("c") * col("c")).as("cc"))
-      .join(norms, "id")
+    val centCos = vc.join(broadcast(centArr), Seq("cl"))
       .select(col("id"), col("cl"),
-        round(col("vc") / (sqrt(col("nn")) * sqrt(col("cc"))), 6).as("cos_cent"))
+        round(vec_dot(col("v"), col("carr")) /
+          (sqrt(vec_dot(col("v"), col("v"))) *
+            sqrt(vec_dot(col("carr"), col("carr")))), 6).as("cos_cent"))
     // the pair dots ride COMPACT vector rows, not the exploded frame: a
     // self-join on (cl, pos) materializes an (intra-cluster pairs) x dim
     // intermediate and re-shuffles it for the per-pair sum (the r4 plan's
@@ -1654,18 +1666,18 @@ object PipelineQueries {
     // shuffles n x (dim+1) values ONCE per side and the codegen'd
     // sequential vec_dot folds each pair in place — no second shuffle, no
     // wide intermediate. MERGE hint: the vector sides scale with the
-    // corpus (the shingleSets broadcast-misestimate rule).
-    val vc = v.withColumn("cl", pmod(col("id"), lit(k)))
+    // corpus (the shingleSets broadcast-misestimate rule). The tau
+    // predicate folds the norms in-row (vec_dot(va,va) IS the old exploded
+    // norm sum, same order), killing the two per-pair norm joins.
     val dots = vc.select(col("cl"), col("id").as("id_a"), col("v").as("va"))
       .join(vc.select(col("cl"), col("id").as("id_b"), col("v").as("vb"))
         .hint("merge"), Seq("cl"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        graft.ann.expr.functions.vec_dot(col("va"), col("vb")).as("ab"))
-    val na = norms.select(col("id").as("id_a"), col("nn").as("na"))
-    val nb = norms.select(col("id").as("id_b"), col("nn").as("nb"))
-    val pairs = dots.join(na, "id_a").join(nb, "id_b")
-      .where(col("ab") / (sqrt(col("na")) * sqrt(col("nb"))) >= E9Tau)
+        (vec_dot(col("va"), col("vb")) /
+          (sqrt(vec_dot(col("va"), col("va"))) *
+            sqrt(vec_dot(col("vb"), col("vb"))))).as("cos"))
+    val pairs = dots.where(col("cos") >= E9Tau)
     val ca = centCos.select(col("id").as("id_a"), col("cos_cent").as("ca"))
     val cb = centCos.select(col("id").as("id_b"), col("cos_cent").as("cb"))
     val losers = pairs.join(ca, "id_a").join(cb, "id_b")

@@ -85,20 +85,35 @@ object ProfileGate {
         Thread.sleep(300)
         println(f"\n=== pass $p: $name = $sec%.3f s, ${rows.size} jobs ===")
         import scala.jdk.CollectionConverters._
-        // print each job with the driver-side GAP since the previous job's
-        // end — the wall-minus-job-sum attribution §1 asks for
-        var prevEnd = 0L
-        rows.asScala.toSeq.sortBy(_._1).foreach { case (id, d, nt, desc) =>
-          val (t0, t1, rest) = {
-            val m = "t0=(\\d+) t1=(\\d+) (.*)".r
-            desc match {
-              case m(a, b, r) => (a.toLong, b.toLong, r)
-              case _          => (0L, 0L, desc)
-            }
+        // Driver-gap attribution over a MERGED-INTERVAL timeline (round-12
+        // ADVICE): Spark runs jobs concurrently (broadcast builds, memo
+        // localCheckpoints, AQE subqueries), so per-job-ID deltas yield
+        // negative/misleading gaps in exactly the multi-job gates this
+        // instrument attributes. Jobs are walked in t0 order; gap is the
+        // driver-idle span since the running max end (clamped at 0), and a
+        // job that starts before the previous ones finished is flagged
+        // `overlap`. The summary line is wall = busy (union of job spans)
+        // + idle (the true driver-side gap total).
+        val parsed = rows.asScala.toSeq.map { case (id, d, nt, desc) =>
+          val m = "t0=(\\d+) t1=(\\d+) (.*)".r
+          desc match {
+            case m(a, b, r) => (id, d, nt, a.toLong, b.toLong, r)
+            case _          => (id, d, nt, 0L, 0L, desc)
           }
-          val gap = if (prevEnd == 0L || t0 == 0L) 0.0 else (t0 - prevEnd) / 1e3
+        }.sortBy(x => (x._4, x._1))
+        var prevEnd = 0L
+        var busyMs = 0L
+        parsed.foreach { case (id, d, nt, t0, t1, rest) =>
+          val gapMs = if (prevEnd == 0L || t0 == 0L) 0L else t0 - prevEnd
+          val tag = if (gapMs < 0) f"overlap=${-gapMs / 1e3}%5.3f s" else f"gap=${gapMs / 1e3}%6.3f s"
+          busyMs += math.max(0L, t1 - math.max(t0, prevEnd))
           prevEnd = math.max(prevEnd, t1)
-          println(f"  job $id%4d  $d%7.3f s  gap=$gap%6.3f s  tasks=$nt%4d  ${rest.take(90)}")
+          println(f"  job $id%4d  $d%7.3f s  $tag  tasks=$nt%4d  ${rest.take(90)}")
+        }
+        val spans = parsed.filter(_._4 > 0L)
+        if (spans.nonEmpty) {
+          val wallMs = spans.map(_._5).max - spans.map(_._4).min
+          println(f"  timeline: jobs-busy=${busyMs / 1e3}%.3f s  driver-idle=${(wallMs - busyMs) / 1e3}%.3f s  job-span-wall=${wallMs / 1e3}%.3f s  gate-wall=$sec%.3f s")
         }
         progress.asScala.foreach(println)
       }

@@ -1546,11 +1546,19 @@ object Queries {
       graft.text.TextOps.wordGrams(t(spark, dir, "documents"), 3)
         .select(col("doc_id"), sha2(col("g"), 256).as("h"))
     }
-    val nd = keyed.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("nd"))
-    val per = keyed.join(nd, Seq("h"))
+    // ROUND 13 (guide §2.4): aggregate to (doc, h, c) FIRST, then derive
+    // nd (= distinct docs per h) as a count window over the grouped rows —
+    // the old form countDistinct'ed the full gram-instance frame (two
+    // exchanges) AND re-shuffled every gram INSTANCE (with its 64-char
+    // sha2 hex key) through the join; now only the grouped (doc, h, c)
+    // rows cross the h exchange, once. Identical per-doc sums:
+    // n_grams = Σc, n_dup = Σ c·[nd >= 2].
+    val g1 = keyed.groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("c"))
+    val per = g1
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy(col("h"))))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .agg(sum(col("c")).as("n_grams"),
+        sum(when(col("nd") >= 2, col("c")).otherwise(0L)).as("n_dup"))
     t(spark, dir, "documents").select(col("doc_id"))
       .join(per, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -1582,9 +1590,17 @@ object Queries {
     val n = docsDf.count()
     val words = termsFrame(spark, dir)
     val tf = words.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = words.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    // ROUND 13 (guide §2.4 — remove shuffles): df used to be
+    // countDistinct(doc_id) over the FULL terms frame — a second corpus
+    // pass planned as a two-exchange distinct aggregation, then a join
+    // back onto tf. But tf already holds exactly one row per present
+    // (doc, term), so df = count over tf's term partitions: one window
+    // over the SAME exchange the join needed anyway, no second corpus
+    // pass, no join. Identical values (count of tf rows per term ==
+    // distinct docs per term), d18 derives df from tf the same way.
+    val wt = Window.partitionBy(col("term"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
-    tf.join(dfreq, Seq("term"))
+    tf.withColumn("df", count(lit(1)).over(wt))
       .withColumn("score", col("tf").cast("double") * lit(n.toDouble) / col("df").cast("double"))
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= 3)

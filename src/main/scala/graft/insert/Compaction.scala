@@ -153,13 +153,22 @@ object Compaction {
     * it is SMALL, the (q, res, key) relation is a pure function of it —
     * built at plan time as a local relation instead of a distributed
     * explode+distinct (the queryCells probe-key device, same 8192-row
-    * gate, same [[graft.h3.expr.H3ExprUtil]] evals so keys are
-    * bit-identical to the Column form). */
+    * gate applied AFTER normalization+dedup so a duplicate-heavy or
+    * finer-than-target Seq that collapses under the gate still takes the
+    * plan-time path, same [[graft.h3.expr.H3ExprUtil]] evals so keys are
+    * bit-identical to the Column form).
+    *
+    * `broadcastProbes`: callers that broadcast-hinted their probe relation
+    * in the semi-join this one-pass form replaces (Seq-probe queryCells)
+    * keep the hint on the distributed qside here — without it a mid-size
+    * Seq probe set past the plan-time gate is left to AQE's size estimate
+    * and can regress to a sort-merge join (round-12 ADVICE). */
   def uncompactCoarseToProbes(coarse: DataFrame, targetRes: Int,
       probes: DataFrame, h3Col: String = "h3index",
       knownProbeRes: Option[Seq[Int]] = None,
       includeTargetRes: Boolean = false,
-      driverCells: Option[Seq[Long]] = None): DataFrame = {
+      driverCells: Option[Seq[Long]] = None,
+      broadcastProbes: Boolean = false): DataFrame = {
     import graft.h3.H3
     val keyResBound = if (includeTargetRes) targetRes + 1 else targetRes
     val q0 = probes.columns.head
@@ -167,13 +176,17 @@ object Compaction {
         when(h3_get_resolution(col(q0)) > targetRes,
           h3_to_parent(col(q0), lit(targetRes))).otherwise(col(q0)).as("_q"))
       .distinct()
-    // driver-known SMALL probe sets: normalize + key-expand driver-side
+    // driver-known SMALL probe sets: normalize + dedup FIRST, then gate on
+    // the deduplicated count (normalization is pure per-element bit math,
+    // so running it before the gate costs nanoseconds per cell and lets
+    // duplicate-heavy / finer-than-target sets that collapse well take the
+    // plan-time path instead of the distributed fallback)
     val localCells: Option[Seq[Long]] = driverCells
-      .filter(cs => cs.length.toLong * keyResBound <= 8192)
       .map(_.map(c =>
           if (H3.getResolution(c) > targetRes)
             graft.h3.expr.H3ExprUtil.toParentTotal(c, targetRes) else c)
         .distinct)
+      .filter(cs => cs.length.toLong * keyResBound <= 8192)
     // callers that KNOW the probe resolutions (traversal: one fixed res;
     // Seq probes: driver-computed) skip the per-execution discovery job —
     // clamped to targetRes exactly as the pn normalization clamps the cells
@@ -204,9 +217,10 @@ object Compaction {
             .select(col("_q"), col("_x._r").as("_r"), col("_x._key").as("_key"))
             .distinct()
       }
+      val qhinted = if (broadcastProbes && localCells.isEmpty) broadcast(qside) else qside
       val sres = h3_get_resolution(col(h3Col))
       val skey = when(sres >= p, h3_to_parent(col(h3Col), lit(p))).otherwise(col(h3Col))
-      coarse.join(qside, sres === col("_r") && skey === col("_key"))
+      coarse.join(qhinted, sres === col("_r") && skey === col("_key"))
         .withColumn("_f",
           when(h3_get_resolution(col("_q")) > h3_get_resolution(col(h3Col)), col("_q"))
             .otherwise(col(h3Col)))

@@ -1055,7 +1055,9 @@ class CellStore(spark: SparkSession, rootPath: String) {
         // probes (now always small — keys, not expansions), AQE-decided
         // for DataFrame probes
         val p = probeResSet.head
-        val probeKeys = knownCells match {
+        // dedup BEFORE the size gate (round-12 ADVICE): a duplicate-heavy
+        // probe Seq that collapses under the gate takes the plan-time path
+        val probeKeys = knownCells.map(_.distinct) match {
           case Some(cs) if cs.nonEmpty && cs.length * physRes.length <= 8192 =>
             // driver-known SMALL probe sets: the (res, key) rows are a pure
             // function of the probe Seq, so build them AT PLAN TIME as a
@@ -1123,7 +1125,7 @@ class CellStore(spark: SparkSession, rootPath: String) {
       val rows = scan.select(schema.columns.keys.map(col).toIndexedSeq: _*)
       Compaction.uncompactCoarseToProbes(rows, targetRes, cellsDf, h3Col,
         knownProbeRes = Some(probeResSet), includeTargetRes = true,
-        driverCells = knownCells)
+        driverCells = knownCells, broadcastProbes = broadcastProbes)
     } else {
       // A7, template / mixed-resolution form: rows already AT targetRes pass
       // through untouched (the semi-join / template proved probe coverage);
@@ -1133,7 +1135,7 @@ class CellStore(spark: SparkSession, rootPath: String) {
       val coarse = projected.where(h3_get_resolution(col(h3Col)) < targetRes)
       fine.unionByName(
         Compaction.uncompactCoarseToProbes(coarse, targetRes, cellsDf, h3Col,
-          knownProbeRes = knownProbeRes))
+          knownProbeRes = knownProbeRes, broadcastProbes = broadcastProbes))
     }
   }
 

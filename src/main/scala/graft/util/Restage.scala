@@ -54,7 +54,21 @@ object Restage {
   private val ColumnarSplit = 256L * 1024
   /** The per-byte-HEAVY tables: documents feeds the d/t/s-family text
     * operators (word-gram explosion, sha2 per window, regex passes),
-    * embeddings the e-family vector math. Everything else is columnar. */
+    * embeddings the e-family vector math. Everything else is columnar.
+    *
+    * INVARIANT (round-12 ADVICE): this set must name every table whose
+    * consumers run 10-100x the per-byte CPU of a columnar scan — the split
+    * choice is invisible at query time, so a NEW text/vector-heavy table
+    * left out of this set silently gets the coarse 256 KB split and loses
+    * its fan-out. There is no table registry to hang an annotation on
+    * (readers call [[tablePath]] with bare names: Queries.t,
+    * PipelineQueries.docs/emb, TablesetQueries.lineitem/orders), so the
+    * rule lives here: when adding a reader for a table whose per-row work
+    * is gram explosion / hashing / vector arithmetic rather than codegen'd
+    * column math, add its name to this set and A/B the gate at sf0.1 (the
+    * round-12 protocol: 64 KB split for heavy tables measured s18
+    * 4.5→1.2 s; 256 KB for columnar measured q16/q17/q22/s2 each +0.3-0.5 s
+    * under the fine split). */
   private val HeavyPerByte = Set("documents", "embeddings")
 
   /** The path batch readers should scan for `$dir/$table.parquet`:
