@@ -1833,13 +1833,20 @@ object PipelineQueries {
   def d26DsirWeights(spark: SparkSession, dir: String): DataFrame = {
     val g = shingleCodesExploded(spark, dir).where(col("code").isNotNull)
       .select(col("doc_id"), pmod(col("code"), lit(DsirB.toLong)).as("b"))
-    val isTarget = docs(spark, dir).where(col("lang") === "en")
-      .select(col("doc_id"))
-    val rawCnt = g.groupBy(col("b")).agg(count(lit(1)).as("cr"))
-    val tgtCnt = g.join(isTarget, "doc_id").groupBy(col("b"))
-      .agg(count(lit(1)).as("ct"))
-    val buckets = rawCnt.join(tgtCnt, Seq("b"), "left")
-      .select(col("b"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
+    // ROUND 13 (guide §2.4): raw and target bucket counts fused into ONE
+    // conditional aggregate — the two-frame form ran the gram stream
+    // through two separate corpus-wide aggregations (raw pool, then the
+    // target slice re-joined) plus a bucket join to recombine them. The
+    // per-doc target flag rides a doc-keyed join (the raw counts include
+    // the target slice exactly as before; ct = conditional count ==
+    // the old left-join + coalesce(0)). Exact integer counts — no float
+    // order anywhere near the change; oracle-verified at sf0.001/0.01.
+    val flags = docs(spark, dir)
+      .select(col("doc_id"), (col("lang") === "en").as("tgt"))
+    val buckets = g.join(flags, "doc_id")
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"))
     val totals = buckets.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
     val lam = buckets.crossJoin(broadcast(totals))
       .select(col("b"),

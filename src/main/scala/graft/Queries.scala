@@ -1877,6 +1877,19 @@ object Queries {
     }
   }
 
+  /** d28/d36 shared duplicated-window aggregate over [[spanGramsFrame]]:
+    * (h, survivor doc/position) for every window occurring >= 2 times.
+    * Memoized (round 13): d28's duplicate SET is the h-projection of d36's
+    * survivor election — the same groupBy(h) over the same frame ran once
+    * per gate per pass as two separate corpus-wide shuffles. */
+  private def spanSurvFrame(spark: SparkSession, dir: String): DataFrame =
+    PipelineQueries.memo(spark, s"spansurv:$dir") {
+      spanGramsFrame(spark, dir).groupBy(col("h"))
+        .agg(count(lit(1)).as("n"), min(struct(col("doc_id"), col("s"))).as("sv"))
+        .where(col("n") >= 2)
+        .select(col("h"), col("sv.doc_id").as("sd"), col("sv.s").as("ss"))
+    }
+
   def d28DupSpanRemoval(spark: SparkSession, dir: String): DataFrame = {
     val k = D11SpanWords
     val words = spanWordsFrame(spark, dir)
@@ -1884,8 +1897,7 @@ object Queries {
     // removal needs every occurrence's interval, including repeats);
     // shared with d36 via the memoized [[spanGramsFrame]]
     val grams = spanGramsFrame(spark, dir)
-    val dup = grams.groupBy(col("h"))
-      .agg(count(lit(1)).as("n")).where(col("n") >= 2).select(col("h"))
+    val dup = spanSurvFrame(spark, dir).select(col("h"))
     val iv = grams.join(dup, Seq("h"))
       .select(col("doc_id"), col("s"), (col("s") + (k - 1)).as("e"))
     // island merge = the reusable per-key interval union
@@ -1938,11 +1950,9 @@ object Queries {
     // every occurrence's (doc_id, start, hash) — d28's per-position frame,
     // shared via the memoized [[spanGramsFrame]]
     val grams = spanGramsFrame(spark, dir)
-    // survivor per duplicated window: lexicographic min (doc_id, s)
-    val surv = grams.groupBy(col("h"))
-      .agg(count(lit(1)).as("n"), min(struct(col("doc_id"), col("s"))).as("sv"))
-      .where(col("n") >= 2)
-      .select(col("h"), col("sv.doc_id").as("sd"), col("sv.s").as("ss"))
+    // survivor per duplicated window: lexicographic min (doc_id, s) —
+    // shared with d28 via the memoized [[spanSurvFrame]]
+    val surv = spanSurvFrame(spark, dir)
     val removals = grams.join(surv, Seq("h"))
       .where(!(col("doc_id") === col("sd") && col("s") === col("ss")))
       .select(col("doc_id"), col("s"), (col("s") + (k - 1)).as("e"))
